@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate: run graft.Verify at a
+given SF dir, then replay each oracle_sql.json entry in DuckDB over the
+same parquet tables and compare (column names, row count, values with
+order-insensitive compare and float tolerance).
+
+Usage: python3 scripts/selfcheck.py [sfDir] [outDir]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def compare(name, sql, con):
+    pq = OUT / name
+    files = sorted(str(p) for p in pq.glob("*.parquet"))
+    if not files:
+        return f"FAIL {name}: no spark output"
+    got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+    want = con.sql(sql)
+    gcols, wcols = sorted(got.columns), sorted(want.columns)
+    if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+        return f"FAIL {name}: columns {gcols} vs {wcols}"
+    grows = got.df()[gcols].values.tolist()
+    wrows = want.df()[[c for c in sorted(want.columns)]].values.tolist()
+    if len(grows) != len(wrows):
+        return f"FAIL {name}: rows {len(grows)} vs {len(wrows)}"
+    gset = sorted([tuple(canon(v) for v in r) for r in grows], key=repr)
+    wset = sorted([tuple(canon(v) for v in r) for r in wrows], key=repr)
+    bad = sum(1 for a, b in zip(gset, wset) if a != b)
+    if bad:
+        ex = next((a, b) for a, b in zip(gset, wset) if a != b)
+        return f"FAIL {name}: {bad}/{len(gset)} rows differ, e.g. {ex[0]} vs {ex[1]}"
+    return f"OK   {name}: {len(gset)} rows"
+
+
+def main():
+    if "--no-run" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+            capture_output=True, text=True, cwd="/root/repo")
+        if r.returncode != 0:
+            print(r.stdout[-4000:], r.stderr[-4000:])
+            sys.exit(1)
+        for line in r.stdout.splitlines():
+            if "[verify]" in line:
+                print(line)
+    oracles = json.loads((OUT / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    fails = 0
+    for name in sorted(oracles):
+        try:
+            msg = compare(name, oracles[name], con)
+        except Exception as e:
+            msg = f"FAIL {name}: exception {e}"
+        if msg.startswith("FAIL"):
+            fails += 1
+        print(msg)
+    # queries with no oracle: rows-only smoke
+    declared = {p.name for p in OUT.iterdir() if p.is_dir()}
+    for name in sorted(declared - set(oracles)):
+        files = sorted(str(p) for p in (OUT / name).glob("*.parquet"))
+        n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else -1
+        status = "OK  " if n > 0 else "FAIL"
+        if n <= 0:
+            fails += 1
+        print(f"{status} {name}: rows-only check, {n} rows")
+    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

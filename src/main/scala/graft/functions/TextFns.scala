@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions (SURVEY.md §2.7/§2.11 U1-U3) plus the
+  * training-data-pipeline text-analysis battery (quality scoring,
+  * language-ID heuristic, token counting, fingerprinting).
+  *
+  * Everything here is pure `Column` expressions over built-in functions —
+  * codegen'd, null-safe, no UDF in the hot path. At 100 TB these run
+  * inside the scan's WholeStageCodegen span.
+  */
+object TextFns {
+  /** U2 standardize_boolean (reference code/07:134-139). */
+  def standardizeBoolean(c: Column): Column =
+    lower(trim(c)).isin("true", "qui", "yes")
+
+  /** U3 remove_punct + collapse_whitespace + lower (code/10:92-98). */
+  def cleanName(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), """[^a-z0-9\s]""", " "), """\s+""", " "))
+
+  /** U1 standardize_percentage (code/07:104-128): branchy extraction —
+    * "45%" / "12.5 percent" / "less than 1" / bare number; else null.
+    * Expressed as an ordered when-chain of regexp_extract (first match
+    * wins, mirroring the reference's sequential assignments). */
+  def standardizePercentage(c: Column): Column = {
+    val s = trim(lower(c))
+    val pct    = regexp_extract(s, """(\d+(?:\.\d+)?)\s*%""", 1)
+    val word   = regexp_extract(s, """(\d+(?:\.\d+)?)\s*percent""", 1)
+    val lessThan = s.rlike("""less\s+than\s+1""")
+    val bare   = regexp_extract(s, """^(\d+(?:\.\d+)?)$""", 1)
+    when(c.isNull, lit(null).cast("double"))
+      .when(pct =!= "", pct.cast("double"))
+      .when(word =!= "", word.cast("double"))
+      .when(lessThan, lit(0.5))
+      .when(bare =!= "", bare.cast("double"))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  // ---- training-data text analysis ----------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    when(trim(c) === "", lit(0)).otherwise(size(split(trim(c), """\s+""")))
+
+  /** BPE-ish token count: word pieces + digits + punctuation singles —
+    * a cheap deterministic proxy for subword tokenizers. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, """[^\w\s]""", ""))).cast("double") / length(c))
+
+  /** Ratio of tokens that are in `stop` (lowercased compare). */
+  def stopwordRatio(c: Column, stop: Seq[String]): Column = {
+    val toks = split(lower(trim(c)), """\s+""")
+    val stops = size(filter(toks, t => t.isin(stop: _*)))
+    when(size(toks) === 0, lit(0.0)).otherwise(stops.cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs, low
+    * punctuation noise, and some stopword mass (Gopher-style heuristics). */
+  def qualityScore(text: Column, stop: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopOk = least(stopwordRatio(text, stop) * 4.0, lit(1.0))
+    round((lenScore + punctOk + stopOk) / 3.0, 6)
+  }
+
+  /** Deterministic doc fingerprint: md5 of the normalized text (lower,
+    * punctuation stripped, whitespace collapsed) — stable across engines. */
+  def fingerprint(c: Column): Column = md5(cleanName(c))
+
+  /** Language-ID by marker-word scoring: count hits of per-language marker
+    * words, argmax with deterministic tie order (en > de > es > fr > zh).
+    * A real pipeline would use char n-gram profiles; the shape (score →
+    * argmax cascade) is the same and is what we test. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "que", "de", "es"),
+    "fr" -> Seq("le", "la", "les", "est", "et"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val toks = split(lower(trim(c)), """\s+""")
+    size(filter(toks, t => t.isin(markers: _*)))
+  }
+
+  def langId(c: Column): Column = {
+    val scored = langMarkers.map { case (l, m) => (l, langScore(c, m)) }
+    // argmax with fixed precedence: strictly-greater beats earlier entries
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+}

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-row-per-group dedup (A2/W7, reference code/04:83) and the
+  * prioritized "incoming over internal" variant (J13, code/04:83-84).
+  *
+  * R's `.SD[1], by=id` relies on file order; Spark is unordered, so the
+  * caller supplies an explicit deterministic ordering (SURVEY.md §4.3.1).
+  *
+  * Scale note: one shuffle on the partition keys — the only shuffle this
+  * operator needs. With AQE on, skewed ids are split automatically; the
+  * window itself is a single pass per partition (no sort spill beyond the
+  * keyed sort Spark already does for the window).
+  */
+object Dedup {
+  def firstRowPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J13: among rows sharing `key`, prefer rows where `preferred` is true,
+    * tiebreak by `tiebreak` ascending — one window, no self-union needed
+    * (the reference does rbind(first-per-id of slice A, remainder of B)). */
+  def prioritizedDedup(df: DataFrame, key: String, preferred: Column, tiebreak: Column): DataFrame =
+    firstRowPerGroup(df, Seq(key), Seq(preferred.cast("int").desc, tiebreak.asc))
+}

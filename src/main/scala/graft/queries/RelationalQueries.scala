@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.{Dedup, Joins, Reshape, SplitRows}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.1-2.4, §2.8): scans with
+  * pushdown, filters, joins (broadcast chain, fallback-coalesce, anti,
+  * scaffold), dedup windows, row expansion, unions.
+  *
+  * Each entry is a Spark query over the driver's parquet tables plus a
+  * DuckDB oracle. Doubles that pass through order-sensitive accumulation
+  * (sums/avgs of floats) are rounded on BOTH sides so partial-aggregation
+  * order cannot flip the hash compare.
+  */
+object RelationalQueries {
+  val defs: Seq[QueryDef] = Seq(
+
+    // S6/F6 + A5: pricing summary — filter + group agg; predicate and the
+    // 5-column projection both reach the parquet scan.
+    QueryDef("q01_pricing_summary", Seq("S6", "F6", "A5"),
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // F1/F8: != filter (three-valued semantics match data.table's NA drop).
+    QueryDef("q02_filter_pushdown", Seq("F1", "F8"),
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderstatus <> 'O' AND o_totalprice > 100000""") { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") =!= "O" && col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // F3: membership predicate.
+    QueryDef("q03_isin_membership", Seq("F3"),
+      """SELECT c_mktsegment, count(*) AS n_cust,
+         round(sum(c_acctbal), 4) AS total_bal FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         GROUP BY c_mktsegment""") { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("total_bal"))
+    },
+
+    // F4/SE1: anti join — customers with no large order.
+    QueryDef("q04_anti_join", Seq("F4", "SE1"),
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)""") { (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // F5: regex predicate (unanchored contains, same in Java regex & RE2).
+    QueryDef("q05_regex_filter", Seq("F5"),
+      """SELECT lang, count(*) AS n_docs FROM documents
+         WHERE regexp_matches(text, 'stream [a-z]+ vector') GROUP BY lang""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").rlike("stream [a-z]+ vector"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    },
+
+    // A1/S2: ordered group-concat — the unnest "group-same" core: elements
+    // joined "; " in a deterministic (line-number) order.
+    QueryDef("q06_group_concat", Seq("A1", "S2"),
+      """SELECT l_orderkey,
+         string_agg(l_returnflag, '; ' ORDER BY l_linenumber, l_partkey, l_suppkey) AS flags,
+         count(*) AS n_lines FROM lineitem GROUP BY l_orderkey""") { (s, d) =>
+      // (orderkey, linenumber, partkey, suppkey) is the unique key of this
+      // table — the sort struct carries the full tiebreak so the concat
+      // order is total (SURVEY §4.3.1: R relies on file order; we don't).
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          concat_ws("; ",
+            transform(
+              array_sort(collect_list(struct(
+                col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_returnflag")))),
+              x => x.getField("l_returnflag"))).as("flags"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // A2/W7: first row per group with explicit deterministic order.
+    QueryDef("q07_first_per_group", Seq("A2", "W7"),
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         QUALIFY row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey) = 1""") { (s, d) =>
+      Dedup.firstRowPerGroup(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_orderkey"), Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+        .drop("l_suppkey")
+    },
+
+    // J13: prioritized dedup — prefer 'R' rows per order (the
+    // incoming-over-internal shared-boundary idiom).
+    QueryDef("q08_prioritized_dedup", Seq("J13"),
+      """SELECT l_orderkey, l_returnflag, l_linenumber FROM lineitem
+         QUALIFY row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) DESC,
+             l_linenumber, l_partkey, l_suppkey) = 1""") { (s, d) =>
+      Dedup.firstRowPerGroup(
+        Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_orderkey"),
+        Seq((col("l_returnflag") === "R").cast("int").desc,
+          col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+        .drop("l_partkey", "l_suppkey")
+    },
+
+    // R1: split rows with even value division (Σ p_retailprice preserved).
+    QueryDef("q09_split_rows", Seq("R1", "U6"),
+      """SELECT p_partkey, trim(unnest(string_split(p_type, ' '))) AS p_type,
+         round(p_retailprice / len(string_split(p_type, ' ')), 6) AS p_retailprice
+         FROM part""") { (s, d) =>
+      SplitRows.splitRows(
+        Tables.part(s, d).select("p_partkey", "p_type", "p_retailprice"),
+        "p_type", Seq("p_retailprice"), " ")
+        .withColumn("p_retailprice", round(col("p_retailprice"), 6))
+    },
+
+    // R4/SE2: union by name with missing-column fill.
+    QueryDef("q10_union_by_name", Seq("R4", "SE2"),
+      """SELECT 'customer' AS entity, c_custkey AS key, c_name AS name,
+                c_acctbal AS acctbal, c_mktsegment AS mktsegment FROM customer
+         UNION ALL
+         SELECT 'supplier', s_suppkey, s_name, s_acctbal, NULL FROM supplier""") { (s, d) =>
+      val c = Tables.customer(s, d).select(
+        lit("customer").as("entity"), col("c_custkey").as("key"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("mktsegment"))
+      val p = Tables.supplier(s, d).select(
+        lit("supplier").as("entity"), col("s_suppkey").as("key"),
+        col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+      Reshape.unionByNameFill(Seq(c, p))
+    },
+
+    // J1/J2/J7: broadcast lookup chain — fact table never shuffles; the
+    // three dims are broadcast. Revenue by region.
+    QueryDef("q11_broadcast_chain", Seq("J1", "J2", "J7"),
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""") { (s, d) =>
+      Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // J3/J4: composite-key join with fallback patch (the deflator DAC
+    // idiom): per-nation benchmark from high-balance customers, patched
+    // with the global benchmark where a nation has none.
+    QueryDef("q12_fallback_join", Seq("J3", "J4"),
+      """WITH bench AS (
+           SELECT c_nationkey AS s_nationkey, round(avg(c_acctbal), 6) AS benchmark
+           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+         global AS (SELECT round(avg(c_acctbal), 6) AS g FROM customer WHERE c_acctbal > 9000)
+         SELECT s_suppkey, s_nationkey,
+           coalesce(b.benchmark, (SELECT g FROM global)) AS benchmark
+         FROM supplier s LEFT JOIN bench b USING (s_nationkey)""") { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      val bench = cust.groupBy(col("c_nationkey").as("s_nationkey"))
+        .agg(round(avg("c_acctbal"), 6).as("benchmark"))
+      val global = cust.agg(round(avg("c_acctbal"), 6).as("benchmark"))
+        .withColumn("__one", lit(1))
+      Joins.joinWithFallback(
+        Tables.supplier(s, d).select("s_suppkey", "s_nationkey").withColumn("__one", lit(1)),
+        bench, Seq("s_nationkey"),
+        global, Seq("__one"), "benchmark")
+        .drop("__one")
+    },
+
+    // J12: scaffold cross product + zero-fill (expand.grid idiom).
+    QueryDef("q13_scaffold_grid", Seq("J12"),
+      """WITH counts AS (
+           SELECT c_nationkey, o_orderstatus, count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey, o_orderstatus)
+         SELECT n_name, st.o_orderstatus, coalesce(n_orders, 0) AS n_orders
+         FROM nation CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+         LEFT JOIN counts ON c_nationkey = n_nationkey AND counts.o_orderstatus = st.o_orderstatus""") { (s, d) =>
+      val counts = Tables.orders(s, d).select("o_custkey", "o_orderstatus")
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumnRenamed("c_nationkey", "n_nationkey")
+      val grid = Tables.nation(s, d).select("n_nationkey", "n_name")
+        .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+      grid.join(counts, Seq("n_nationkey", "o_orderstatus"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .select("n_name", "o_orderstatus", "n_orders")
+    },
+  )
+}
