@@ -12,7 +12,9 @@ import graft.sources.Tables
   */
 object SparkEntry {
   def allDefs: Seq[QueryDef] =
-    graft.queries.RelationalQueries.defs
+    graft.queries.RelationalQueries.defs ++
+    graft.queries.WindowQueries.defs ++
+    graft.queries.CascadeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §7.2 "minimum slice" shape re-expressed on the bench tables:

@@ -32,8 +32,8 @@ object TextFns {
     val bare   = regexp_extract(s, """^(\d+(?:\.\d+)?)$""", 1)
     when(c.isNull, lit(null).cast("double"))
       .when(pct =!= "", pct.cast("double"))
-      .when(word =!= "", word.cast("double"))
       .when(lessThan, lit(0.5))
+      .when(word =!= "", word.cast("double"))
       .when(bare =!= "", bare.cast("double"))
       .otherwise(lit(null).cast("double"))
   }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Reshape
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ordered-group operator coverage (SURVEY.md §2.6, A12, R2/R3).
+  *
+  * All orderings are total (explicit unique tiebreaks) so window frames are
+  * identical across engines — ordered-frame float accumulation is then
+  * deterministic, and a final round() absorbs any residual ULP noise.
+  * Every window partitions by a key (single shuffle); no global windows on
+  * big tables except the explicit top-k.
+  */
+object WindowQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // W1+W3: running total + lead over a per-customer ordered window.
+    QueryDef("q14_running_total", Seq("W1", "W3"),
+      """SELECT o_orderkey, o_custkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+         FROM orders""") { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("running_spend",
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .withColumn("next_orderkey", lead("o_orderkey", 1).over(w))
+        .drop("o_orderdate", "o_totalprice")
+    },
+
+    // W1 exact cumulative product (the deflator growth-chaining op,
+    // code/03:76-77): exp(sum(log)) over the ordered frame, rounded back
+    // to the exact integer product (inputs are small integers).
+    QueryDef("q15_cumprod", Seq("W1", "U5"),
+      """SELECT l_orderkey, l_partkey, l_suppkey,
+         round(exp(sum(ln(l_linenumber)) OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 0) AS cum_product
+         FROM lineitem""") { (s, d) =>
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .withColumn("cum_product", round(exp(sum(log(col("l_linenumber"))).over(w)), 0))
+        .drop("l_linenumber")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "cum_product")
+    },
+
+    // W2: reverse-ordered cumulative (the back-casting idiom, code/03:164).
+    QueryDef("q16_reverse_cumulative", Seq("W2"),
+      """SELECT o_orderkey, o_custkey,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS orders_remaining,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS spend_remaining
+         FROM orders""") { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("orders_remaining", count(lit(1)).over(w))
+        .withColumn("spend_remaining", round(sum("o_totalprice").over(w), 4))
+        .drop("o_orderdate", "o_totalprice")
+    },
+
+    // W4+W5: value-at-anchor within group (ratio to the customer's first
+    // order) + conditional group max (last 'F'-status year).
+    QueryDef("q17_anchor_ratio", Seq("W4", "W5"),
+      """SELECT o_orderkey,
+         round(o_totalprice / first_value(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), 6) AS vs_first_order,
+         max(CASE WHEN o_orderstatus = 'F' THEN year(o_orderdate) END)
+           OVER (PARTITION BY o_custkey) AS last_f_year
+         FROM orders""") { (s, d) =>
+      val wOrd = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .withColumn("vs_first_order",
+          round(col("o_totalprice") / first("o_totalprice").over(wOrd), 6))
+        .withColumn("last_f_year",
+          max(when(col("o_orderstatus") === "F", year(col("o_orderdate")))).over(wAll))
+        .select("o_orderkey", "vs_first_order", "last_f_year")
+    },
+
+    // W6: argmax per group with deterministic tiebreak.
+    QueryDef("q18_argmax_per_group", Seq("W6"),
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+         QUALIFY row_number() OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_custkey) = 1""") { (s, d) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    },
+
+    // W8: global ordered top-k with rank (the only global sort; k small so
+    // Spark uses TakeOrderedAndProject — no full-sort shuffle at scale).
+    QueryDef("q19_topk", Seq("W8"),
+      """SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""") { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .select("rnk", "o_orderkey", "o_totalprice")
+    },
+
+    // A12: geometric growth per group — (last/first)^(1/span) over each
+    // customer's order history (the WEO growth-approximation op).
+    QueryDef("q20_geometric_growth", Seq("A12"),
+      """WITH e AS (
+           SELECT o_custkey, year(o_orderdate) AS yr,
+             first_value(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS first_price,
+             first_value(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS last_price
+           FROM orders)
+         SELECT o_custkey,
+           round(pow(max(last_price) / max(first_price), 1.0 / (max(yr) - min(yr))), 6) AS growth
+         FROM e GROUP BY o_custkey HAVING max(yr) > min(yr)""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          min_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey"))).as("first_price"),
+          max_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey"))).as("last_price"),
+          (year(max("o_orderdate")) - year(min("o_orderdate"))).as("yr_span"))
+        .filter(col("yr_span") > 0)
+        .select(col("o_custkey"),
+          round(pow(col("last_price") / col("first_price"), lit(1.0) / col("yr_span")), 6).as("growth"))
+    },
+
+    // R2: wide→long melt of per-nation metrics.
+    QueryDef("q21_melt_long", Seq("R2"),
+      """WITH wide AS (
+           SELECT c_nationkey, round(sum(c_acctbal), 4) AS total_bal,
+                  cast(count(*) AS DOUBLE) AS n_cust
+           FROM customer GROUP BY c_nationkey)
+         SELECT c_nationkey, 'total_bal' AS variable, total_bal AS value FROM wide
+         UNION ALL
+         SELECT c_nationkey, 'n_cust', n_cust FROM wide""") { (s, d) =>
+      val wide = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(round(sum("c_acctbal"), 4).as("total_bal"),
+          count(lit(1)).cast("double").as("n_cust"))
+      Reshape.melt(wide, Seq("c_nationkey"), Seq("total_bal", "n_cust"))
+    },
+
+    // R3: proxy-relabel union (deflator GBR→AIA idiom) on region rollups.
+    QueryDef("q22_proxy_relabel", Seq("R3"),
+      """WITH base AS (
+           SELECT r_name, count(*) AS n_nations
+           FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name)
+         SELECT r_name, n_nations FROM base
+         UNION ALL SELECT 'EUROPE_DEPENDENCY', n_nations FROM base WHERE r_name = 'EUROPE'
+         UNION ALL SELECT 'ASIA_DEPENDENCY', n_nations FROM base WHERE r_name = 'ASIA'""") { (s, d) =>
+      val base = Tables.region(s, d)
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+      Reshape.proxyRelabelUnion(base, "r_name",
+        Map("EUROPE_DEPENDENCY" -> "EUROPE", "ASIA_DEPENDENCY" -> "ASIA"))
+    },
+  )
+}
