@@ -14,7 +14,12 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.RelationalQueries.defs ++
     graft.queries.WindowQueries.defs ++
-    graft.queries.CascadeQueries.defs
+    graft.queries.CascadeQueries.defs ++
+    graft.queries.MatchQueries.defs ++
+    graft.queries.DedupQueries.defs ++
+    graft.queries.AnnQueries.defs ++
+    graft.queries.TextQueries.defs ++
+    graft.queries.EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §7.2 "minimum slice" shape re-expressed on the bench tables:

@@ -1,0 +1,54 @@
+package graft.ann
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus, so the corpus scans once with no shuffle; the only
+  * shuffle is the per-query top-k window on Q·N candidate rows.
+  *
+  * Scale path: sign-bit LSH bucketing (`VectorFns.signBucket`) routes each
+  * query to one bucket, cutting candidates by ~2^nBits; same top-k logic
+  * after an equi-join on the bucket id. An IVF variant would swap the
+  * bucket fn for nearest-centroid assignment — the plumbing is identical.
+  */
+object Knn {
+
+  /** Top-k cosine neighbors for each query row. Both frames must have
+    * (idCol, vecCol); query ids are excluded from their own results. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
+  /** LSH-bucketed variant: candidates restricted to the query's sign
+    * bucket. Recall < 1 by construction; nBits trades recall for fanout. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__bkt", VectorFns.signBucket(col("__qvec"), nBits))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .withColumn("__bkt", VectorFns.signBucket(col("__cvec"), nBits))
+    val cand = c.join(broadcast(q), Seq("__bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+}

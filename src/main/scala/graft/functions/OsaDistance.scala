@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** U7: Optimal String Alignment distance (restricted Damerau-Levenshtein).
+  *
+  * The reference's fuzzy subgrant matching uses stringdist's default OSA
+  * metric (code/10:135), which counts an adjacent transposition as ONE
+  * edit; Spark's builtin `levenshtein` counts it as two. This expression
+  * closes that documented delta (SURVEY.md §4.3.7).
+  *
+  * Implemented as a Catalyst `BinaryExpression` (not a Scala UDF) so it is
+  * null-safe by construction and free of SerDe overhead; CodegenFallback
+  * is acceptable because fuzzy matching runs on deduplicated name lists
+  * (|uniques|², tiny), never on the fact table.
+  */
+case class OsaDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].toString
+    val b = r.asInstanceOf[UTF8String].toString
+    OsaDistance.osa(a, b)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object OsaDistance {
+  /** Classic O(|a|·|b|) DP with the one-row transposition check. */
+  def osa(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    // three rolling rows: i-2, i-1, i
+    var prev2 = new Array[Int](m + 1)
+    var prev = Array.tabulate(m + 1)(identity)
+    var curr = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      curr(0) = i
+      var j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var d = math.min(math.min(prev(j) + 1, curr(j - 1) + 1), prev(j - 1) + cost)
+        if (i > 1 && j > 1 &&
+            a.charAt(i - 1) == b.charAt(j - 2) && a.charAt(i - 2) == b.charAt(j - 1)) {
+          d = math.min(d, prev2(j - 2) + cost)
+        }
+        curr(j) = d
+        j += 1
+      }
+      val t = prev2; prev2 = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  def osa_distance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(OsaDistance(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+}

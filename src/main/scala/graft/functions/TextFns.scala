@@ -62,11 +62,17 @@ object TextFns {
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs, low
-    * punctuation noise, and some stopword mass (Gopher-style heuristics). */
+    * punctuation noise, and some stopword mass (Gopher-style heuristics).
+    * FP operation order (multiply before divide) is pinned so an external
+    * SQL oracle can reproduce the value bit-for-bit. */
   def qualityScore(text: Column, stop: Seq[String]): Column = {
-    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopOk = least(stopwordRatio(text, stop) * 4.0, lit(1.0))
+    val len = length(text)
+    val punctChars = len - length(regexp_replace(text, """[^\w\s]""", ""))
+    val toks = split(lower(trim(text)), """\s+""")
+    val hits = size(filter(toks, t => t.isin(stop: _*)))
+    val lenScore = least(len.cast("double") / 500.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctChars.cast("double") * 5.0 / len, lit(1.0))
+    val stopOk = least(hits.cast("double") * 4.0 / size(toks), lit(1.0))
     round((lenScore + punctOk + stopOk) / 3.0, 6)
   }
 

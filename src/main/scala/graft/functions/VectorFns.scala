@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ArrayType(FloatType) embedding columns, built from
+  * higher-order functions (`zip_with`/`aggregate`) so it stays codegen'd
+  * and needs no UDF. Accumulation is sequential in array order — the same
+  * order every engine uses — so results are reproducible bit-for-bit.
+  */
+object VectorFns {
+  /** Σ aᵢ·bᵢ accumulated left-to-right in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket from the first `nBits` dimensions: bit i set iff
+    * a[i] > 0. Deterministic, index-only — the cheap router that turns
+    * brute-force O(N·Q) scans into per-bucket scans at scale. */
+  def signBucket(a: Column, nBits: Int): Column =
+    (0 until nBits).map { i =>
+      when(element_at(a, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy / substring matching (SURVEY.md J8-J10, code/10:117-301).
+  *
+  * The reference cross-multiplies unique name lists (≈10²×10³) and picks
+  * argmin edit distance. We keep that shape but make the scale path
+  * explicit: `blockKey` partitions both sides before the crossJoin (e.g.
+  * first letter or length band), turning O(|A|·|B|) into
+  * O(Σ_blocks |A_b|·|B_b|) — the "blocking hook" SURVEY §4.2 calls for.
+  * Determinism: argmin window tiebreaks on the candidate string itself.
+  */
+object FuzzyJoin {
+
+  /** J8: for each left name, the closest right name within
+    * `maxDistFrac * length(left)` (ceil), ties broken lexicographically.
+    * `dist` is a pluggable distance column fn (levenshtein or OSA). */
+  def fuzzyMatch(
+      left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String,
+      maxDistFrac: Double = 0.2,
+      dist: (Column, Column) => Column = levenshtein,
+      blockKey: Option[Column => Column] = None): DataFrame = {
+    val l = left.select(col(leftCol)).distinct()
+    val r = right.select(col(rightCol)).distinct()
+    val joined = blockKey match {
+      case Some(bk) =>
+        l.withColumn("__blk", bk(col(leftCol)))
+          .join(r.withColumn("__blk", bk(col(rightCol))), "__blk")
+          .drop("__blk")
+      case None => l.crossJoin(r)
+    }
+    val withDist = joined
+      .filter(col(leftCol) =!= col(rightCol))
+      .withColumn("dist", dist(col(leftCol), col(rightCol)))
+      .filter(col("dist") <= ceil(length(col(leftCol)) * maxDistFrac))
+    val w = Window.partitionBy(leftCol).orderBy(col("dist"), col(rightCol))
+    withDist.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J9: word-boundary substring containment — left token appears as a
+    * whole word inside right string; shortest right string wins. */
+  def substringMatch(
+      left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String): DataFrame = {
+    val l = left.select(col(leftCol)).distinct()
+    val r = right.select(col(rightCol)).distinct()
+    val withHit = l.crossJoin(r)
+      .withColumn("__patt", concat(lit("""\b"""), SplitRows.regexEscapeCol(col(leftCol)), lit("""\b""")))
+      .filter(regexp_count(col(rightCol), col("__patt")) > 0)
+      .drop("__patt")
+    val w = Window.partitionBy(leftCol).orderBy(length(col(rightCol)), col(rightCol))
+    withHit.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J10/C4: precedence coalesce across match methods — first non-null of
+    * manual override ≻ perfect ≻ fuzzy ≻ substring. */
+  def precedenceCoalesce(
+      base: DataFrame, key: String,
+      matches: Seq[(DataFrame, String)]): DataFrame = {
+    val joined = matches.zipWithIndex.foldLeft(base) { case (acc, ((m, valueCol), i)) =>
+      acc.join(broadcast(m.withColumnRenamed(valueCol, s"__m$i")
+        .select(col(key), col(s"__m$i"))), Seq(key), "left")
+    }
+    joined.withColumn("matched",
+      coalesce(matches.indices.map(i => col(s"__m$i")): _*))
+      .drop(matches.indices.map(i => s"__m$i"): _*)
+  }
+}

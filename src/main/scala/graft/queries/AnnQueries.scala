@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ann.Knn
+import graft.functions.VectorFns
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k (exact baseline) and the sign-bit LSH-bucketed scale path.
+  * Cosine accumulates left-to-right in double precision in both engines,
+  * so values agree bit-for-bit; rounded to 6 anyway.
+  */
+object AnnQueries {
+
+  // DOUBLE[] cast: DuckDB otherwise computes in float32, Spark in double.
+  private val cosineSql =
+    """list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[]))"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force top-5 cosine neighbors for the first 10 vectors.
+    QueryDef("q37_ann_bruteforce", Seq("J12"),
+      s"""SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round($cosineSql, 6) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round($cosineSql, 6) DESC, b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 10) WHERE rnk <= 5""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    },
+
+    // LSH-bucketed variant: same top-k inside the query's 6-bit sign
+    // bucket (recall<1 by design; bucket fn is deterministic index math).
+    QueryDef("q38_ann_lsh", Seq("J12"),
+      s"""WITH bkt AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+           FROM embeddings)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round($cosineSql, 6) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round($cosineSql, 6) DESC, b.vec_id) AS rnk
+           FROM bkt a JOIN bkt b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+           WHERE a.vec_id < 10) WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Knn.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3, 6)
+    },
+
+    // Centroid distance per label (the IVF building block): mean vector
+    // per label, then each vector's cosine to its own label centroid.
+    QueryDef("q39_label_centroid", Seq("A5"),
+      """WITH dims AS (
+           SELECT label, g.g AS dim, avg(embedding[g.g]) AS mu
+           FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS g) g
+           GROUP BY label, g.g),
+         centroids AS (
+           SELECT label, list(mu ORDER BY dim) AS centroid FROM dims GROUP BY label)
+         SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding, c.centroid), 4) AS to_centroid
+         FROM embeddings e JOIN centroids c USING (label)""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // mean per dimension: explode dims → avg → regroup in dim order.
+      val dims = emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("mu"))
+      val centroids = dims
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          x => x.getField("mu")).as("centroid"))
+      emb.join(broadcast(centroids), Seq("label"))
+        .withColumn("to_centroid", round(VectorFns.cosine(col("embedding"), col("centroid")), 4))
+        .select("vec_id", "label", "to_centroid")
+    },
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.dedup.TextDedup
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication + similarity coverage: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard — each over the `documents` table, each with a
+  * DuckDB oracle built on md5 (engine-portable hashing).
+  */
+object DedupQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup via canonical fingerprint; min-id row survives.
+    QueryDef("q33_dedup_exact", Seq("A10", "U3"),
+      """WITH f AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+           FROM documents)
+         SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dup_count
+         FROM f QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1""") { (s, d) =>
+      TextDedup.exactDedup(Tables.documents(s, d).select("doc_id", "text"), "text", "doc_id")
+        .select("doc_id", "fp", "dup_count")
+    },
+
+    // MinHash: min over char-8-gram shingles of md5(shingle) — the
+    // signature that LSH banding buckets on.
+    QueryDef("q34_minhash_signature", Seq("A10"),
+      """SELECT doc_id,
+           list_min([md5(substring(text, g, 8))
+                     FOR g IN generate_series(1, greatest(length(text) - 7, 1))]) AS minhash
+         FROM documents""") { (s, d) =>
+      TextDedup.minHashSignature(Tables.documents(s, d).select("doc_id", "text"), "text", 8)
+        .select("doc_id", "minhash")
+    },
+
+    // n-gram Jaccard similarity: word-3-gram overlap between short docs
+    // in the same (lang, source) block — the blocked pairwise verify step
+    // that follows LSH candidate generation.
+    QueryDef("q35_ngram_jaccard", Seq("J8"),
+      """WITH short AS (
+           SELECT doc_id, lang, source, list_distinct([
+             array_to_string(toks[g:g+2], ' ')
+             FOR g IN generate_series(1, greatest(len(toks) - 2, 1))
+           ]) AS grams
+           FROM (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+                 FROM documents WHERE n_chars < 200))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(cast(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+         FROM short a JOIN short b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""") { (s, d) =>
+      val short = Tables.documents(s, d)
+        .filter(col("n_chars") < 200)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val a = short.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("text").as("__ta"))
+      val b = short.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("text").as("__tb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(TextDedup.ngramJaccard(col("__ta"), col("__tb"), 3), 6))
+        .select("id_a", "id_b", "jaccard")
+    },
+
+    // 32-bit SimHash from md5 token hashes — reproducible across engines.
+    QueryDef("q36_simhash", Seq("A10"),
+      """WITH tok AS (
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 8))::BIGINT AS h
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+           GROUP BY doc_id, b.b)
+         SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+         FROM bits GROUP BY doc_id""") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextDedup.simHash32(col("text")).as("simhash"))
+    },
+  )
+}

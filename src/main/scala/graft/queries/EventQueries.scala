@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream semantics in batch form: tumbling-window aggregation,
+  * gap-based sessionization, JSON property extraction. The same
+  * transformations run under Structured Streaming (see
+  * graft.streaming.EventPipeline); batch output gives them a DuckDB
+  * oracle.
+  *
+  * Timestamp discipline: events.ts is nanosecond parquet — Spark reads it
+  * as a raw nanos long (Tables.events) and all second/hour derivations are
+  * integer division, which agrees exactly with DuckDB's floor(epoch(ts))
+  * on the native ns timestamp.
+  */
+object EventQueries {
+  import org.apache.spark.sql.Column
+
+  /** floor-to-second from a nanos-since-epoch long column. Integer DIV —
+    * going through double would corrupt values above 2^53 nanos. */
+  private def nsToSec(colName: String): Column =
+    expr(s"CAST($colName DIV 1000000000 AS BIGINT)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour window aggregation (the batch twin of the
+    // streaming window(col("ts"), "1 hour") aggregation).
+    QueryDef("q43_hourly_window", Seq("A5", "A11"),
+      """SELECT cast(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY hour_epoch, event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("sec", nsToSec("ts"))
+        .withColumn("hour_epoch", expr("CAST(sec DIV 3600 AS BIGINT) * 3600"))
+        .groupBy("hour_epoch", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+    },
+
+    // Gap-based sessionization: a >30-minute silence starts a new
+    // session; emit per-session stats. This is the batch shape of
+    // flatMapGroupsWithState session logic.
+    QueryDef("q44_sessionize", Seq("W3", "A5"),
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             cast(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+               THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sessions AS (
+           SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           max(sec) - min(sec) AS duration_sec, round(sum(value), 4) AS session_value
+         FROM sessions GROUP BY user_id, session_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          nsToSec("ts").as("sec"))
+        .withColumn("new_session",
+          when(col("sec") - lag("sec", 1).over(w) > 1800 || lag("sec", 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("sec") - min("sec")).as("duration_sec"),
+          round(sum("value"), 4).as("session_value"))
+    },
+
+    // JSON property extraction (the multimodal-metadata access path).
+    QueryDef("q45_json_extract", Seq("S2"),
+      """SELECT cast(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n, round(sum(value), 4) AS total
+         FROM events GROUP BY k_mod""") { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k_mod", get_json_object(col("props"), "$.k").cast("long") % 10)
+        .groupBy("k_mod")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+    },
+  )
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis battery over `documents`: quality scoring, language-ID
+  * heuristic, token counting (whitespace + BPE-ish regex). All pure
+  * column expressions — at 100 TB these are a single codegen'd map over
+  * the scan.
+  */
+object TextQueries {
+
+  // DuckDB-side expression fragments mirroring TextFns exactly.
+  private val wsToks = """string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+  private def stopHits(stops: Seq[String]) =
+    s"""len(list_filter($wsToks, t -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], lower(t))))"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Quality score: length score + punct cleanliness + stopword mass.
+    QueryDef("q40_text_quality", Seq("F5", "A11"),
+      s"""SELECT doc_id,
+           round((least(cast(length(text) AS DOUBLE) / 500.0, 1.0)
+             + (1.0 - least(cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE) * 5.0 / length(text), 1.0))
+             + least(cast(${stopHits(Seq("the", "a", "and", "of", "to", "is"))} AS DOUBLE) * 4.0 / len($wsToks), 1.0)) / 3.0, 6) AS quality
+         FROM documents""") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFns.qualityScore(col("text"), Seq("the", "a", "and", "of", "to", "is")).as("quality"))
+    },
+
+    // Language-ID: marker-word scores + argmax cascade.
+    QueryDef("q41_lang_id", Seq("F5", "A11"),
+      { // build the argmax CASE chain the same way TextFns.langId does
+        val scores = TextFns.langMarkers.map { case (l, ms) =>
+          l -> s"""len(list_filter($wsToks, t -> list_contains([${ms.map(w => s"'$w'").mkString(",")}], lower(t))))"""
+        }
+        val (l0, s0) = scores.head
+        val (finalLang, _) = scores.tail.foldLeft((s"'$l0'", s0)) {
+          case ((bestL, bestS), (l, sc)) =>
+            (s"CASE WHEN $sc > ($bestS) THEN '$l' ELSE $bestL END",
+             s"CASE WHEN $sc > ($bestS) THEN $sc ELSE $bestS END")
+        }
+        s"""SELECT lang, predicted, count(*) AS n FROM (
+              SELECT lang, $finalLang AS predicted FROM documents)
+            GROUP BY lang, predicted"""
+      }) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextFns.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    QueryDef("q42_token_counts", Seq("A11"),
+      s"""SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len($wsToks) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpeish_tokens,
+           n_chars
+         FROM documents""") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFns.wsTokenCount(col("text")).as("ws_tokens"),
+        TextFns.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        col("n_chars"))
+    },
+  )
+}

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups normalization-equal texts, keeps min id") {
+    val df = Seq(
+      (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.exactDedup(df, "text", "doc_id")
+      .select("doc_id", "dup_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash signature equal for identical texts, banding finds planted near-dup") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "tokXX")
+    val distinct = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, distinct)).toDF("doc_id", "text")
+    val withBands = TextDedup.minHashBands(df, "text", 8, 16)
+    val pairs = TextDedup.lshCandidatePairs(withBands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))      // identical: collide in every band
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup: some band
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))         // unrelated: none
+  }
+
+  test("ngramJaccard: 1.0 for identical, 0 for disjoint, monotone in overlap") {
+    val df = Seq(
+      ("a b c d e", "a b c d e"),
+      ("a b c d e", "v w x y z"),
+      ("a b c d e f g h", "a b c d e f x y")).toDF("x", "y")
+    val out = df.select(TextDedup.ngramJaccard(col("x"), col("y"), 3)).collect().map(_.getDouble(0))
+    assert(out(0) == 1.0)
+    assert(out(1) == 0.0)
+    assert(out(2) > 0.2 && out(2) < 1.0)
+  }
+
+  test("simhash: identical texts agree; similar texts are hamming-close") {
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = a.replace("w25", "wXX") // one token changed
+    val c = (1 to 50).map(i => s"q$i").mkString(" ")
+    val df = Seq((a, a), (a, b), (a, c)).toDF("x", "y")
+    val out = df.select(TextDedup.hamming32(
+      TextDedup.simHash32(col("x")), TextDedup.simHash32(col("y"))))
+      .collect().map(_.getAs[Number](0).longValue)
+    assert(out(0) == 0L)
+    assert(out(1) < out(2)) // near-dup closer than unrelated
+  }
+}

@@ -1,0 +1,25 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OsaDistanceSpec extends SparkSpec {
+  test("OSA counts adjacent transposition as one edit (stringdist default, code/10:135)") {
+    assert(OsaDistance.osa("ab", "ba") == 1)     // levenshtein would say 2
+    assert(OsaDistance.osa("save the children", "svae the children") == 1)
+    assert(OsaDistance.osa("abc", "abc") == 0)
+    assert(OsaDistance.osa("", "abc") == 3)
+    assert(OsaDistance.osa("kitten", "sitting") == 3)
+    assert(OsaDistance.osa("ca", "abc") == 3)    // OSA (not full DL, which gives 2)
+  }
+
+  test("osa_distance works as a Column over a DataFrame") {
+    import spark.implicits._
+    val df = Seq(("ab", "ba"), ("kitten", "sitting"), (null, "x"))
+      .toDF("a", "b")
+    val out = df.select(OsaDistance.osa_distance(col("a"), col("b"))).collect()
+    assert(out(0).getInt(0) == 1)
+    assert(out(1).getInt(0) == 3)
+    assert(out(2).isNullAt(0))
+  }
+}
