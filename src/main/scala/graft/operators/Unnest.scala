@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S2 "group-same" JSON unnest (reference code/01_fts_get_flows.R:50-72).
+  *
+  * The reference takes nested object arrays (sourceObjects /
+  * destinationObjects), splits elements by their `type` field, and for
+  * each (row, type) group joins every scalar field with "; " into one
+  * wide column named `{arrayCol}_{Type}.{field}`.
+  *
+  * Spark shape: posexplode (keeps JSON element order for the
+  * order-sensitive concat, SURVEY A1) → groupBy (id, type) with ordered
+  * collect → pivot on type → join back to the scalar columns. One shuffle
+  * on the row id; the pivot values must be supplied so the plan is static
+  * (no driver-side distinct scan).
+  */
+object Unnest {
+  /** @param df         input with a unique `idCol` and `arrayCol: array<struct<...>>`
+    * @param idCol      unique row key
+    * @param arrayCol   nested array column
+    * @param typeField  struct field to split on (reference: "type")
+    * @param fields     struct fields to emit per type
+    * @param types      pivot domain (known up front — keeps the plan static)
+    */
+  def unnestGroupSame(
+      df: DataFrame,
+      idCol: String,
+      arrayCol: String,
+      typeField: String,
+      fields: Seq[String],
+      types: Seq[String]): DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(col(arrayCol)).as(Seq("__pos", "__obj")))
+      .select(col(idCol), col("__pos"),
+        col(s"__obj.$typeField").as("__type"),
+        struct(fields.map(f => col(s"__obj.$f").as(f)): _*).as("__fields"))
+    // ordered "; " concat per (id, type, field), element order = array order
+    val grouped = exploded
+      .groupBy(col(idCol), col("__type"))
+      .agg(fields.map { f =>
+        concat_ws("; ",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col(s"__fields.$f").as("v")))),
+            x => x.getField("v"))).as(f)
+      }.head, fields.tail.map { f =>
+        concat_ws("; ",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col(s"__fields.$f").as("v")))),
+            x => x.getField("v"))).as(f)
+      }: _*)
+    val pivoted = grouped
+      .groupBy(col(idCol))
+      .pivot("__type", types)
+      .agg(fields.map(f => first(col(f)).as(f)).head, fields.tail.map(f => first(col(f)).as(f)): _*)
+    // pivot names come out as `{type}_{field}` (or `{type}` if 1 field);
+    // rename to the reference convention `{arrayCol}_{Type}.{field}`.
+    val renamed = types.foldLeft(pivoted) { (acc, t) =>
+      fields.foldLeft(acc) { (a, f) =>
+        val pivotName = if (fields.size == 1) t else s"${t}_$f"
+        a.withColumnRenamed(pivotName, s"${arrayCol}_$t.$f")
+      }
+    }
+    df.drop(arrayCol).join(renamed, Seq(idCol), "left")
+  }
+}

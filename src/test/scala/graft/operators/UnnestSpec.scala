@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnnestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md §2: a flow with two Locations (tests "; " group-concat in
+  // array order), one with zero objects of a type, one with one of each.
+  private def flows = Seq(
+    (1L, "f1", Seq(("Location", "Mali"), ("Location", "Niger"), ("Organization", "UNICEF"))),
+    (2L, "f2", Seq(("Organization", "WFP"))),
+    (3L, "f3", Seq.empty[(String, String)]))
+    .toDF("id", "payload", "objs")
+    .withColumn("destinationObjects",
+      transform(col("objs"), o => struct(o.getField("_1").as("type"), o.getField("_2").as("name"))))
+    .drop("objs")
+
+  test("unnestGroupSame: per-type group-concat in array order, wide columns (S2, code/01:50-72)") {
+    val out = Unnest.unnestGroupSame(
+      flows, "id", "destinationObjects", "type",
+      fields = Seq("name"), types = Seq("Location", "Organization"))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("destinationObjects_Location.name") == "Mali; Niger")
+    assert(byId(1L).getAs[String]("destinationObjects_Organization.name") == "UNICEF")
+    assert(byId(2L).getAs[String]("destinationObjects_Organization.name") == "WFP")
+    assert(byId(2L).getAs[String]("destinationObjects_Location.name") == null)
+    assert(byId(3L).getAs[String]("destinationObjects_Location.name") == null)
+    assert(out.count() == 3) // every input row survives
+    assert(byId(1L).getAs[String]("payload") == "f1") // scalars ride along
+  }
+
+  test("element order within the concat follows array order, not value order") {
+    val df = Seq((1L, Seq(("Location", "Zz"), ("Location", "Aa")))).toDF("id", "objs")
+      .withColumn("destinationObjects",
+        transform(col("objs"), o => struct(o.getField("_1").as("type"), o.getField("_2").as("name"))))
+      .drop("objs")
+    val out = Unnest.unnestGroupSame(df, "id", "destinationObjects", "type",
+      Seq("name"), Seq("Location"))
+    assert(out.collect()(0).getAs[String]("destinationObjects_Location.name") == "Zz; Aa")
+  }
+}

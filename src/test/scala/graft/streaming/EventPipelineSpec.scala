@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventPipelineSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new java.sql.Timestamp(
+    java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + minute * 60000L)
+
+  test("hourlyAgg: tumbling window counts under watermark") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventPipeline.Event](spark)
+    input.addData(
+      EventPipeline.Event(1, ts(5), 10, "click", 1.0),
+      EventPipeline.Event(2, ts(20), 10, "click", 2.0),
+      EventPipeline.Event(3, ts(70), 11, "view", 5.0))
+    val q = EventPipeline.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_start").toInstant.toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      assert(rows == Set(
+        ("2024-01-01T00:00:00Z", "click", 2L),
+        ("2024-01-01T01:00:00Z", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: >30min gap splits sessions within a batch") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventPipeline.Event](spark)
+    // user 10: events at t0, t10 (one session), then t60 (new session);
+    // the first session closes when the second opens.
+    input.addData(
+      EventPipeline.Event(1, ts(0), 10, "click", 1.0),
+      EventPipeline.Event(2, ts(10), 10, "click", 2.0),
+      EventPipeline.Event(3, ts(60), 10, "click", 4.0))
+    val q = EventPipeline.sessionize(input.toDS(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec"),
+          r.getAs[Double]("session_value"))).toSet
+      assert(rows == Set((2L, 600L, 3.0))) // first session emitted on split
+    } finally q.stop()
+  }
+}
