@@ -97,12 +97,12 @@ object TextFns {
   }
 
   def langId(c: Column): Column = {
-    val scored = langMarkers.map { case (l, m) => (l, langScore(c, m)) }
-    // argmax with fixed precedence: strictly-greater beats earlier entries
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (l, s)) =>
-        (when(s > bestScore, lit(l)).otherwise(bestLang),
-         when(s > bestScore, s).otherwise(bestScore))
-    }._1
+    // argmax with earliest-precedence tiebreak, built as ONE sorted struct
+    // array so each score expression appears exactly once in the plan (a
+    // when-chain fold would nest the score exprs exponentially).
+    val entries = langMarkers.zipWithIndex.map { case ((l, m), i) =>
+      struct((-langScore(c, m)).as("negscore"), lit(i).as("prec"), lit(l).as("lang"))
+    }
+    element_at(array_sort(array(entries: _*)), 1).getField("lang")
   }
 }

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Joins
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Remaining §2 coverage: left-join enrichment, overlap-patch unions,
+  * rollup/compare aggregations, CSV and partitioned-parquet round trips,
+  * and the parity-mode ML prediction join. */
+object SourceQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J5/J6 + F2: left enrichment joins (null-tolerant) with the
+    // string-compare year filter idiom.
+    QueryDef("q46_left_enrich", Seq("J5", "J6", "F2"),
+      """SELECT o_orderkey, c_mktsegment, big_spender FROM (
+           SELECT o.o_orderkey, c.c_mktsegment,
+             CASE WHEN hs.o_custkey IS NOT NULL THEN true ELSE false END AS big_spender
+           FROM orders o
+           LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000) hs
+             ON o.o_custkey = hs.o_custkey
+           WHERE cast(year(o.o_orderdate) AS VARCHAR) >= '1997')""") { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")).cast("string") >= "1997")
+      val highSpenders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 200000)
+        .select("o_custkey").distinct()
+        .withColumn("big_spender", lit(true))
+      orders.select("o_orderkey", "o_custkey")
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+          Seq("o_custkey"), "left")
+        .join(broadcast(highSpenders), Seq("o_custkey"), "left")
+        .withColumn("big_spender", coalesce(col("big_spender"), lit(false)))
+        .select("o_orderkey", "c_mktsegment", "big_spender")
+    },
+
+    // R5 + J11 + A4: overlap patching — augment a base set with
+    // anti-joined derivations, then bool-or per group.
+    QueryDef("q47_overlap_patch", Seq("R5", "J11", "A4", "SE2"),
+      """WITH flagged AS (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+         patched AS (
+           SELECT c_custkey, true AS flag FROM flagged
+           UNION ALL
+           SELECT c_custkey, false AS flag FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.c_custkey = c.c_custkey)),
+         joined AS (
+           SELECT c_nationkey, flag FROM patched JOIN customer USING (c_custkey))
+         SELECT c_nationkey, max(flag) AS any_flagged, count(*) AS n
+         FROM joined GROUP BY c_nationkey""") { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val flagged = cust.filter(col("c_acctbal") > 9000)
+        .select("c_custkey").withColumn("flag", lit(true))
+      val rest = Joins.antiJoinOn(cust.select("c_custkey"), flagged, Seq("c_custkey"))
+        .withColumn("flag", lit(false))
+      flagged.unionByName(rest)
+        .join(cust.select("c_custkey", "c_nationkey"), Seq("c_custkey"))
+        .groupBy("c_nationkey")
+        // bool_or via max on booleans (A4: max(boolean_answer) == 1)
+        .agg(max(col("flag")).as("any_flagged"), count(lit(1)).as("n"))
+    },
+
+    // A6-A9: two aggregations (all-source vs USA-style slice), full-outer
+    // compare with per-location ratio — the fts_cva_USA_analysis shape
+    // (code/11:44-89), plus the composite Σ/Σ ratio.
+    QueryDef("q48_rollup_compare", Seq("A6", "A7", "A8", "A9", "J7"),
+      """WITH allagg AS (
+           SELECT n_name, round(sum(o_totalprice), 4) AS amount
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name),
+         slice AS (
+           SELECT n_name, round(sum(o_totalprice), 4) AS amount_f
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE o_orderstatus = 'F'
+           GROUP BY n_name),
+         ratio AS (
+           SELECT sum(o_totalprice) / sum(o_totalprice * 0.5) AS composite FROM orders)
+         SELECT a.n_name, a.amount, coalesce(s.amount_f, 0.0) AS amount_f,
+           round(coalesce(s.amount_f, 0.0) / a.amount, 6) AS f_share,
+           round((SELECT composite FROM ratio), 6) AS composite
+         FROM allagg a FULL OUTER JOIN slice s ON a.n_name = s.n_name""") { (s, d) =>
+      def base = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+          Seq("o_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+      val allAgg = base.groupBy("n_name").agg(round(sum("o_totalprice"), 4).as("amount"))
+      val slice = base.filter(col("o_orderstatus") === "F")
+        .groupBy("n_name").agg(round(sum("o_totalprice"), 4).as("amount_f"))
+      // composite rides along as a broadcast 1-row frame — no collect()
+      val composite = Tables.orders(s, d)
+        .agg(round(sum(col("o_totalprice")) / sum(col("o_totalprice") * 0.5), 6).as("composite"))
+      allAgg.join(slice, Seq("n_name"), "outer")
+        .withColumn("amount_f", coalesce(col("amount_f"), lit(0.0)))
+        .withColumn("f_share", round(col("amount_f") / col("amount"), 6))
+        .crossJoin(broadcast(composite))
+    },
+
+    // S5/S6: CSV sink + scan round trip with R-compatible options — the
+    // curated-flows staging pattern; aggregation over the re-read copy.
+    QueryDef("q49_csv_roundtrip", Seq("S5", "S6", "S7"),
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+         FROM lineitem WHERE l_discount > 0.05 GROUP BY l_returnflag""") { (s, d) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-z0-9.]", "_")}"
+      val slice = Tables.lineitem(s, d)
+        .filter(col("l_discount") > 0.05)
+        .select("l_returnflag", "l_quantity")
+      graft.sources.CsvSources.writeCsv(slice, tmp)
+      graft.sources.CsvSources.readCsv(s, tmp,
+        Some(org.apache.spark.sql.types.StructType.fromDDL(
+          "l_returnflag STRING, l_quantity DOUBLE")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
+    },
+
+    // S7: partitioned parquet staging + partition-pruned read-back (the
+    // partitionBy("year") Spark shape of SURVEY §3.1).
+    QueryDef("q50_partitioned_stage", Seq("S7", "F2"),
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+         FROM orders WHERE year(o_orderdate) >= 1999 GROUP BY o_year""") { (s, d) =>
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stage_${d.replaceAll("[^a-z0-9.]", "_")}"
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_year") >= 1999) // prunes partitions, not rows
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+    },
+
+    // U4/S14: parity-mode ML-prediction join — a deterministic scored
+    // table (md5-derived class + confidence) joined onto documents, then
+    // the C2-style upgrade. Mirrors joining the committed
+    // fts_to_inference_output.csv instead of invoking a model.
+    QueryDef("q51_prediction_join", Seq("U4", "S14", "J6", "C2"),
+      """WITH preds AS (
+           SELECT doc_id,
+             CASE WHEN ('0x' || substring(md5(text), 1, 2))::BIGINT % 3 = 0 THEN 'Full'
+                  WHEN ('0x' || substring(md5(text), 1, 2))::BIGINT % 3 = 1 THEN 'Partial'
+                  ELSE 'None' END AS predicted_class,
+             round((('0x' || substring(md5(text), 3, 4))::BIGINT % 1000) / 1000.0, 3) AS predicted_confidence
+           FROM documents)
+         SELECT predicted_class, count(*) AS n,
+           round(sum(CASE WHEN predicted_confidence >= 0.8 THEN 1.0 ELSE 0.0 END), 1) AS high_conf
+         FROM documents JOIN preds USING (doc_id)
+         GROUP BY predicted_class""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val classNum = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 3
+      val preds = docs.select(col("doc_id"),
+        when(classNum === 0, "Full").when(classNum === 1, "Partial").otherwise("None")
+          .as("predicted_class"),
+        round((conv(substring(md5(col("text")), 3, 4), 16, 10).cast("long") % 1000) / 1000.0, 3)
+          .as("predicted_confidence"))
+      docs.select("doc_id")
+        .join(preds, Seq("doc_id"))
+        .groupBy("predicted_class")
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(col("predicted_confidence") >= 0.8, 1.0).otherwise(0.0)), 1).as("high_conf"))
+    },
+  )
+}

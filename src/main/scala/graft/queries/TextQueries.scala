@@ -32,18 +32,19 @@ object TextQueries {
 
     // Language-ID: marker-word scores + argmax cascade.
     QueryDef("q41_lang_id", Seq("F5", "A11"),
-      { // build the argmax CASE chain the same way TextFns.langId does
-        val scores = TextFns.langMarkers.map { case (l, ms) =>
-          l -> s"""len(list_filter($wsToks, t -> list_contains([${ms.map(w => s"'$w'").mkString(",")}], lower(t))))"""
+      { // same max-score / earliest-precedence-tie semantics over
+        // precomputed score columns
+        val scoreCols = TextFns.langMarkers.map { case (l, ms) =>
+          l -> s"""len(list_filter($wsToks, t -> list_contains([${ms.map(w => s"'$w'").mkString(",")}], lower(t)))) AS s_$l"""
         }
-        val (l0, s0) = scores.head
-        val (finalLang, _) = scores.tail.foldLeft((s"'$l0'", s0)) {
-          case ((bestL, bestS), (l, sc)) =>
-            (s"CASE WHEN $sc > ($bestS) THEN '$l' ELSE $bestL END",
-             s"CASE WHEN $sc > ($bestS) THEN $sc ELSE $bestS END")
+        val langs = TextFns.langMarkers.map(_._1)
+        val branches = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
         }
         s"""SELECT lang, predicted, count(*) AS n FROM (
-              SELECT lang, $finalLang AS predicted FROM documents)
+              SELECT lang, CASE ${branches.mkString(" ")} ELSE '${langs.last}' END AS predicted
+              FROM (SELECT lang, ${scoreCols.map(_._2).mkString(", ")} FROM documents))
             GROUP BY lang, predicted"""
       }) { (s, d) =>
       Tables.documents(s, d)
