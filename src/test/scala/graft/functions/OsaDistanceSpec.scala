@@ -22,4 +22,10 @@ class OsaDistanceSpec extends SparkSpec {
     assert(out(1).getInt(0) == 3)
     assert(out(2).isNullAt(0))
   }
+
+  test("osa_distance is registered for the SQL surface") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT osa_distance('ab', 'ba') AS d").collect()(0).getInt(0)
+    assert(r == 1)
+  }
 }
