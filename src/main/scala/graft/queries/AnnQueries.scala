@@ -79,5 +79,87 @@ object AnnQueries {
         .withColumn("to_centroid", round(VectorFns.cosine(col("embedding"), col("centroid")), 4))
         .select("vec_id", "label", "to_centroid")
     },
+
+    // Embedding-cosine near-duplicate pairs: same sign bucket, cosine
+    // above threshold — the vector-space analogue of MinHash candidates.
+    QueryDef("q52_dedup_embedding", Seq("J12", "A10"),
+      s"""WITH bkt AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bkt
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineSql, 6) AS cosine
+         FROM bkt a JOIN bkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         WHERE round($cosineSql, 6) >= 0.3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bkt", VectorFns.signBucket(col("embedding"), 4))
+      val a = emb.select(col("bkt"), col("vec_id").as("id_a"), col("embedding").as("__va"))
+      val b = emb.select(col("bkt"), col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      a.join(b, Seq("bkt"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(VectorFns.cosine(col("__va"), col("__vb")), 6))
+        .filter(col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    },
+
+    // IVF probe-1 search: label centroids as the coarse quantizer —
+    // route each query to its nearest centroid, then exact top-3 inside
+    // that inverted list. Centroids rounded to 6 before use so both
+    // engines quantize identically.
+    QueryDef("q53_ann_ivf", Seq("J12", "A5"),
+      """WITH dims AS (
+           SELECT label, g.g AS dim, round(avg(embedding[g.g]), 6) AS mu
+           FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS g) g
+           GROUP BY label, g.g),
+         centroids AS (
+           SELECT label, list(mu ORDER BY dim) AS centroid FROM dims GROUP BY label),
+         queries AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         routed AS (
+           SELECT vec_id AS query_id, label AS probe_label
+           FROM (
+             SELECT q.vec_id, c.label,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_cosine_similarity(cast(q.embedding AS DOUBLE[]), c.centroid), 6) DESC,
+                 c.label) AS rn
+             FROM queries q CROSS JOIN centroids c)
+           WHERE rn = 1)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT r.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(cast(q.embedding AS DOUBLE[]), cast(e.embedding AS DOUBLE[])), 6) AS cosine,
+             row_number() OVER (PARTITION BY r.query_id ORDER BY
+               round(list_cosine_similarity(cast(q.embedding AS DOUBLE[]), cast(e.embedding AS DOUBLE[])), 6) DESC,
+               e.vec_id) AS rnk
+           FROM routed r
+           JOIN queries q ON q.vec_id = r.query_id
+           JOIN embeddings e ON e.label = r.probe_label AND e.vec_id <> r.query_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val dims = emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(round(avg(col("v").cast("double")), 6).as("mu"))
+      val centroids = dims.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          x => x.getField("mu")).as("centroid"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qvec"))
+      val wRoute = Window.partitionBy("query_id")
+        .orderBy(col("c_sim").desc, col("label"))
+      val routed = queries.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", round(VectorFns.cosine(col("__qvec"), col("centroid")), 6))
+        .withColumn("rn", row_number().over(wRoute))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("__qvec"), col("label").as("probe_label"))
+      val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      routed
+        .join(emb.select(col("label").as("probe_label"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("__cvec")), Seq("probe_label"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "rnk", "neighbor_id", "cosine")
+    },
   )
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Enforces the SCALING.md shuffle budget: each designated query's
+  * physical plan carries at most the promised number of shuffle
+  * exchanges, and enrichment joins actually broadcast. A regression that
+  * turns a broadcast join into a sort-merge join (or adds a shuffle)
+  * fails here long before it melts a cluster.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private def shuffles(df: DataFrame): Int =
+    "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private def broadcasts(df: DataFrame): Int =
+    "BroadcastExchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("pure projections/cascades: zero shuffles") {
+    assert(shuffles(q("q02_filter_pushdown")) == 0)
+    assert(shuffles(q("q09_split_rows")) == 0)
+    assert(shuffles(q("q26_percent_parse")) == 0)
+    assert(shuffles(q("q28_clean_fingerprint")) == 0)
+    assert(shuffles(q("q42_token_counts")) == 0)
+  }
+
+  test("aggregations: exactly one shuffle (partial agg before exchange)") {
+    assert(shuffles(q("q01_pricing_summary")) == 1)
+    assert(shuffles(q("q03_isin_membership")) == 1)
+    assert(shuffles(q("q43_hourly_window")) == 1)
+    assert(shuffles(q("q45_json_extract")) == 1)
+  }
+
+  test("windows/dedup: exactly one shuffle on the partition key") {
+    assert(shuffles(q("q07_first_per_group")) == 1)
+    assert(shuffles(q("q08_prioritized_dedup")) == 1)
+    assert(shuffles(q("q14_running_total")) == 1)
+    assert(shuffles(q("q15_cumprod")) == 1)
+  }
+
+  test("enrichment joins broadcast — the fact side never shuffles pre-agg") {
+    val chain = q("q11_broadcast_chain")
+    assert(broadcasts(chain) == 3)
+    assert(shuffles(chain) == 1) // only the final aggregate
+    val enrich = q("q46_left_enrich")
+    assert(broadcasts(enrich) >= 2)
+    assert(shuffles(enrich) <= 1)
+  }
+
+  test("flagship entry: broadcast-only joins + one aggregate shuffle") {
+    val e = SparkEntry.entry(spark)
+    assert(broadcasts(e) == 2)
+    assert(shuffles(e) == 1)
+  }
+}
