@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed staging for repeated co-located joins (SCALING.md knob):
+  * writing both sides bucketed by the join key lets Spark plan a
+  * SortMergeJoin with NO exchange on either side — at 100 TB this removes
+  * the dominant shuffle from every downstream run that reuses the
+  * staging. The analogue of pre-partitioned curated-flow staging keyed by
+  * flow id (SURVEY §3.1).
+  */
+object Bucketing {
+  /** Write `df` as a bucketed managed table (overwriting any previous).
+    * Also clears the warehouse location: a fresh session's in-memory
+    * catalog forgets tables while their directories persist, and
+    * saveAsTable refuses to reuse an existing location. */
+  def stageBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

@@ -16,6 +16,25 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * `spark.range(nPages).mapPartitions(fetch)` — same downstream plan.
   */
 object PagedJsonSource {
+  /** Scale path: one task per page — the fetcher runs inside executors
+    * via `spark.range(nPages)`, so 10⁴ pages fan out across the cluster
+    * instead of serializing through the driver. Requires the page count
+    * (or an upper bound; missing pages yield no rows) and an explicit
+    * schema (executors cannot run schema inference per-task). */
+  def readPagesDistributed(
+      spark: SparkSession,
+      nPages: Int,
+      fetchPage: Int => Option[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import spark.implicits._
+    val lines = spark.range(nPages).as[Long].flatMap { n =>
+      fetchPage(n.toInt).iterator
+        .flatMap(_.linesIterator.map(_.trim).filter(_.nonEmpty))
+    }
+    lines.select(from_json(col("value"), schema).as("r")).select("r.*")
+  }
+
   def readPages(spark: SparkSession, fetchPage: Int => Option[String]): DataFrame = {
     import spark.implicits._
     // one JSON document per dataset element (json-lines contract)

@@ -16,6 +16,14 @@ class SourcesSpec extends SparkSpec {
     assert(df.agg(sum("amountUSD")).collect()(0).getDouble(0) == 60.0)
   }
 
+  test("readPagesDistributed: fetcher runs task-side, schema applied (S1 scale path)") {
+    val df = PagedJsonSource.readPagesDistributed(spark, 4,
+      n => if (n < 3) Some(s"""{"id": $n, "amountUSD": ${n * 10}.0}""") else None,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, amountUSD DOUBLE"))
+    assert(df.count() == 3)
+    assert(df.agg(sum("amountUSD")).collect()(0).getDouble(0) == 30.0)
+  }
+
   test("PagedJsonSource tolerates per-page schema drift (rbindlist fill=T, R4)") {
     val df = PagedJsonSource.readPages(spark,
       n => n match {
