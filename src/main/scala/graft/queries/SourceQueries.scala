@@ -163,5 +163,25 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(when(col("predicted_confidence") >= 0.8, 1.0).otherwise(0.0)), 1).as("high_conf"))
     },
+
+    // The spark.sql(...) surface: identical SQL text runs on both engines
+    // over registered temp views — proves the engine's SQL entry point,
+    // not just the DataFrame API.
+    QueryDef("q54_sql_surface", Seq("S6", "A5", "J7"),
+      """SELECT n_name, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, o_orderstatus""") { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT n_name, o_orderstatus, count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name, o_orderstatus""")
+    },
   )
 }
