@@ -80,6 +80,22 @@ object TextFns {
     * punctuation stripped, whitespace collapsed) — stable across engines. */
   def fingerprint(c: Column): Column = md5(cleanName(c))
 
+  /** Winnowed k-gram fingerprints (the rolling-hash document signature):
+    * hash every k-gram, slide a window of `w` hashes, keep each window's
+    * minimum — near-identical documents share most selected fingerprints
+    * even under edits. Hashes are md5-derived 32-bit ints so an external
+    * engine reproduces them. Returns the distinct selected hashes. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k)))
+    val hashes = transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val windows = transform(
+      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(w))))
+    array_sort(array_distinct(windows))
+  }
+
   /** Language-ID by marker-word scoring: count hits of per-language marker
     * words, argmax with deterministic tie order (en > de > es > fr > zh).
     * A real pipeline would use char n-gram profiles; the shape (score →

@@ -52,6 +52,28 @@ object TextQueries {
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
     },
 
+    // Winnowed rolling-hash fingerprints: per-doc count of selected
+    // k-gram hashes + the smallest (the classic plagiarism/near-dup
+    // signature; selection = min per sliding window of w hashes).
+    QueryDef("q55_winnow_fingerprint", Seq("A10", "U3"),
+      """WITH h AS (
+           SELECT doc_id,
+             [('0x' || substring(md5(substring(text, g, 8)), 1, 8))::BIGINT
+              FOR g IN generate_series(1, greatest(length(text) - 7, 1))] AS hashes
+           FROM documents),
+         wnd AS (
+           SELECT doc_id,
+             list_sort(list_distinct([list_min(hashes[i:i+3])
+               FOR i IN generate_series(1, greatest(len(hashes) - 3, 1))])) AS fps
+           FROM h)
+         SELECT doc_id, len(fps) AS n_fingerprints, fps[1] AS min_fingerprint
+         FROM wnd""") { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFns.winnowFingerprints(col("text"), 8, 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+          element_at(col("fps"), 1).as("min_fingerprint"))
+    },
+
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     QueryDef("q42_token_counts", Seq("A11"),
       s"""SELECT doc_id,
