@@ -1,0 +1,60 @@
+package graft
+
+import graft.ann.Knn
+import graft.dedup.TextDedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe for the quadratic-risk operators: generates a
+  * deterministic synthetic corpus far larger than the bench tables and
+  * times the dedup/ANN paths, printing one JSON line per measurement.
+  * Usage: runMain graft.ScaleProbe [nDocs] [nVecs]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val nVecs = args.lift(1).map(_.toInt).getOrElse(50000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // synthetic docs: ~12 words drawn deterministically from id hashes;
+    // every 50th doc duplicates its predecessor (planted near-dups)
+    val docs = spark.range(nDocs)
+      .withColumn("base", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
+      .withColumn("text",
+        concat_ws(" ", (0 until 12).map(i =>
+          substring(md5(concat(col("base"), lit(s"w$i"))), 1, 6)): _*))
+      .select("id", "text")
+      .cache()
+    docs.count()
+
+    def time[T](name: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(s"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9},"result":"$r"}""")
+    }
+
+    time("exact_dedup")(TextDedup.exactDedup(docs.toDF(), "text", "id").count())
+    time("minhash_lsh_pairs") {
+      val bands = TextDedup.minHashBands(docs.toDF(), "text", 8, 8)
+      TextDedup.lshCandidatePairs(bands, "id").count()
+    }
+    time("simhash")(docs.select(TextDedup.simHash32(col("text"))).count())
+
+    val vecs = spark.range(nVecs)
+      .withColumn("embedding", array((0 until 64).map(i =>
+        (conv(substring(md5(concat(col("id"), lit(i))), 1, 6), 16, 10).cast("float") / 8388608f) - 1f): _*))
+      .select(col("id").as("vec_id"), col("embedding"))
+      .cache()
+    vecs.count()
+    time("ann_lsh_top3")(
+      Knn.lshTopK(vecs, vecs.filter(col("vec_id") < 20), "vec_id", "embedding", 3, 8).count())
+
+    spark.stop()
+  }
+}
