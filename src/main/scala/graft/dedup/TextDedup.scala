@@ -39,15 +39,20 @@ object TextDedup {
           i => col(textCol).substr(i, lit(k))),
         s => md5(s))))
 
-  /** MinHash band signatures: `bands` independent min-hashes, each over a
-    * salted md5 — the classic banding scheme (a pair collides in SOME band
-    * ⇒ candidate). Returns the df plus `band_sig` array column. */
+  /** MinHash band signatures: `bands` independent min-hashes derived from
+    * ONE base hash per shingle via linear mixing (h·a_b + c_b over
+    * wrapping 64-bit arithmetic) — the classic k-from-1 scheme. One
+    * codegen'd xxhash64 per shingle instead of `bands` md5 calls; a pair
+    * colliding in SOME band ⇒ candidate. Returns `band_sig` array. */
   def minHashBands(df: DataFrame, textCol: String, k: Int, bands: Int): DataFrame = {
     val shingles = transform(
       sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
       i => col(textCol).substr(i, lit(k)))
+    val base = transform(shingles, s => xxhash64(s))
+    // re-hash the base with the band id (ANSI-safe — wrapping multiply
+    // would throw under Spark 4's default ANSI mode)
     val sigs = (0 until bands).map { b =>
-      array_min(transform(shingles, s => md5(concat(lit(s"b$b|"), s))))
+      array_min(transform(base, h => xxhash64(h, lit(b))))
     }
     df.withColumn("band_sig", array(sigs: _*))
   }
