@@ -50,4 +50,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator.map(_.trim).mkString(" "))).toMap
+
+  /** SURVEY.md §2 operator ids exercised per query (see COVERAGE.md). */
+  def coverage: Map[String, Seq[String]] =
+    allDefs.map(q => q.name -> q.covers).toMap
 }
