@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,6 +72,25 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           (max("sec") - min("sec")).as("duration_sec"),
           round(sum("value"), 4).as("session_value"))
+    },
+
+    // As-of enrichment: each event tagged with the user's most recent
+    // signup event at-or-before it (trades/quotes-style as-of join,
+    // encoded as one keyed ordered window — no range join).
+    QueryDef("q56_asof_enrich", Seq("W3", "J5"),
+      """SELECT event_id, user_id, last_signup_id FROM (
+           SELECT event_id, user_id,
+             last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY cast(floor(epoch(ts)) AS BIGINT), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+           FROM events)""") { (s, d) =>
+      AsOfJoin.lastMatching(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), nsToSec("ts").as("sec")),
+        Seq("user_id"), Seq(col("sec"), col("event_id")),
+        col("event_type") === "signup", col("event_id"), "last_signup_id")
+        .select("event_id", "user_id", "last_signup_id")
     },
 
     // JSON property extraction (the multimodal-metadata access path).

@@ -12,6 +12,16 @@ class ProductAggSpec extends SparkSpec {
     assert(out == -3.0)
   }
 
+  test("product works as a window function: exact windowed cumprod (U5)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 1, 2.0), ("a", 2, 3.0), ("a", 3, -4.0)).toDF("k", "t", "x")
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.withColumn("cp", ProductAgg.product(col("x")).over(w))
+      .orderBy("t").collect().map(_.getDouble(3))
+    assert(out.toSeq == Seq(2.0, 6.0, -24.0)) // handles negatives, no log-domain trick
+  }
+
   test("grouped product matches exp(sum(log)) on positive inputs") {
     val df = Seq(("a", 1.1), ("a", 1.2), ("b", 2.0), ("b", 4.0)).toDF("k", "x")
     val viaAgg = df.groupBy("k").agg(ProductAgg.product(col("x")).as("p"))
