@@ -30,6 +30,28 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyAgg append mode: window seals only after the watermark passes it") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventPipeline.Event](spark)
+    val q = EventPipeline.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly_append").outputMode("append").start()
+    try {
+      input.addData(EventPipeline.Event(1, ts(5), 10, "click", 1.0))
+      q.processAllAvailable()
+      // watermark (max event − 30 min) hasn't passed the 0:00 window yet
+      assert(spark.table("hourly_append").count() == 0)
+      // an event at t=120min pushes the watermark to 1:30 → hour 0 seals
+      input.addData(EventPipeline.Event(2, ts(120), 10, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(EventPipeline.Event(3, ts(125), 10, "view", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("hourly_append").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_start").toInstant.toString, r.getAs[Long]("n")))
+      assert(emitted.toSet == Set(("2024-01-01T00:00:00Z", 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize: >30min gap splits sessions within a batch") {
     val sqlc = spark.sqlContext
     import spark.implicits._
