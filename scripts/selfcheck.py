@@ -16,14 +16,21 @@ OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 
 
 def canon(v):
+    # Keep int vs float DISTINCT (tag by kind): the driver's hash compare
+    # stringifies values, so a DuckDB HUGEINT->float64 3.0 against a Spark
+    # long 3 is a hash mismatch even though Python's 3.0 == 3 is True.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("f", "NaN")
+        return ("f", round(v, 9))
     if isinstance(v, bytes):
-        return v.hex()
+        return ("b", v.hex())
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("i", int(v))
     return v
 
 
@@ -37,8 +44,11 @@ def compare(name, sql, con):
     gcols, wcols = sorted(got.columns), sorted(want.columns)
     if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
         return f"FAIL {name}: columns {gcols} vs {wcols}"
-    grows = got.df()[gcols].values.tolist()
-    wrows = want.df()[[c for c in sorted(want.columns)]].values.tolist()
+    # Per-column tolist() keeps each column's dtype (df.values would upcast
+    # a mixed int/float frame to all-float64 and mask int-vs-float drift).
+    gdf, wdf = got.df(), want.df()
+    grows = list(zip(*[gdf[c].tolist() for c in gcols])) if gcols else []
+    wrows = list(zip(*[wdf[c].tolist() for c in wcols])) if wcols else []
     if len(grows) != len(wrows):
         return f"FAIL {name}: rows {len(grows)} vs {len(wrows)}"
     gset = sorted([tuple(canon(v) for v in r) for r in grows], key=repr)

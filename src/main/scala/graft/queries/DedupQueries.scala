@@ -74,7 +74,7 @@ object DedupQueries {
              sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
            FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
            GROUP BY doc_id, b.b)
-         SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+         SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id""") { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextDedup.simHash32(col("text")).as("simhash"))

@@ -53,8 +53,8 @@ object EventQueries {
                THEN 1 ELSE 0 END AS new_session
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
          sessions AS (
-           SELECT *, sum(new_session) OVER (PARTITION BY user_id
-             ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
            max(sec) - min(sec) AS duration_sec, round(sum(value), 4) AS session_value
