@@ -98,4 +98,31 @@ object TextDedup {
 
   /** Hamming distance between two simhash longs. */
   def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate candidate pairs via byte banding: a 32-bit
+    * signature splits into 4 byte-chunks; pairs agreeing on ANY chunk are
+    * candidates (equi-join on (band, chunk) — a hash shuffle, never an
+    * all-pairs scan), then the exact hamming filter keeps pairs within
+    * `maxHamming`. Classic recall caveat applies: a pair can differ in
+    * all 4 bands yet still be within the threshold — banding trades that
+    * tail for linear scaling, same as MinHash LSH.
+    */
+  def simHashNearDup(withSig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    val banded = withSig.select(
+      col(idCol), col(sigCol),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col(sigCol), 8 * b).bitwiseAND(lit(255L)).as("chunk"))): _*)).as("bc"))
+      .select(col(idCol), col(sigCol), col("bc.band"), col("bc.chunk"))
+    val a = banded.select(col("band"), col("chunk"),
+      col(idCol).as("id_a"), col(sigCol).as("__sa"))
+    val b = banded.select(col("band"), col("chunk"),
+      col(idCol).as("id_b"), col(sigCol).as("__sb"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming32(col("__sa"), col("__sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

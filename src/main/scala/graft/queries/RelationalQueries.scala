@@ -219,5 +219,22 @@ object RelationalQueries {
         .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
         .select("n_name", "o_orderstatus", "n_orders")
     },
+
+    // A7 extension: hierarchical ROLLUP — subtotal + grand-total rows in
+    // one aggregation pass (Spark expands grouping sets in a single
+    // shuffle; no self-union). Null grouping keys are sentinel-labelled
+    // identically on both engines.
+    QueryDef("q64_rollup_totals", Seq("A7"),
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 4) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""") { (s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+    },
   )
 }

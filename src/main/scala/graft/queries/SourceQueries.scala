@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.Joins
-import graft.sources.Tables
+import graft.operators.{Joins, SkewJoin}
+import graft.sources.{Bucketing, Tables}
 import org.apache.spark.sql.functions._
 
 /** Remaining §2 coverage: left-join enrichment, overlap-patch unions,
@@ -182,6 +182,42 @@ object SourceQueries {
            FROM orders JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name, o_orderstatus""")
+    },
+
+    // Bucketed co-located join (SCALING.md knob made executable): both
+    // sides staged bucketBy(8, key) + sortBy, then joined — Spark plans a
+    // SortMergeJoin with NO exchange on either side (BucketingSpec
+    // asserts it). At 100 TB this removes the dominant shuffle from every
+    // run that reuses the staging.
+    QueryDef("q59_bucketed_join", Seq("S7", "J7"),
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""") { (s, d) =>
+      val sfx = d.replaceAll("[^a-z0-9]", "_")
+      val ot = s"orders_bkt$sfx"; val ct = s"customer_bkt$sfx"
+      Bucketing.stageBucketed(
+        Tables.orders(s, d).select("o_custkey", "o_totalprice"), ot, "o_custkey", 8)
+      Bucketing.stageBucketed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"), ct, "c_custkey", 8)
+      Bucketing.readTable(s, ot)
+        .join(Bucketing.readTable(s, ct), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+    },
+
+    // Salted skew join parity: the manual skew guard (SkewJoin) must be
+    // result-identical to the plain equi-join — the oracle IS the plain
+    // join. Salt is hash-derived (not rand()) so retries and oracle
+    // comparisons are deterministic.
+    QueryDef("q60_salted_join", Seq("J3"),
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 4) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_quantity")
+      val pt = Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      SkewJoin.saltedJoin(li, pt, Seq("l_partkey"), 4)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
     },
   )
 }

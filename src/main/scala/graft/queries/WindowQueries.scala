@@ -166,5 +166,84 @@ object WindowQueries {
       Reshape.proxyRelabelUnion(base, "r_name",
         Map("EUROPE_DEPENDENCY" -> "EUROPE", "ASIA_DEPENDENCY" -> "ASIA"))
     },
+
+    // A12/W4/W5 composite: the deflator missing-year approximation
+    // (reference code/03:150-175) — build a sparse (nation, year) panel,
+    // derive each nation's annualized geometric growth from its boundary
+    // anchors, and back/forward-fill the missing cells by growth chaining.
+    // Growth is rounded to 6 before chaining so both engines quantize
+    // identically (pow is not correctly-rounded across libms).
+    QueryDef("q58_growth_backfill", Seq("A12", "W4", "W5"),
+      """WITH obs AS (
+           SELECT c_nationkey AS nk, year(o_orderdate) AS yr,
+             round(sum(o_totalprice), 4) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE (c_nationkey + year(o_orderdate)) % 5 <> 0
+           GROUP BY 1, 2),
+         anchors AS (
+           SELECT nk, min(yr) AS y_first, max(yr) AS y_last,
+             min_by(v, yr) AS v_first, max_by(v, yr) AS v_last
+           FROM obs GROUP BY nk),
+         growth AS (
+           SELECT *, CASE WHEN y_last = y_first THEN 1.0
+             ELSE round(pow(v_last / v_first, 1.0 / (y_last - y_first)), 6) END AS g
+           FROM anchors),
+         grid AS (
+           SELECT n.nk, y.yr
+           FROM (SELECT DISTINCT c_nationkey AS nk FROM customer) n
+           CROSS JOIN (SELECT DISTINCT year(o_orderdate) AS yr FROM orders) y)
+         SELECT grid.nk AS nationkey, grid.yr AS yr,
+           CASE WHEN obs.v IS NOT NULL THEN round(obs.v, 2)
+                ELSE round(g.v_first * pow(g.g, grid.yr - g.y_first), 2) END AS value,
+           CASE WHEN obs.v IS NOT NULL THEN 'obs' ELSE 'approx' END AS src
+         FROM grid
+         LEFT JOIN obs ON obs.nk = grid.nk AND obs.yr = grid.yr
+         LEFT JOIN growth g ON g.nk = grid.nk""") { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val obs = orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("yr"), col("o_totalprice"))
+        .filter((col("nk") + col("yr")) % 5 =!= 0)
+        .groupBy("nk", "yr").agg(round(sum("o_totalprice"), 4).as("v"))
+      val anchors = obs.groupBy("nk").agg(
+        min("yr").as("y_first"), max("yr").as("y_last"),
+        min_by(col("v"), col("yr")).as("v_first"),
+        max_by(col("v"), col("yr")).as("v_last"))
+      val growth = anchors.withColumn("g",
+        when(col("y_last") === col("y_first"), lit(1.0))
+          .otherwise(round(pow(col("v_last") / col("v_first"),
+            lit(1.0) / (col("y_last") - col("y_first"))), 6)))
+      val grid = cust.select(col("c_nationkey").as("nk")).distinct()
+        .crossJoin(orders.select("yr").distinct())
+      grid.join(obs, Seq("nk", "yr"), "left")
+        .join(broadcast(growth), Seq("nk"), "left")
+        .select(col("nk").as("nationkey"), col("yr"),
+          when(col("v").isNotNull, round(col("v"), 2))
+            .otherwise(round(col("v_first") * pow(col("g"), col("yr") - col("y_first")), 2))
+            .as("value"),
+          when(col("v").isNotNull, lit("obs")).otherwise(lit("approx")).as("src"))
+    },
+
+    // A11 extension: exact interpolated quantile profile per group — the
+    // distribution-profiling step of a training-data quality pass. Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the p·(n−1) linear
+    // interpolation definition, so the values agree bit-for-bit after
+    // rounding.
+    QueryDef("q61_quantile_profile", Seq("A11"),
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+         FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    },
   )
 }

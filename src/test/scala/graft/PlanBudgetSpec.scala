@@ -51,6 +51,19 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(enrich) <= 1)
   }
 
+  test("round-2 queries stay inside the budget") {
+    // rollup: grouping-set expansion happens BEFORE the single exchange
+    assert(shuffles(q("q64_rollup_totals")) == 1)
+    // exact quantiles: one object-hash aggregate, one exchange
+    assert(shuffles(q("q61_quantile_profile")) == 1)
+    // banded near-dup: join on (band,chunk) + distinct — never a crossJoin
+    assert(shuffles(q("q57_simhash_neardup")) <= 3)
+    assert(!q("q57_simhash_neardup").queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    // frame sampling is a pure generator: no shuffle at all
+    assert(shuffles(q("q63_frame_sample")) == 0)
+  }
+
   test("flagship entry: broadcast-only joins + one aggregate shuffle") {
     val e = SparkEntry.entry(spark)
     assert(broadcasts(e) == 2)

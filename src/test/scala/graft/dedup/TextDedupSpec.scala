@@ -51,4 +51,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out(0) == 0L)
     assert(out(1) < out(2)) // near-dup closer than unrelated
   }
+
+  test("simHashNearDup: finds exact dup via banding, excludes far pairs, dedups bands") {
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val c = (1 to 50).map(i => s"q$i").mkString(" ")
+    val sig = Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.simHash32(col("text")).as("simhash"))
+    val rows = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    val pairs = rows.toMap
+    // identical docs: hamming 0, and exactly ONE row despite matching all 4 bands
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(rows.length == rows.map(_._1).distinct.length)
+    // unrelated doc appears only if genuinely hamming<=3 (vanishingly unlikely)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
