@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc timing probe (dev tool): breaks a query into stages to find
+  * where wall-clock goes. Usage: runMain graft.DevProbe [sfDir] */
+object DevProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime; val n = f
+      println(f"[probe] $label n=$n ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    docs.count() // warm IO
+    val sig = docs.select(col("doc_id"),
+      graft.dedup.TextDedup.simHashN(col("text"), 60).as("simhash"))
+    t("sig_only")(sig.count())
+    t("sig_only_again")(sig.count())
+    val banded = sig.repartition(col("doc_id")).select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)).as("chunk"))): _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band"), col("bc.chunk"))
+    t("banded")(banded.count())
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("simhash").as("__sa"))
+    val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("simhash").as("__sb"))
+    val joined = a.join(b, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
+    t("join_only")(joined.count())
+    t("join_hamming")(joined
+      .select(bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("h"))
+      .filter(col("h") <= 3).count())
+    val nd = graft.dedup.TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+    t("neardup_full")(nd.count())
+    nd.explain("formatted")
+    spark.stop()
+  }
+}

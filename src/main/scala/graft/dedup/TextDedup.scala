@@ -81,39 +81,61 @@ object TextDedup {
     size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
   }
 
-  /** 32-bit SimHash over whitespace tokens: bit i of the hash is the sign
-    * of Σ_tokens (bit_i(md5₃₂(token))·2 − 1). md5-derived so the oracle
+  /** n-bit SimHash over whitespace tokens (n ≤ 60 so the md5-derived
+    * token hash fits a signed long): bit i of the signature is the sign
+    * of Σ_tokens (bit_i(md5ₙ(token))·2 − 1). md5-derived so the oracle
     * can reproduce it. */
-  def simHash32(c: Column): Column = {
+  def simHashN(c: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 60, "token hash is read from 15 hex chars max")
+    val hexChars = (bits + 3) / 4
     val toks = split(trim(c), """\s+""")
-    val tokHashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map { i =>
-      aggregate(tokHashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(lit(-1L)))
-    }
-    bitSums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val tokHashes = transform(toks, t => conv(substring(md5(t), 1, hexChars), 16, 10).cast("long"))
+    // ONE pass with an array-of-bit-sums accumulator. (A per-bit
+    // aggregate() per output bit duplicates the token-hash subtree
+    // `bits` times — at 60 bits that plan measured ~100× slower.)
+    val pows = array((0 until bits).map(i => lit(1L << i)): _*)
+    val sums = aggregate(tokHashes, array_repeat(lit(0L), bits), (acc, h) =>
+      zip_with(acc,
+        transform(pows, p => when(h.bitwiseAND(p) =!= 0L, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    // sign vector → bit string (MSB first) → long
+    val bitStr = array_join(
+      reverse(transform(sums, s => when(s > 0, lit("1")).otherwise(lit("0")))), "")
+    conv(bitStr, 2, 10).cast("long")
   }
+
+  /** 32-bit SimHash (the q36 signature). */
+  def simHash32(c: Column): Column = simHashN(c, 32)
 
   /** Hamming distance between two simhash longs. */
   def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate candidate pairs via byte banding: a 32-bit
-    * signature splits into 4 byte-chunks; pairs agreeing on ANY chunk are
-    * candidates (equi-join on (band, chunk) — a hash shuffle, never an
-    * all-pairs scan), then the exact hamming filter keeps pairs within
-    * `maxHamming`. Classic recall caveat applies: a pair can differ in
-    * all 4 bands yet still be within the threshold — banding trades that
-    * tail for linear scaling, same as MinHash LSH.
+  /** SimHash near-duplicate candidate pairs via banding: the signature
+    * splits into `nBands` chunks of `bandBits` bits; pairs agreeing on
+    * ANY chunk are candidates (equi-join on (band, chunk) — a hash
+    * shuffle, never an all-pairs scan), then the exact hamming filter
+    * keeps pairs within `maxHamming`.
+    *
+    * Recall: if maxHamming < nBands, the pigeonhole principle guarantees
+    * every qualifying pair shares at least one clean band — banding
+    * loses NOTHING at the default (4 bands, threshold 3). Band width is
+    * the cost dial: 15-bit chunks keep the candidate set ~25× smaller
+    * than 8-bit chunks on vocabulary-correlated corpora (measured at
+    * sf0.1, SCALING.md).
     */
   def simHashNearDup(withSig: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int): DataFrame = {
-    val banded = withSig.select(
+      maxHamming: Int, nBands: Int = 4, bandBits: Int = 15): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    // Materialization barrier: without it Catalyst collapses the caller's
+    // signature EXPRESSION through the self-join and re-evaluates it per
+    // candidate pair inside the join condition (measured 15× slower). An
+    // exchange over (id, sig) pins the signature to one computation.
+    val pinned = withSig.select(col(idCol), col(sigCol)).repartition(col(idCol))
+    val banded = pinned.select(
       col(idCol), col(sigCol),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col(sigCol), 8 * b).bitwiseAND(lit(255L)).as("chunk"))): _*)).as("bc"))
+          shiftright(col(sigCol), bandBits * b).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("bc"))
       .select(col(idCol), col(sigCol), col("bc.band"), col("bc.chunk"))
     val a = banded.select(col("band"), col("chunk"),
       col(idCol).as("id_a"), col(sigCol).as("__sa"))

@@ -88,13 +88,15 @@ object AnnQueries {
              (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
             + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
             + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bkt
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+            + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
            FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineSql, 6) AS cosine
          FROM bkt a JOIN bkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          WHERE round($cosineSql, 6) >= 0.3""") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-        .withColumn("bkt", VectorFns.signBucket(col("embedding"), 4))
+        .withColumn("bkt", VectorFns.signBucket(col("embedding"), 6))
       val a = emb.select(col("bkt"), col("vec_id").as("id_a"), col("embedding").as("__va"))
       val b = emb.select(col("bkt"), col("vec_id").as("id_b"), col("embedding").as("__vb"))
       a.join(b, Seq("bkt"))

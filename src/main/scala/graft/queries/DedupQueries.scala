@@ -80,23 +80,26 @@ object DedupQueries {
         TextDedup.simHash32(col("text")).as("simhash"))
     },
 
-    // SimHash near-dup pairs: byte-band candidate generation (equi-join
-    // on (band, chunk) — the linear-scaling path) + exact hamming verify.
+    // SimHash near-dup pairs: 60-bit signature, 4×15-bit band candidate
+    // generation (equi-join on (band, chunk) — the linear-scaling path),
+    // exact hamming verify. threshold 3 < 4 bands ⇒ pigeonhole gives
+    // FULL recall; 15-bit chunks keep candidates ~25× below byte-chunks
+    // on this vocabulary-correlated corpus.
     QueryDef("q57_simhash_neardup", Seq("A10"),
       """WITH tok AS (
-           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 8))::BIGINT AS h
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 15))::BIGINT AS h
            FROM documents),
          bits AS (
            SELECT doc_id, b.b,
              sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+           FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
            GROUP BY doc_id, b.b),
          sig AS (
            SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
            FROM bits GROUP BY doc_id),
          banded AS (
            SELECT doc_id, simhash, band.band,
-             (simhash >> (8 * band.band)) & 255 AS chunk
+             (simhash >> (15 * band.band)) & 32767 AS chunk
            FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band)
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -104,7 +107,7 @@ object DedupQueries {
            AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""") { (s, d) =>
       val sig = Tables.documents(s, d).select(col("doc_id"),
-        TextDedup.simHash32(col("text")).as("simhash"))
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
       TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
     },
   )

@@ -56,7 +56,7 @@ class TextDedupSpec extends SparkSpec {
     val a = (1 to 50).map(i => s"w$i").mkString(" ")
     val c = (1 to 50).map(i => s"q$i").mkString(" ")
     val sig = Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
-      .select(col("doc_id"), TextDedup.simHash32(col("text")).as("simhash"))
+      .select(col("doc_id"), TextDedup.simHashN(col("text"), 60).as("simhash"))
     val rows = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
     val pairs = rows.toMap
