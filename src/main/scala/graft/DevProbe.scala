@@ -37,7 +37,24 @@ object DevProbe {
       .filter(col("h") <= 3).count())
     val nd = graft.dedup.TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
     t("neardup_full")(nd.count())
-    nd.explain("formatted")
+
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    li.count()
+    t("first_window")(graft.operators.Dedup.firstRowPerGroup(li,
+      Seq("l_orderkey"),
+      Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc)).count())
+    t("first_aggmin")(li.groupBy("l_orderkey")
+      .agg(min(struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber"), col("m.l_partkey"), col("m.l_suppkey"))
+      .count())
+    t("first_window2")(graft.operators.Dedup.firstRowPerGroup(li,
+      Seq("l_orderkey"),
+      Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc)).count())
+    t("first_aggmin2")(li.groupBy("l_orderkey")
+      .agg(min(struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber"), col("m.l_partkey"), col("m.l_suppkey"))
+      .count())
     spark.stop()
   }
 }

@@ -28,4 +28,22 @@ object Dedup {
     * (the reference does rbind(first-per-id of slice A, remainder of B)). */
   def prioritizedDedup(df: DataFrame, key: String, preferred: Column, tiebreak: Column): DataFrame =
     firstRowPerGroup(df, Seq(key), Seq(preferred.cast("int").desc, tiebreak.asc))
+
+  /** Aggregation-based first-row-per-group: min(struct(order ++ payload)).
+    * Result-identical to `firstRowPerGroup` when `orderAsc` is a total
+    * order per group, but PARTIAL-AGGREGATABLE: each map task pre-reduces
+    * to one candidate row per group, so the exchange carries one row per
+    * (group × partition) instead of every input row, and no per-partition
+    * sort happens at all. Prefer this at scale; the window variant remains
+    * for ordering specs that aren't ascending-encodable.
+    *
+    * `orderAsc` columns must encode the desired order ASCENDING (flip a
+    * descending key numerically, e.g. `1 - flag.cast("int")`). */
+  def firstRowPerGroupAgg(df: DataFrame, keys: Seq[String], orderAsc: Seq[Column]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val ordered = orderAsc.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    df.groupBy(keys.map(col): _*)
+      .agg(min(struct(ordered ++ payload.map(col): _*)).as("__m"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__m.$p").as(p)): _*)
+  }
 }

@@ -100,29 +100,32 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     },
 
-    // A2/W7: first row per group with explicit deterministic order.
+    // A2/W7: first row per group with explicit deterministic order —
+    // via the partial-aggregatable min(struct) form (one candidate row
+    // per group per map task crosses the exchange; no sort).
     QueryDef("q07_first_per_group", Seq("A2", "W7"),
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
          QUALIFY row_number() OVER (PARTITION BY l_orderkey
            ORDER BY l_linenumber, l_partkey, l_suppkey) = 1""") { (s, d) =>
-      Dedup.firstRowPerGroup(
+      Dedup.firstRowPerGroupAgg(
         Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
-        Seq("l_orderkey"), Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+        Seq("l_orderkey"), Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
         .drop("l_suppkey")
     },
 
     // J13: prioritized dedup — prefer 'R' rows per order (the
-    // incoming-over-internal shared-boundary idiom).
+    // incoming-over-internal shared-boundary idiom); descending
+    // preference encoded ascending for the agg-min form.
     QueryDef("q08_prioritized_dedup", Seq("J13"),
       """SELECT l_orderkey, l_returnflag, l_linenumber FROM lineitem
          QUALIFY row_number() OVER (PARTITION BY l_orderkey
            ORDER BY (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) DESC,
              l_linenumber, l_partkey, l_suppkey) = 1""") { (s, d) =>
-      Dedup.firstRowPerGroup(
+      Dedup.firstRowPerGroupAgg(
         Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_linenumber", "l_partkey", "l_suppkey"),
         Seq("l_orderkey"),
-        Seq((col("l_returnflag") === "R").cast("int").desc,
-          col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+        Seq(lit(1) - (col("l_returnflag") === "R").cast("int"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
         .drop("l_partkey", "l_suppkey")
     },
 

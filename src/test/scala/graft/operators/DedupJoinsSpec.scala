@@ -26,6 +26,18 @@ class DedupJoinsSpec extends SparkSpec {
     assert(once.groupBy("k").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("firstRowPerGroupAgg matches the window variant on real data (incl. desc encoding)") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag", "l_linenumber", "l_partkey", "l_suppkey")
+    val win = Dedup.firstRowPerGroup(li, Seq("l_orderkey"),
+      Seq((col("l_returnflag") === "R").cast("int").desc,
+        col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+    val agg = Dedup.firstRowPerGroupAgg(li, Seq("l_orderkey"),
+      Seq(lit(1) - (col("l_returnflag") === "R").cast("int"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    assert(win.collect().toSet == agg.select(win.columns.map(col): _*).collect().toSet)
+  }
+
   test("joinWithFallback patches nulls from the fallback side (J4 DAC idiom)") {
     import spark.implicits._
     val fact = Seq(("AFG", "2020", 10.0), ("XXX", "2020", 20.0)).toDF("iso", "year", "amt")
