@@ -38,6 +38,35 @@ object DevProbe {
     val nd = graft.dedup.TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
     t("neardup_full")(nd.count())
 
+    val pairsPinned = nd.localCheckpoint()
+    t("cc_from_pinned_pairs")(
+      graft.dedup.Components.connectedComponents(pairsPinned, "id_a", "id_b").count())
+    // instrumented copy of the loop
+    locally {
+      val sym = pairsPinned.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairsPinned.select(col("id_b").as("a"), col("id_a").as("b"))).distinct().persist()
+      var labels = sym.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+      var changed = 1L; var i = 0
+      while (changed > 0 && i < 20) {
+        val t0 = System.nanoTime
+        val nbrMin = sym.join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min("label").as("nbr_label"))
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("old_label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        val parents = stepped.select(col("id").as("label"), col("label").as("grand"))
+        val next = stepped.join(parents, Seq("label"), "left")
+          .select(col("id"), col("old_label"),
+            least(col("label"), coalesce(col("grand"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.filter(col("label") =!= col("old_label")).count()
+        labels = next.select("id", "label")
+        i += 1
+        println(f"[probe] cc_iter $i changed=$changed ${(System.nanoTime - t0) / 1e9}%.2f s")
+      }
+    }
+
     val li = spark.read.parquet(s"$d/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     li.count()

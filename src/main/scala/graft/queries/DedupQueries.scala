@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.dedup.TextDedup
+import graft.dedup.{Components, TextDedup}
 import graft.functions.TextFns
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -109,6 +109,48 @@ object DedupQueries {
       val sig = Tables.documents(s, d).select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
       TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+    },
+
+    // Dedup clusters: connected components over the near-dup pairs —
+    // pairwise candidates become clusters with a canonical (min-id)
+    // representative. Spark: min-label propagation to fixpoint (each step
+    // a distributed join+agg); oracle: recursive-CTE transitive closure.
+    QueryDef("q65_dedup_components", Seq("A10"),
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 15))::BIGINT AS h
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+           GROUP BY doc_id, b.b),
+         sig AS (
+           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, simhash, band.band,
+             (simhash >> (15 * band.band)) & 32767 AS chunk
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+           UNION SELECT id_a, id_a FROM pairs
+           UNION SELECT id_b, id_b FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""") { (s, d) =>
+      val sig = Tables.documents(s, d).select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+      val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
     },
   )
 }

@@ -26,6 +26,17 @@ object EventPipeline {
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact deduplication: drop rows repeating `idCols` while
+    * their event time is within `delay` of the watermark — the streaming
+    * twin of TextDedup.exactDedup for at-least-once sources. State is
+    * bounded by the watermark (old keys age out), so memory is
+    * O(keys per delay window), not O(stream history). */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+      tsCol: String = "ts", delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, value: Double)

@@ -66,4 +66,12 @@ class TextDedupSpec extends SparkSpec {
     // unrelated doc appears only if genuinely hamming<=3 (vanishingly unlikely)
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("connectedComponents: chains merge to min-id clusters, isolated pairs stay apart") {
+    // 1-2, 2-3, 3-4 chain (diameter 3, needs >1 propagation step); 7-8 separate
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Components.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
 }

@@ -52,6 +52,25 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: retransmitted ids dropped across batches, state ages out") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventPipeline.Event](spark)
+    val q = EventPipeline.dedupWithinWatermark(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      input.addData(
+        EventPipeline.Event(1, ts(0), 10, "click", 1.0),
+        EventPipeline.Event(1, ts(1), 10, "click", 1.0)) // in-batch dup
+      q.processAllAvailable()
+      input.addData(EventPipeline.Event(1, ts(2), 10, "click", 1.0)) // cross-batch dup
+      input.addData(EventPipeline.Event(2, ts(5), 10, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").select("event_id").as[Long].collect().sorted
+        .toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: >30min gap splits sessions within a batch") {
     val sqlc = spark.sqlContext
     import spark.implicits._
