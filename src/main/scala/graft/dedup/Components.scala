@@ -57,6 +57,10 @@ object Components {
       i += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still moving) — raise maxIter; labels would be WRONG")
     labels.select(col("id"), col("label").as("component"))
   }
 }

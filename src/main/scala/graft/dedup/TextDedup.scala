@@ -72,7 +72,7 @@ object TextDedup {
   /** Token n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     def grams(c: Column): Column = {
-      val toks = split(c, """\s+""")
+      val toks = split(trim(c), """\s+""")
       array_distinct(transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))

@@ -68,8 +68,11 @@ object MediaColumns {
     * same stub. */
   def sampleFrames(media: DataFrame, everyNthByte: Int): DataFrame =
     media.filter(col("media_type") === "video")
+      // 0-byte or NULL media has no frames (and the null-content row would
+      // otherwise surface as a single null-fingerprint "frame")
+      .filter(length(col("content")) > 0)
       .withColumn("frame_offset",
-        explode(sequence(lit(0), greatest(length(col("content")) - 1, lit(0)), lit(everyNthByte))))
+        explode(sequence(lit(0), length(col("content")) - 1, lit(everyNthByte))))
       .select(col("media_id"), col("frame_offset"),
         md5(concat(col("content").cast("string"), col("frame_offset"))).as("frame_fp"))
 }

@@ -38,7 +38,14 @@ object Dedup {
     * for ordering specs that aren't ascending-encodable.
     *
     * `orderAsc` columns must encode the desired order ASCENDING (flip a
-    * descending key numerically, e.g. `1 - flag.cast("int")`). */
+    * descending key numerically, e.g. `1 - flag.cast("int")`).
+    *
+    * NULL caveat: min(struct) compares null fields FIRST, while the
+    * window variant's default `asc` ordering puts nulls... also first —
+    * but a numerically FLIPPED descending key maps null→null and
+    * therefore sorts first here versus LAST under the window's `.desc`
+    * (nulls-last) default. With nullable order columns, null-encode
+    * explicitly (e.g. coalesce to a sentinel) before calling either. */
   def firstRowPerGroupAgg(df: DataFrame, keys: Seq[String], orderAsc: Seq[Column]): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
     val ordered = orderAsc.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }

@@ -46,7 +46,7 @@ object DedupQueries {
              array_to_string(toks[g:g+2], ' ')
              FOR g IN generate_series(1, greatest(len(toks) - 2, 1))
            ]) AS grams
-           FROM (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+           FROM (SELECT doc_id, lang, source, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
                  FROM documents WHERE n_chars < 200))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(cast(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -67,7 +67,7 @@ object DedupQueries {
     // 32-bit SimHash from md5 token hashes — reproducible across engines.
     QueryDef("q36_simhash", Seq("A10"),
       """WITH tok AS (
-           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 8))::BIGINT AS h
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 8))::BIGINT AS h
            FROM documents),
          bits AS (
            SELECT doc_id, b.b,
@@ -87,7 +87,7 @@ object DedupQueries {
     // on this vocabulary-correlated corpus.
     QueryDef("q57_simhash_neardup", Seq("A10"),
       """WITH tok AS (
-           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 15))::BIGINT AS h
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
            FROM documents),
          bits AS (
            SELECT doc_id, b.b,
@@ -117,7 +117,7 @@ object DedupQueries {
     // a distributed join+agg); oracle: recursive-CTE transitive closure.
     QueryDef("q65_dedup_components", Seq("A10"),
       """WITH RECURSIVE tok AS (
-           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(trim(text), ' '))), 1, 15))::BIGINT AS h
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
            FROM documents),
          bits AS (
            SELECT doc_id, b.b,

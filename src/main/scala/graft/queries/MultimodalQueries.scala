@@ -41,10 +41,11 @@ object MultimodalQueries {
                ELSE 'video' END AS media_type,
              text, n_chars FROM documents)
          SELECT media_id, media_type,
-           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(coalesce(strlen(text), 0) AS INT) AS n_bytes,
            CAST(n_chars % 640 AS INT) AS width,
            CAST((n_chars * 7) % 480 AS INT) AS height,
-           ('0x' || substring(md5(text), 1, 2))::INT AS f0_byte
+           CASE WHEN coalesce(strlen(text), 0) = 0 THEN NULL
+                ELSE ('0x' || substring(md5(text), 1, 2))::INT END AS f0_byte
          FROM media""") { (s, d) =>
       MediaColumns.extractFeatures(mediaFrame(s, d), 16)
         .select(col("media_id"), col("media_type"), col("n_bytes"),
@@ -58,7 +59,7 @@ object MultimodalQueries {
     QueryDef("q63_frame_sample", Seq("U6", "S14"),
       """WITH media AS (
            SELECT doc_id AS media_id, text FROM documents
-           WHERE CAST(doc_id % 3 AS INT) = 2),
+           WHERE CAST(doc_id % 3 AS INT) = 2 AND coalesce(strlen(text), 0) > 0),
          offs AS (
            SELECT media_id, text,
              unnest(generate_series(0, CAST(strlen(text) AS BIGINT) - 1, 64)) AS frame_offset

@@ -195,9 +195,9 @@ object SourceQueries {
          GROUP BY c_mktsegment""") { (s, d) =>
       val sfx = d.replaceAll("[^a-z0-9]", "_")
       val ot = s"orders_bkt$sfx"; val ct = s"customer_bkt$sfx"
-      Bucketing.stageBucketed(
+      Bucketing.ensureStaged(
         Tables.orders(s, d).select("o_custkey", "o_totalprice"), ot, "o_custkey", 8)
-      Bucketing.stageBucketed(
+      Bucketing.ensureStaged(
         Tables.customer(s, d).select("c_custkey", "c_mktsegment"), ct, "c_custkey", 8)
       Bucketing.readTable(s, ot)
         .join(Bucketing.readTable(s, ct), col("o_custkey") === col("c_custkey"))

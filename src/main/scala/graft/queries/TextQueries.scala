@@ -86,5 +86,48 @@ object TextQueries {
         TextFns.bpeishTokenCount(col("text")).as("bpeish_tokens"),
         col("n_chars"))
     },
+
+    // Column-profile statistics (the schema-audit pass a pipeline runs
+    // before training): per column — rows, exact distincts, min/max.
+    // ONE scan computes every column's stats (distinct aggs expand to
+    // grouping sets, not extra passes); a row-per-column reshape follows.
+    QueryDef("q66_table_profile", Seq("A10", "A11"),
+      """SELECT 'o_custkey' AS column_name, count(*) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS DOUBLE) AS vmin, CAST(max(o_custkey) AS DOUBLE) AS vmax
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           min(o_totalprice), max(o_totalprice)
+         FROM orders""") { (s, d) =>
+      val one = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("o_custkey")).as("d_key"),
+        min(col("o_custkey")).cast("double").as("min_key"),
+        max(col("o_custkey")).cast("double").as("max_key"),
+        count_distinct(col("o_totalprice")).as("d_price"),
+        min(col("o_totalprice")).cast("double").as("min_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"))
+      one.select(explode(array(
+        struct(lit("o_custkey").as("column_name"), col("n"),
+          col("d_key").as("n_distinct"), col("min_key").as("vmin"), col("max_key").as("vmax")),
+        struct(lit("o_totalprice").as("column_name"), col("n"),
+          col("d_price").as("n_distinct"), col("min_price").as("vmin"), col("max_price").as("vmax"))))
+        .as("p")).select("p.*")
+    },
+
+    // Vocabulary build: token frequency table, deterministic top-50
+    // (the corpus-statistics step before tokenizer training).
+    QueryDef("q67_token_freq", Seq("A11", "U6"),
+      s"""SELECT token, count(*) AS n FROM (
+            SELECT unnest($wsToks) AS token FROM documents)
+          GROUP BY token ORDER BY n DESC, token LIMIT 50""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), """\s+""")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
   )
 }

@@ -28,5 +28,14 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Stage only if the catalog doesn't already have the table — repeated
+    * builds in one session (Explain, then Bench, then Verify) reuse the
+    * staging instead of re-paying the write, which is the point of
+    * bucketed staging. A fresh session re-stages once (its in-memory
+    * catalog starts empty even when the directory survived). */
+  def ensureStaged(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      stageBucketed(df, table, key, buckets)
+
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }
