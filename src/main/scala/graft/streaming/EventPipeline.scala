@@ -26,6 +26,15 @@ object EventPipeline {
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static enrichment: left-join a streaming event frame against
+    * a static dimension (broadcast per micro-batch — no stream-side
+    * shuffle, no state). The streaming twin of the J1/J2 broadcast
+    * lookup chain; the dim is re-resolved each batch, so slowly-changing
+    * reference data (a re-staged parquet dir) is picked up without
+    * restarting the query. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Streaming exact deduplication: drop rows repeating `idCols` while
     * their event time is within `delay` of the watermark — the streaming
     * twin of TextDedup.exactDedup for at-least-once sources. State is

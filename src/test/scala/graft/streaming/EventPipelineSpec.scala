@@ -52,6 +52,24 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream rows pick up dim attributes, misses stay null") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventPipeline.Event](spark)
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val q = EventPipeline.enrichWithDim(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(
+        EventPipeline.Event(1, ts(0), 10, "click", 1.0),
+        EventPipeline.Event(2, ts(1), 99, "click", 1.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: retransmitted ids dropped across batches, state ages out") {
     val sqlc = spark.sqlContext
     import spark.implicits._
