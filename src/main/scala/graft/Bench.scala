@@ -16,6 +16,9 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle GC debt from the previous query OUTSIDE the timer so each
+      // measurement charges its own allocations, not its predecessor's
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -45,6 +45,13 @@ object ScaleProbe {
       TextDedup.lshCandidatePairs(bands, "id").count()
     }
     time("simhash")(docs.select(TextDedup.simHash32(col("text"))).count())
+    time("simhash_neardup_components") {
+      // full near-dup path at scale: 60-bit sigs -> banded pairs -> clusters
+      val sig = docs.select(col("id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+      val pairs = TextDedup.simHashNearDup(sig, "id", "simhash", 3)
+      graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b").count()
+    }
 
     val vecs = spark.range(nVecs)
       .withColumn("embedding", array((0 until 64).map(i =>

@@ -67,6 +67,26 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("property: banding NEVER misses a pair within hamming 3 (pigeonhole recall)") {
+    // synthetic signatures: random 60-bit base, partner = base with <=3 flipped bits
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).flatMap { i =>
+      val base = rnd.nextLong() & ((1L << 60) - 1)
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val partner = (0 until flips).foldLeft(base)((h, _) => h ^ (1L << rnd.nextInt(60)))
+      Seq((i * 2L, base), (i * 2L + 1, partner))
+    }
+    val sig = rows.toDF("doc_id", "simhash")
+    val found = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair has hamming <= 3 (flips may collide, only reducing it)
+    rows.grouped(2).foreach { case Seq((ia, ha), (ib, hb)) =>
+      val hamming = java.lang.Long.bitCount(ha ^ hb)
+      assert(hamming <= 3)
+      assert(found.contains((ia, ib)), s"missed pair ($ia,$ib) at hamming $hamming")
+    }
+  }
+
   test("connectedComponents: chains merge to min-id clusters, isolated pairs stay apart") {
     // 1-2, 2-3, 3-4 chain (diameter 3, needs >1 propagation step); 7-8 separate
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
