@@ -58,9 +58,14 @@ object TextDedup {
   }
 
   /** Candidate duplicate pairs: rows sharing a band signature. The join
-    * key is (band index, signature) — a hash shuffle, never a crossJoin. */
+    * key is (band index, signature) — a hash shuffle, never a crossJoin.
+    * The band computation is pinned behind an exchange so the self-join's
+    * two sides don't each recompute every per-shingle hash (same
+    * expression-inlining trap as simHashNearDup; SCALING.md r2 lessons). */
   def lshCandidatePairs(withBands: DataFrame, idCol: String): DataFrame = {
     val exploded = withBands
+      .select(col(idCol), col("band_sig"))
+      .repartition(col(idCol))
       .select(col(idCol), posexplode(col("band_sig")).as(Seq("band", "sig")))
     val a = exploded.withColumnRenamed(idCol, "id_a")
     val b = exploded.withColumnRenamed(idCol, "id_b")
