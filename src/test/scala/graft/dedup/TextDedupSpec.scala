@@ -87,11 +87,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("connectedComponents: chains merge to min-id clusters, isolated pairs stay apart") {
+  test("connectedComponents: chains merge to min-id clusters on BOTH execution paths") {
     // 1-2, 2-3, 3-4 chain (diameter 3, needs >1 propagation step); 7-8 separate
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
-    val out = Components.connectedComponents(edges, "id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L)
+    val local = Components.connectedComponents(edges, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+    assert(local == expected)
+    // maxLocalEdges = 0 forces the distributed min-label + pointer-jump loop
+    val dist = Components.connectedComponents(edges, "id_a", "id_b", maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 }
