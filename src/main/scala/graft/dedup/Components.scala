@@ -73,12 +73,14 @@ object Components {
     labels.select(col("id"), col("label").as("component"))
   }
 
-  /** Path-compressed, union-by-min union-find on the driver. */
+  /** Path-compressed, union-by-min union-find on the driver. Primitive
+    * LongMap keeps peak memory ~tens of MB at the 1M-edge default (boxed
+    * tuples from collect() are the transient high-water mark). */
   private def localUnionFind(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val pairs = e.as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -87,8 +89,9 @@ object Components {
       r
     }
     pairs.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
     parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("id", "component")

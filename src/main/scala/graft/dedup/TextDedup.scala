@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Materialization barrier for self-joins: project to the named columns
+    * and force an exchange keyed on `idCol`. Without it, Catalyst's
+    * CollapseProject inlines the caller's (possibly expensive) column
+    * EXPRESSIONS through the self-join and re-evaluates them per joined
+    * row — measured 15× on the simhash near-dup path (SCALING.md r2). */
+  private def pinByKey(df: DataFrame, idCol: String, cols: String*): DataFrame =
+    df.select((idCol +: cols).map(col): _*).repartition(col(idCol))
+
   /** Exact dedup: canonical fingerprint → keep min-id row per group. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy("fp").orderBy(col(idCol))
@@ -59,13 +67,10 @@ object TextDedup {
 
   /** Candidate duplicate pairs: rows sharing a band signature. The join
     * key is (band index, signature) — a hash shuffle, never a crossJoin.
-    * The band computation is pinned behind an exchange so the self-join's
-    * two sides don't each recompute every per-shingle hash (same
-    * expression-inlining trap as simHashNearDup; SCALING.md r2 lessons). */
+    * The band computation is pinned behind an exchange (pinByKey) so the
+    * self-join's two sides don't each recompute every per-shingle hash. */
   def lshCandidatePairs(withBands: DataFrame, idCol: String): DataFrame = {
-    val exploded = withBands
-      .select(col(idCol), col("band_sig"))
-      .repartition(col(idCol))
+    val exploded = pinByKey(withBands, idCol, "band_sig")
       .select(col(idCol), posexplode(col("band_sig")).as(Seq("band", "sig")))
     val a = exploded.withColumnRenamed(idCol, "id_a")
     val b = exploded.withColumnRenamed(idCol, "id_b")
@@ -131,11 +136,7 @@ object TextDedup {
   def simHashNearDup(withSig: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, nBands: Int = 4, bandBits: Int = 15): DataFrame = {
     val mask = (1L << bandBits) - 1
-    // Materialization barrier: without it Catalyst collapses the caller's
-    // signature EXPRESSION through the self-join and re-evaluates it per
-    // candidate pair inside the join condition (measured 15× slower). An
-    // exchange over (id, sig) pins the signature to one computation.
-    val pinned = withSig.select(col(idCol), col(sigCol)).repartition(col(idCol))
+    val pinned = pinByKey(withSig, idCol, sigCol)
     val banded = pinned.select(
       col(idCol), col(sigCol),
       explode(array((0 until nBands).map(b =>

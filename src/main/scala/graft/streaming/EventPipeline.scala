@@ -29,9 +29,10 @@ object EventPipeline {
   /** Stream-static enrichment: left-join a streaming event frame against
     * a static dimension (broadcast per micro-batch — no stream-side
     * shuffle, no state). The streaming twin of the J1/J2 broadcast
-    * lookup chain; the dim is re-resolved each batch, so slowly-changing
-    * reference data (a re-staged parquet dir) is picked up without
-    * restarting the query. */
+    * lookup chain. The static side's FILE LISTING is pinned when the dim
+    * DataFrame is created — rows of those files are re-read per batch,
+    * but a re-staged directory (new/deleted part files) is NOT picked up;
+    * restart the query with a fresh dim frame to roll reference data. */
   def enrichWithDim(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 

@@ -53,7 +53,6 @@ class EventPipelineSpec extends SparkSpec {
   }
 
   test("enrichWithDim: stream rows pick up dim attributes, misses stay null") {
-    val sqlc = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[EventPipeline.Event](spark)
     val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
