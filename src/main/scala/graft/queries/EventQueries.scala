@@ -74,6 +74,38 @@ object EventQueries {
           round(sum("value"), 4).as("session_value"))
     },
 
+    // Native session_window sessionization — the built-in gap-window
+    // operator (one aggregation, no lag/cumsum window chain); emits
+    // session START so it oracles against the q44-style lag/sum
+    // derivation. NB: session_window's window is half-open
+    // [start, last+gap), so a gap of EXACTLY 30min starts a new session
+    // — the oracle uses >= where q44's uses >.
+    QueryDef("q69_session_window", Seq("W3", "A5"),
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             cast(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN sec - lag(sec) OVER w >= 1800 OR lag(sec) OVER w IS NULL
+               THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sessions AS (
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, min(sec) AS session_start, count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+         FROM sessions GROUP BY user_id, session_id""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          timestamp_seconds(nsToSec("ts")).as("tsec"))
+        .groupBy(col("user_id"), session_window(col("tsec"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events"), col("session_value"))
+    },
+
     // As-of enrichment: each event tagged with the user's most recent
     // signup event at-or-before it (trades/quotes-style as-of join,
     // encoded as one keyed ordered window — no range join).

@@ -225,6 +225,31 @@ object WindowQueries {
           when(col("v").isNotNull, lit("obs")).otherwise(lit("approx")).as("src"))
     },
 
+    // §1.1 long key-value → wide: groupBy().pivot() with explicit value
+    // list (one shuffle; explicit values keep the plan static — no
+    // distinct-scan planning pass). Inverse of q21's melt.
+    QueryDef("q68_pivot_wide", Seq("R2"),
+      """WITH wide AS (
+           SELECT c_nationkey, round(sum(c_acctbal), 4) AS total_bal,
+                  cast(count(*) AS DOUBLE) AS n_cust
+           FROM customer GROUP BY c_nationkey),
+         long AS (
+           SELECT c_nationkey, 'total_bal' AS variable, total_bal AS value FROM wide
+           UNION ALL
+           SELECT c_nationkey, 'n_cust', n_cust FROM wide)
+         SELECT c_nationkey,
+           max(CASE WHEN variable = 'total_bal' THEN value END) AS total_bal,
+           max(CASE WHEN variable = 'n_cust' THEN value END) AS n_cust
+         FROM long GROUP BY c_nationkey""") { (s, d) =>
+      val wide = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(round(sum("c_acctbal"), 4).as("total_bal"),
+          count(lit(1)).cast("double").as("n_cust"))
+      val long = Reshape.melt(wide, Seq("c_nationkey"), Seq("total_bal", "n_cust"))
+      long.groupBy("c_nationkey")
+        .pivot("variable", Seq("total_bal", "n_cust"))
+        .agg(max("value"))
+    },
+
     // A11 extension: exact interpolated quantile profile per group — the
     // distribution-profiling step of a training-data quality pass. Spark's
     // `percentile` and DuckDB's `quantile_cont` share the p·(n−1) linear
