@@ -62,6 +62,10 @@ class PlanBudgetSpec extends SparkSpec {
       .contains("CartesianProduct"))
     // frame sampling is a pure generator: no shuffle at all
     assert(shuffles(q("q63_frame_sample")) == 0)
+    // pivot with explicit values: agg + pivot fold into two exchanges max
+    assert(shuffles(q("q68_pivot_wide")) <= 2)
+    // native session_window: one keyed exchange, no window-chain sort pass
+    assert(shuffles(q("q69_session_window")) == 1)
   }
 
   test("flagship entry: broadcast-only joins + one aggregate shuffle") {
