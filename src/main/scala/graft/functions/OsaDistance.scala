@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,12 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * closes that documented delta (SURVEY.md §4.3.7).
   *
   * Implemented as a Catalyst `BinaryExpression` (not a Scala UDF) so it is
-  * null-safe by construction and free of SerDe overhead; CodegenFallback
-  * is acceptable because fuzzy matching runs on deduplicated name lists
-  * (|uniques|², tiny), never on the fact table.
+  * null-safe by construction and free of SerDe overhead, with `doGenCode`
+  * so it participates in whole-stage codegen instead of breaking the span
+  * (the generated code calls the same static DP kernel the interpreted
+  * path uses).
   */
 case class OsaDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = left.nullable || right.nullable
 
@@ -28,6 +29,10 @@ case class OsaDistance(left: Expression, right: Expression)
     val b = r.asInstanceOf[UTF8String].toString
     OsaDistance.osa(a, b)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.OsaDistance$$.MODULE$$.osa($a.toString(), $b.toString())")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -28,4 +28,21 @@ class OsaDistanceSpec extends SparkSpec {
     val r = spark.sql("SELECT osa_distance('ab', 'ba') AS d").collect()(0).getInt(0)
     assert(r == 1)
   }
+
+  test("osa_distance participates in whole-stage codegen (no silent fallback)") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // codegen errors throw
+    try {
+      // spark.range (not a local Seq) so ConvertToLocalRelation can't
+      // constant-fold the project before execution
+      val df = spark.range(2)
+        .select(when(col("id") === 0, "martha").otherwise("kitten").as("a"),
+          when(col("id") === 0, "marhta").otherwise("sitting").as("b"))
+        .select(OsaDistance.osa_distance(col("a"), col("b")).as("d"))
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+      val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      assert(gen.contains("OsaDistance$.MODULE$.osa"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
