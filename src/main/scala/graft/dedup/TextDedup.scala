@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Materialization barrier for self-joins: project to the named columns
-    * and force an exchange keyed on `idCol`. Without it, Catalyst's
-    * CollapseProject inlines the caller's (possibly expensive) column
-    * EXPRESSIONS through the self-join and re-evaluates them per joined
-    * row — measured 15× on the simhash near-dup path (SCALING.md r2). */
+    * and lazily checkpoint. Two problems this solves at once: Catalyst's
+    * CollapseProject would inline the caller's (possibly expensive)
+    * column EXPRESSIONS into the join and re-evaluate them per joined row
+    * (measured 15× on the simhash near-dup path), and the join's two
+    * sides would otherwise each execute the computation once (exchange
+    * reuse does not kick in across the differently-aliased sides). The
+    * checkpoint materializes on first action and both sides share it. */
   private def pinByKey(df: DataFrame, idCol: String, cols: String*): DataFrame =
-    df.select((idCol +: cols).map(col): _*).repartition(col(idCol))
+    df.select((idCol +: cols).map(col): _*).localCheckpoint(eager = false)
 
   /** Exact dedup: canonical fingerprint → keep min-id row per group. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -56,13 +59,18 @@ object TextDedup {
     val shingles = transform(
       sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
       i => col(textCol).substr(i, lit(k)))
-    val base = transform(shingles, s => xxhash64(s))
     // re-hash the base with the band id (ANSI-safe — wrapping multiply
-    // would throw under Spark 4's default ANSI mode)
-    val sigs = (0 until bands).map { b =>
-      array_min(transform(base, h => xxhash64(h, lit(b))))
-    }
-    df.withColumn("band_sig", array(sigs: _*))
+    // would throw under Spark 4's default ANSI mode). The base hash array
+    // is let-bound once via a single-element transform so the per-band
+    // min doesn't re-evaluate one xxhash64 per shingle per band.
+    val base = transform(shingles, s => xxhash64(s))
+    val sigs = element_at(
+      transform(array(base), bs =>
+        array((0 until bands).map { b =>
+          array_min(transform(bs, h => xxhash64(h, lit(b))))
+        }: _*)),
+      1)
+    df.withColumn("band_sig", sigs)
   }
 
   /** Candidate duplicate pairs: rows sharing a band signature. The join

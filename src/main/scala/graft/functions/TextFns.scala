@@ -90,10 +90,17 @@ object TextFns {
       sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
       i => c.substr(i, lit(k)))
     val hashes = transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    val windows = transform(
-      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
-      i => array_min(slice(hashes, i + 1, lit(w))))
-    array_sort(array_distinct(windows))
+    // Let-bind the hash array ONCE via an outer single-element transform:
+    // the lambda variable `hs` is the materialized VALUE, so each window
+    // slices it instead of re-evaluating every md5 (the inlined form is
+    // O(windows × grams) md5 calls per document — it froze a 5k-doc
+    // Verify run; this form is O(grams)).
+    element_at(
+      transform(array(hashes), hs =>
+        array_sort(array_distinct(
+          transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
+            i => array_min(slice(hs, i + 1, lit(w))))))),
+      1)
   }
 
   /** Language-ID by marker-word scoring: count hits of per-language marker

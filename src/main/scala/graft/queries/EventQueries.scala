@@ -77,16 +77,16 @@ object EventQueries {
     // Native session_window sessionization — the built-in gap-window
     // operator (one aggregation, no lag/cumsum window chain); emits
     // session START so it oracles against the q44-style lag/sum
-    // derivation. NB: session_window's window is half-open
-    // [start, last+gap), so a gap of EXACTLY 30min starts a new session
-    // — the oracle uses >= where q44's uses >.
+    // derivation. Boundary semantics verified at sf0.1 (which has an
+    // exact-30min gap): Spark MERGES touching windows, i.e. a session
+    // closes only when the gap strictly exceeds 30min — same `>` as q44.
     QueryDef("q69_session_window", Seq("W3", "A5"),
       """WITH e AS (
            SELECT user_id, event_id, value,
              cast(floor(epoch(ts)) AS BIGINT) AS sec
            FROM events),
          flagged AS (
-           SELECT *, CASE WHEN sec - lag(sec) OVER w >= 1800 OR lag(sec) OVER w IS NULL
+           SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
                THEN 1 ELSE 0 END AS new_session
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
          sessions AS (
