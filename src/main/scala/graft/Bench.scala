@@ -20,13 +20,17 @@ object Bench {
       // measurement charges its own allocations, not its predecessor's
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink materializes EVERY output column — count() would let
+      // Catalyst prune computed columns and undermeasure (a query can
+      // "bench" in 0.2s yet cost seconds to actually produce)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-write full materialization (r1 used count(), which column-prunes computed outputs)"}""")
     spark.stop()
   }
 }

@@ -87,17 +87,24 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Token n-gram Jaccard similarity between two text columns. */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    def grams(c: Column): Column = {
-      val toks = split(trim(c), """\s+""")
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-    }
-    val ga = grams(a); val gb = grams(b)
-    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+  /** Distinct word n-grams of a text column. Compute this ONCE per
+    * document (materialized before any pairwise join) — inlining it into
+    * a pair comparison recomputes the gram set per pair. */
+  def wordGrams(c: Column, n: Int): Column = {
+    val toks = split(trim(c), """\s+""")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
+
+  /** Jaccard similarity of two precomputed gram-set columns. */
+  def gramJaccard(ga: Column, gb: Column): Column =
+    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+
+  /** Token n-gram Jaccard similarity between two text columns (one-shot
+    * form; for pairwise joins precompute `wordGrams` per side instead). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    gramJaccard(wordGrams(a, n), wordGrams(b, n))
 
   /** n-bit SimHash over whitespace tokens (n ≤ 60 so the md5-derived
     * token hash fits a signed long): bit i of the signature is the sign

@@ -53,14 +53,18 @@ object DedupQueries {
              / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
          FROM short a JOIN short b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""") { (s, d) =>
+      // gram sets are computed ONCE per doc and pinned behind a lazy
+      // checkpoint — inlined into the join they'd recompute per pair
       val short = Tables.documents(s, d)
         .filter(col("n_chars") < 200)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      val a = short.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("text").as("__ta"))
-      val b = short.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("text").as("__tb"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextDedup.wordGrams(col("text"), 3).as("grams"))
+        .localCheckpoint(false)
+      val a = short.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("grams").as("__ga"))
+      val b = short.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("grams").as("__gb"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(TextDedup.ngramJaccard(col("__ta"), col("__tb"), 3), 6))
+        .withColumn("jaccard", round(TextDedup.gramJaccard(col("__ga"), col("__gb")), 6))
         .select("id_a", "id_b", "jaccard")
     },
 

@@ -264,11 +264,14 @@ object WindowQueries {
          FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
       Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        // ONE percentile buffer computes all four quantiles (four separate
+        // aggs would each collect the column into their own buffer)
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.99))").as("__p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__p"), 1), 4).as("p25"),
+          round(element_at(col("__p"), 2), 4).as("p50"),
+          round(element_at(col("__p"), 3), 4).as("p75"),
+          round(element_at(col("__p"), 4), 4).as("p99"))
     },
   )
 }
