@@ -23,9 +23,11 @@ object Bench {
       // noop sink materializes EVERY output column — count() would let
       // Catalyst prune computed columns and undermeasure (a query can
       // "bench" in 0.2s yet cost seconds to actually produce)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      // a failed query must read as a failure, not a fast time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

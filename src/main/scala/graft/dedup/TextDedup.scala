@@ -45,10 +45,7 @@ object TextDedup {
     * (Lexicographic min over hex strings — engine-portable.) */
   def minHashSignature(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.withColumn("minhash",
-      array_min(transform(
-        transform(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
-          i => col(textCol).substr(i, lit(k))),
-        s => md5(s))))
+      array_min(transform(charShingles(col(textCol), k), s => md5(s))))
 
   /** MinHash band signatures: `bands` independent min-hashes derived from
     * ONE base hash per shingle via linear mixing (h·a_b + c_b over
@@ -56,9 +53,7 @@ object TextDedup {
     * codegen'd xxhash64 per shingle instead of `bands` md5 calls; a pair
     * colliding in SOME band ⇒ candidate. Returns `band_sig` array. */
   def minHashBands(df: DataFrame, textCol: String, k: Int, bands: Int): DataFrame = {
-    val shingles = transform(
-      sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
-      i => col(textCol).substr(i, lit(k)))
+    val shingles = charShingles(col(textCol), k)
     // re-hash the base with the band id (ANSI-safe — wrapping multiply
     // would throw under Spark 4's default ANSI mode). The base hash array
     // is let-bound once via a single-element transform so the per-band
@@ -75,8 +70,9 @@ object TextDedup {
 
   /** Candidate duplicate pairs: rows sharing a band signature. The join
     * key is (band index, signature) — a hash shuffle, never a crossJoin.
-    * The band computation is pinned behind an exchange (pinByKey) so the
-    * self-join's two sides don't each recompute every per-shingle hash. */
+    * The band computation is pinned (pinByKey: lazy localCheckpoint) so
+    * the self-join's two sides don't each recompute every per-shingle
+    * hash. */
   def lshCandidatePairs(withBands: DataFrame, idCol: String): DataFrame = {
     val exploded = pinByKey(withBands, idCol, "band_sig")
       .select(col(idCol), posexplode(col("band_sig")).as(Seq("band", "sig")))

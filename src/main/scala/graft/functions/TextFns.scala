@@ -93,28 +93,15 @@ object TextFns {
     // Let-bind the hash array ONCE via an outer single-element transform:
     // the lambda variable `hs` is the materialized VALUE (the inlined
     // form re-evaluated every md5 per window — O(windows × grams) per
-    // document; it froze a 5k-doc Verify run). Sliding-window minima are
-    // then sparse-table style: log₂(w) zip_with(least) passes over
-    // doubling shifts instead of one slice+array_min per window.
-    // zip_with pads the shorter (shifted) side with null and `least`
-    // skips nulls, so tail entries degrade gracefully; only the first
-    // (n − w + 1) entries — all full windows — are kept.
-    def windowMins(hs: Column): Column = {
-      var covered = 1
-      var arr = hs
-      while (covered * 2 <= w) {
-        arr = zip_with(arr,
-          slice(arr, lit(covered + 1), greatest(size(arr) - covered, lit(1))), least(_, _))
-        covered *= 2
-      }
-      if (covered < w)
-        arr = zip_with(arr,
-          slice(arr, lit(w - covered + 1), greatest(size(arr) - (w - covered), lit(1))), least(_, _))
-      slice(arr, lit(1), greatest(size(hs) - (w - 1), lit(1)))
-    }
+    // document; it froze a 5k-doc Verify run). Per-window slice+min over
+    // the BOUND array is the fast form: a zip_with doubling "sparse
+    // table" measures strictly slower because interpreted higher-order
+    // eval re-evaluates each level's input once per reference.
     element_at(
       transform(array(hashes), hs =>
-        array_sort(array_distinct(windowMins(hs)))),
+        array_sort(array_distinct(
+          transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
+            i => array_min(slice(hs, i + 1, lit(w))))))),
       1)
   }
 
