@@ -15,6 +15,11 @@ run / fork := true
 // every line with "[info] ", which breaks downstream parsers expecting a
 // bare JSON line from Bench/Verify (BENCH_r01.json recorded parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The bench driver keeps only the LAST 2000 chars of output and parses the
+// JSON line from it. sbt's trailing "[success] Total time: ..." line eats
+// ~95 chars of that window and pushed the (long) JSON line out of it in r2
+// (BENCH_r02.json parsed:null). Suppress it so the JSON line is last.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,10 +29,15 @@ object Bench {
       // a failed query must read as a failure, not a fast time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the last 2000 chars of output, so the JSON
+    // line must stay well under that: 3-decimal times, qNN keys (the full
+    // names live in SparkEntry.queries), no commentary.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-write full materialization (r1 used count(), which column-prunes computed outputs)"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
