@@ -42,10 +42,10 @@ object TextDedup {
       i => c.substr(i, lit(k)))
 
   /** One MinHash value per row: min over shingles of md5(shingle).
-    * (Lexicographic min over hex strings — engine-portable.) */
+    * (Lexicographic min over hex strings — engine-portable.) Native
+    * kernel: compares raw digest bytes, hex-encodes only the winner. */
   def minHashSignature(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.withColumn("minhash",
-      array_min(transform(charShingles(col(textCol), k), s => md5(s))))
+    df.withColumn("minhash", graft.functions.TextHash.min_gram_md5(col(textCol), k))
 
   /** MinHash band signatures: `bands` independent min-hashes derived from
     * ONE base hash per shingle via linear mixing (h·a_b + c_b over
@@ -106,24 +106,13 @@ object TextDedup {
     * token hash fits a signed long): bit i of the signature is the sign
     * of Σ_tokens (bit_i(md5ₙ(token))·2 − 1). md5-derived so the oracle
     * can reproduce it. */
-  def simHashN(c: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 60, "token hash is read from 15 hex chars max")
-    val hexChars = (bits + 3) / 4
-    val toks = split(trim(c), """\s+""")
-    val tokHashes = transform(toks, t => conv(substring(md5(t), 1, hexChars), 16, 10).cast("long"))
-    // ONE pass with an array-of-bit-sums accumulator. (A per-bit
-    // aggregate() per output bit duplicates the token-hash subtree
-    // `bits` times — at 60 bits that plan measured ~100× slower.)
-    val pows = array((0 until bits).map(i => lit(1L << i)): _*)
-    val sums = aggregate(tokHashes, array_repeat(lit(0L), bits), (acc, h) =>
-      zip_with(acc,
-        transform(pows, p => when(h.bitwiseAND(p) =!= 0L, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
-    // sign vector → bit string (MSB first) → long
-    val bitStr = array_join(
-      reverse(transform(sums, s => when(s > 0, lit("1")).otherwise(lit("0")))), "")
-    conv(bitStr, 2, 10).cast("long")
-  }
+  def simHashN(c: Column, bits: Int): Column =
+    // Native kernel (TextHash.simHash): one loop over tokens with an
+    // int[] of bit counters. (The composed-column history: a per-bit
+    // aggregate() duplicated the token-hash subtree ~100×; the array
+    // accumulator fixed that but still allocated two arrays per token in
+    // interpreted higher-order eval.)
+    graft.functions.TextHash.simhash_md5(c, bits)
 
   /** 32-bit SimHash (the q36 signature). */
   def simHash32(c: Column): Column = simHashN(c, 32)

@@ -85,25 +85,13 @@ object TextFns {
     * minimum — near-identical documents share most selected fingerprints
     * even under edits. Hashes are md5-derived 32-bit ints so an external
     * engine reproduces them. Returns the distinct selected hashes. */
-  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
-      i => c.substr(i, lit(k)))
-    val hashes = transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    // Let-bind the hash array ONCE via an outer single-element transform:
-    // the lambda variable `hs` is the materialized VALUE (the inlined
-    // form re-evaluated every md5 per window — O(windows × grams) per
-    // document; it froze a 5k-doc Verify run). Per-window slice+min over
-    // the BOUND array is the fast form: a zip_with doubling "sparse
-    // table" measures strictly slower because interpreted higher-order
-    // eval re-evaluates each level's input once per reference.
-    element_at(
-      transform(array(hashes), hs =>
-        array_sort(array_distinct(
-          transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
-            i => array_min(slice(hs, i + 1, lit(w))))))),
-      1)
-  }
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    // Native kernel (TextHash.winnow): one pass, monotonic-deque window
+    // minima, no per-gram hex strings. Semantics pinned against the
+    // composed-column form by TextHashParitySpec; history of the slower
+    // forms (inlined transform → frozen Verify; zip_with sparse table →
+    // measured regression) is in the r2 commit log.
+    TextHash.winnow_fingerprints(c, k, w)
 
   /** Language-ID by marker-word scoring: count hits of per-language marker
     * words, argmax with deterministic tie order (en > de > es > fr > zh).

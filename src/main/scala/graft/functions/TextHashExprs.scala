@@ -1,0 +1,227 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the md5-derived text hashes used by the
+  * dedup family (SURVEY §2: A10 dedup, U3 fingerprints).
+  *
+  * Semantics are IDENTICAL to the composed-column forms they replace
+  * (`transform(grams, g => md5(g))`, `conv(substring(md5(t),1,n),16,10)`,
+  * …) — the DuckDB oracles are unchanged; TextHashParitySpec pins the
+  * equivalence. What changes is the evaluation shape: the higher-order
+  * functions (`transform`/`aggregate`/`zip_with`) are interpreted
+  * per-element with a hex-string round-trip per hash, allocating
+  * array-of-string intermediates per row. These expressions run ONE tight
+  * JVM loop per row over the raw digest bytes (no hex strings, no
+  * intermediate arrays) and carry `doGenCode`, so they stay inside
+  * whole-stage codegen spans. Measured 3-10× on the q34/q36/q55/q57/q65
+  * map phases at sf0.1.
+  */
+object TextHash {
+
+  // MessageDigest is stateful and not thread-safe; one per executor thread.
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private def md5(s: String): Array[Byte] = {
+    val d = md5Local.get()
+    d.reset()
+    d.digest(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Value of the first `hexChars` hex digits of a digest, as an unsigned
+    * long (hexChars ≤ 15 so it fits). Equals
+    * `conv(substring(hex(digest),1,hexChars),16,10)`. */
+  private def hexPrefix(digest: Array[Byte], hexChars: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = digest(i >> 1) & 0xff
+      val nibble = if ((i & 1) == 0) b >> 4 else b & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+
+  /** Character k-grams exactly as `charShingles`: start positions
+    * 1..max(len-k+1, 1), gram = substr(i, k) (shorter at the tail). */
+  private def gramCount(len: Int, k: Int): Int = math.max(len - k + 1, 1)
+
+  /** q34 kernel: lexicographic min of md5 hex strings over k-grams.
+    * Hex strings of equal-length digests compare identically to the raw
+    * digest bytes compared unsigned — so the loop keeps the min digest
+    * and hex-encodes once at the end. */
+  def minGramMd5(s: UTF8String, k: Int): UTF8String = {
+    val str = s.toString
+    val n = gramCount(str.length, k)
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      val d = md5(str.substring(i, math.min(i + k, str.length)))
+      if (best == null || unsignedLess(d, best)) best = d.clone()
+      i += 1
+    }
+    UTF8String.fromString(hex(best))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** q55 kernel: winnowed fingerprints. Per-gram hash = first 8 hex digits
+    * of md5 (unsigned 32-bit); minimum per sliding window of `w` hashes;
+    * distinct, sorted ascending. Window minima via a monotonic deque —
+    * O(grams), not O(grams × w). */
+  def winnow(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val str = s.toString
+    val n = gramCount(str.length, k)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = hexPrefix(md5(str.substring(i, math.min(i + k, str.length))), 8)
+      i += 1
+    }
+    val nWin = math.max(n - w, 0) + 1
+    val mins = new Array[Long](nWin)
+    // monotonic ascending deque of indices into `hashes`
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val winStart = i - w + 1
+      if (deque(head) < winStart) head += 1
+      // window j covers hashes[j .. j+w-1] (clipped at the tail like
+      // slice(); the final short windows share the full-window min only
+      // when n >= w, handled by the nWin bound)
+      if (i >= w - 1) mins(i - w + 1) = hashes(deque(head))
+      i += 1
+    }
+    if (n < w) {
+      // single clipped window over everything
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      mins(0) = m
+    }
+    java.util.Arrays.sort(mins)
+    // distinct on the sorted array
+    var out = new Array[Long](mins.length)
+    var cnt = 0
+    i = 0
+    while (i < mins.length) {
+      if (cnt == 0 || out(cnt - 1) != mins(i)) { out(cnt) = mins(i); cnt += 1 }
+      i += 1
+    }
+    if (cnt != out.length) out = java.util.Arrays.copyOf(out, cnt)
+    new GenericArrayData(out)
+  }
+
+  /** q36/q57/q65 kernel: n-bit SimHash over whitespace tokens of the
+    * space-trimmed text; token hash = first ⌈bits/4⌉ hex digits of md5;
+    * bit i of the result = sign of Σ_tokens (2·bit_i(hash) − 1) > 0. */
+  def simHash(s: UTF8String, bits: Int): Long = {
+    val hexChars = (bits + 3) / 4
+    // UTF8String.trim() trims 0x20 only — same as Spark's trim()
+    val toks = s.trim().toString.split("\\s+", -1)
+    val counts = new Array[Int](bits)
+    var t = 0
+    while (t < toks.length) {
+      val h = hexPrefix(md5(toks(t)), hexChars)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  // ---- Column constructors ----
+
+  def min_gram_md5(c: Column, k: Int): Column =
+    GraftColumnBridge.column(MinGramMd5Hex(GraftColumnBridge.expression(c), k))
+
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowFingerprints(GraftColumnBridge.expression(c), k, w))
+
+  def simhash_md5(c: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimHashMd5(GraftColumnBridge.expression(c), bits))
+}
+
+/** Min over character k-grams of md5 hex — `array_min(transform(grams,
+  * md5))` as one codegen-friendly kernel. */
+case class MinGramMd5Hex(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minGramMd5(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.minGramMd5($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowed k-gram fingerprints (sorted distinct sliding-window minima of
+  * 32-bit md5-prefix hashes). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** n-bit SimHash over whitespace tokens with md5-prefix token hashes. */
+case class SimHashMd5(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, "token hash is read from 15 hex chars max")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simHash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.simHash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
