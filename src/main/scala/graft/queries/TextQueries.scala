@@ -129,5 +129,89 @@ object TextQueries {
         .orderBy(col("n").desc, col("token"))
         .limit(50)
     },
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // 3-gram with a held-out "benchmark" probe set (docs ≡ 0 mod 97 stand
+    // in for eval data). The probe side is tiny by construction, so the
+    // corpus never shuffles: probe grams broadcast, the fact side streams
+    // explode → BroadcastHashJoin → per-doc count. At 100 TB the probe
+    // (real benchmarks are MBs) still broadcasts; cost is one corpus scan.
+    QueryDef("q70_decontaminate", Seq("F3", "A10", "J11"),
+      """WITH tok AS (
+           SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         probe AS (
+           SELECT DISTINCT array_to_string(toks[g:g+2], ' ') AS gram
+           FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g)
+           WHERE doc_id % 97 = 0),
+         hits AS (
+           SELECT t.doc_id, count(DISTINCT array_to_string(t.toks[g.g:g.g+2], ' ')) AS n_hits
+           FROM tok t, LATERAL (SELECT unnest(generate_series(1, greatest(len(t.toks)-2, 0))) AS g) g
+           JOIN probe p ON array_to_string(t.toks[g.g:g.g+2], ' ') = p.gram
+           WHERE t.doc_id % 97 <> 0
+           GROUP BY t.doc_id)
+         SELECT doc_id, n_hits FROM hits""") { (s, d) =>
+      import graft.dedup.TextDedup.wordGrams
+      val docs = Tables.documents(s, d)
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(wordGrams(col("text"), 3)).as("gram")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        // wordGrams is already distinct-per-doc, so plain count ≡ the
+        // oracle's count(DISTINCT gram)
+        .select(col("doc_id"), explode(wordGrams(col("text"), 3)).as("gram"))
+        .join(broadcast(probe), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    },
+
+    // Intra-document repetition ratio (Gopher-style quality filter):
+    // share of word-2-grams that are repeats. Row-local — fuses into the
+    // scan's codegen stage, zero shuffles.
+    QueryDef("q71_repetition", Seq("A11", "A10"),
+      """WITH tok AS (
+           SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, [array_to_string(toks[g:g+1], ' ')
+             FOR g IN generate_series(1, greatest(len(toks)-1, 0))] AS gs
+           FROM tok)
+         SELECT doc_id, len(gs) AS total_grams, len(list_distinct(gs)) AS distinct_grams,
+           round(1.0 - cast(len(list_distinct(gs)) AS DOUBLE)/len(gs), 6) AS rep_ratio
+         FROM grams WHERE len(gs) > 0""") { (s, d) =>
+      val toks = split(trim(col("text")), """\s+""")
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2) // sequence(1,0) would DESCEND in Spark
+        .select(col("doc_id"), transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          g => concat_ws(" ", element_at(col("toks"), g), element_at(col("toks"), g + 1))).as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("total_grams"),
+          size(array_distinct(col("gs"))).as("distinct_grams"),
+          round(lit(1.0) - size(array_distinct(col("gs"))).cast("double") / size(col("gs")), 6)
+            .as("rep_ratio"))
+    },
+
+    // Domain mixture table: per-source doc and token counts plus each
+    // source's share of corpus tokens — the sampling-weight input for
+    // training-mixture construction. Two tiny aggregations; the global
+    // total rides a single-partition window over the 20-row aggregate,
+    // never over the corpus.
+    QueryDef("q72_domain_mixture", Seq("A5", "A11"),
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN trim(text)='' THEN 0
+               ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source)
+         SELECT source, n_docs, n_tokens,
+           round(cast(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+         FROM per""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.wsTokenCount(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("token_share",
+          round(col("n_tokens").cast("double") /
+            sum("n_tokens").over(Window.partitionBy()), 6))
+    },
   )
 }
