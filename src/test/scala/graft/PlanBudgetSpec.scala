@@ -68,6 +68,21 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(q("q69_session_window")) == 1)
   }
 
+  test("round-3 queries stay inside the budget") {
+    // decontamination: probe side broadcasts; the corpus side's only
+    // exchange is the final per-doc aggregate (probe's own tiny agg adds
+    // one more). Never a cartesian product.
+    val decon = q("q70_decontaminate")
+    assert(broadcasts(decon) == 1)
+    assert(shuffles(decon) <= 2)
+    assert(!decon.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // repetition ratio is row-local: fused into the scan, zero shuffles
+    assert(shuffles(q("q71_repetition")) == 0)
+    // mixture table: per-source agg + single-partition window over the
+    // 20-row aggregate — the corpus crosses one exchange
+    assert(shuffles(q("q72_domain_mixture")) <= 2)
+  }
+
   test("flagship entry: broadcast-only joins + one aggregate shuffle") {
     val e = SparkEntry.entry(spark)
     assert(broadcasts(e) == 2)
