@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql(...)` users so every capability is reachable from both the
   * DataFrame and SQL APIs. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "osa_distance", exprs => OsaDistance(exprs.head, exprs(1)), "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    // Same function set as graft.GraftExtensions (the spark.sql.extensions
+    // route): both inject GraftFunctionDefs.all.
+    graft.GraftFunctionDefs.all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

@@ -219,5 +219,37 @@ object SourceQueries {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
     },
+
+    // SQL surface for the CUSTOM expressions: the registered functions
+    // (GraftFunctionDefs via GraftFunctions.register, or cluster-wide via
+    // spark.sql.extensions=graft.GraftExtensions) drive the same native
+    // kernels the DataFrame API uses — here simhash bucketing + the
+    // one-permutation minhash, entirely from SQL text.
+    QueryDef("q73_sql_functions", Seq("A10", "S6"),
+      """WITH tok AS (
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 8))::BIGINT AS h
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
+           GROUP BY doc_id, b.b),
+         sig AS (
+           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         mh AS (
+           SELECT doc_id, list_min([md5(substring(text, g, 8))
+             FOR g IN generate_series(1, greatest(length(text) - 7, 1))]) AS minhash
+           FROM documents)
+         SELECT simhash % 64 AS bucket, count(*) AS n, min(minhash) AS min_minhash
+         FROM sig JOIN mh USING (doc_id) GROUP BY bucket""") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_graft")
+      s.sql(
+        """SELECT bucket, count(*) AS n, min(mh) AS min_minhash
+           FROM (SELECT simhash_md5(text, 32) % 64 AS bucket,
+                        min_gram_md5(text, 8) AS mh
+                 FROM documents_graft)
+           GROUP BY bucket""")
+    },
   )
 }
