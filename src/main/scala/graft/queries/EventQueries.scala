@@ -135,5 +135,37 @@ object EventQueries {
         .groupBy("k_mod")
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
     },
+
+    // Structured Streaming under the ORACLE gate: the same hourly-window
+    // aggregation as q43, but executed as a real streaming query —
+    // file source → watermark → windowed agg → memory sink, drained with
+    // Trigger.AvailableNow (deterministic: processes everything, then
+    // stops). Complete output mode emits every window, so the result is
+    // batch-equivalent and the batch oracle applies verbatim. On a live
+    // cluster the same plan runs on an unbounded source with append mode
+    // and the watermark bounding state (EventPipeline + its spec cover
+    // that shape); this query pins the semantics to DuckDB per round.
+    QueryDef("q74_stream_hourly", Seq("A5", "A11"),
+      """SELECT cast(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+         FROM events GROUP BY hour_epoch, event_type""") { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.events(s, d).schema // also sets nanosAsLong
+      val sinkName = "graft_stream_hourly"
+      // the file source wants a directory or a GLOB — "[t]" makes the
+      // single-file path a glob, so the parent dir becomes the base path
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+        .select(col("event_type"), col("value"),
+          timestamp_seconds(nsToSec("ts")).as("tsec"))
+        .withWatermark("tsec", "1 hour")
+        .groupBy(window(col("tsec"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n"), col("total_value"))
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
   )
 }
