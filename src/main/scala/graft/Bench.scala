@@ -48,7 +48,9 @@ object Bench {
     // The driver keeps only the last 2000 chars of output, so the JSON
     // line must stay well under that: 3-decimal times, qNN keys (the full
     // names live in SparkEntry.queries), no commentary.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma decimal separator would emit invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")

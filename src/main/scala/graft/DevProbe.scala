@@ -42,6 +42,29 @@ object DevProbe {
     t("first_aggmin")(graft.operators.Dedup.firstRowPerGroupAgg(li,
       Seq("l_orderkey"),
       Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))).count())
+
+    // q06 group-concat variants: struct-sort (shipped) vs fixed-width
+    // string-encode (cheaper comparator, bigger shuffle payload)
+    val li6 = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag")
+    def noop(dfl: org.apache.spark.sql.DataFrame): Long = {
+      dfl.write.format("noop").mode("overwrite").save(); 1L
+    }
+    t("gc_struct_sort")(noop(li6.groupBy("l_orderkey").agg(
+      concat_ws("; ", transform(
+        array_sort(collect_list(struct(
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_returnflag")))),
+        x => x.getField("l_returnflag"))).as("flags"),
+      count(lit(1)).as("n_lines"))))
+    t("gc_string_encode")(noop(li6.groupBy("l_orderkey").agg(
+      concat_ws("; ", transform(
+        sort_array(collect_list(concat(
+          lpad(hex(col("l_linenumber")), 16, "0"),
+          lpad(hex(col("l_partkey")), 16, "0"),
+          lpad(hex(col("l_suppkey")), 16, "0"),
+          col("l_returnflag")))),
+        x => substring(x, 49, 1))).as("flags"),
+      count(lit(1)).as("n_lines"))))
     spark.stop()
   }
 }

@@ -17,20 +17,27 @@ object GraftFunctionDefs {
       s"$arg must be an integer literal, got: $other")
   }
 
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${exprs.length}")
+
   /** (name, usage, builder) for every custom expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("osa_distance",
       "osa_distance(a, b) - optimal string alignment distance (transposition = 1 edit)",
-      exprs => OsaDistance(exprs.head, exprs(1))),
+      exprs => { arity("osa_distance", exprs, 2); OsaDistance(exprs.head, exprs(1)) }),
     ("simhash_md5",
       "simhash_md5(text, bits) - n-bit SimHash over whitespace tokens, md5-derived",
-      exprs => SimHashMd5(exprs.head, litInt(exprs(1), "bits"))),
+      exprs => { arity("simhash_md5", exprs, 2)
+        SimHashMd5(exprs.head, litInt(exprs(1), "bits")) }),
     ("min_gram_md5",
       "min_gram_md5(text, k) - min md5 hex over character k-grams (one-permutation MinHash)",
-      exprs => MinGramMd5Hex(exprs.head, litInt(exprs(1), "k"))),
+      exprs => { arity("min_gram_md5", exprs, 2)
+        MinGramMd5Hex(exprs.head, litInt(exprs(1), "k")) }),
     ("winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - sorted distinct window minima of k-gram hashes",
-      exprs => WinnowFingerprints(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "w"))),
+      exprs => { arity("winnow_fingerprints", exprs, 3)
+        WinnowFingerprints(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "w")) }),
   )
 }
 

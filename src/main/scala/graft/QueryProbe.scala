@@ -10,10 +10,17 @@ import org.apache.spark.sql.SparkSession
 object QueryProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
-    val names = args.drop(2) match {
+    // reps is optional — a query name in its position just shifts right
+    val repsOpt = args.drop(1).headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+    val reps = repsOpt.getOrElse(3)
+    val names = args.drop(if (repsOpt.isDefined) 2 else 1) match {
       case a if a.nonEmpty => a.toSeq
       case _ => SparkEntry.queries.keys.toSeq.sorted
+    }
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
     }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

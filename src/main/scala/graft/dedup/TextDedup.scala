@@ -92,11 +92,18 @@ object TextDedup {
     // higher-order eval re-runs the split for EVERY element_at of every
     // gram (n+1 splits per gram per row — measured 9s on a 5k-doc
     // broadcast join that runs in ~1s with the bound form).
+    // Docs with fewer than n tokens have NO grams (the oracle's
+    // generate_series yields none) — and the unguarded sequence(0,0)=[0]
+    // would index past the array: an INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    // error under Spark 4's default ANSI mode, a partial gram the oracle
+    // never emits with ANSI off.
     element_at(
       transform(array(split(trim(c), """\s+""")), toks =>
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))),
+        when(size(toks) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+          .otherwise(array().cast("array<string>"))),
       1)
   }
 

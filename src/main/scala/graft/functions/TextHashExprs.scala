@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -54,8 +54,28 @@ object TextHash {
   }
 
   /** Character k-grams exactly as `charShingles`: start positions
-    * 1..max(len-k+1, 1), gram = substr(i, k) (shorter at the tail). */
-  private def gramCount(len: Int, k: Int): Int = math.max(len - k + 1, 1)
+    * 1..max(len-k+1, 1), gram = substr(i, k) (shorter at the tail).
+    * "Character" means CODE POINT — Spark's length()/substr() count code
+    * points, so supplementary characters (non-BMP) must not be split at
+    * the UTF-16 surrogate boundary. `cpStarts` returns null on the
+    * BMP-only fast path (char index == code point index). */
+  private def gramCount(cp: Int, k: Int): Int = math.max(cp - k + 1, 1)
+
+  private def cpStarts(str: String): Array[Int] = {
+    val cp = str.codePointCount(0, str.length)
+    if (cp == str.length) return null // no surrogate pairs
+    val offs = new Array[Int](cp + 1)
+    var ci = 0
+    var i = 0
+    while (i < cp) { offs(i) = ci; ci = str.offsetByCodePoints(ci, 1); i += 1 }
+    offs(cp) = str.length
+    offs
+  }
+
+  /** gram starting at code point i, k code points long, clipped at cp. */
+  private def gram(str: String, offs: Array[Int], cp: Int, i: Int, k: Int): String =
+    if (offs == null) str.substring(i, math.min(i + k, cp))
+    else str.substring(offs(i), offs(math.min(i + k, cp)))
 
   /** q34 kernel: lexicographic min of md5 hex strings over k-grams.
     * Hex strings of equal-length digests compare identically to the raw
@@ -63,11 +83,13 @@ object TextHash {
     * and hex-encodes once at the end. */
   def minGramMd5(s: UTF8String, k: Int): UTF8String = {
     val str = s.toString
-    val n = gramCount(str.length, k)
+    val offs = cpStarts(str)
+    val cp = if (offs == null) str.length else offs.length - 1
+    val n = gramCount(cp, k)
     var best: Array[Byte] = null
     var i = 0
     while (i < n) {
-      val d = md5(str.substring(i, math.min(i + k, str.length)))
+      val d = md5(gram(str, offs, cp, i, k))
       if (best == null || unsignedLess(d, best)) best = d.clone()
       i += 1
     }
@@ -102,11 +124,13 @@ object TextHash {
     * O(grams), not O(grams × w). */
   def winnow(s: UTF8String, k: Int, w: Int): GenericArrayData = {
     val str = s.toString
-    val n = gramCount(str.length, k)
+    val offs = cpStarts(str)
+    val cp = if (offs == null) str.length else offs.length - 1
+    val n = gramCount(cp, k)
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hashes(i) = hexPrefix(md5(str.substring(i, math.min(i + k, str.length))), 8)
+      hashes(i) = hexPrefix(md5(gram(str, offs, cp, i, k)), 8)
       i += 1
     }
     val nWin = math.max(n - w, 0) + 1
@@ -187,7 +211,9 @@ object TextHash {
 
 /** Min over character k-grams of md5 hex — `array_min(transform(grams,
   * md5))` as one codegen-friendly kernel. */
-case class MinGramMd5Hex(child: Expression, k: Int) extends UnaryExpression {
+case class MinGramMd5Hex(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(k >= 1)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
@@ -201,7 +227,9 @@ case class MinGramMd5Hex(child: Expression, k: Int) extends UnaryExpression {
 
 /** Winnowed k-gram fingerprints (sorted distinct sliding-window minima of
   * 32-bit md5-prefix hashes). */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(k >= 1 && w >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -214,7 +242,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
 }
 
 /** n-bit SimHash over whitespace tokens with md5-prefix token hashes. */
-case class SimHashMd5(child: Expression, bits: Int) extends UnaryExpression {
+case class SimHashMd5(child: Expression, bits: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(bits >= 1 && bits <= 60, "token hash is read from 15 hex chars max")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =

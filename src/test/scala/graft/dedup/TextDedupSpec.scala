@@ -87,6 +87,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("wordGrams: docs shorter than n tokens yield NO grams (ANSI-safe)") {
+    // the unguarded form indexed past the token array: an ANSI
+    // element_at error, or (ANSI off) a partial gram the oracle lacks
+    import org.apache.spark.sql.functions.col
+    val df = Seq("", "one", "one two", "one two three").toDF("t")
+      .select(TextDedup.wordGrams(col("t"), 3).as("g"))
+    val sizes = df.collect().map(_.getSeq[String](0).length).toSeq
+    assert(sizes == Seq(0, 0, 0, 1))
+  }
+
   test("connectedComponents: chains merge to min-id clusters on BOTH execution paths") {
     // 1-2, 2-3, 3-4 chain (diameter 3, needs >1 propagation step); 7-8 separate
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")

@@ -61,7 +61,11 @@ class TextHashParitySpec extends SparkSpec {
   }
 
   private val edgeTexts = Seq("", " ", "  a  b ", "ab", "abcdefgh", "short",
-    "the quick brown fox jumps over the lazy dog", "a\tb", "x " * 30)
+    "the quick brown fox jumps over the lazy dog", "a\tb", "x " * 30,
+    // non-BMP: gram boundaries must count CODE POINTS (Spark substr
+    // semantics), never split a surrogate pair
+    "ab😀cd efg 😁hij", "😀" * 10,
+    "café naïve résumé")
 
   test("min_gram_md5 matches array_min(transform(md5)) on random text") {
     check(edgeTexts ++ randomTexts(1L, 200), TextHash.min_gram_md5(_, 8), minGramRef(_, 8))
