@@ -213,5 +213,53 @@ object TextQueries {
           round(col("n_tokens").cast("double") /
             sum("n_tokens").over(Window.partitionBy()), 6))
     },
+
+    // Quality-filter funnel: every doc gets its FIRST failing rule (the
+    // C1-style priority waterfall applied to corpus filtering) and the
+    // report counts docs per verdict — the kept/dropped accounting a
+    // pipeline publishes with each training-data release. Row-local
+    // when-chain + one tiny aggregate.
+    QueryDef("q75_filter_funnel", Seq("C1", "A11"),
+      """WITH scored AS (
+           SELECT doc_id, length(text) AS len,
+             CASE WHEN trim(text)='' THEN 0
+               ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END AS toks
+           FROM documents),
+         ruled AS (
+           SELECT CASE WHEN len < 100 THEN 'too_short'
+                       WHEN len > 450 THEN 'too_long'
+                       WHEN toks < 20 THEN 'too_few_tokens'
+                       WHEN cast(len AS DOUBLE)/toks > 6.0 THEN 'long_words'
+                       ELSE 'kept' END AS verdict
+           FROM scored)
+         SELECT verdict, count(*) AS n FROM ruled GROUP BY verdict""") { (s, d) =>
+      val len = length(col("text"))
+      val toks = TextFns.wsTokenCount(col("text"))
+      Tables.documents(s, d)
+        .select(len.as("len"), toks.as("toks"))
+        .select(when(col("len") < 100, "too_short")
+          .when(col("len") > 450, "too_long")
+          .when(col("toks") < 20, "too_few_tokens")
+          .when(col("len").cast("double") / col("toks") > 6.0, "long_words")
+          .otherwise("kept").as("verdict"))
+        .groupBy("verdict").agg(count(lit(1)).as("n"))
+    },
+
+    // Deterministic stratified sampling: an md5-derived uniform hash of
+    // the doc id keeps ~10% per stratum, reproducible across engines and
+    // re-runs (no rand()). Row-local predicate + one aggregate — the
+    // sampling itself never shuffles.
+    QueryDef("q76_stratified_sample", Seq("F5", "A5"),
+      """SELECT lang, source, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+         FROM documents
+         WHERE ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+         GROUP BY lang, source""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100 < 10)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("min_id"))
+    },
   )
 }
