@@ -52,21 +52,14 @@ object TextDedup {
     * wrapping 64-bit arithmetic) — the classic k-from-1 scheme. One
     * codegen'd xxhash64 per shingle instead of `bands` md5 calls; a pair
     * colliding in SOME band ⇒ candidate. Returns `band_sig` array. */
-  def minHashBands(df: DataFrame, textCol: String, k: Int, bands: Int): DataFrame = {
-    val shingles = charShingles(col(textCol), k)
-    // re-hash the base with the band id (ANSI-safe — wrapping multiply
-    // would throw under Spark 4's default ANSI mode). The base hash array
-    // is let-bound once via a single-element transform so the per-band
-    // min doesn't re-evaluate one xxhash64 per shingle per band.
-    val base = transform(shingles, s => xxhash64(s))
-    val sigs = element_at(
-      transform(array(base), bs =>
-        array((0 until bands).map { b =>
-          array_min(transform(bs, h => xxhash64(h, lit(b))))
-        }: _*)),
-      1)
-    df.withColumn("band_sig", sigs)
-  }
+  def minHashBands(df: DataFrame, textCol: String, k: Int, bands: Int): DataFrame =
+    // Native kernel: one pass over the grams, making the same XXH64
+    // calls Spark's xxhash64 expression makes (seed 42 → hashLong(base)
+    // → hashInt(band)), so signatures are bit-identical to the composed
+    // let-bound form (TextHashParitySpec pins it) without `bands`
+    // interpreted re-walks of the shingle array.
+    df.withColumn("band_sig",
+      graft.functions.TextHash.minhash_bands(col(textCol), k, bands))
 
   /** Candidate duplicate pairs: rows sharing a band signature. The join
     * key is (band index, signature) — a hash shuffle, never a crossJoin.

@@ -170,6 +170,37 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** q33/q38 kernel: MinHash band signatures — `bands` minima over the
+    * k-gram shingle set, band b's hash = xxhash64(xxhash64(shingle), b)
+    * (the k-from-1 scheme). Calls the SAME XXH64 kernel Spark's xxhash64
+    * expression uses — seed 42, then hashLong for the 64-bit base, then
+    * hashInt for the band id — so values are bit-identical to the
+    * composed `transform(... xxhash64 ...)` form while doing ONE pass
+    * over the grams instead of bands interpreted re-walks. */
+  def minHashBands(s: UTF8String, k: Int, bands: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val str = s.toString
+    val offs = cpStarts(str)
+    val cp = if (offs == null) str.length else offs.length - 1
+    val n = gramCount(cp, k)
+    val mins = new Array[Long](bands)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XXH64.hashUTF8String(
+        UTF8String.fromString(gram(str, offs, cp, i, k)), 42L)
+      val seeded = XXH64.hashLong(base, 42L)
+      var b = 0
+      while (b < bands) {
+        val h = XXH64.hashInt(b, seeded)
+        if (h < mins(b)) mins(b) = h
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** q36/q57/q65 kernel: n-bit SimHash over whitespace tokens of the
     * space-trimmed text; token hash = first ⌈bits/4⌉ hex digits of md5;
     * bit i of the result = sign of Σ_tokens (2·bit_i(hash) − 1) > 0. */
@@ -207,6 +238,9 @@ object TextHash {
 
   def simhash_md5(c: Column, bits: Int): Column =
     GraftColumnBridge.column(SimHashMd5(GraftColumnBridge.expression(c), bits))
+
+  def minhash_bands(c: Column, k: Int, bands: Int): Column =
+    GraftColumnBridge.column(MinHashBandsExpr(GraftColumnBridge.expression(c), k, bands))
 }
 
 /** Min over character k-grams of md5 hex — `array_min(transform(grams,
@@ -237,6 +271,22 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash$$.MODULE$$.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash band signatures over character k-grams (xxhash64 k-from-1
+  * scheme, values bit-identical to Spark's xxhash64 composition). */
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(k >= 1 && bands >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minHashBands(input.asInstanceOf[UTF8String], k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.minHashBands($c, $k, $bands)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -31,6 +31,16 @@ class TextHashParitySpec extends SparkSpec {
       1)
   }
 
+  private def minHashBandsRef(c: Column, k: Int, bands: Int): Column = {
+    val base = transform(charShingles(c, k), s => xxhash64(s))
+    element_at(
+      transform(array(base), bs =>
+        array((0 until bands).map { b =>
+          array_min(transform(bs, h => xxhash64(h, lit(b))))
+        }: _*)),
+      1)
+  }
+
   private def simHashRef(c: Column, bits: Int): Column = {
     val hexChars = (bits + 3) / 4
     val toks = split(trim(c), """\s+""")
@@ -75,6 +85,13 @@ class TextHashParitySpec extends SparkSpec {
     for (w <- Seq(1, 2, 4, 7)) {
       check(edgeTexts ++ randomTexts(2L + w, 100),
         TextHash.winnow_fingerprints(_, 8, w), winnowRef(_, 8, w))
+    }
+  }
+
+  test("minhash_bands matches the composed xxhash64 k-from-1 form") {
+    for (bands <- Seq(1, 4, 8)) {
+      check(edgeTexts ++ randomTexts(20L + bands, 100),
+        TextHash.minhash_bands(_, 8, bands), minHashBandsRef(_, 8, bands))
     }
   }
 
