@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinGramMd5Hex, OsaDistance, SimHashMd5, WinnowFingerprints}
+import graft.functions.{MinGramMd5Hex, MinHashBandsExpr, OsaDistance, SimHashMd5, WinnowFingerprints}
 
 /** The engine's custom SQL function surface, defined once and injected by
   * both registration routes (GraftExtensions / GraftFunctions.register). */
@@ -38,6 +38,10 @@ object GraftFunctionDefs {
       "winnow_fingerprints(text, k, w) - sorted distinct window minima of k-gram hashes",
       exprs => { arity("winnow_fingerprints", exprs, 3)
         WinnowFingerprints(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "w")) }),
+    ("minhash_bands",
+      "minhash_bands(text, k, bands) - MinHash band signatures over character k-grams (xxhash64 k-from-1)",
+      exprs => { arity("minhash_bands", exprs, 3)
+        MinHashBandsExpr(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "bands")) }),
   )
 }
 

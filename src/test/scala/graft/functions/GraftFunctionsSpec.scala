@@ -40,7 +40,8 @@ class GraftFunctionsSpec extends SparkSpec {
     // needs a fresh SparkContext, which the shared-session suite avoids)
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftFunctionDefs.all.map(_._1).toSet ==
-      Set("osa_distance", "simhash_md5", "min_gram_md5", "winnow_fingerprints"))
+      Set("osa_distance", "simhash_md5", "min_gram_md5", "winnow_fingerprints",
+        "minhash_bands"))
     // every builder constructs a resolvable expression from literals
     val lit = Literal("abc")
     GraftFunctionDefs.all.foreach {
@@ -48,6 +49,7 @@ class GraftFunctionsSpec extends SparkSpec {
       case ("simhash_md5", _, b) => assert(b(Seq(lit, Literal(32))).resolved)
       case ("min_gram_md5", _, b) => assert(b(Seq(lit, Literal(8))).resolved)
       case ("winnow_fingerprints", _, b) => assert(b(Seq(lit, Literal(8), Literal(4))).resolved)
+      case ("minhash_bands", _, b) => assert(b(Seq(lit, Literal(8), Literal(8))).resolved)
       case (name, _, _) => fail(s"unexpected function $name")
     }
   }
