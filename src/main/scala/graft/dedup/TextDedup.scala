@@ -26,14 +26,19 @@ object TextDedup {
   private def pinByKey(df: DataFrame, idCol: String, cols: String*): DataFrame =
     df.select((idCol +: cols).map(col): _*).localCheckpoint(eager = false)
 
-  /** Exact dedup: canonical fingerprint → keep min-id row per group. */
+  /** Exact dedup: canonical fingerprint → keep min-id row per group, plus
+    * the group's dup_count. One hash aggregation (min over an id-first
+    * struct picks the min-id row; ids are unique, so later fields never
+    * tiebreak) — partial-aggregatable and sort-free, unlike the
+    * row_number + count double-window form it replaces (which sorted
+    * every partition twice; ~20% on the 200k-doc probe). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    val cols = df.columns
     df.withColumn("fp", TextFns.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy("fp")
+      .agg(min(struct((idCol +: cols.filterNot(_ == idCol)).map(col): _*)).as("__r"),
+        count(lit(1)).as("dup_count"))
+      .select(cols.map(c => col(s"__r.$c")) ++ Seq(col("fp"), col("dup_count")): _*)
   }
 
   /** Character k-gram shingles as an array column (dynamic-pos substr). */
