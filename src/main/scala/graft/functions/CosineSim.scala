@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity of two float- or double-array embeddings as ONE
+  * fused loop — dot product and both norms accumulate left-to-right in
+  * double precision, then combine as dot / (√na · √nb), the exact
+  * operation order of the composed `aggregate(zip_with(...))` form
+  * (VectorFnsSpec pins bit-for-bit equality; the DuckDB oracles use the
+  * same order). Null or length-mismatched inputs yield null, matching
+  * zip_with's null-padding; zero-norm inputs yield NaN (IEEE754 — the
+  * composed form would raise DIVIDE_BY_ZERO under ANSI).
+  *
+  * Element types may differ per side (float embeddings vs double
+  * centroids from avg()); each side reads with its own accessor, exactly
+  * like the composed form's per-element cast("double").
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isDoubleSide(e: Expression, side: String): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim $side side must be array<float> or array<double>, got $other")
+  }
+  private lazy val leftDouble = isDoubleSide(left, "left")
+  private lazy val rightDouble = isDoubleSide(right, "right")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CosineSim.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftDouble, rightDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        java.lang.Double r = graft.functions.CosineSim$$.MODULE$$.cosine(
+          $a, $b, $leftDouble, $rightDouble);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Returns null (boxed) on length mismatch — the composed form's
+    * zip_with pads with nulls, which poisons the sum to null. */
+  def cosine(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      // a null element poisons the composed form's sum to null
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    Double.box(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

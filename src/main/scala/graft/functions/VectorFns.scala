@@ -3,10 +3,15 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ArrayType(FloatType) embedding columns, built from
-  * higher-order functions (`zip_with`/`aggregate`) so it stays codegen'd
-  * and needs no UDF. Accumulation is sequential in array order — the same
-  * order every engine uses — so results are reproducible bit-for-bit.
+/** Vector math over ArrayType(FloatType) embedding columns. Accumulation
+  * is sequential in array order — the same order every engine uses — so
+  * results are reproducible bit-for-bit.
+  *
+  * `cosine` is a native Catalyst expression (CosineSim): the composed
+  * `zip_with`/`aggregate` form is higher-order and therefore INTERPRETED
+  * per element — three array walks per pair with boxed lambdas dominated
+  * the pairwise ANN/dedup joins. The composed `dot` stays as the
+  * reference semantics (VectorFnsSpec pins the kernel to it).
   */
 object VectorFns {
   /** Σ aᵢ·bᵢ accumulated left-to-right in double precision. */
@@ -16,7 +21,7 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = CosineSim.cosine_sim(a, b)
 
   /** Sign-bit LSH bucket from the first `nBits` dimensions: bit i set iff
     * a[i] > 0. Deterministic, index-only — the cheap router that turns

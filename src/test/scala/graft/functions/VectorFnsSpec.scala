@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pins the native CosineSim kernel to the composed aggregate(zip_with)
+  * form it replaced — the ANN/dedup oracles were written against the
+  * composed accumulation order, so bit-for-bit equality here keeps them
+  * honest. */
+class VectorFnsSpec extends SparkSpec {
+
+  private def cosineRef(a: Column, b: Column): Column =
+    VectorFns.dot(a, b) / (VectorFns.norm(a) * VectorFns.norm(b))
+
+  test("native cosine is bit-identical to the composed form") {
+    val rnd = new scala.util.Random(7L)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val bad = df.select(
+      VectorFns.cosine(col("a"), col("b")).as("native"),
+      cosineRef(col("a"), col("b")).as("ref"))
+      .filter(not(col("native") <=> col("ref"))).count()
+    assert(bad == 0)
+  }
+
+  test("mixed float/double sides read with per-side accessors (q39/q53 centroid shape)") {
+    val rnd = new scala.util.Random(11L)
+    val rows = Seq.fill(100)((
+      Seq.fill(16)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val bad = df.select(
+      VectorFns.cosine(col("a"), col("b")).as("native"),
+      cosineRef(col("a"), col("b")).as("ref"))
+      .filter(not(col("native") <=> col("ref"))).count()
+    assert(bad == 0)
+    // double × double too
+    val dd = df.select(col("b").as("a"), col("b"))
+    val bad2 = dd.select(VectorFns.cosine(col("a"), col("b")).as("n"),
+      cosineRef(col("a"), col("b")).as("r"))
+      .filter(not(col("n") <=> col("r"))).count()
+    assert(bad2 == 0)
+  }
+
+  test("edge cases: length mismatch → null, self → 1.0") {
+    val df = spark.createDataFrame(Seq(
+      (Seq(1f, 2f), Seq(1f, 2f, 3f)),   // mismatch
+      (Seq(3f, 4f), Seq(3f, 4f))        // self
+    )).toDF("a", "b")
+    val rows = df.select(
+      VectorFns.cosine(col("a"), col("b")).as("native"),
+      cosineRef(col("a"), col("b")).as("ref")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 1.0 && rows(1).getDouble(1) == 1.0)
+  }
+
+  test("zero-norm input: native yields NaN (DuckDB semantics); composed form throws under ANSI") {
+    // deliberate improvement over the composed form, whose 0/0 raises
+    // DIVIDE_BY_ZERO with spark.sql.ansi.enabled=true — DuckDB (and any
+    // IEEE754 engine) evaluates 0/0 to NaN, which is what the oracle
+    // comparisons would see
+    val df = spark.createDataFrame(Seq((Seq.empty[Float], Seq.empty[Float])))
+      .toDF("a", "b")
+    val native = df.select(VectorFns.cosine(col("a"), col("b"))).head
+    assert(native.getDouble(0).isNaN)
+    intercept[Exception] {
+      df.select(cosineRef(col("a"), col("b"))).head
+    }
+  }
+}
