@@ -81,6 +81,10 @@ class PlanBudgetSpec extends SparkSpec {
     // mixture table: per-source agg + single-partition window over the
     // 20-row aggregate — the corpus crosses one exchange
     assert(shuffles(q("q72_domain_mixture")) <= 2)
+    // filter funnel: row-local cascade + one tiny aggregate
+    assert(shuffles(q("q75_filter_funnel")) == 1)
+    // stratified sample: pushd-down-able predicate + one aggregate
+    assert(shuffles(q("q76_stratified_sample")) == 1)
   }
 
   test("flagship entry: broadcast-only joins + one aggregate shuffle") {
