@@ -261,5 +261,72 @@ object TextQueries {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("min_id"))
     },
+
+    // Unigram language-model scoring (the perplexity-style quality
+    // filter): train token frequencies over the corpus, then score each
+    // doc by its mean negative log2 probability. Two corpus passes by
+    // nature (train, score); the model side is vocabulary-sized and
+    // broadcasts. avg of doubles is order-sensitive → rounded on both
+    // engines (memory: oracle-parity rule).
+    QueryDef("q77_unigram_logprob", Seq("A5", "A11"),
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         vocab AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+         tot AS (SELECT sum(n) AS total FROM vocab)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(-log2(cast(v.n AS DOUBLE) / tot.total)), 4) AS avg_nll
+         FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+         GROUP BY t.doc_id""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), """\s+""")).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      val total = vocab.agg(sum("n").as("total"))
+      tok.join(broadcast(vocab), "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log2(col("n").cast("double") / col("total"))), 4).as("avg_nll"))
+    },
+
+    // Per-doc top-3 TF-IDF terms (keyword extraction). tfidf is rounded
+    // BEFORE ranking so ties resolve identically in both engines; the
+    // doc-frequency side joins on token (AQE broadcasts it at this
+    // scale; at corpus scale it stays a hash join on the bounded
+    // vocabulary). tf is checkpointed once — df and the scored side both
+    // read it, and an inlined plan would aggregate the corpus twice.
+    QueryDef("q78_tfidf_top_terms", Seq("A5", "W6"),
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(cast(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, token, tfidf FROM ranked WHERE rnk <= 3""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), """\s+""")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfc, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "token", "tfidf")
+    },
   )
 }
