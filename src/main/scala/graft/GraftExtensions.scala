@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinGramMd5Hex, MinHashBandsExpr, OsaDistance, SimHashMd5, WinnowFingerprints}
+import graft.functions.{CosineSim, MinGramMd5Hex, MinHashBandsExpr, OsaDistance, SimHashMd5, WinnowFingerprints}
 
 /** The engine's custom SQL function surface, defined once and injected by
   * both registration routes (GraftExtensions / GraftFunctions.register). */
@@ -42,6 +42,9 @@ object GraftFunctionDefs {
       "minhash_bands(text, k, bands) - MinHash band signatures over character k-grams (xxhash64 k-from-1)",
       exprs => { arity("minhash_bands", exprs, 3)
         MinHashBandsExpr(exprs.head, litInt(exprs(1), "k"), litInt(exprs(2), "bands")) }),
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double array embeddings",
+      exprs => { arity("cosine_sim", exprs, 2); CosineSim(exprs.head, exprs(1)) }),
   )
 }
 

@@ -52,11 +52,12 @@ object TextDedup {
   def minHashSignature(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.withColumn("minhash", graft.functions.TextHash.min_gram_md5(col(textCol), k))
 
-  /** MinHash band signatures: `bands` independent min-hashes derived from
-    * ONE base hash per shingle via linear mixing (h·a_b + c_b over
-    * wrapping 64-bit arithmetic) — the classic k-from-1 scheme. One
-    * codegen'd xxhash64 per shingle instead of `bands` md5 calls; a pair
-    * colliding in SOME band ⇒ candidate. Returns `band_sig` array. */
+  /** MinHash band signatures: `bands` independent min-hashes derived
+    * from ONE base hash per shingle, rehashed per band — the classic
+    * k-from-1 scheme. Band b's hash of shingle s is
+    * xxhash64(xxhash64(s), b) (Spark semantics: seed 42 → hashLong on
+    * the base → hashInt on the band id). A pair colliding in SOME band
+    * ⇒ candidate. Returns `band_sig` array. */
   def minHashBands(df: DataFrame, textCol: String, k: Int, bands: Int): DataFrame =
     // Native kernel: one pass over the grams, making the same XXH64
     // calls Spark's xxhash64 expression makes (seed 42 → hashLong(base)

@@ -24,14 +24,23 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  private def isDoubleSide(e: Expression, side: String): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
-    case ArrayType(FloatType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"cosine_sim $side side must be array<float> or array<double>, got $other")
+  private def sideType(e: Expression): Option[Boolean] = e.dataType match {
+    case ArrayType(DoubleType, _) => Some(true)
+    case ArrayType(FloatType, _) => Some(false)
+    case _ => None
   }
-  private lazy val leftDouble = isDoubleSide(left, "left")
-  private lazy val rightDouble = isDoubleSide(right, "right")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (sideType(left).isEmpty || sideType(right).isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires array<float> or array<double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val leftDouble = sideType(left).get
+  private lazy val rightDouble = sideType(right).get
 
   override def nullSafeEval(l: Any, r: Any): Any =
     CosineSim.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
@@ -39,10 +48,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh name: a fixed local would collide when two CosineSim calls
+      // land in one codegen scope (janino error → interpreted fallback)
+      val r = ctx.freshName("cosineRes")
       s"""
-        java.lang.Double r = graft.functions.CosineSim$$.MODULE$$.cosine(
+        java.lang.Double $r = graft.functions.CosineSim$$.MODULE$$.cosine(
           $a, $b, $leftDouble, $rightDouble);
-        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
       """
     })
 

@@ -280,9 +280,14 @@ object TextQueries {
          GROUP BY t.doc_id""") { (s, d) =>
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(trim(col("text")), """\s+""")).as("token"))
-      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      // pin the model: total and the scoring join both read vocab, and an
+      // inlined plan would tokenize + aggregate the corpus once per
+      // reference (the pinByKey trap). No broadcast hint on vocab — it is
+      // vocabulary-sized (AQE broadcasts it here; at corpus scale it
+      // stays a hash join); total is one row and always broadcasts.
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n")).localCheckpoint(false)
       val total = vocab.agg(sum("n").as("total"))
-      tok.join(broadcast(vocab), "token")
+      tok.join(vocab, "token")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
@@ -290,7 +295,9 @@ object TextQueries {
     },
 
     // Per-doc top-3 TF-IDF terms (keyword extraction). tfidf is rounded
-    // BEFORE ranking so ties resolve identically in both engines; the
+    // BEFORE ranking (to 4 places — coarse enough that a 1-ulp libm ln
+    // divergence cannot straddle a rounding boundary in practice, the
+    // q58 pow lesson) so ties resolve identically in both engines; the
     // doc-frequency side joins on token (AQE broadcasts it at this
     // scale; at corpus scale it stays a hash join on the bounded
     // vocabulary). tf is checkpointed once — df and the scored side both
@@ -304,7 +311,7 @@ object TextQueries {
          n AS (SELECT count(*) AS n_docs FROM documents),
          scored AS (
            SELECT tf.doc_id, tf.token,
-             round(tf.tf * ln(cast(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+             round(tf.tf * ln(cast(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
            FROM tf JOIN df USING (token) CROSS JOIN n),
          ranked AS (
            SELECT doc_id, token, tfidf,
@@ -323,7 +330,7 @@ object TextQueries {
       tf.join(dfc, "token")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "token", "tfidf")

@@ -41,7 +41,7 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftFunctionDefs.all.map(_._1).toSet ==
       Set("osa_distance", "simhash_md5", "min_gram_md5", "winnow_fingerprints",
-        "minhash_bands"))
+        "minhash_bands", "cosine_sim"))
     // every builder constructs a resolvable expression from literals
     val lit = Literal("abc")
     GraftFunctionDefs.all.foreach {
@@ -50,6 +50,10 @@ class GraftFunctionsSpec extends SparkSpec {
       case ("min_gram_md5", _, b) => assert(b(Seq(lit, Literal(8))).resolved)
       case ("winnow_fingerprints", _, b) => assert(b(Seq(lit, Literal(8), Literal(4))).resolved)
       case ("minhash_bands", _, b) => assert(b(Seq(lit, Literal(8), Literal(8))).resolved)
+      case ("cosine_sim", _, b) =>
+        val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+        assert(b(Seq(arr, arr)).resolved)
       case (name, _, _) => fail(s"unexpected function $name")
     }
   }

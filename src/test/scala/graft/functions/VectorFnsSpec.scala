@@ -57,6 +57,21 @@ class VectorFnsSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 1.0 && rows(1).getDouble(1) == 1.0)
   }
 
+  test("two cosine calls in one codegen scope compile (fresh local names)") {
+    // non-nullable array literals put both kernels' locals in ONE Java
+    // scope; with codegen fallback disabled a duplicate declaration is a
+    // hard error instead of a silent interpreted fallback
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.range(1).select(
+        VectorFns.cosine(array(lit(1f), lit(2f)), array(lit(1f), lit(2f))).as("c1"),
+        VectorFns.cosine(array(lit(3f), lit(4f)), array(lit(3f), lit(4f))).as("c2")).head
+      // √na·√nb ≠ na exactly — self-cosine is 1 only to FP tolerance
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9 && math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("zero-norm input: native yields NaN (DuckDB semantics); composed form throws under ANSI") {
     // deliberate improvement over the composed form, whose 0/0 raises
     // DIVIDE_BY_ZERO with spark.sql.ansi.enabled=true — DuckDB (and any
