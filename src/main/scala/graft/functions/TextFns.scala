@@ -73,7 +73,10 @@ object TextFns {
     val lenScore = least(len.cast("double") / 500.0, lit(1.0))
     val punctOk = lit(1.0) - least(punctChars.cast("double") * 5.0 / len, lit(1.0))
     val stopOk = least(hits.cast("double") * 4.0 / size(toks), lit(1.0))
-    round((lenScore + punctOk + stopOk) / 3.0, 6)
+    // empty text: the punct ratio's 0/0 is a hard DIVIDE_BY_ZERO under
+    // ANSI — score it 0 outright (both the q40 oracle and this guard)
+    when(len === 0, lit(0.0))
+      .otherwise(round((lenScore + punctOk + stopOk) / 3.0, 6))
   }
 
   /** Deterministic doc fingerprint: md5 of the normalized text (lower,

@@ -22,9 +22,10 @@ object TextQueries {
     // Quality score: length score + punct cleanliness + stopword mass.
     QueryDef("q40_text_quality", Seq("F5", "A11"),
       s"""SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
            round((least(cast(length(text) AS DOUBLE) / 500.0, 1.0)
              + (1.0 - least(cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE) * 5.0 / length(text), 1.0))
-             + least(cast(${stopHits(Seq("the", "a", "and", "of", "to", "is"))} AS DOUBLE) * 4.0 / len($wsToks), 1.0)) / 3.0, 6) AS quality
+             + least(cast(${stopHits(Seq("the", "a", "and", "of", "to", "is"))} AS DOUBLE) * 4.0 / len($wsToks), 1.0)) / 3.0, 6) END AS quality
          FROM documents""") { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextFns.qualityScore(col("text"), Seq("the", "a", "and", "of", "to", "is")).as("quality"))
