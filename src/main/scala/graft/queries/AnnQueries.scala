@@ -163,5 +163,53 @@ object AnnQueries {
         .filter(col("rnk") <= 3)
         .select("query_id", "rnk", "neighbor_id", "cosine")
     },
+
+    // int8 scalar quantization (SQ8) ANN: vectors quantized to
+    // round(x·127/max|x|) — a 4× memory cut, the compression knob that
+    // lets a 100 TB embedding store live in cluster RAM. Cosine is
+    // per-vector-scale invariant, so similarity runs on the integer
+    // codes directly; integer dots are exact and sqrt is IEEE
+    // correctly-rounded, making the quantized scores bit-identical
+    // across engines (no rounding fragility in the ranking).
+    QueryDef("q79_ann_sq8", Seq("J12", "A5"),
+      """WITH q8 AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(cast(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS qv
+           FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(cast(x AS DOUBLE)))) AS mx
+                 FROM embeddings)
+           WHERE mx > 0),
+         pairs AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(cast(a.qv AS DOUBLE[]), cast(b.qv AS DOUBLE[])), 6) AS approx_cosine
+           FROM q8 a JOIN q8 b ON a.vec_id < 10 AND b.vec_id >= 10),
+         ranked AS (
+           SELECT query_id, neighbor_id, approx_cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS rnk
+           FROM pairs)
+         SELECT query_id, rnk, neighbor_id, approx_cosine FROM ranked WHERE rnk <= 3""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      // let-bind the scale: a free reference inside the quantize lambda
+      // would recompute the array_max per element
+      val qv = element_at(
+        transform(array(mx), m =>
+          transform(col("embedding"),
+            x => round(x.cast("double") * 127.0 / m).cast("double"))),
+        1)
+      val q8 = emb.filter(mx > 0).select(col("vec_id"), qv.as("qv"))
+      val a = q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("__qa"))
+      val b = q8.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("qv").as("__qb"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+      b.crossJoin(broadcast(a))
+        .withColumn("approx_cosine", round(VectorFns.cosine(col("__qa"), col("__qb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "rnk", "neighbor_id", "approx_cosine")
+    },
   )
 }
