@@ -107,18 +107,19 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "est", "et"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo"))
 
-  def langScore(c: Column, markers: Seq[String]): Column = {
-    val toks = split(lower(trim(c)), """\s+""")
-    size(filter(toks, t => t.isin(markers: _*)))
-  }
-
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column =
     // argmax with earliest-precedence tiebreak, built as ONE sorted struct
     // array so each score expression appears exactly once in the plan (a
-    // when-chain fold would nest the score exprs exponentially).
-    val entries = langMarkers.zipWithIndex.map { case ((l, m), i) =>
-      struct((-langScore(c, m)).as("negscore"), lit(i).as("prec"), lit(l).as("lang"))
-    }
-    element_at(array_sort(array(entries: _*)), 1).getField("lang")
-  }
+    // when-chain fold would nest the score exprs exponentially). The
+    // token array is let-bound: each langScore would otherwise re-split
+    // the text (5 splits per row).
+    element_at(
+      transform(array(split(lower(trim(c)), """\s+""")), toks => {
+        val entries = langMarkers.zipWithIndex.map { case ((l, m), i) =>
+          struct((-size(filter(toks, t => t.isin(m: _*)))).as("negscore"),
+            lit(i).as("prec"), lit(l).as("lang"))
+        }
+        element_at(array_sort(array(entries: _*)), 1).getField("lang")
+      }),
+      1)
 }
