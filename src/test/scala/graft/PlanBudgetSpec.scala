@@ -85,6 +85,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(q("q75_filter_funnel")) == 1)
     // stratified sample: pushd-down-able predicate + one aggregate
     assert(shuffles(q("q76_stratified_sample")) == 1)
+    // SQ8 ANN: query side broadcasts; candidates shuffle once for the
+    // per-query top-k window
+    val sq8 = q("q79_ann_sq8")
+    assert(broadcasts(sq8) == 1)
+    assert(shuffles(sq8) <= 1)
   }
 
   test("flagship entry: broadcast-only joins + one aggregate shuffle") {
