@@ -336,5 +336,41 @@ object TextQueries {
         .filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "token", "tfidf")
     },
+
+    // PII redaction (the privacy-scrub pass of a corpus build): phones
+    // and emails replaced with placeholder tags, per-doc redaction
+    // counts reported. Contact strings are synthesized deterministically
+    // from the customer table (printf phone from the key, email from the
+    // name) so both engines scrub identical inputs. Row-local regex
+    // work — fuses into the scan at any scale.
+    QueryDef("q80_pii_redaction", Seq("F5", "U3"),
+      """WITH txt AS (
+           SELECT c_custkey,
+             c_name || ' can be reached at ' ||
+             printf('%02d-%03d-%04d', c_custkey % 90 + 10, (c_custkey * 7) % 900 + 100, (c_custkey * 13) % 9000 + 1000)
+             || ' or ' || lower(replace(c_name, ' ', '')) || '@example.com' AS contact
+           FROM customer)
+         SELECT c_custkey,
+           regexp_replace(regexp_replace(contact, '\d{2}-\d{3}-\d{4}', '[PHONE]', 'g'),
+             '[a-z0-9#]+@[a-z.]+', '[EMAIL]', 'g') AS redacted,
+           len(regexp_extract_all(contact, '\d{2}-\d{3}-\d{4}')) AS n_phones,
+           len(regexp_extract_all(contact, '[a-z0-9#]+@[a-z.]+')) AS n_emails
+         FROM txt""") { (s, d) =>
+      val contact = concat(
+        col("c_name"), lit(" can be reached at "),
+        format_string("%02d-%03d-%04d",
+          col("c_custkey") % 90 + 10,
+          (col("c_custkey") * 7) % 900 + 100,
+          (col("c_custkey") * 13) % 9000 + 1000),
+        lit(" or "), lower(regexp_replace(col("c_name"), " ", "")), lit("@example.com"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), contact.as("contact"))
+        .select(col("c_custkey"),
+          regexp_replace(
+            regexp_replace(col("contact"), """\d{2}-\d{3}-\d{4}""", "[PHONE]"),
+            """[a-z0-9#]+@[a-z.]+""", "[EMAIL]").as("redacted"),
+          size(regexp_extract_all(col("contact"), lit("""\d{2}-\d{3}-\d{4}"""), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("contact"), lit("""[a-z0-9#]+@[a-z.]+"""), lit(0))).as("n_emails"))
+    },
   )
 }
