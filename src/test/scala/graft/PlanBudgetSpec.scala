@@ -90,6 +90,15 @@ class PlanBudgetSpec extends SparkSpec {
     val sq8 = q("q79_ann_sq8")
     assert(broadcasts(sq8) == 1)
     assert(shuffles(sq8) <= 1)
+    // LM scoring: model aggregate + scoring aggregate; never a cartesian
+    // (total is a 1-row broadcast)
+    val lm = q("q77_unigram_logprob")
+    assert(shuffles(lm) <= 3)
+    assert(!lm.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // tfidf: tf agg + df agg + top-k window
+    assert(shuffles(q("q78_tfidf_top_terms")) <= 4)
+    // redaction is row-local: zero shuffles
+    assert(shuffles(q("q80_pii_redaction")) == 0)
   }
 
   test("flagship entry: broadcast-only joins + one aggregate shuffle") {
