@@ -262,16 +262,40 @@ object WindowQueries {
            round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
            round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
-      Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
-        // ONE percentile buffer computes all four quantiles (four separate
-        // aggs would each collect the column into their own buffer)
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.99))").as("__p"))
-        .select(col("l_returnflag"),
-          round(element_at(col("__p"), 1), 4).as("p25"),
-          round(element_at(col("__p"), 2), 4).as("p50"),
-          round(element_at(col("__p"), 3), 4).as("p75"),
-          round(element_at(col("__p"), 4), 4).as("p99"))
+      // Distributed order statistics, NOT percentile(): the built-in
+      // exact percentile is a TypedImperativeAggregate whose buffer
+      // holds every (value → count) of a group in one executor's memory
+      // — the thing that OOMs at 100 TB. Here the same exact quantiles
+      // come from bounded-memory relational ops: per-value counts (one
+      // partial-agg shuffle), a cumulative-count window keyed on the
+      // group, and one final agg picking the two covering values per
+      // quantile with Spark's own interpolation lower+(higher-lower)·g.
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, d)
+        .select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag", "l_extendedprice").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val wAll = Window.partitionBy("l_returnflag")
+      val ranked = counts
+        .withColumn("hi", sum("cnt").over(wCum)) // 1-based cumulative count
+        .withColumn("lo", col("hi") - col("cnt")) // 0-based first index covered
+        .withColumn("n", sum("cnt").over(wAll))
+      val ps = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.99 -> "p99")
+      val aggs = ps.flatMap { case (p, name) =>
+        val t = lit(p) * (col("n") - 1) // fractional 0-based target index
+        val fi = floor(t)
+        val ci = ceil(t)
+        def valueAt(idx: org.apache.spark.sql.Column) =
+          max(when(col("lo") <= idx && idx < col("hi"), col("l_extendedprice")))
+        Seq(valueAt(fi).as(s"__f_$name"), valueAt(ci).as(s"__c_$name"),
+          max(t - fi).as(s"__g_$name"))
+      }
+      val quantiles = ps.map { case (_, name) =>
+        round(col(s"__f_$name") +
+          (col(s"__c_$name") - col(s"__f_$name")) * col(s"__g_$name"), 4).as(name)
+      }
+      ranked.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag") +: quantiles: _*)
     },
   )
 }

@@ -54,8 +54,11 @@ class PlanBudgetSpec extends SparkSpec {
   test("round-2 queries stay inside the budget") {
     // rollup: grouping-set expansion happens BEFORE the single exchange
     assert(shuffles(q("q64_rollup_totals")) == 1)
-    // exact quantiles: one object-hash aggregate, one exchange
-    assert(shuffles(q("q61_quantile_profile")) == 1)
+    // exact quantiles via distributed order statistics: the per-value
+    // count exchange + the group-keyed window exchange (deliberately one
+    // more than the old percentile() object-agg, whose buffer held a
+    // whole group's values in one executor — the 100 TB OOM hazard)
+    assert(shuffles(q("q61_quantile_profile")) == 2)
     // banded near-dup: join on (band,chunk) + distinct — never a crossJoin
     assert(shuffles(q("q57_simhash_neardup")) <= 3)
     assert(!q("q57_simhash_neardup").queryExecution.executedPlan.toString
