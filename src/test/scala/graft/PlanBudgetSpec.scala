@@ -104,6 +104,27 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(q("q80_pii_redaction")) == 0)
   }
 
+  test("scan layer: column pruning and filter pushdown reach the parquet reader") {
+    // toString truncates scan metadata; the formatted explain carries
+    // full ReadSchema + PushedFilters
+    def planOf(name: String) = q(name).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // q01 projects 7 of lineitem's 11 columns — the scan must not read more
+    val p01 = planOf("q01_pricing_summary")
+    assert("ReadSchema: [^\n]*".r.findFirstIn(p01).exists { rs =>
+      !rs.contains("l_comment") && !rs.contains("l_partkey")
+    }, s"q01 scan reads pruned columns:\n$p01")
+    // q02's predicate lands in PushedFilters, not a post-scan Filter only
+    val p02 = planOf("q02_filter_pushdown")
+    assert("PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(p02).isDefined,
+      s"q02 has no pushed filters:\n$p02")
+    // q76's sampling predicate is md5-derived (not pushable) but the scan
+    // must still prune to the three used columns
+    val p76 = planOf("q76_stratified_sample")
+    assert("ReadSchema: [^\n]*".r.findFirstIn(p76).exists(rs => !rs.contains("text")),
+      s"q76 scan reads the unused text column:\n$p76")
+  }
+
   test("flagship entry: broadcast-only joins + one aggregate shuffle") {
     val e = SparkEntry.entry(spark)
     assert(broadcasts(e) == 2)
