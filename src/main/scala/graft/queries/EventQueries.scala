@@ -167,5 +167,32 @@ object EventQueries {
       q.awaitTermination()
       s.table(sinkName)
     },
+
+    // Streaming dedup-within-watermark chained into an aggregation, also
+    // under the oracle gate: duplicates are synthesized by folding
+    // event_id onto 500 buckets per type; WHICH row survives dedup is
+    // arrival-order-dependent, so the query emits only the per-type
+    // SURVIVOR COUNT — deterministic (= distinct keys per type) and
+    // therefore oracle-checkable. The watermark bounds dedup state on a
+    // live stream; AvailableNow drains the bounded source in one batch.
+    QueryDef("q81_stream_dedup", Seq("A10", "A5"),
+      """SELECT event_type,
+           CAST(count(DISTINCT event_id % 500) AS BIGINT) AS n_surviving
+         FROM events GROUP BY event_type""") { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.events(s, d).schema // also sets nanosAsLong
+      val sinkName = "graft_stream_dedup"
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+        .select(col("event_type"), (col("event_id") % 500).as("dup_key"),
+          timestamp_seconds(nsToSec("ts")).as("tsec"))
+        .withWatermark("tsec", "1 hour")
+        .dropDuplicatesWithinWatermark("event_type", "dup_key")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_surviving"))
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName)
+    },
   )
 }
