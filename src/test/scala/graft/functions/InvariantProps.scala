@@ -40,4 +40,62 @@ object InvariantProps extends Properties("graft.invariants") {
       val p = java.util.regex.Pattern.compile(re)
       p.matcher(s"x $kw y").find() && !p.matcher("x unrelated y").find()
     }
+
+  // ---- TextHash kernel invariants (pure JVM, no Spark session) ----
+
+  import org.apache.spark.unsafe.types.UTF8String
+  private val text = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar, 3 -> Gen.const(' '))).map(_.mkString.take(60))
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+  private def grams(s: String, k: Int): Seq[String] = {
+    val n = math.max(s.length - k + 1, 1)
+    (0 until n).map(i => s.substring(i, math.min(i + k, s.length)))
+  }
+
+  property("minGramMd5 == brute-force min of gram md5 hex") =
+    Prop.forAll(text) { s =>
+      TextHash.minGramMd5(UTF8String.fromString(s), 8).toString ==
+        grams(s, 8).map(md5Hex).min
+    }
+
+  property("winnow: sorted, distinct, subset of gram hashes; w=1 = all hashes") =
+    Prop.forAll(text) { s =>
+      def hash32(g: String) = java.lang.Long.parseLong(md5Hex(g).take(8), 16)
+      val all = grams(s, 8).map(hash32)
+      val out = TextHash.winnow(UTF8String.fromString(s), 8, 4).toLongArray.toSeq
+      val w1 = TextHash.winnow(UTF8String.fromString(s), 8, 1).toLongArray.toSeq
+      out == out.sorted && out.distinct == out &&
+        out.forall(all.contains) && out.nonEmpty &&
+        w1 == all.distinct.sorted
+    }
+
+  property("simHash of a single token == its md5-prefix hash") =
+    Prop.forAll(Gen.alphaLowerStr.map(_.take(10)).suchThat(_.nonEmpty)) { t =>
+      TextHash.simHash(UTF8String.fromString(t), 60) ==
+        java.lang.Long.parseLong(md5Hex(t).take(15), 16)
+    }
+
+  property("simHash stays inside its bit width") =
+    Prop.forAll(text, Gen.oneOf(1, 8, 32, 60)) { (s, bits) =>
+      val sig = TextHash.simHash(UTF8String.fromString(s), bits)
+      sig >= 0 && (bits == 60 || sig < (1L << bits))
+    }
+
+  property("minHashBands: band count and per-band minimality") =
+    Prop.forAll(text) { s =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val out = TextHash.minHashBands(UTF8String.fromString(s), 8, 4).toLongArray
+      val expected = (0 until 4).map { b =>
+        grams(s, 8).map { g =>
+          val base = XXH64.hashUTF8String(UTF8String.fromString(g), 42L)
+          XXH64.hashInt(b, XXH64.hashLong(base, 42L))
+        }.min
+      }
+      out.toSeq == expected
+    }
 }
