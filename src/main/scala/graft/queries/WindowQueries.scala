@@ -297,5 +297,26 @@ object WindowQueries {
       ranked.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
         .select(col("l_returnflag") +: quantiles: _*)
     },
+
+    // Fixed-bin histogram per group (the distribution sketch next to
+    // q61's quantiles in a profiling pass). Global bounds ride a 1-row
+    // broadcast; bucketing is exact IEEE arithmetic so both engines bin
+    // identically; one partial-agg shuffle.
+    QueryDef("q82_histogram", Seq("A11"),
+      """WITH bounds AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+         SELECT l_returnflag,
+           CAST(least(floor((l_extendedprice - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bucket,
+           count(*) AS n
+         FROM lineitem CROSS JOIN bounds
+         GROUP BY l_returnflag, bucket""") { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val bounds = li.agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("l_extendedprice") - col("mn")) * 10.0 / (col("mx") - col("mn"))),
+            lit(9)).cast("long"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("n"))
+    },
   )
 }
