@@ -62,4 +62,19 @@ class GoldenSpec extends SparkSpec {
     assert(n == 0)
     assert(joined.count() == golden.count()) // no extra groups invented
   }
+
+  test("A8 invariants hold on the committed USA location analysis (code/11:62-89)") {
+    // the upstream fts_cva.csv is a MISSING_LARGE_BLOB, so the full
+    // re-derivation isn't possible; the golden's internal relationship
+    // IS derivable: pc = USA / all, USA ≤ all, and per-location rows are
+    // unique (the full-outer location join produced no duplicates)
+    assume(new java.io.File(s"$refOut/fts_cva_USA_analysis.csv").exists())
+    val usa = readRef("fts_cva_USA_analysis.csv")
+    val withBoth = usa.filter(col("CVAamount").isNotNull && col("CVAamount_USA").isNotNull)
+    assert(withBoth.filter(col("CVAamount_USA") > col("CVAamount") + 1e-6).count() == 0)
+    val badPc = withBoth.filter(col("CVAamount") > 0 &&
+      abs(col("CVAamount_USA") / col("CVAamount") - col("CVAamount_USA_pc")) > 1e-9)
+    assert(badPc.count() == 0)
+    assert(usa.select("`destinationObjects_Location.name`").distinct().count() == usa.count())
+  }
 }
