@@ -54,8 +54,12 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures carry a -1.0 sentinel per query; summing them would make
+    // a failing round read FASTER — exclude them and flag the count
+    val failed = results.count(_._2 < 0)
+    val total = results.values.filter(_ >= 0).sum
+    val failedField = if (failed > 0) s""","failed":$failed""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,18 +51,15 @@ object Deflators {
                    fullRange: Seq[Int]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bounds = df.filter(col(value).isNotNull)
+    // one pass: boundary times and their values together via min_by /
+    // max_by (the q58 anchor idiom) — the previous two-pass bounds join
+    // re-shuffled the observed rows a second time
+    val firstLast = df.filter(col(value).isNotNull)
       .groupBy(col(key))
       .agg(
         min(col(time)).as("t_first"), max(col(time)).as("t_last"),
-        first(col(value)).as("__ignore"))
-      .drop("__ignore")
-    val firstLast = df.filter(col(value).isNotNull)
-      .join(bounds, Seq(key))
-      .groupBy(col(key), col("t_first"), col("t_last"))
-      .agg(
-        first(when(col(time) === col("t_first"), col(value)), ignoreNulls = true).as("v_first"),
-        first(when(col(time) === col("t_last"), col(value)), ignoreNulls = true).as("v_last"))
+        min_by(col(value), col(time)).as("v_first"),
+        max_by(col(value), col(time)).as("v_last"))
       .withColumn("g",
         when(col("t_last") > col("t_first"),
           pow(col("v_last") / col("v_first"), lit(1.0) / (col("t_last") - col("t_first"))))

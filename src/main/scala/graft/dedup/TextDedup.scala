@@ -106,9 +106,14 @@ object TextDedup {
       1)
   }
 
-  /** Jaccard similarity of two precomputed gram-set columns. */
-  def gramJaccard(ga: Column, gb: Column): Column =
-    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+  /** Jaccard similarity of two precomputed gram-set columns. Two empty
+    * sets score 0.0 — the unguarded 0/0 is a hard DIVIDE_BY_ZERO under
+    * Spark 4's default ANSI mode, not a null. */
+  def gramJaccard(ga: Column, gb: Column): Column = {
+    val union = size(array_union(ga, gb))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(ga, gb)).cast("double") / union)
+  }
 
   /** Token n-gram Jaccard similarity between two text columns (one-shot
     * form; for pairwise joins precompute `wordGrams` per side instead). */
@@ -147,7 +152,17 @@ object TextDedup {
     * sf0.1, SCALING.md).
     */
   def simHashNearDup(withSig: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int, nBands: Int = 4, bandBits: Int = 15): DataFrame = {
+      maxHamming: Int, nBands: Int = 4, bandBits: Int = 15,
+      sigBits: Int = 60): DataFrame = {
+    // bands must tile the signature: a band past the signature width has
+    // chunk 0 for EVERY row, silently turning the (band, chunk) equi-join
+    // into an all-pairs cross product (the quadratic blowup banding
+    // exists to avoid). The default 4×15 matches the 60-bit simHashN;
+    // pass sigBits = 32 when banding simHash32 signatures.
+    require(nBands * bandBits <= sigBits,
+      s"$nBands bands × $bandBits bits exceed the $sigBits-bit signature")
+    require(maxHamming < nBands,
+      s"pigeonhole recall needs maxHamming ($maxHamming) < nBands ($nBands)")
     val mask = (1L << bandBits) - 1
     val pinned = pinByKey(withSig, idCol, sigCol)
     val banded = pinned.select(

@@ -39,8 +39,14 @@ case class OsaDistance(left: Expression, right: Expression)
 }
 
 object OsaDistance {
-  /** Classic O(|a|·|b|) DP with the one-row transposition check. */
-  def osa(a: String, b: String): Int = {
+  /** Classic O(|a|·|b|) DP with the one-row transposition check.
+    * Operates on CODE POINTS (like Spark's levenshtein and the other
+    * text kernels) so supplementary characters count as one edit unit
+    * and the caller's length()-based thresholds agree with the
+    * distance's units. */
+  def osa(aStr: String, bStr: String): Int = {
+    val a = aStr.codePoints().toArray
+    val b = bStr.codePoints().toArray
     val n = a.length; val m = b.length
     if (n == 0) return m
     if (m == 0) return n
@@ -53,10 +59,10 @@ object OsaDistance {
       curr(0) = i
       var j = 1
       while (j <= m) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
         var d = math.min(math.min(prev(j) + 1, curr(j - 1) + 1), prev(j - 1) + cost)
         if (i > 1 && j > 1 &&
-            a.charAt(i - 1) == b.charAt(j - 2) && a.charAt(i - 2) == b.charAt(j - 1)) {
+            a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1)) {
           d = math.min(d, prev2(j - 2) + cost)
         }
         curr(j) = d

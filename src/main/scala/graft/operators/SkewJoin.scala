@@ -22,6 +22,13 @@ object SkewJoin {
       keys: Seq[String], saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    // the small side is REPLICATED per salt, so only join types that
+    // never emit unmatched small-side rows preserve multiplicity —
+    // right/full outer would surface each unmatched small row once per
+    // salt bucket
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replaceAll("[_ ]", "").stripSuffix("join")),
+      s"saltedJoin preserves multiplicity only for inner/left joins, got $joinType")
     val saltedLarge = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -37,19 +37,15 @@ object Unnest {
         col(s"__obj.$typeField").as("__type"),
         struct(fields.map(f => col(s"__obj.$f").as(f)): _*).as("__fields"))
     // ordered "; " concat per (id, type, field), element order = array order
+    val fieldAggs = fields.map { f =>
+      concat_ws("; ",
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col(s"__fields.$f").as("v")))),
+          x => x.getField("v"))).as(f)
+    }
     val grouped = exploded
       .groupBy(col(idCol), col("__type"))
-      .agg(fields.map { f =>
-        concat_ws("; ",
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col(s"__fields.$f").as("v")))),
-            x => x.getField("v"))).as(f)
-      }.head, fields.tail.map { f =>
-        concat_ws("; ",
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col(s"__fields.$f").as("v")))),
-            x => x.getField("v"))).as(f)
-      }: _*)
+      .agg(fieldAggs.head, fieldAggs.tail: _*)
     val pivoted = grouped
       .groupBy(col(idCol))
       .pivot("__type", types)

@@ -44,7 +44,7 @@ object DedupQueries {
       """WITH short AS (
            SELECT doc_id, lang, source, list_distinct([
              array_to_string(toks[g:g+2], ' ')
-             FOR g IN generate_series(1, greatest(len(toks) - 2, 1))
+             FOR g IN generate_series(1, greatest(len(toks) - 2, 0))
            ]) AS grams
            FROM (SELECT doc_id, lang, source, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
                  FROM documents WHERE n_chars < 200))
@@ -52,13 +52,17 @@ object DedupQueries {
            round(cast(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
          FROM short a JOIN short b
-           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""") { (s, d) =>
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           AND len(a.grams) > 0 AND len(b.grams) > 0""") { (s, d) =>
       // gram sets are computed ONCE per doc and pinned behind a lazy
       // checkpoint — inlined into the join they'd recompute per pair
       val short = Tables.documents(s, d)
         .filter(col("n_chars") < 200)
         .select(col("doc_id"), col("lang"), col("source"),
           TextDedup.wordGrams(col("text"), 3).as("grams"))
+        // sub-3-token docs have no grams — exclude them (both sides of
+        // the oracle do the same) so jaccard never sees an empty union
+        .filter(size(col("grams")) > 0)
         .localCheckpoint(false)
       val a = short.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("grams").as("__ga"))
       val b = short.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("grams").as("__gb"))
