@@ -32,6 +32,15 @@ object InvariantProps extends Properties("graft.invariants") {
       OsaDistance.osa(s, s.updated(0, if (s(0) == 'z') 'a' else 'z')) == 1
     }
 
+  property("osa counts code points: non-BMP substitution and transposition cost 1") =
+    Prop.forAll(word) { s =>
+      val grin = "😀" // U+1F600
+      val wink = "😉" // U+1F609
+      OsaDistance.osa(s + grin, s + wink) == 1 &&
+        OsaDistance.osa(grin + wink + s, wink + grin + s) == 1 &&
+        OsaDistance.osa(s + grin, s) == 1 // one code point = one deletion
+    }
+
   // Keywords must start/end on word characters (as the reference's lists
   // do) — \b against a trailing ')' is legitimately not a boundary.
   property("keywordRegex quotes regex metacharacters") =
