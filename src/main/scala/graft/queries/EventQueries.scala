@@ -25,6 +25,25 @@ object EventQueries {
   private def nsToSec(colName: String): Column =
     expr(s"CAST($colName DIV 1000000000 AS BIGINT)")
 
+  /** Child session for the streaming queries. A stateful query's
+    * shuffle.partitions at FIRST batch becomes its state-store partition
+    * count for the checkpoint's lifetime, so it must be sized to the
+    * STATE volume (bounded by the watermark — here thousands of keys),
+    * not to the input-scale shuffle default: each state partition costs a
+    * delta-file write + commit per micro-batch, and 32 near-empty stores
+    * doubled q74/q81's wall time vs 8 (StreamProbe: 1.4s→0.85s agg,
+    * 2.9s→1.5s dedup at sf0.1). On a large cluster raise it to match
+    * keys-in-watermark, independently of the batch engine's setting. */
+  private def streamSession(s0: org.apache.spark.sql.SparkSession,
+      statePartitions: Int = 8): org.apache.spark.sql.SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(statePartitions,
+        s0.conf.get("spark.sql.shuffle.partitions", "32").toInt))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour window aggregation (the batch twin of the
@@ -148,9 +167,10 @@ object EventQueries {
     QueryDef("q74_stream_hourly", Seq("A5", "A11"),
       """SELECT cast(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
            event_type, count(*) AS n, round(sum(value), 4) AS total_value
-         FROM events GROUP BY hour_epoch, event_type""") { (s, d) =>
+         FROM events GROUP BY hour_epoch, event_type""") { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.events(s, d).schema // also sets nanosAsLong
+      val schema = Tables.events(s0, d).schema // also sets nanosAsLong
+      val s = streamSession(s0)
       val sinkName = "graft_stream_hourly"
       // the file source wants a directory or a GLOB — "[t]" makes the
       // single-file path a glob, so the parent dir becomes the base path
@@ -178,9 +198,10 @@ object EventQueries {
     QueryDef("q81_stream_dedup", Seq("A10", "A5"),
       """SELECT event_type,
            CAST(count(DISTINCT event_id % 500) AS BIGINT) AS n_surviving
-         FROM events GROUP BY event_type""") { (s, d) =>
+         FROM events GROUP BY event_type""") { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.events(s, d).schema // also sets nanosAsLong
+      val schema = Tables.events(s0, d).schema // also sets nanosAsLong
+      val s = streamSession(s0)
       val sinkName = "graft_stream_dedup"
       val stream = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
         .select(col("event_type"), (col("event_id") % 500).as("dup_key"),
