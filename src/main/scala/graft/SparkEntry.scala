@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.TextQueries.defs ++
     graft.queries.EventQueries.defs ++
     graft.queries.SourceQueries.defs ++
-    graft.queries.MultimodalQueries.defs
+    graft.queries.MultimodalQueries.defs ++
+    graft.queries.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §7.2 "minimum slice" shape re-expressed on the bench tables:

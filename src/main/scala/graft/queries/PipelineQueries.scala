@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.TextFns
+import graft.operators.{PrefixSum, RangeJoin}
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline battery: the shard/packing, span-dedup, CDC and
+  * interval-join operations a training-data pipeline runs AROUND the
+  * per-document transforms — each with a DuckDB oracle.
+  *
+  * Scale discipline: the only global-order computation (q83) goes
+  * through PrefixSum's two-phase scan instead of a single-partition
+  * window; the span dedup (q84) shuffles once on the span text; the
+  * decontamination (q85) filters the corpus with a broadcast Bloom
+  * filter BEFORE any join; the range join (q88) replaces a nested-loop
+  * plan with a bucketed equi-join.
+  */
+object PipelineQueries {
+
+  /** floor-to-second from a nanos-since-epoch long column (same contract
+    * as EventQueries.nsToSec — integer DIV, never through double). */
+  private def nsToSec(colName: String): Column =
+    expr(s"CAST($colName DIV 1000000000 AS BIGINT)")
+
+  private val wsToks =
+    """string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Sequence packing (concat-and-chunk): lay the corpus token stream
+    // end-to-end in doc_id order and cut fixed 256-token context
+    // windows; report each doc's window (bin), offset, and how many
+    // windows it spans. The global running sum uses PrefixSum's
+    // two-phase scan — per-bucket subtotals + in-bucket windows — so no
+    // task ever sees more than one bucket of rows.
+    QueryDef("q83_sequence_pack", Seq("A5", "U6"),
+      s"""WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN trim(text)='' THEN 0 ELSE len($wsToks) END AS n_tokens
+            FROM documents),
+          cum AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+            FROM tok)
+          SELECT doc_id, n_tokens,
+            CAST(start_tok // 256 AS BIGINT) AS bin,
+            CAST(start_tok % 256 AS BIGINT) AS off,
+            CAST((start_tok + n_tokens - 1) // 256 - start_tok // 256 + 1 AS BIGINT) AS spans
+          FROM cum WHERE n_tokens > 0""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      PrefixSum.exclusive(tok, col("doc_id"), col("n_tokens"),
+          expr("CAST(doc_id DIV 50 AS BIGINT)"), "start_tok")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(start_tok DIV 256 AS BIGINT)").as("bin"),
+          (col("start_tok") % 256).as("off"),
+          expr("CAST((start_tok + n_tokens - 1) DIV 256 - start_tok DIV 256 + 1 AS BIGINT)")
+            .as("spans"))
+    },
+
+    // Paragraph-level (span) dedup, C4-style: cut each doc into 20-word
+    // spans, dedup spans EXACTLY across the corpus (keeper = smallest
+    // (doc_id, span_idx)), report per-doc span and survivor counts. One
+    // shuffle on the span text — the canonical dedup shuffle; the span
+    // frame is pinned so the keeper self-join doesn't re-tokenize.
+    QueryDef("q84_paragraph_dedup", Seq("A10", "U6"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+          chunks AS (
+            SELECT doc_id, c AS chunk_idx,
+              array_to_string(toks[(c*20+1):(c*20+20)], ' ') AS chunk_text
+            FROM tok, LATERAL (SELECT unnest(generate_series(0, (len(toks)-1)//20)) AS c)),
+          keeper AS (
+            SELECT chunk_text, min(doc_id*100000 + chunk_idx) AS keep_key
+            FROM chunks GROUP BY chunk_text)
+          SELECT c.doc_id, count(*) AS n_chunks,
+            CAST(sum(CASE WHEN c.doc_id*100000 + c.chunk_idx = k.keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM chunks c JOIN keeper k USING (chunk_text)
+          GROUP BY c.doc_id""") { (s, d) =>
+      val chunks = Tables.documents(s, d)
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), split(trim(col("text")), """\s+""").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST((size(toks)-1) DIV 20 AS INT)),
+             c -> struct(CAST(c AS BIGINT) AS chunk_idx,
+                         array_join(slice(toks, c*20+1, 20), ' ') AS chunk_text))"""))
+          .as("ch"))
+        .select(col("doc_id"),
+          (col("doc_id") * 100000L + col("ch.chunk_idx")).as("key"),
+          col("ch.chunk_text").as("chunk_text"))
+        .localCheckpoint(false) // keeper + scoring both read this
+      val keeper = chunks.groupBy("chunk_text").agg(min("key").as("keep_key"))
+      chunks.join(keeper, "chunk_text")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("key") === col("keep_key"), 1L).otherwise(0L)).as("n_kept"))
+    },
+
+    // Benchmark decontamination at corpus scale: plant the probe set
+    // (docs ≡ 0 mod 97; half verbatim, half perturbed) back into the
+    // corpus as a "leak" source, then remove exact fingerprint matches.
+    // The corpus is pre-filtered by a BROADCAST Bloom filter built over
+    // the probe fingerprints — a codegen'd might_contain per row, no
+    // shuffle — and only the tiny candidate set pays the exact
+    // confirmation join, so false positives cost a little work, never
+    // correctness. At 100 TB the probe (real benchmarks are MBs) still
+    // builds a KB-scale filter; the corpus never shuffles.
+    QueryDef("q85_bloom_decontam", Seq("F3", "A10", "J11"),
+      """WITH base AS (
+           SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
+         probe AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
+         corpus AS (
+           SELECT doc_id, source, text FROM base WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 100000, 'leak',
+             CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' extra' END
+           FROM probe),
+         fp AS (
+           SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM corpus),
+         pfp AS (
+           SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM probe)
+         SELECT f.source, count(*) - count(p.fp) AS n_kept
+         FROM fp f LEFT JOIN pfp p ON f.fp = p.fp
+         GROUP BY f.source""") { (s, d) =>
+      def fpOf(c: Column): Column =
+        md5(regexp_replace(lower(trim(c)), """\s+""", " "))
+      val base = Tables.documents(s, d)
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), col("source"), col("text"))
+      val probe = base.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val planted = probe.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        lit("leak").as("source"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" extra"))).as("text"))
+      val corpus = base.filter(col("doc_id") % 97 =!= 0)
+        .unionByName(planted)
+        .select(col("source"), fpOf(col("text")).as("fp"))
+      val probeFp = probe.select(fpOf(col("text")).as("fp")).distinct()
+      val might = graft.functions.BloomFns.mightContain(probeFp, "fp", col("fp"))
+      val contaminated = corpus.filter(might)
+        .join(broadcast(probeFp), Seq("fp"), "leftsemi")
+        .groupBy("source").agg(count(lit(1)).as("n_bad"))
+      corpus.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .join(contaminated, Seq("source"), "left")
+        .select(col("source"),
+          (col("n_total") - coalesce(col("n_bad"), lit(0L))).as("n_kept"))
+    },
+
+    // SCD2 interval build (the CDC pattern): profile-change events
+    // become versioned rows with [valid_from, valid_to) and a current
+    // flag — one shuffle on the entity key, lead() within it.
+    QueryDef("q86_scd2_intervals", Seq("W3", "A5"),
+      """WITH v AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+           FROM events WHERE event_type IN ('signup', 'purchase'))
+         SELECT user_id, sec AS valid_from, event_id,
+           lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
+           (lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL) AS is_current,
+           round(value, 4) AS attr_value
+         FROM v""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), nsToSec("ts").as("sec"), col("event_id"), col("value"))
+        .select(col("user_id"), col("sec").as("valid_from"), col("event_id"),
+          lead("sec", 1).over(w).as("valid_to"),
+          lead("sec", 1).over(w).isNull.as("is_current"),
+          round(col("value"), 4).as("attr_value"))
+    },
+
+    // CDC changelog apply: last operation per entity wins, deletes
+    // tombstone the row. One partial-aggregating max(struct) per entity
+    // — no window sort, no shuffle beyond the group-by (the
+    // argmax-per-group discipline from Dedup.firstRowPerGroupAgg).
+    QueryDef("q87_cdc_apply", Seq("A2", "W6"),
+      """WITH ops AS (
+           SELECT event_id % 300 AS entity,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+           FROM events),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY entity ORDER BY sec DESC, event_id DESC) AS rn
+           FROM ops)
+         SELECT CAST(entity AS BIGINT) AS entity, sec AS last_sec,
+           round(value, 4) AS last_value
+         FROM ranked WHERE rn = 1 AND op <> 'D'""") { (s, d) =>
+      Tables.events(s, d)
+        .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value"))
+        .groupBy("entity")
+        .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
+        .filter(col("m.op") =!= "D")
+        .select(col("entity"), col("m.sec").as("last_sec"),
+          round(col("m.value"), 4).as("last_value"))
+    },
+
+    // Range join with no equi key: deterministic "campaign" intervals
+    // (derived from the customer key and the event-time bounds) joined
+    // to the events whose timestamp they contain. Spark's built-in plan
+    // here is a nested loop; RangeJoin.bucketed restores a shuffle hash
+    // join by quantizing time into 12h buckets (≈ the median interval
+    // width), so BOTH sides may be large.
+    QueryDef("q88_range_join", Seq("J12", "F1"),
+      """WITH bounds AS (
+           SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS tmin,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events),
+         iv AS (
+           SELECT c_custkey AS iv_id,
+             tmin + ((c_custkey * 37) % 720) * ((tmax - tmin) // 1000) AS lo,
+             tmin + ((c_custkey * 37) % 720) * ((tmax - tmin) // 1000)
+                  + ((c_custkey % 7) + 1) * ((tmax - tmin) // 200) AS hi
+           FROM customer CROSS JOIN bounds WHERE c_custkey <= 200)
+         SELECT iv.iv_id, count(*) AS n_events, round(sum(e.value), 4) AS total_value
+         FROM iv JOIN (SELECT value, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) e
+           ON e.sec BETWEEN iv.lo AND iv.hi
+         GROUP BY iv.iv_id""") { (s, d) =>
+      val ev = Tables.events(s, d).select(col("value"), nsToSec("ts").as("sec"))
+      val bounds = ev.agg(min("sec").as("tmin"), max("sec").as("tmax"))
+      val iv = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 200)
+        .crossJoin(broadcast(bounds))
+        .select(col("c_custkey").as("iv_id"),
+          (col("tmin") + (col("c_custkey") * 37 % 720)
+            * expr("CAST((tmax - tmin) DIV 1000 AS BIGINT)")).as("lo"),
+          ((col("c_custkey") % 7 + 1)
+            * expr("CAST((tmax - tmin) DIV 200 AS BIGINT)")).as("len"))
+        .select(col("iv_id"), col("lo"), (col("lo") + col("len")).as("hi"))
+      RangeJoin.bucketed(ev, iv, col("sec"), col("lo"), col("hi"), 43200L)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+    },
+
+    // Bigram language-model scoring (the 2-gram extension of q77's
+    // unigram filter): train joint bigram frequencies over the corpus,
+    // score each doc by mean negative log2 probability. The model is
+    // vocabulary²-bounded and pinned once; avg + round(4) absorbs
+    // cross-libm log noise (the q77/q78 lesson).
+    QueryDef("q89_bigram_logprob", Seq("A5", "A11"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+          grams AS (
+            SELECT doc_id, array_to_string(toks[g:g+1], ' ') AS gram
+            FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS g)
+            WHERE len(toks) >= 2),
+          model AS (SELECT gram, count(*) AS n FROM grams GROUP BY gram),
+          tot AS (SELECT sum(n) AS total FROM model)
+          SELECT g.doc_id, count(*) AS n_bigrams,
+            round(avg(-log2(CAST(m.n AS DOUBLE) / tot.total)), 4) AS avg_nll
+          FROM grams g JOIN model m USING (gram) CROSS JOIN tot
+          GROUP BY g.doc_id""") { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), split(trim(col("text")), """\s+""").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          g => concat_ws(" ", element_at(col("toks"), g), element_at(col("toks"), g + 1))))
+          .as("gram"))
+      // pin the model: total and the scoring join both read it (q77's
+      // inlined-plan trap); no broadcast hint — AQE broadcasts it here,
+      // at corpus scale it stays a hash join on the bounded vocabulary²
+      val model = grams.groupBy("gram").agg(count(lit(1)).as("n")).localCheckpoint(false)
+      val total = model.agg(sum("n").as("total"))
+      grams.join(model, "gram")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log2(col("n").cast("double") / col("total"))), 4).as("avg_nll"))
+    },
+  )
+}
