@@ -144,7 +144,9 @@ object PipelineQueries {
       val corpus = base.filter(col("doc_id") % 97 =!= 0)
         .unionByName(planted)
         .select(col("source"), fpOf(col("text")).as("fp"))
+      // pinned: read three times (bloom build, confirm join, broadcast)
       val probeFp = probe.select(fpOf(col("text")).as("fp")).distinct()
+        .localCheckpoint(false)
       val might = graft.functions.BloomFns.mightContain(probeFp, "fp", col("fp"))
       val contaminated = corpus.filter(might)
         .join(broadcast(probeFp), Seq("fp"), "leftsemi")
@@ -277,6 +279,143 @@ object PipelineQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(-log2(col("n").cast("double") / col("total"))), 4).as("avg_nll"))
+    },
+
+    // Snapshot diff (the table-versioning audit): FULL OUTER join two
+    // snapshot versions on the key, classify added / removed / changed /
+    // unchanged. One co-partitioned shuffle on the key; at 100 TB both
+    // snapshots bucket by the key and the join is shuffle-free.
+    QueryDef("q90_table_diff", Seq("A8", "SE1"),
+      """WITH old AS (
+           SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+           FROM orders WHERE o_orderkey % 1000 <> 7),
+         new_ AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0
+               THEN round(CAST(o_totalprice AS DOUBLE) * 1.05, 2)
+               ELSE CAST(o_totalprice AS DOUBLE) END AS price
+           FROM orders WHERE o_orderkey % 1000 <> 13),
+         d AS (
+           SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN o.price <> n.price THEN 'changed'
+                       ELSE 'unchanged' END AS verdict
+           FROM old o FULL OUTER JOIN new_ n ON o.o_orderkey = n.o_orderkey)
+         SELECT verdict, count(*) AS n FROM d GROUP BY verdict""") { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+      val old = base.filter(col("o_orderkey") % 1000 =!= 7)
+        .select(col("o_orderkey").as("k_old"), col("price").as("p_old"))
+      val neu = base.filter(col("o_orderkey") % 1000 =!= 13)
+        .select(col("o_orderkey").as("k_new"),
+          when(col("o_orderkey") % 11 === 0, round(col("price") * 1.05, 2))
+            .otherwise(col("price")).as("p_new"))
+      old.join(neu, col("k_old") === col("k_new"), "full_outer")
+        .select(when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("p_old") =!= col("p_new"), "changed")
+          .otherwise("unchanged").as("verdict"))
+        .groupBy("verdict").agg(count(lit(1)).as("n"))
+    },
+
+    // Conversion-funnel with ordering + deadline constraints: first
+    // signup → first view within 24h → first purchase within 24h of
+    // that. Three entity-keyed aggregates chained by joins on the
+    // entity — each stage's survivor set shrinks, so the joins get
+    // cheaper down the funnel.
+    QueryDef("q91_funnel_stages", Seq("A5", "J5", "W5"),
+      """WITH e AS (
+           SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         s AS (SELECT user_id, min(sec) AS t_signup FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         v AS (SELECT e.user_id, min(e.sec) AS t_view FROM e JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'view' AND e.sec >= s.t_signup AND e.sec <= s.t_signup + 86400
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.sec) AS t_purchase FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'purchase' AND e.sec >= v.t_view AND e.sec <= v.t_view + 86400
+               GROUP BY e.user_id)
+         SELECT CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_signup,
+           CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_viewed,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_purchased
+         FROM s LEFT JOIN v ON s.user_id = v.user_id LEFT JOIN p ON v.user_id = p.user_id""") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), nsToSec("ts").as("sec"))
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("sec").as("t_signup"))
+      val viewed = e.filter(col("event_type") === "view")
+        .join(signup, "user_id")
+        .filter(col("sec") >= col("t_signup") && col("sec") <= col("t_signup") + 86400)
+        .groupBy("user_id").agg(min("sec").as("t_view"))
+      val purchased = e.filter(col("event_type") === "purchase")
+        .join(viewed, "user_id")
+        .filter(col("sec") >= col("t_view") && col("sec") <= col("t_view") + 86400)
+        .groupBy("user_id").agg(min("sec").as("t_purchase"))
+      signup.join(viewed, Seq("user_id"), "left")
+        .join(purchased, Seq("user_id"), "left")
+        .agg(count_distinct(col("user_id")).as("n_signup"),
+          count_distinct(when(col("t_view").isNotNull, col("user_id"))).as("n_viewed"),
+          count_distinct(when(col("t_purchase").isNotNull, col("user_id"))).as("n_purchased"))
+    },
+
+    // Deterministic fixed-k sampling per stratum: rank by an md5-derived
+    // uniform hash inside each (lang, source) stratum, keep the top 3 —
+    // reproducible across engines and re-runs (q76's hash discipline,
+    // but exact-k instead of Bernoulli).
+    QueryDef("q92_fixed_k_sample", Seq("F5", "W8"),
+      """WITH h AS (
+           SELECT doc_id, lang, source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hsh
+           FROM documents),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY hsh, doc_id) AS rn FROM h)
+         SELECT lang, source, doc_id FROM r WHERE rn <= 3""") { (s, d) =>
+      val w = Window.partitionBy("lang", "source").orderBy("hsh", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("hsh"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("lang", "source", "doc_id")
+    },
+
+    // Time-RANGE moving aggregate: per-entity trailing-24h average — a
+    // value-range window frame (RANGE BETWEEN n PRECEDING), not a row
+    // frame, so duplicate timestamps resolve deterministically in both
+    // engines. Partitioned by the entity key: parallel across users at
+    // any scale.
+    QueryDef("q93_moving_avg", Seq("W4", "A5"),
+      """WITH e AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 10000, 0) AS BIGINT) AS cents
+           FROM events),
+         wnd AS (
+           SELECT event_id, user_id,
+             sum(cents) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS s,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_24h
+           FROM e)
+         SELECT event_id, user_id,
+           CAST((2 * s + n_24h) // (2 * n_24h) AS DOUBLE) / 10000.0 AS avg_24h,
+           n_24h
+         FROM wnd""") { (s, d) =>
+      // the trailing average is quantized to integer ten-thousandths,
+      // summed EXACTLY, and half-up rounded in INTEGER arithmetic:
+      // (2s+n) div (2n). round(double, 4) is engine-divergent — Spark
+      // rounds the shortest decimal repr, DuckDB the binary value, and
+      // boundary rows (…X5 exactly) split between them at sf0.01.
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-86400L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), nsToSec("ts").as("sec"),
+          round(col("value") * 10000, 0).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          sum("cents").over(w).as("s"),
+          count(lit(1)).over(w).as("n_24h"))
+        .select(col("event_id"), col("user_id"),
+          expr("(2 * s + n_24h) div (2 * n_24h)")
+            .cast("double").divide(lit(10000.0)).as("avg_24h"),
+          col("n_24h"))
     },
   )
 }
