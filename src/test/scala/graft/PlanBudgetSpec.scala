@@ -104,6 +104,37 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(q("q80_pii_redaction")) == 0)
   }
 
+  test("round-4 queries stay inside the budget") {
+    // sequence packing: tokenize agg + running-total window + bin agg
+    assert(shuffles(q("q83_sequence_pack")) <= 3)
+    // span dedup: explode is shuffle-free; paragraph-hash window + doc
+    // reassembly agg
+    assert(shuffles(q("q84_paragraph_dedup")) <= 2)
+    // bloom decontamination: probe set broadcasts (bloom build + confirm
+    // join); corpus crosses only its own aggregate exchanges
+    val bloom = q("q85_bloom_decontam")
+    assert(broadcasts(bloom) >= 2)
+    assert(shuffles(bloom) <= 2)
+    assert(!bloom.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // SCD2 intervals / CDC apply: one keyed window exchange each
+    assert(shuffles(q("q86_scd2_intervals")) == 1)
+    assert(shuffles(q("q87_cdc_apply")) == 1)
+    // range join: bucketed equi-join, never a cartesian product
+    val range = q("q88_range_join")
+    assert(!range.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    assert(shuffles(range) <= 2)
+    // bigram LM: bigram-count agg + per-doc scoring agg; vocab broadcasts
+    assert(shuffles(q("q89_bigram_logprob")) <= 2)
+    // snapshot diff: both snapshot sides co-partition on the key + the
+    // verdict aggregate — with bucketed snapshots the join legs vanish
+    assert(shuffles(q("q90_table_diff")) <= 3)
+    // funnel: three entity-keyed aggregates + joins that reuse the key
+    assert(shuffles(q("q91_funnel_stages")) <= 7)
+    // fixed-k sample / moving average: one keyed window exchange each
+    assert(shuffles(q("q92_fixed_k_sample")) == 1)
+    assert(shuffles(q("q93_moving_avg")) == 1)
+  }
+
   test("scan layer: column pruning and filter pushdown reach the parquet reader") {
     // toString truncates scan metadata; the formatted explain carries
     // full ReadSchema + PushedFilters
