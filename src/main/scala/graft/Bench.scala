@@ -46,11 +46,12 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     // The driver keeps only the last 2000 chars of output, so the JSON
-    // line must stay well under that: 3-decimal times, qNN keys (the full
-    // names live in SparkEntry.queries), no commentary.
+    // line must stay well under that: 2-decimal times, qNN keys (the full
+    // names live in SparkEntry.queries), no commentary. At ~11 chars per
+    // query this holds ~150 queries inside the window.
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma decimal separator would emit invalid JSON
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")

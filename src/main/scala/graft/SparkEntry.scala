@@ -22,27 +22,15 @@ object SparkEntry {
     graft.queries.EventQueries.defs ++
     graft.queries.SourceQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
-    graft.queries.PipelineQueries.defs
+    graft.queries.PipelineQueries.defs ++
+    graft.queries.EndToEndQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The §7.2 "minimum slice" shape re-expressed on the bench tables:
-    * filter → broadcast-join chain → conditional cascade → aggregate. */
-  def entry(spark: SparkSession): DataFrame = {
-    val d = "/root/testdata/sf0.001"
-    val li = Tables.lineitem(spark, d)
-    val relevance = when(col("l_returnflag") === "R", lit("Full"))
-      .when(col("l_discount") >= 0.05, lit("Partial"))
-      .otherwise(lit("None"))
-    li.select("l_suppkey", "l_extendedprice", "l_discount", "l_returnflag")
-      .withColumn("relevance", relevance)
-      .filter(col("relevance") =!= "None")
-      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
-        col("s_nationkey") === col("n_nationkey"))
-      .groupBy("n_name", "relevance")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("amount"))
-  }
+    * The reference's actual product spine (SURVEY §7.2), end to end:
+    * curate → deflate → relevance cascade → amount waterfall → FTS
+    * aggregate → undouble → org-type rollup (= q94, oracle-checked). */
+  def entry(spark: SparkSession): DataFrame =
+    graft.queries.EndToEndQueries.cvaEndToEnd(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.cva.{CvaPipeline, FlowCuration, GlobalAnalysis}
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's full product spine as ONE oracle-checked query: the
+  * 05_fts_curated_master.R → 09_calculate_cva.R → 10_global_cva_analysis.R
+  * chain (curate → deflate → C1 relevance → C3 amount waterfall → FTS
+  * aggregate → org-type join → sub-grant undoubling → org-type rollup
+  * with TV imputation), run end-to-end over a deterministic flow fixture
+  * derived from `orders`/`nation` so DuckDB can replay every stage.
+  *
+  * Scale shape (SURVEY §3.1): exactly TWO fact-side shuffles — the
+  * boundary-dedup window keyed on flow id and the FTS aggregate — plus
+  * two post-aggregation micro-exchanges over the already-reduced rows
+  * (≤ hundreds). Every enrichment join broadcasts (isos, deflators, DAC,
+  * org types, sub-grant totals, TV averages are all sub-MB curated
+  * tables); the fact table never shuffles for a join. Asserted in
+  * PlanBudgetSpec.
+  *
+  * Fixture notes: the boundary class mixes the row index with the flow
+  * group (`(k%4 + m) % 5`) so ~1/5 of id-groups lack an "incoming" row
+  * and the dedup tiebreak path actually runs; org fields key on the
+  * group index m so survivors span all orgs; sub-grants overshoot PC for
+  * org 7, exercising the `greatest(x-sub, 0)` floor (reference
+  * code/10:305-315).
+  */
+object EndToEndQueries {
+
+  /** Flow fixture: reference-shaped columns (dotted names and all,
+    * 01_fts_get_flows.R:38-72) synthesized deterministically from
+    * `orders` so the DuckDB oracle reproduces it bit-for-bit. */
+  private def flowsFixture(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val m = expr("(o_orderkey - o_orderkey % 4) div 4")
+    val c = (k % 4 + m) % 5
+    Tables.orders(s, d).select(
+      (k - k % 4).as("id"),
+      when(c === 0, "incoming").when(c === 1, "shared")
+        .when(c === 2, "outgoing").otherwise("internal").as("boundary"),
+      when(c === 0, "2021; 2022").when(c === 1, "2022; 2023")
+        .when(c === 2, "2021").when(c === 3, "2023")
+        .otherwise("2021; 2023").as("destinationObjects_UsageYear.name"),
+      when(k % 3 === 0, "ALGERIA; ARGENTINA").when(k % 3 === 1, "BRAZIL")
+        .otherwise("CANADA; ATLANTIS").as("destinationObjects_Location.name"),
+      col("o_totalprice").as("amountUSD"),
+      when(k % 7 === 0, "Cash transfer programming (CTP)")
+        .otherwise("Traditional aid").as("method"),
+      when(k % 5 === 0, "Multipurpose Cash")
+        .when(k % 5 === 1, "Multipurpose Cash; Health")
+        .when(k % 5 === 2, "Health; Education")
+        .when(k % 5 === 3, "")
+        .otherwise(lit(null).cast("string")).as("destinationObjects_Cluster.name"),
+      when(k % 11 === 0, 0.9).when(k % 11 === 1, 0.4)
+        .otherwise(lit(null).cast("double")).as("project_cva_pct"),
+      ((k % 10).cast("double") / 10.0).as("predicted_confidence"),
+      (k % 3 === 0).as("common_words_match"),
+      (k % 19 === 0).as("manual_accept"),
+      concat(lit("Org "), (m % 20).cast("string")).as("org_name"),
+      concat(lit("ST"), (m % 3).cast("string")).as("org_subtypes"),
+      (m % 7 < 4).as("newMoney"))
+  }
+
+  /** The full chain; also serves as `SparkEntry.entry` (the flagship). */
+  def cvaEndToEnd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nation = Tables.nation(s, d)
+    val isos = nation.select(
+      col("n_name").as("countryname_fts"), substring(col("n_name"), 1, 3).as("iso3"))
+    val years = Seq(2021, 2022, 2023).toDF("year")
+    // Deflator grid with planted holes (every 5th nation) so the DAC
+    // fallback join path is exercised on real rows, not just nulls.
+    val deflators = nation.filter(col("n_nationkey") % 5 =!= 0)
+      .crossJoin(broadcast(years))
+      .select(substring(col("n_name"), 1, 3).as("iso3"), col("year"),
+        (lit(1.0) + col("n_nationkey") * 0.01 + (col("year") - 2021) * 0.05).as("deflator"))
+    val dac = years.select(col("year"),
+      (lit(1.0) + (col("year") - 2020) * 0.07).as("deflator"))
+    val orgTypes = Seq(("ST0", "NGO"), ("ST1", "UN agency"), ("ST2", "Government"))
+      .toDF("org_subtypes", "Org_type")
+    val k = col("o_orderkey")
+    val subGrants = Tables.orders(s, d).filter(k % 13 === 0).select(
+      concat(lit("org "), (k % 20).cast("string")).as("clean_org"),
+      (lit(2021) + k % 3).cast("int").as("Year"),
+      (k % 2 === 0).as("newMoney"),
+      when(k % 20 === 7, col("o_totalprice") / 1e4)
+        .otherwise(col("o_totalprice") / 1e7).as("amount_usd"))
+    val pcTv = Seq((2021, 1.8), (2022, 2.0), (2023, 2.2)).toDF("Year", "pc_average")
+
+    val curated = FlowCuration.curate(flowsFixture(s, d), isos)
+      .withColumn("year", col("year").cast("int"))
+    val deflated = FlowCuration.deflate(curated, deflators, dac)
+    val flagged = deflated
+      .withColumn("smc_relevance", CvaPipeline.sectorMethodClusterRelevance(
+        col("method"), col("`destinationObjects_Cluster.name`")))
+      .withColumn("n_clusters", CvaPipeline.clusterCount(
+        col("`destinationObjects_Cluster.name`")))
+    val (amount, amountType) = CvaPipeline.amountWaterfall(
+      col("amountUSD_defl"), col("smc_relevance"), col("n_clusters"),
+      col("project_cva_pct"), col("predicted_confidence"),
+      col("common_words_match"), col("manual_accept"))
+    val cva = flagged
+      .withColumn("CVAamount", amount)
+      .withColumn("CVAamount_type", amountType)
+      .filter(col("CVAamount") > 0) // code/09:91 subset(CVAamount > 0)
+    // Pin the per-org aggregate to 6 decimals on both engines before the
+    // downstream subtract/floor arithmetic (oracle-parity: summation
+    // order differs across engines; see q12/q25).
+    val agg = GlobalAnalysis.ftsAgg(cva, Seq("Org 13"))
+      .withColumn("PC.USD.m", round(col("`PC.USD.m`"), 6))
+    val typed = GlobalAnalysis.withOrgType(agg, orgTypes)
+      .withColumn("clean_org", TextFns.cleanName(col("org_name")))
+    val undoubled = GlobalAnalysis.undoubleAgg(typed, subGrants)
+    GlobalAnalysis.orgTypeRollup(undoubled, pcTv)
+      .select(col("Year").as("year"), col("Org_type").as("org_type"),
+        round(col("`PC.USD.m`"), 4).as("pc_usd_m"),
+        round(col("`TV.USD.m`"), 4).as("tv_usd_m"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q94_cva_end_to_end",
+      Seq("F1", "J13", "R1", "J1", "J3", "J4", "C1", "C3", "A5", "J7", "A6", "C6", "A7", "U3"),
+      """WITH flows AS (
+           SELECT o_orderkey - o_orderkey % 4 AS id,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN 'incoming' WHEN 1 THEN 'shared' WHEN 2 THEN 'outgoing' ELSE 'internal' END AS boundary,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN '2021; 2022' WHEN 1 THEN '2022; 2023' WHEN 2 THEN '2021' WHEN 3 THEN '2023' ELSE '2021; 2023' END AS usage_year,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'ALGERIA; ARGENTINA' WHEN 1 THEN 'BRAZIL' ELSE 'CANADA; ATLANTIS' END AS location,
+             o_totalprice AS amountUSD,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'Cash transfer programming (CTP)' ELSE 'Traditional aid' END AS method,
+             CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN 'Multipurpose Cash' WHEN 1 THEN 'Multipurpose Cash; Health' WHEN 2 THEN 'Health; Education' WHEN 3 THEN '' ELSE NULL END AS cluster,
+             CASE CAST(o_orderkey % 11 AS INT) WHEN 0 THEN 0.9 WHEN 1 THEN 0.4 ELSE NULL END AS project_cva_pct,
+             (o_orderkey % 10) / 10.0 AS predicted_confidence,
+             (o_orderkey % 3 = 0) AS common_words_match,
+             (o_orderkey % 19 = 0) AS manual_accept,
+             'Org ' || CAST((o_orderkey - o_orderkey % 4) // 4 % 20 AS VARCHAR) AS org_name,
+             'ST' || CAST((o_orderkey - o_orderkey % 4) // 4 % 3 AS VARCHAR) AS org_subtypes,
+             ((o_orderkey - o_orderkey % 4) // 4 % 7 < 4) AS newMoney
+           FROM orders),
+         dedup AS (
+           SELECT * EXCLUDE (rn) FROM (
+             SELECT *, row_number() OVER (PARTITION BY id ORDER BY (boundary = 'incoming') DESC, usage_year ASC) AS rn
+             FROM flows WHERE boundary <> 'outgoing') WHERE rn = 1),
+         ysplit AS (
+           SELECT * EXCLUDE (usage_year)
+             REPLACE (amountUSD / len(string_split(usage_year, '; ')) AS amountUSD),
+             trim(unnest(string_split(usage_year, '; '))) AS year
+           FROM dedup),
+         lsplit AS (
+           SELECT * EXCLUDE (location)
+             REPLACE (amountUSD / len(string_split(location, '; ')) AS amountUSD),
+             trim(unnest(string_split(location, '; '))) AS location
+           FROM ysplit),
+         isos AS (SELECT n_name AS location, substring(n_name, 1, 3) AS iso3 FROM nation),
+         curated AS (SELECT l.*, i.iso3 FROM lsplit l LEFT JOIN isos i USING (location)),
+         years AS (SELECT unnest([2021, 2022, 2023]) AS year),
+         defl AS (
+           SELECT substring(n_name, 1, 3) AS iso3, year, 1.0 + n_nationkey * 0.01 + (year - 2021) * 0.05 AS deflator
+           FROM nation, years WHERE n_nationkey % 5 <> 0),
+         dac AS (SELECT year, 1.0 + (year - 2020) * 0.07 AS deflator FROM years),
+         deflated AS (
+           SELECT c.*, c.amountUSD / coalesce(d.deflator, k.deflator) AS amountUSD_defl
+           FROM curated c
+           LEFT JOIN defl d ON c.iso3 = d.iso3 AND CAST(c.year AS INT) = d.year
+           LEFT JOIN dac k ON CAST(c.year AS INT) = k.year),
+         flagged AS (
+           SELECT *,
+             CASE WHEN method = 'Cash transfer programming (CTP)' THEN 'Full'
+                  WHEN list_contains(string_split(coalesce(cluster, ''), '; '), 'Multipurpose Cash')
+                       AND len(string_split(coalesce(cluster, ''), '; ')) = 1 THEN 'Full'
+                  WHEN list_contains(string_split(coalesce(cluster, ''), '; '), 'Multipurpose Cash')
+                       AND len(string_split(coalesce(cluster, ''), '; ')) > 1 THEN 'Partial'
+                  ELSE 'None' END AS smc_relevance,
+             CASE WHEN coalesce(cluster, '') = '' THEN 0 ELSE len(string_split(cluster, '; ')) END AS n_clusters
+           FROM deflated),
+         amounts AS (
+           SELECT *,
+             CASE WHEN smc_relevance = 'Full' THEN amountUSD_defl
+                  WHEN smc_relevance = 'Partial' THEN amountUSD_defl / greatest(n_clusters, 1)
+                  WHEN project_cva_pct IS NOT NULL AND project_cva_pct > 0 THEN amountUSD_defl * project_cva_pct
+                  WHEN predicted_confidence >= 0.8 AND coalesce(common_words_match, false) THEN amountUSD_defl
+                  WHEN coalesce(manual_accept, false) THEN amountUSD_defl
+                  ELSE 0.0 END AS cvaamount
+           FROM flagged),
+         agg AS (
+           SELECT CAST(year AS INT) AS year_i, newMoney, org_name, org_subtypes,
+             round(sum(cvaamount) / 1e6, 6) AS pc
+           FROM amounts WHERE cvaamount > 0 AND org_name <> 'Org 13'
+           GROUP BY 1, 2, 3, 4),
+         orgtypes AS (SELECT unnest(['ST0','ST1','ST2']) AS org_subtypes, unnest(['NGO','UN agency','Government']) AS org_type),
+         typed AS (
+           SELECT a.*, t.org_type,
+             trim(regexp_replace(regexp_replace(lower(a.org_name), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_org
+           FROM agg a LEFT JOIN orgtypes t USING (org_subtypes)),
+         sub AS (
+           SELECT 'org ' || CAST(o_orderkey % 20 AS VARCHAR) AS clean_org,
+             CAST(2021 + o_orderkey % 3 AS INT) AS year_i,
+             (o_orderkey % 2 = 0) AS newMoney,
+             CASE WHEN o_orderkey % 20 = 7 THEN o_totalprice / 1e4 ELSE o_totalprice / 1e7 END AS amount_usd
+           FROM orders WHERE o_orderkey % 13 = 0),
+         subagg AS (SELECT clean_org, year_i, newMoney, sum(amount_usd) AS sg FROM sub GROUP BY 1, 2, 3),
+         und AS (
+           SELECT t.year_i, t.org_type, greatest(t.pc - coalesce(g.sg, 0.0), 0.0) AS undoubled
+           FROM typed t LEFT JOIN subagg g USING (clean_org, year_i, newMoney)),
+         pctv AS (SELECT unnest([2021, 2022, 2023]) AS year_i, unnest([1.8, 2.0, 2.2]) AS pc_average),
+         rolled AS (SELECT year_i, org_type, sum(undoubled) AS pc FROM und GROUP BY 1, 2)
+         SELECT r.year_i AS year, r.org_type, round(r.pc, 4) AS pc_usd_m, round(r.pc * p.pc_average, 4) AS tv_usd_m
+         FROM rolled r LEFT JOIN pctv p USING (year_i)""")(cvaEndToEnd),
+  )
+}

@@ -156,9 +156,23 @@ class PlanBudgetSpec extends SparkSpec {
       s"q76 scan reads the unused text column:\n$p76")
   }
 
-  test("flagship entry: broadcast-only joins + one aggregate shuffle") {
+  test("round-5 queries stay inside the budget") {
+    // end-to-end CVA spine: two fact-side shuffles (boundary-dedup window
+    // + FTS aggregate) and two micro-exchanges over already-reduced rows
+    // (sub-grant totals, org-type rollup). Every enrichment broadcasts;
+    // the fact table never sort-merge-joins or cross-joins.
+    val cva = q("q94_cva_end_to_end")
+    assert(shuffles(cva) == 4)
+    assert(broadcasts(cva) >= 6)
+    val plan = cva.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("flagship entry: the q94 spine — broadcast-only joins") {
     val e = SparkEntry.entry(spark)
-    assert(broadcasts(e) == 2)
-    assert(shuffles(e) == 1)
+    assert(broadcasts(e) >= 6)
+    assert(shuffles(e) == 4)
+    assert(!e.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
   }
 }
