@@ -60,4 +60,18 @@ object Unnest {
     }
     df.drop(arrayCol).join(renamed, Seq(idCol), "left")
   }
+
+  /** The reference's post-unnest cleanup (code/01_fts_get_flows.R:66-71):
+    * drop columns that are entirely NA after the types×fields grid is
+    * emitted (a type that never occurs leaves an all-null column).
+    *
+    * Data-dependent schema ⇒ one extra action: a single partial-agg
+    * `count` pass over the frame (one row back to the driver). At scale
+    * that is one cheap column-pruned scan of the (already narrow) unnest
+    * output — do it once at the source boundary, not per query. */
+  def dropAllNaColumns(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(s"`$c`")).as(c)): _*).head()
+    val keep = df.columns.filter(c => counts.getAs[Long](c) > 0L)
+    df.select(keep.map(c => col(s"`$c`")): _*)
+  }
 }

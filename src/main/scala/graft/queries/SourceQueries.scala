@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.operators.{Joins, SkewJoin}
+import graft.operators.{Joins, SkewJoin, Unnest}
 import graft.sources.{Bucketing, Tables}
 import org.apache.spark.sql.functions._
 
@@ -250,6 +250,48 @@ object SourceQueries {
                         min_gram_md5(text, 8) AS mh
                  FROM documents_graft)
            GROUP BY bucket""")
+    },
+
+    // S2+S3+A1: the reference's hairiest source operator end-to-end over
+    // a REAL array<struct> column — lineitems rolled up into per-order
+    // nested object arrays (the sourceObjects/destinationObjects shape,
+    // code/01_fts_get_flows.R:50-72), then unnest-group-same'd back out
+    // to `{arrayCol}_{Type}.{field}` wide columns with ordered "; "
+    // concat, then the all-NA column drop ('X' never occurs, so its two
+    // grid columns must vanish — the oracle simply doesn't emit them).
+    QueryDef("q95_unnest_nested", Seq("S2", "S3", "A1"),
+      """WITH fx AS (
+           SELECT l_orderkey AS id, l_returnflag AS type, l_linestatus AS name,
+                  CAST(l_partkey AS VARCHAR) AS ref,
+                  l_linenumber, l_partkey, l_suppkey
+           FROM lineitem)
+         SELECT id,
+           string_agg(name, '; ' ORDER BY l_linenumber, l_partkey, l_suppkey) FILTER (type = 'A') AS "objs_A.name",
+           string_agg(ref,  '; ' ORDER BY l_linenumber, l_partkey, l_suppkey) FILTER (type = 'A') AS "objs_A.ref",
+           string_agg(name, '; ' ORDER BY l_linenumber, l_partkey, l_suppkey) FILTER (type = 'N') AS "objs_N.name",
+           string_agg(ref,  '; ' ORDER BY l_linenumber, l_partkey, l_suppkey) FILTER (type = 'N') AS "objs_N.ref",
+           string_agg(name, '; ' ORDER BY l_linenumber, l_partkey, l_suppkey) FILTER (type = 'R') AS "objs_R.name",
+           string_agg(ref,  '; ' ORDER BY l_linenumber, l_partkey, l_suppkey) FILTER (type = 'R') AS "objs_R.ref"
+         FROM fx GROUP BY id""") { (s, d) =>
+      // Array order = (l_linenumber, l_partkey, l_suppkey): l_linenumber
+      // alone is NOT unique per order in the bench data (verify-skill
+      // gotcha), so the full tiebreak keeps the concat deterministic.
+      val nested = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("id"))
+        .agg(transform(
+          array_sort(collect_list(struct(
+            col("l_linenumber").as("k1"), col("l_partkey").as("k2"),
+            col("l_suppkey").as("k3"), col("l_returnflag").as("type"),
+            col("l_linestatus").as("name"), col("l_partkey").cast("string").as("ref")))),
+          x => struct(x.getField("type").as("type"),
+            x.getField("name").as("name"), x.getField("ref").as("ref"))).as("objs"))
+        // Pin: unnestGroupSame joins the frame back to itself; without a
+        // checkpoint the rollup aggregate executes once per plan branch
+        // (the union/self-join inlining trap).
+        .localCheckpoint()
+      Unnest.dropAllNaColumns(
+        Unnest.unnestGroupSame(nested, "id", "objs", "type",
+          Seq("name", "ref"), Seq("A", "N", "R", "X")))
     },
   )
 }

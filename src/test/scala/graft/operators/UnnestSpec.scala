@@ -31,6 +31,19 @@ class UnnestSpec extends SparkSpec {
     assert(byId(1L).getAs[String]("payload") == "f1") // scalars ride along
   }
 
+  test("dropAllNaColumns removes types that never occur (code/01:66-71)") {
+    // 'Cluster' is in the pivot domain but absent from every row → its
+    // grid column is all-null and must be dropped; partially-null
+    // columns (Location) stay.
+    val out = Unnest.dropAllNaColumns(Unnest.unnestGroupSame(
+      flows, "id", "destinationObjects", "type",
+      fields = Seq("name"), types = Seq("Location", "Organization", "Cluster")))
+    assert(!out.columns.contains("destinationObjects_Cluster.name"))
+    assert(out.columns.contains("destinationObjects_Location.name"))
+    assert(out.columns.contains("destinationObjects_Organization.name"))
+    assert(out.count() == 3)
+  }
+
   test("element order within the concat follows array order, not value order") {
     val df = Seq((1L, Seq(("Location", "Zz"), ("Location", "Aa")))).toDF("id", "objs")
       .withColumn("destinationObjects",
