@@ -34,6 +34,31 @@ object Knn {
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
 
+  /** Trained-centroid IVF search: corpus rows carry their (row-local)
+    * nearest-centroid cell, queries probe their `probes` nearest cells,
+    * and candidates come from the equi-join on the cell id — the query
+    * side (queries × probes rows) broadcasts, so the corpus never
+    * shuffles; the per-query top-k window is the single exchange.
+    * Recall rises with `probes` (probes = k ⇒ exact). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], k: Int, probes: Int): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__cell", explode(KMeans.probeCells(col("__qvec"), cents, probes)))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .withColumn("__cell", KMeans.nearestCentroid(col("__cvec"), cents))
+    val cand = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
   /** LSH-bucketed variant: candidates restricted to the query's sign
     * bucket. Recall < 1 by construction; nBits trades recall for fanout. */
   def lshTopK(

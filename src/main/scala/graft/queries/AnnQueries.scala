@@ -211,5 +211,63 @@ object AnnQueries {
         .filter(col("rnk") <= 3)
         .select("query_id", "rnk", "neighbor_id", "approx_cosine")
     },
+
+    // Trained-centroid IVF: two deterministic Lloyd rounds (init = 16
+    // lowest-id vectors, argmax of round(cosine,6) with cid tiebreak,
+    // means rounded to 6, empty cells keep their previous centroid)
+    // build the coarse quantizer, then multi-probe (6 of 16 cells)
+    // search. The oracle replays the identical training loop as chained
+    // CTEs. Recall vs the exact baseline is asserted in KMeansSpec.
+    QueryDef("q96_ann_ivf_trained", Seq("J12", "A5"),
+      """WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+         init AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
+           FROM v ORDER BY vec_id LIMIT 16),
+         a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN init c) WHERE rn = 1),
+         m1 AS (
+           SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
+           FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+           GROUP BY cid, d.d),
+         c1 AS (
+           SELECT i.cid, coalesce(m.cent, i.cent) AS cent
+           FROM init i LEFT JOIN (SELECT cid, list(mu ORDER BY dim) AS cent FROM m1 GROUP BY cid) m USING (cid)),
+         a2 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c1 c) WHERE rn = 1),
+         m2 AS (
+           SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
+           FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+           GROUP BY cid, d.d),
+         c2 AS (
+           SELECT p.cid, coalesce(m.cent, p.cent) AS cent
+           FROM c1 p LEFT JOIN (SELECT cid, list(mu ORDER BY dim) AS cent FROM m2 GROUP BY cid) m USING (cid)),
+         cells AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c2 c) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, v AS qv, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 6)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, e.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY round(list_cosine_similarity(p.qv, e.v), 6) DESC, e.vec_id) AS rnk
+           FROM probes p JOIN cells e USING (cid)
+           WHERE e.vec_id <> p.query_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.ann.Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents, k = 3, probes = 6)
+    },
   )
 }
