@@ -215,5 +215,41 @@ object EventQueries {
       q.awaitTermination()
       s.table(sinkName)
     },
+
+    // Streaming CDC apply under the oracle: the q87 argmax-agg as a
+    // foreachBatch merge (EventPipeline.cdcApply). Events are staged
+    // into 4 files and drained one file per micro-batch, so the
+    // cross-batch merge path genuinely runs; the merge is an
+    // associative max, so the final state equals the batch result
+    // regardless of batch boundaries — which is exactly what the shared
+    // q87 oracle asserts.
+    QueryDef("q97_stream_cdc_apply", Seq("A2", "W6"),
+      """WITH ops AS (
+           SELECT event_id % 300 AS entity,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+           FROM events),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY entity ORDER BY sec DESC, event_id DESC) AS rn
+           FROM ops)
+         SELECT CAST(entity AS BIGINT) AS entity, sec AS last_sec,
+           round(value, 4) AS last_value
+         FROM ranked WHERE rn = 1 AND op <> 'D'""") { (s0, d) =>
+      val schema = Tables.events(s0, d).schema // also sets nanosAsLong
+      val s = streamSession(s0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+      Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      val ops = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value"))
+      graft.streaming.EventPipeline.cdcApply(ops, s"$tmp/state").awaitTermination()
+      graft.streaming.EventPipeline.cdcState(s, s"$tmp/state")
+        .filter(col("m.op") =!= "D")
+        .select(col("entity"), col("m.sec").as("last_sec"),
+          round(col("m.value"), 4).as("last_value"))
+    },
   )
 }

@@ -47,6 +47,46 @@ object EventPipeline {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming CDC apply via foreachBatch — the streaming twin of the
+    * q87 batch argmax-agg. Each micro-batch reduces to one candidate row
+    * per entity (partial-agg `max(struct(sec, event_id, op, value))` —
+    * no window sort), then merges with the previous state version by the
+    * same max. The merge is associative and commutative, so the final
+    * table is independent of batch boundaries and arrival order.
+    *
+    * State is versioned parquet (`v0`, `v1`, …): batch N rewrites vN
+    * from v(N-1) + delta, so a retried batch is idempotent. This is the
+    * engine-agnostic MERGE pattern; on a lakehouse table the body
+    * becomes a single MERGE INTO. State volume = live entities (keys),
+    * never stream history, and each batch's shuffle carries one
+    * pre-reduced row per (entity × input partition).
+    *
+    * `ops` contract: (entity, sec: long, event_id: long, op: 'U'|'D',
+    * value: double) where (sec, event_id) totally orders ops. */
+  def cdcApply(ops: DataFrame, stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ops.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val delta = batch.groupBy("entity")
+          .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
+        val prev = s"$stateDir/v${id - 1}"
+        val merged =
+          if (id == 0L || !new java.io.File(prev).exists()) delta
+          else s.read.parquet(prev).union(delta)
+            .groupBy("entity").agg(max(col("m")).as("m"))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Latest CDC state version written by [[cdcApply]]. */
+  def cdcState(s: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val latest = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+    s.read.parquet(s"$stateDir/v$latest")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, value: Double)
