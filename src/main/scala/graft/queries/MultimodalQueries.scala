@@ -69,5 +69,37 @@ object MultimodalQueries {
          FROM offs""") { (s, d) =>
       MediaColumns.sampleFrames(mediaFrame(s, d), 64)
     },
+
+    // Perceptual near-duplicate media: dHash over the decoded feature
+    // vector (bit i = features[i] > features[i+1] — with a real decoder
+    // these are downsampled pixel intensities; the stub's md5 features
+    // keep it oracle-reproducible), then the same 4×15-bit banded
+    // Hamming join as text simhash — pigeonhole-exact at threshold 3,
+    // never an all-pairs scan. The feature→order mapping is monotone
+    // ((b-128)/128f is exact in float32), so byte comparisons in SQL
+    // reproduce the float comparisons bit-for-bit.
+    QueryDef("q98_media_neardup", Seq("S14", "A10"),
+      """WITH media AS (
+           SELECT doc_id AS media_id, text FROM documents WHERE coalesce(strlen(text), 0) > 0),
+         bytes AS (
+           SELECT media_id, [('0x' || substring(md5(text), 2*j+1, 2))::BIGINT FOR j IN generate_series(0, 15)] AS bs
+           FROM media),
+         sig AS (
+           SELECT media_id, CAST(list_sum([CASE WHEN bs[(i%16)+1] > bs[((i+1)%16)+1] THEN 1::BIGINT << i ELSE 0::BIGINT END FOR i IN generate_series(0, 59)]) AS BIGINT) AS dhash
+           FROM bytes)
+         SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""") { (s, d) =>
+      val feats = MediaColumns.extractFeatures(mediaFrame(s, d), 64)
+        .filter(col("features").isNotNull)
+      val dhash = (0 until 60).map { i =>
+        when(element_at(col("features"), i + 1) > element_at(col("features"), i + 2),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      graft.dedup.TextDedup.simHashNearDup(
+        feats.select(col("media_id"), dhash.as("dhash")),
+        "media_id", "dhash", maxHamming = 3)
+    },
   )
 }

@@ -172,6 +172,11 @@ class PlanBudgetSpec extends SparkSpec {
     val substr = q("q31_substring_match").queryExecution.executedPlan.toString
     assert(!substr.contains("CartesianProduct"))
     assert(!substr.contains("BroadcastNestedLoopJoin"))
+    // media near-dup rides the banded (band, chunk) equi-join
+    val media = q("q98_media_neardup").queryExecution.executedPlan.toString
+    assert(!media.contains("CartesianProduct"))
+    // streaming CDC apply is exercised under the oracle (q97); its plan
+    // is a streaming sink, so budget asserts live on the batch twin q87
   }
 
   test("flagship entry: the q94 spine — broadcast-only joins") {
