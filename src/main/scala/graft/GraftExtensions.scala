@@ -59,11 +59,15 @@ object GraftFunctionDefs {
   * programmatic alternative; both inject `GraftFunctionDefs.all`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionDefs.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
           "", "", "", "", "", "", "scala_udf"),
         builder))
     }
+    // Plan rewrites: row_number()<=k window filters → bounded top-k
+    // aggregation (no per-group sort; ≤k rows per group cross the shuffle).
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+  }
 }

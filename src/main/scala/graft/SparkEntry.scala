@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.SourceQueries.defs ++
     graft.queries.MultimodalQueries.defs ++
     graft.queries.PipelineQueries.defs ++
-    graft.queries.EndToEndQueries.defs
+    graft.queries.EndToEndQueries.defs ++
+    graft.queries.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's actual product spine (SURVEY §7.2), end to end:

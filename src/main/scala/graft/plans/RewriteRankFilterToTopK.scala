@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Rewrites `Filter(row_number() <= k)` over a Window into a bounded
+  * top-k aggregation ([[BoundedTopK]]) + posexplode.
+  *
+  * Why: the Window form physically requires a full shuffle-sort of every
+  * partition group — at 100 TB that is sorting the whole table to keep k
+  * rows per key. The aggregate form is O(n log k) per input partition,
+  * partial-aggregates map-side (≤ k rows per group cross the shuffle), and
+  * never sorts the data. Same rows out (row_number's arbitrary tie order is
+  * preserved as "any k of the tied rows", identical to the Window's
+  * nondeterminism under ties).
+  *
+  * Matched shape (the `first row per group` / `argmax` / `top-k per key`
+  * idioms, e.g. `/root/reference/code/04_fts_curated_flows.R:87-88`):
+  *
+  * {{{ Filter(rn <= k [AND residual…], Window([rn := row_number() OVER
+  *     (PARTITION BY p ORDER BY o)], p, o, child)) }}}
+  *
+  * becomes
+  *
+  * {{{ Filter(residual…, Project(child.* , pos+1 AS rn,
+  *     Generate(posexplode(topk), Aggregate(p, bounded_top_k(struct(o…,
+  *     child.*), k), child)))) }}}
+  *
+  * Only `row_number` is rewritten — `rank`/`dense_rank` can emit more than
+  * k rows under ties, which a bounded buffer cannot. Set
+  * `spark.graft.topk.rewrite.enabled=false` to disable, and
+  * `spark.graft.topk.rewrite.maxK` (default 4096) bounds the per-group
+  * heap so a `rn <= 10000000` filter keeps the sort-based plan instead of
+  * a giant heap.
+  */
+object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.topk.rewrite.enabled", "true").toBoolean
+  private def maxK: Int =
+    conf.getConfString("spark.graft.topk.rewrite.maxK", "4096").toInt
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The rn attribute, possibly behind an analyzer-inserted widening cast. */
+  private def isRn(e: Expression, rn: Attribute): Boolean = e match {
+    case a: Attribute => a.exprId == rn.exprId
+    case c: Cast if c.dataType == LongType || c.dataType == IntegerType => isRn(c.child, rn)
+    case _ => false
+  }
+
+  private def intLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
+    case _ => None
+  }
+
+  /** Upper bound on rn implied by one conjunct, plus whether the conjunct
+    * is fully subsumed by the bound (an equality `rn = k` with k > 1 still
+    * needs the residual filter to drop ranks 1..k-1). */
+  private def rnBound(e: Expression, rn: Attribute): Option[(Int, Boolean)] = e match {
+    case LessThanOrEqual(l, r) if isRn(l, rn) => intLit(r).map(k => (k, true))
+    case LessThan(l, r) if isRn(l, rn) => intLit(r).map(k => (k - 1, true))
+    case GreaterThanOrEqual(l, r) if isRn(r, rn) => intLit(l).map(k => (k, true))
+    case GreaterThan(l, r) if isRn(r, rn) => intLit(l).map(k => (k - 1, true))
+    case EqualTo(l, r) if isRn(l, rn) => intLit(r).map(k => (k, k == 1))
+    case EqualTo(l, r) if isRn(r, rn) => intLit(l).map(k => (k, k == 1))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case f @ Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+            partSpec, orderSpec, child, _))
+          if cond.deterministic && orderSpec.nonEmpty &&
+            orderSpec.forall(so => so.child.deterministic && RowOrdering.isOrderable(so.child.dataType)) &&
+            partSpec.forall(_.deterministic) =>
+        val rn = alias.toAttribute
+        val conjuncts = splitConjuncts(cond)
+        val bounds = conjuncts.map(c => c -> rnBound(c, rn))
+        val best = bounds.collect { case (c, Some((k, subsumed))) => (c, k, subsumed) }
+          .sortBy(_._2).headOption
+        best match {
+          case Some((boundConjunct, k, subsumed)) if k >= 1 && k <= maxK =>
+            val residual = conjuncts.filterNot(_ eq boundConjunct) ++
+              (if (subsumed) Nil else Seq(boundConjunct))
+            val sortKeys = orderSpec.map(_.child)
+            val s = sortKeys.length
+            val structExpr = CreateStruct(sortKeys ++ child.output)
+            val dirs = orderSpec.map(so =>
+              (so.direction == Ascending, so.nullOrdering == NullsFirst))
+            val topkAlias = Alias(
+              BoundedTopK(structExpr, k, dirs).toAggregateExpression(), "__topk")()
+            val agg = Aggregate(partSpec, Seq(topkAlias), child, None)
+            val structType = structExpr.dataType
+            val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
+            val colAttr = AttributeReference("col", structType, nullable = false)()
+            val gen = Generate(PosExplode(topkAlias.toAttribute),
+              unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+              generatorOutput = Seq(posAttr, colAttr), agg)
+            // rebuild the Window's output under the ORIGINAL exprIds so
+            // every parent operator resolves unchanged
+            val payload = child.output.zipWithIndex.map { case (a, i) =>
+              Alias(GetStructField(colAttr, s + i, Some(a.name)), a.name)(
+                exprId = a.exprId, qualifier = a.qualifier)
+            }
+            val rnExpr = Alias(Add(posAttr, Literal(1)), alias.name)(
+              exprId = alias.exprId, qualifier = alias.qualifier)
+            val project = org.apache.spark.sql.catalyst.plans.logical.Project(
+              payload :+ rnExpr, gen)
+            if (residual.isEmpty) project
+            else Filter(residual.reduce(And), project)
+          case _ => f
+        }
+    }
+  }
+}

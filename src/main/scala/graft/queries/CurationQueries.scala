@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-curation battery: the within-document scrubbing,
+  * context-window cutting, mixture balancing and shard layout steps that
+  * sit between dedup/filtering and the training-data writer.
+  *
+  * Scale discipline: q99/q100 are per-document generators plus one
+  * grouped aggregation (no window sort); q101 is rate-based hash
+  * sampling — a stateless filter against a broadcast per-language rate,
+  * the only mixture form that needs no per-group ordering at 100 TB;
+  * q102's within-shard sort is the deliberate exception because ordered
+  * shard files ARE its output contract (8 balanced md5 shards ≈ ordered
+  * writer tasks).
+  */
+object CurationQueries {
+
+  private val wsToks =
+    """string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+
+  /** doc_id + whitespace-token array for non-empty documents (Spark side
+    * of the oracle's `tok` CTE). */
+  private def tok(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("toks"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Within-document repetition scrub (the per-doc twin of q84's
+    // cross-corpus span dedup): cut each doc into 2-token chunks, keep
+    // each chunk's FIRST occurrence inside the doc, reassemble in
+    // original order. Sort-free: first occurrence via groupBy-min (not
+    // a window), reassembly via array_sort over (first_idx, chunk) —
+    // per-doc data only, so no stage ever sorts a partition.
+    QueryDef("q99_repetition_scrub", Seq("A10", "U6"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+          chunks AS (
+            SELECT doc_id, c AS chunk_idx,
+              array_to_string(toks[(c*2+1):(c*2+2)], ' ') AS chunk_text
+            FROM tok, LATERAL (SELECT unnest(generate_series(0, (len(toks)-1)//2)) AS c)),
+          kept AS (
+            SELECT doc_id, chunk_text, min(chunk_idx) AS first_idx, count(*) AS occ
+            FROM chunks GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_chunks, count(*) AS n_kept,
+            md5(string_agg(chunk_text, ' ' ORDER BY first_idx)) AS clean_hash
+          FROM kept GROUP BY doc_id""") { (s, d) =>
+      tok(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(toks)-1) div 2)," +
+            " c -> concat_ws(' ', slice(toks, c*2+1, 2)))")))
+        .groupBy(col("doc_id"), col("col").as("chunk_text"))
+        .agg(min("pos").as("first_idx"), count(lit(1)).as("occ"))
+        .groupBy("doc_id")
+        .agg(sum("occ").as("n_chunks"), count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(first_idx, chunk_text)))," +
+              " x -> x.chunk_text)"))).as("clean_hash"))
+    },
+
+    // Training context windows: overlapping 32-token windows at stride
+    // 16 per document (the chunking step feeding a tokenizer/packer).
+    // Pure per-row generator — transform(sequence) + posexplode, zero
+    // shuffles; window payload is hashed so row width stays constant.
+    QueryDef("q100_token_windows", Seq("U6", "A11"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+          wins AS (
+            SELECT doc_id, CAST(w AS BIGINT) AS win_idx, CAST(w*16 AS BIGINT) AS start_tok,
+              CAST(least(w*16+32, len(toks)) - w*16 AS BIGINT) AS win_len,
+              md5(array_to_string(toks[(w*16+1):least(w*16+32, len(toks))], ' ')) AS win_hash
+            FROM tok, LATERAL (SELECT unnest(generate_series(0, (len(toks)-1)//16)) AS w))
+          SELECT doc_id, win_idx, start_tok, win_len, win_hash FROM wins""") { (s, d) =>
+      tok(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(toks)-1) div 16)," +
+            " w -> struct(CAST(w*16 AS BIGINT) AS start_tok," +
+            "   CAST(least(w*16+32, size(toks)) - w*16 AS BIGINT) AS win_len," +
+            "   md5(concat_ws(' ', slice(toks, w*16+1, least(32, size(toks)-w*16)))) AS win_hash))")))
+        .select(col("doc_id"), col("pos").cast("long").as("win_idx"),
+          col("col.start_tok"), col("col.win_len"), col("col.win_hash"))
+    },
+
+    // Temperature-balanced mixture sampling: per-language acceptance
+    // rate ∝ n^(α-1) (α=0.5 flattens the en-heavy skew), selection by
+    // md5(doc_id) hash threshold. Deterministic, stateless, and — unlike
+    // fixed-count top-k per group (q92) — needs no per-group ordering:
+    // the rate table broadcasts and the corpus is filtered in place.
+    QueryDef("q101_temperature_mix", Seq("F5", "A11"),
+      """WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         wt AS (SELECT lang, n, pow(n, -0.5) AS boost FROM stats),
+         rate AS (SELECT lang, least(1.0, 0.5 * boost / (SELECT min(boost) FROM wt)) AS p FROM wt)
+         SELECT d.doc_id, d.lang FROM documents d JOIN rate r USING (lang)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INT) / 16777216.0 < r.p""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("boost", pow(col("n"), -0.5))
+      val rate = wt
+        .crossJoin(broadcast(wt.agg(min(col("boost")).as("min_boost"))))
+        .select(col("lang"),
+          least(lit(1.0), lit(0.5) * col("boost") / col("min_boost")).as("p"))
+      docs.join(broadcast(rate), "lang")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") / lit(16777216.0) < col("p"))
+        .select("doc_id", "lang")
+    },
+
+    // Deterministic shard layout: md5-bucket every document into 8
+    // shards and order within each shard by hash — the "global shuffle"
+    // a training run wants, without any global sort: shards are
+    // independent, balanced by construction, and each one sorts only
+    // its own rows (= one ordered writer task per shard).
+    QueryDef("q102_shard_assign", Seq("W8", "F5"),
+      """WITH hashed AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || substr(h, 1, 1)) AS INT) % 8 AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(h, 1, 1)) AS INT) % 8
+             ORDER BY h) AS BIGINT) AS pos
+         FROM hashed""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % 8))
+      hashed
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("shard").orderBy("h")).cast("long"))
+        .select("doc_id", "shard", "pos")
+    }
+  )
+}

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** RewriteRankFilterToTopK: result-identity vs the sort-based Window plan
+  * (rule toggled off), plus plan-shape assertions that the Window is gone. */
+class TopKRewriteSpec extends SparkSpec {
+
+  private def hasWindow(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+
+  private def hasTopK(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("bounded_top_k")
+
+  /** Runs `build` with the rewrite on and off; both must agree. */
+  private def check(build: => DataFrame, expectRewrite: Boolean = true): Unit = {
+    val rewritten = build
+    if (expectRewrite) {
+      assert(!hasWindow(rewritten), s"Window survived:\n${rewritten.queryExecution.optimizedPlan}")
+      assert(hasTopK(rewritten), s"no bounded_top_k in:\n${rewritten.queryExecution.optimizedPlan}")
+    } else {
+      assert(hasWindow(rewritten) && !hasTopK(rewritten),
+        s"unexpected rewrite:\n${rewritten.queryExecution.optimizedPlan}")
+    }
+    spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
+    try {
+      val baseline = build
+      assert(hasWindow(baseline), "toggle failed: baseline plan was rewritten")
+      val a = rewritten.collect().map(_.toString).sorted.toSeq
+      val b = baseline.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"rewritten != baseline\nrewritten: $a\nbaseline: $b")
+    } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
+  }
+
+  private lazy val cust = spark.read.parquet(s"$sf/customer.parquet")
+    .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  test("k=1 argmax per key (q07 shape)") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn"))
+  }
+
+  test("k=3 ascending with tie-break, rn kept in output") {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
+  }
+
+  test("global top-k (empty partition spec)") {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w)).filter(col("rn") < 6))
+  }
+
+  test("residual conjunct is preserved") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4 && col("c_acctbal") > 0))
+  }
+
+  test("rn = k (k > 1) keeps only rank k via residual") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w)).filter(col("rn") === 2))
+  }
+
+  test("null sort keys follow the window's null ordering") {
+    val df = cust.withColumn("maybe",
+      when(col("c_custkey") % 3 === 0, col("c_acctbal")))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("maybe").desc_nulls_last, col("c_custkey"))
+    check(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2))
+  }
+
+  test("rank() is NOT rewritten (ties can exceed k)") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_mktsegment"))
+    check(cust.withColumn("rn", rank().over(w)).filter(col("rn") <= 2),
+      expectRewrite = false)
+  }
+
+  test("k beyond maxK keeps the sort-based plan") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1000000), expectRewrite = false)
+  }
+
+  test("downstream aggregation over the rewritten output resolves") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("c_nationkey")
+      .agg(round(sum("c_acctbal"), 4).as("top5_bal"), max("rn").as("max_rn")))
+  }
+}
