@@ -33,8 +33,13 @@ object Bench {
         try fn(spark, wd).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      // settle GC debt from the previous query OUTSIDE the timer so each
-      // measurement charges its own allocations, not its predecessor's
+      // settle block-manager + GC debt from the previous query OUTSIDE
+      // the timer: queries that pin frames (localCheckpoint) leave RDD
+      // blocks behind, and 100+ queries of leftovers in one session
+      // thrash the old gen — q85 measured 66 s in-bench vs 4 s alone
+      // before this cleanup charged each query only its own state.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column — count() would let

@@ -61,6 +61,44 @@ object Unnest {
     df.drop(arrayCol).join(renamed, Seq(idCol), "left")
   }
 
+  /** Array-native "group-same" unnest: same semantics as
+    * [[unnestGroupSame]] when the nested objects already live in ONE
+    * `array<struct>` column per row — each output cell is
+    * `concat_ws("; ", transform(filter(arr, type=t), _.f))`, i.e. a pure
+    * per-row projection.
+    *
+    * Prefer this form whenever the data arrives nested (the
+    * sourceObjects/destinationObjects JSON shape): the explode → groupBy
+    * → pivot → self-join of the generic path re-shuffles and re-joins
+    * data that never needed to leave its row. At 100 TB this is the
+    * difference between a map-only pass and two exchanges plus a join.
+    * Element order inside each cell = array order (the reference's JSON
+    * order, SURVEY A1) — pre-sort the array if a different order is
+    * required. Fields must be string-typed (as in the reference, where
+    * unnest runs before type inference).
+    *
+    * An absent (row, type) group yields NULL (not ""), matching the
+    * pivot path; a present group whose field values are all NULL yields
+    * "" — concat_ws skips NULLs — also matching.
+    */
+  def unnestGroupSameArray(
+      df: DataFrame,
+      arrayCol: String,
+      typeField: String,
+      fields: Seq[String],
+      types: Seq[String]): DataFrame = {
+    val wide = types.flatMap { t =>
+      val matches = filter(col(arrayCol), x => x.getField(typeField) === lit(t))
+      fields.map { f =>
+        when(size(matches) > 0,
+          concat_ws("; ", transform(matches, x => x.getField(f))))
+          .as(s"${arrayCol}_$t.$f")
+      }
+    }
+    val keep = df.columns.filterNot(_ == arrayCol).map(c => col(s"`$c`"))
+    df.select(keep ++ wide: _*)
+  }
+
   /** The reference's post-unnest cleanup (code/01_fts_get_flows.R:66-71):
     * drop columns that are entirely NA after the types×fields grid is
     * emitted (a type that never occurs leaves an all-null column).

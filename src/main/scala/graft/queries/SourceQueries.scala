@@ -285,12 +285,12 @@ object SourceQueries {
             col("l_linestatus").as("name"), col("l_partkey").cast("string").as("ref")))),
           x => struct(x.getField("type").as("type"),
             x.getField("name").as("name"), x.getField("ref").as("ref"))).as("objs"))
-        // Pin: unnestGroupSame joins the frame back to itself; without a
-        // checkpoint the rollup aggregate executes once per plan branch
-        // (the union/self-join inlining trap).
-        .localCheckpoint()
+      // Array-native group-same: the nested objects are already one
+      // array<struct> per row, so the unnest is a pure projection — no
+      // explode/pivot/self-join (which needed a localCheckpoint pin and
+      // re-shuffled row-local data; 79→~2 s at sf0.1).
       Unnest.dropAllNaColumns(
-        Unnest.unnestGroupSame(nested, "id", "objs", "type",
+        Unnest.unnestGroupSameArray(nested, "objs", "type",
           Seq("name", "ref"), Seq("A", "N", "R", "X")))
     },
   )

@@ -179,6 +179,31 @@ class PlanBudgetSpec extends SparkSpec {
     // is a streaming sink, so budget asserts live on the batch twin q87
   }
 
+  test("round-5 curation queries stay inside the budget") {
+    // within-doc scrub: chunk agg + per-doc reassembly agg, nothing else
+    assert(shuffles(q("q99_repetition_scrub")) == 2)
+    // stride windows are a pure generator: zero shuffles
+    assert(shuffles(q("q100_token_windows")) == 0)
+    // mixture sampling: the corpus is filtered in place against broadcast
+    // rates — its only exchanges build the tiny per-lang rate table
+    val mix = q("q101_temperature_mix")
+    assert(broadcasts(mix) >= 2)
+    assert(shuffles(mix) <= 3)
+    assert(!mix.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // shard layout: one exchange on the shard key (the within-shard sort
+    // IS the output contract — ordered writer tasks)
+    assert(shuffles(q("q102_shard_assign")) == 1)
+  }
+
+  test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
+    for (name <- Seq("q18_argmax_per_group", "q92_fixed_k_sample")) {
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(plan.contains("bounded_top_k"), s"$name kept the window plan:\n$plan")
+      assert(!plan.contains("WindowExec"), s"$name still sorts a window:\n$plan")
+      assert(shuffles(q(name)) == 1, s"$name budget: one keyed exchange")
+    }
+  }
+
   test("flagship entry: the q94 spine — broadcast-only joins") {
     val e = SparkEntry.entry(spark)
     assert(broadcasts(e) >= 6)

@@ -44,6 +44,21 @@ class UnnestSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("unnestGroupSameArray matches the explode/pivot path cell-for-cell") {
+    val types = Seq("Location", "Organization", "Cluster")
+    val generic = Unnest.unnestGroupSame(
+      flows, "id", "destinationObjects", "type", Seq("name"), types)
+    val arrayNative = Unnest.unnestGroupSameArray(
+      flows, "destinationObjects", "type", Seq("name"), types)
+    assert(generic.columns.sorted.toSeq == arrayNative.columns.sorted.toSeq)
+    val cols = generic.columns.sorted.map(c => col(s"`$c`"))
+    val a = generic.select(cols: _*).collect().map(_.toString).sorted.toSeq
+    val b = arrayNative.select(cols: _*).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // and it is a pure projection: no exchange in the plan
+    assert(!arrayNative.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("element order within the concat follows array order, not value order") {
     val df = Seq((1L, Seq(("Location", "Zz"), ("Location", "Aa")))).toDF("id", "objs")
       .withColumn("destinationObjects",
