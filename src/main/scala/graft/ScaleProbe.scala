@@ -17,6 +17,12 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // BoundedTopK state is ~k rows per group, so the object-hash
+      // aggregate can hold far more groups than the 128-group default
+      // before its sort-based fallback (which would reintroduce the very
+      // sort RewriteRankFilterToTopK removes)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -51,6 +57,42 @@ object ScaleProbe {
         TextDedup.simHashN(col("text"), 60).as("simhash"))
       val pairs = TextDedup.simHashNearDup(sig, "id", "simhash", 3)
       graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b").count()
+    }
+
+    // top-k-per-key at scale: the same row_number()<=k query through the
+    // sort-based Window plan (rewrite off) vs the BoundedTopK aggregate
+    // (rewrite on) — the 100 TB argument for RewriteRankFilterToTopK,
+    // measured. ~nDocs rows, nDocs/200 groups, k=5.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val rows = spark.range(nDocs.toLong * 25)
+        .withColumn("grp", col("id") % (nDocs / 200))
+        .withColumn("score",
+          conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"))
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      def top5 = rows.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+      // the cluster-scale difference is WHAT CROSSES THE EXCHANGE: the
+      // window form shuffles every row to sort it; the aggregate form
+      // ships ≤k rows per (group × map partition). Count both.
+      val shuffled = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffled.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+      def measured(name: String)(f: => Long): Unit = {
+        shuffled.set(0L)
+        val t0 = System.nanoTime()
+        val r = f
+        Thread.sleep(500) // let the async listener bus drain stage events
+        println(s"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9},""" +
+          s""""shuffle_mb":${shuffled.get() / 1048576.0},"result":"$r"}""")
+      }
+      spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
+      measured("topk_window_sort")(top5.count())
+      spark.conf.set("spark.graft.topk.rewrite.enabled", "true")
+      measured("topk_bounded_agg")(top5.count())
     }
 
     val vecs = spark.range(nVecs)

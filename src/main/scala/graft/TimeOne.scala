@@ -20,6 +20,11 @@ object TimeOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // BoundedTopK state is ~k rows per group, so the object-hash
+      // aggregate can hold far more groups than the 128-group default
+      // before its sort-based fallback (which would reintroduce the very
+      // sort RewriteRankFilterToTopK removes)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
     confs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // BoundedTopK state is ~k rows per group, so the object-hash
+      // aggregate can hold far more groups than the 128-group default
+      // before its sort-based fallback (which would reintroduce the very
+      // sort RewriteRankFilterToTopK removes)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,17 +3,17 @@ package graft.plans
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, BoundReference, Descending, Expression, InterpretedOrdering, NullsFirst, NullsLast, SortDirection, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, InterpretedOrdering, NullsFirst, NullsLast, SortDirection, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** Bounded per-group top-k as a [[TypedImperativeAggregate]].
   *
-  * Input is a struct of `(sortKey_0 … sortKey_{s-1}, payload…)`; the buffer
-  * keeps at most `k` rows, ordered by the first `s` struct fields under the
-  * given sort directions. `eval` emits the surviving rows best-first as an
-  * `array<struct>`.
+  * `child` is a struct of the retained row (payload, plus any computed
+  * sort keys as leading fields); the buffer keeps at most `k` rows,
+  * ordered by the `sortOrdinals` fields under the given directions.
+  * `eval` emits the survivors best-first as an `array<struct>`.
   *
   * This is the aggregation form of `filter(row_number() over w <= k)`: a
   * Window must sort every group in full — at 100 TB that is a total
@@ -22,35 +22,82 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * the wire). [[RewriteRankFilterToTopK]] rewrites eligible Window plans
   * onto it automatically.
   *
+  * Hot-path design: once the heap is full, the overwhelmingly common case
+  * is rejection, so `update` first evaluates only the bare sort-key
+  * expressions (`keyExprs`, bound to the input row) and compares them
+  * against the current worst row through per-key monomorphic orderings —
+  * no struct is built and nothing is copied unless the row is accepted.
+  * Sort keys that are plain payload columns are addressed by ordinal
+  * rather than duplicated into extra struct fields, so the serialized
+  * partial buffers stay as narrow as the input rows.
+  *
   * Reference anchor: the curated-flow "first row per group" and top-k
   * idioms (`/root/reference/code/04_fts_curated_flows.R:87-88`,
   * `code/10_global_cva_analysis.R:305-324`) — same semantics, bounded
   * memory.
   *
-  * @param directions per sort field: (ascending?, nullsFirst?) matching the
-  *                   window's `SortOrder`s.
+  * @param keyExprs     the window's sort-key expressions over the input
+  *                     row, 1:1 with `sortOrdinals`.
+  * @param sortOrdinals struct-field ordinal of each sort key.
+  * @param directions   per sort key: (ascending?, nullsFirst?) matching
+  *                     the window's `SortOrder`s.
   */
 case class BoundedTopK(
     child: Expression,
+    keyExprs: Seq[Expression],
     k: Int,
+    sortOrdinals: Seq[Int],
     directions: Seq[(Boolean, Boolean)],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
 
   require(k >= 1, s"k must be >= 1, got $k")
+  require(sortOrdinals.length == directions.length)
+  require(keyExprs.length == directions.length)
 
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
-  /** Best-first ordering over the leading sort-key fields. */
+  /** Best-first ordering over the sort-key fields (heap + merge path). */
   @transient private lazy val ordering: Ordering[InternalRow] = {
-    val sortOrders = directions.zipWithIndex.map { case ((asc, nullsFirst), i) =>
+    val sortOrders = directions.zip(sortOrdinals).map { case ((asc, nullsFirst), i) =>
       val field = structType(i)
       val dir: SortDirection = if (asc) Ascending else Descending
       val nulls = if (nullsFirst) NullsFirst else NullsLast
       SortOrder(BoundReference(i, field.dataType, field.nullable), dir, nulls, Seq.empty)
     }
     new InterpretedOrdering(sortOrders)
+  }
+
+  /** Per-key value orderings, resolved once (reject fast path). */
+  @transient private lazy val keyOrderings: Array[Ordering[Any]] =
+    sortOrdinals.map(i => TypeUtils.getInterpretedOrdering(structType(i).dataType)).toArray
+  @transient private lazy val keyArr: Array[Expression] = keyExprs.toArray
+  @transient private lazy val ordArr: Array[Int] = sortOrdinals.toArray
+  @transient private lazy val dirArr: Array[(Boolean, Boolean)] = directions.toArray
+
+  /** Does the input row sort strictly before the buffer's worst row?
+    * Mirrors [[InterpretedOrdering]]: null ordering is direction-
+    * independent; non-null comparisons flip under Descending. */
+  private def inputBeatsWorst(input: InternalRow, worst: InternalRow): Boolean = {
+    var i = 0
+    while (i < keyArr.length) {
+      val a = keyArr(i).eval(input)
+      val field = structType(ordArr(i))
+      val b = if (worst.isNullAt(ordArr(i))) null else worst.get(ordArr(i), field.dataType)
+      val (asc, nullsFirst) = dirArr(i)
+      val c =
+        if (a == null && b == null) 0
+        else if (a == null) { if (nullsFirst) -1 else 1 }
+        else if (b == null) { if (nullsFirst) 1 else -1 }
+        else {
+          val raw = keyOrderings(i).compare(a, b)
+          if (asc) raw else -raw
+        }
+      if (c != 0) return c < 0
+      i += 1
+    }
+    false // ties keep the incumbent — row_number's arbitrary tie order
   }
 
   /** Deep-copies a struct value out of whatever reused buffer produced it
@@ -67,12 +114,11 @@ case class BoundedTopK(
       buf: java.util.PriorityQueue[InternalRow],
       input: InternalRow): java.util.PriorityQueue[InternalRow] = {
     // row_number() counts every row, including all-null sort keys
-    val v = child.eval(input).asInstanceOf[InternalRow]
     if (buf.size < k) {
-      buf.add(toUnsafe(v).copy())
-    } else if (ordering.lt(v, buf.peek())) {
+      buf.add(toUnsafe(child.eval(input).asInstanceOf[InternalRow]).copy())
+    } else if (inputBeatsWorst(input, buf.peek())) {
       buf.poll()
-      buf.add(toUnsafe(v).copy())
+      buf.add(toUnsafe(child.eval(input).asInstanceOf[InternalRow]).copy())
     }
     buf
   }
@@ -131,9 +177,9 @@ case class BoundedTopK(
 
   override def dataType: DataType = ArrayType(structType, containsNull = false)
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: keyExprs
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head, keyExprs = newChildren.tail)
   override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =

@@ -91,13 +91,26 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
           case Some((boundConjunct, k, subsumed)) if k >= 1 && k <= maxK =>
             val residual = conjuncts.filterNot(_ eq boundConjunct) ++
               (if (subsumed) Nil else Seq(boundConjunct))
-            val sortKeys = orderSpec.map(_.child)
-            val s = sortKeys.length
-            val structExpr = CreateStruct(sortKeys ++ child.output)
+            // Sort keys that are plain payload attributes are addressed
+            // by ordinal; only computed keys (e.g. `lower(name)`) become
+            // extra leading struct fields — the serialized partial
+            // buffers stay as narrow as the input rows.
+            val attrIndex = child.output.zipWithIndex
+              .map { case (a, i) => a.exprId -> i }.toMap
+            val extras = scala.collection.mutable.ArrayBuffer.empty[Expression]
+            val sortOrdinals = orderSpec.map(_.child match {
+              case a: Attribute if attrIndex.contains(a.exprId) => attrIndex(a.exprId)
+              case e => extras += e; -extras.length // placeholder, fixed below
+            })
+            val s = extras.length
+            val fixedOrdinals = sortOrdinals.map(i => if (i < 0) -i - 1 else i + s)
+            val structExpr = CreateStruct(extras.toSeq ++ child.output)
             val dirs = orderSpec.map(so =>
               (so.direction == Ascending, so.nullOrdering == NullsFirst))
             val topkAlias = Alias(
-              BoundedTopK(structExpr, k, dirs).toAggregateExpression(), "__topk")()
+              BoundedTopK(structExpr, orderSpec.map(_.child), k, fixedOrdinals, dirs)
+                .toAggregateExpression(),
+              "__topk")()
             val agg = Aggregate(partSpec, Seq(topkAlias), child, None)
             val structType = structExpr.dataType
             val posAttr = AttributeReference("pos", IntegerType, nullable = false)()

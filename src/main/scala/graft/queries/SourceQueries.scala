@@ -276,15 +276,17 @@ object SourceQueries {
       // Array order = (l_linenumber, l_partkey, l_suppkey): l_linenumber
       // alone is NOT unique per order in the bench data (verify-skill
       // gotcha), so the full tiebreak keeps the concat deterministic.
+      // Leading (k1,k2,k3) fields make array_sort order = the oracle's
+      // ORDER BY; they simply ride along un-read afterwards — cheaper
+      // than a second transform() pass re-packing 600k structs just to
+      // drop them.
       val nested = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey").as("id"))
-        .agg(transform(
-          array_sort(collect_list(struct(
-            col("l_linenumber").as("k1"), col("l_partkey").as("k2"),
-            col("l_suppkey").as("k3"), col("l_returnflag").as("type"),
-            col("l_linestatus").as("name"), col("l_partkey").cast("string").as("ref")))),
-          x => struct(x.getField("type").as("type"),
-            x.getField("name").as("name"), x.getField("ref").as("ref"))).as("objs"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").as("k1"), col("l_partkey").as("k2"),
+          col("l_suppkey").as("k3"), col("l_returnflag").as("type"),
+          col("l_linestatus").as("name"), col("l_partkey").cast("string").as("ref"))))
+          .as("objs"))
       // Array-native group-same: the nested objects are already one
       // array<struct> per row, so the unnest is a pure projection — no
       // explode/pivot/self-join (which needed a localCheckpoint pin and

@@ -80,6 +80,12 @@ class TopKRewriteSpec extends SparkSpec {
     check(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2))
   }
 
+  test("computed (non-attribute) sort keys become extra struct fields") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy((col("c_acctbal") * -1).asc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2))
+  }
+
   test("rank() is NOT rewritten (ties can exceed k)") {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_mktsegment"))
