@@ -204,6 +204,18 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  test("ANN per-query top-k plans as bounded top-k, not a window sort") {
+    // Knn's three search paths share the row_number()<=k idiom; the
+    // rewrite must fire on all of them — at 100 TB the candidate set is
+    // Q·N rows and a full window sort of it is the dominant cost.
+    for (name <- Seq("q37_ann_bruteforce", "q38_ann_lsh", "q53_ann_ivf",
+        "q96_ann_ivf_trained")) {
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(plan.contains("bounded_top_k"), s"$name kept the window plan:\n$plan")
+      assert(!plan.contains("WindowExec"), s"$name still sorts a window:\n$plan")
+    }
+  }
+
   test("flagship entry: the q94 spine — broadcast-only joins") {
     val e = SparkEntry.entry(spark)
     assert(broadcasts(e) >= 6)

@@ -100,6 +100,39 @@ class TopKRewriteSpec extends SparkSpec {
       .filter(col("rn") <= 1000000), expectRewrite = false)
   }
 
+  test("seeded randomized trials: rewritten == window plan on null-heavy data") {
+    // Deterministic fuzz over the rewrite's whole parameter space: random
+    // group cardinality (incl. groups smaller than k), nullable sort keys,
+    // random k / directions / null orderings / computed-key mix. Any
+    // divergence from the sort-based Window plan fails with the trial seed.
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed)
+    for (trial <- 1 to 8) {
+      val n = 200 + rnd.nextInt(400)
+      val rows = Seq.tabulate(n) { i =>
+        val key = rnd.nextInt(1 + rnd.nextInt(30))
+        val d = if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(50).toDouble / 4)
+        val s = if (rnd.nextInt(5) == 0) None else Some(("w" + rnd.nextInt(20)))
+        (key, d, s, i.toLong)
+      }
+      val df = rows.toDF("grp", "score", "word", "uid")
+      val k = 1 + rnd.nextInt(6)
+      // leading keys collide freely (small domains, computed-key mix);
+      // the final unique uid makes the total order — and thus the
+      // expected result — deterministic under ties
+      val leading = Seq(
+        Some(if (rnd.nextBoolean()) col("score").asc_nulls_first else col("score").desc_nulls_last),
+        if (rnd.nextBoolean()) Some(if (rnd.nextBoolean()) col("word").desc_nulls_first
+          else col("word").asc_nulls_last) else None,
+        if (rnd.nextBoolean()) Some((col("uid") % 7).asc) else None).flatten
+      val ord = leading :+ (if (rnd.nextBoolean()) col("uid").asc else col("uid").desc)
+      val w = Window.partitionBy("grp").orderBy(ord: _*)
+      withClue(s"trial $trial (k=$k): ") {
+        check(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+      }
+    }
+  }
+
   test("downstream aggregation over the rewritten output resolves") {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
