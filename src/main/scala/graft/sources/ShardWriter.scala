@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-shard writer: materializes a corpus as `shards` parquet
+  * shard directories, each holding ONE file whose rows are ordered by a
+  * deterministic document hash — the on-disk twin of q102's shard
+  * layout (the "global shuffle" a training run wants, without a global
+  * sort; reference anchor: the curated-master staging write,
+  * `/root/reference/code/05_fts_curated_master.R:118-125`, which
+  * persists an ordered analysis-ready table for every downstream step).
+  *
+  * Scale shape: one exchange on the shard id, then each task sorts only
+  * the shards it holds and streams each to a single file (`partitionBy`
+  * over task-local data ⇒ one file per shard, no small-file explosion).
+  * Shards are equal-sized by construction — the md5 prefix is uniform —
+  * so the worst task carries a small constant number of shards (hash
+  * collision of shard ids over tasks), never a skewed one; a reader can
+  * consume shard `i` of `n` without listing the others.
+  */
+object ShardWriter {
+
+  /** md5-derived shard id + within-shard sort key for `idCol`. */
+  def shardKeys(idCol: Column, shards: Int): (Column, Column) = {
+    val h = md5(idCol.cast("string"))
+    (conv(substring(h, 1, 6), 16, 10).cast("long") % shards, h)
+  }
+
+  /** Writes `df` under `path` as `shard=<i>/` parquet directories, one
+    * ordered file each. Returns the per-shard row counts (read back from
+    * the written files — what a manifest would record). */
+  def writeShards(df: DataFrame, path: String, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val (shard, h) = shardKeys(col(idCol), shards)
+    df.withColumn("__shard", shard)
+      .withColumn("__h", h)
+      // the exchange: every row of shard i lands in exactly one task
+      .repartition(shards, col("__shard"))
+      .sortWithinPartitions("__shard", "__h")
+      .write
+      .mode("overwrite")
+      .partitionBy("__shard")
+      .parquet(path)
+    val out = df.sparkSession.read.parquet(path)
+    out.groupBy(col("__shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+}

@@ -133,6 +133,25 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("sort-based aggregation fallback (tiny threshold) agrees with the hash path") {
+    // A conservative cluster config (or >threshold groups per task) sends
+    // ObjectHashAggregate down its sort-based fallback, which drives the
+    // buffer through serialize/deserialize + sorted-run merge instead of
+    // in-memory update. Same rows must come out.
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    def run() = cust.repartition(4)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val hashPath = run().collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+    try {
+      val fallback = run()
+      assert(hasTopK(fallback), "rewrite should still fire under the fallback config")
+      assert(fallback.collect().map(_.toString).sorted.toSeq == hashPath)
+    } finally spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+  }
+
   test("downstream aggregation over the rewritten output resolves") {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ShardWriter: the on-disk layout contract — one ordered parquet file
+  * per shard, every row present exactly once, shards balanced. */
+class ShardWriterSpec extends SparkSpec {
+
+  test("writes one ordered file per shard; rows partition exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val shards = 8
+    val path = Files.createTempDirectory("graft_shards").toString
+
+    val manifest = ShardWriter.writeShards(docs, path, "doc_id", shards)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // every shard exists, counts sum to the corpus, no shard is empty
+    assert(manifest.keySet == (0L until shards).toSet)
+    assert(manifest.values.sum == total)
+    // uniform md5 prefix ⇒ balanced: no shard more than 2× the mean
+    val mean = total.toDouble / shards
+    assert(manifest.values.forall(n => n < 2 * mean && n > 0),
+      s"skewed shards: $manifest")
+
+    for (i <- 0L until shards) {
+      val dir = new java.io.File(s"$path/__shard=$i")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $i has ${files.length} files")
+      // within-file order: rows come back in file order for a single
+      // file read as a single partition
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("__h").coalesce(1).collect().map(_.getString(0))
+      assert(rows.sameElements(rows.sorted), s"shard $i not ordered by __h")
+    }
+
+    // round trip: the union of shards is the corpus, no dup / no loss
+    val back = spark.read.parquet(path)
+    assert(back.select("doc_id").distinct().count() == total)
+    assert(back.count() == total)
+
+    // shard assignment matches the q102 SQL-side definition
+    val (shardCol, _) = ShardWriter.shardKeys(col("doc_id"), shards)
+    val expected = docs.select(col("doc_id"), shardCol.as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected == manifest)
+  }
+}
