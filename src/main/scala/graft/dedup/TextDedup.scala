@@ -67,6 +67,51 @@ object TextDedup {
     df.withColumn("band_sig",
       graft.functions.TextHash.minhash_bands(col(textCol), k, bands))
 
+  /** md5-based band signatures — the engine-portable twin of
+    * [[minHashBands]] (md5 instead of xxhash64, so a DuckDB oracle can
+    * reproduce it bit-for-bit). Band b's signature is the min over
+    * char-k-gram shingles of md5(b || ':' || shingle). One output row
+    * per (id, band). */
+  def md5BandSigs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int): DataFrame =
+    df.select(col(idCol), charShingles(col(textCol), k).as("__sh"))
+      .select(col(idCol), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("b"), array_min(transform(col("__sh"),
+          s => md5(concat(b.cast("string"), lit(":"), s)))).as("sig")))).as("bs"))
+      .select(col(idCol), col("bs.b").as("b"), col("bs.sig").as("sig"))
+
+  /** Incremental dedup: flag which `batch` documents near-duplicate the
+    * `history` corpus (any shared band signature), without ever
+    * reshuffling history. This is the daily-increment shape — history is
+    * the 100 TB side, the batch is small by definition — so the plan
+    * broadcasts the BATCH's band keys, streams history through one
+    * broadcast semi-join (collided keys out, a set bounded by the batch),
+    * and resolves per-batch-doc verdicts against the collided set. The
+    * only exchanges carry batch-sized data.
+    *
+    * Returns (idCol, hit_bands, dup_in_history) for every batch row.
+    * False positives follow LSH semantics (band collision = candidate);
+    * chain [[gramJaccard]] over the flagged pairs to confirm, exactly as
+    * the full-corpus path does. */
+  def incrementalDupFlags(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, k: Int, bands: Int): DataFrame = {
+    // batch sigs are intentionally recomputed on both uses — the batch
+    // is small; a localCheckpoint pin would cost more than the recompute
+    val bSigs = md5BandSigs(batch, textCol, idCol, k, bands)
+    val bKeys = bSigs.select("b", "sig").distinct()
+    val collided = md5BandSigs(history, textCol, idCol, k, bands)
+      .select("b", "sig")
+      .join(broadcast(bKeys), Seq("b", "sig"), "leftsemi")
+      .distinct()
+    val hits = bSigs.join(broadcast(collided), Seq("b", "sig"), "leftsemi")
+      .groupBy(idCol).agg(countDistinct("b").as("hit_bands"))
+    batch.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
+        col("hit_bands").isNotNull.as("dup_in_history"))
+  }
+
   /** Candidate duplicate pairs: rows sharing a band signature. The join
     * key is (band index, signature) — a hash shuffle, never a crossJoin.
     * The band computation is pinned (pinByKey: lazy localCheckpoint) so

@@ -160,5 +160,35 @@ object DedupQueries {
       Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
     },
+
+    // Incremental dedup: flag a new batch (doc_id % 11 = 0, the "daily
+    // increment") against the already-ingested history — any shared
+    // md5-band signature is a candidate duplicate. Scale shape: history
+    // (the 100 TB side) streams through ONE broadcast semi-join against
+    // the batch's band keys and never shuffles; every exchange carries
+    // batch-sized data only.
+    QueryDef("q103_incremental_dedup", Seq("A10", "J11"),
+      """WITH bands AS (SELECT unnest(generate_series(0, 3)) AS b),
+          sigs AS (
+            SELECT d.doc_id, bands.b,
+              list_min([md5(CAST(bands.b AS VARCHAR) || ':' || substring(d.text, g, 8))
+                        FOR g IN generate_series(1, greatest(length(d.text) - 7, 1))]) AS sig
+            FROM documents d CROSS JOIN bands),
+          hsig AS (SELECT DISTINCT b, sig FROM sigs WHERE doc_id % 11 <> 0),
+          hits AS (
+            SELECT s.doc_id, count(DISTINCT s.b) AS hit_bands
+            FROM sigs s JOIN hsig h ON s.b = h.b AND s.sig = h.sig
+            WHERE s.doc_id % 11 = 0
+            GROUP BY s.doc_id)
+          SELECT d.doc_id, coalesce(h.hit_bands, 0) AS hit_bands,
+            h.doc_id IS NOT NULL AS dup_in_history
+          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.doc_id % 11 = 0""") { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      TextDedup.incrementalDupFlags(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0),
+        "text", "doc_id", 8, 4)
+    },
   )
 }

@@ -204,6 +204,17 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: history never shuffles or sort-merge-joins") {
+    // both join legs broadcast the batch-derived side; history's rows
+    // cross no exchange (the distinct after the semi-join carries only
+    // collided band keys — batch-bounded)
+    val inc = q("q103_incremental_dedup")
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(broadcasts(inc) >= 2)
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("ANN per-query top-k plans as bounded top-k, not a window sort") {
     // Knn's three search paths share the row_number()<=k idiom; the
     // rewrite must fire on all of them — at 100 TB the candidate set is
