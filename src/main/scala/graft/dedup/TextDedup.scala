@@ -74,11 +74,13 @@ object TextDedup {
     * per (id, band). */
   def md5BandSigs(df: DataFrame, textCol: String, idCol: String,
       k: Int, bands: Int): DataFrame =
-    df.select(col(idCol), charShingles(col(textCol), k).as("__sh"))
-      .select(col(idCol), explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("b"), array_min(transform(col("__sh"),
-          s => md5(concat(b.cast("string"), lit(":"), s)))).as("sig")))).as("bs"))
-      .select(col(idCol), col("bs.b").as("b"), col("bs.sig").as("sig"))
+    // native kernel (one gram pass, digest bytes only): the composed
+    // transform/array_min form is interpreted per element and measured
+    // ~10× slower on the q103 map phase; TextHashParitySpec pins the
+    // kernel to the composed form
+    df.select(col(idCol),
+        posexplode(graft.functions.TextHash.md5_band_sigs(col(textCol), k, bands))
+          .as(Seq("b", "sig")))
 
   /** Incremental dedup: flag which `batch` documents near-duplicate the
     * `history` corpus (any shared band signature), without ever

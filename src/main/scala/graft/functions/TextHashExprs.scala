@@ -118,6 +118,38 @@ object TextHash {
     new String(out)
   }
 
+  /** q103 kernel: md5 band signatures — band b's signature is the
+    * lexicographic-min md5 hex over k-grams of `b || ':' || gram`
+    * (engine-portable banding: DuckDB reproduces it verbatim, unlike the
+    * xxhash64 k-from-1 scheme). One pass over the grams, gram bytes
+    * encoded once and digested `bands` times against precomputed band
+    * prefixes; hex only for the winners. */
+  def md5BandSigs(s: UTF8String, k: Int, bands: Int): GenericArrayData = {
+    val str = s.toString
+    val offs = cpStarts(str)
+    val cp = if (offs == null) str.length else offs.length - 1
+    val n = gramCount(cp, k)
+    val prefixes = Array.tabulate(bands)(b => (b.toString + ":").getBytes(StandardCharsets.UTF_8))
+    val best = new Array[Array[Byte]](bands)
+    val d = md5Local.get()
+    var i = 0
+    while (i < n) {
+      val gb = gram(str, offs, cp, i, k).getBytes(StandardCharsets.UTF_8)
+      var b = 0
+      while (b < bands) {
+        d.reset()
+        d.update(prefixes(b))
+        d.update(gb)
+        val dig = d.digest()
+        if (best(b) == null || unsignedLess(dig, best(b))) best(b) = dig
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      best.map(x => UTF8String.fromString(hex(x))).asInstanceOf[Array[Any]])
+  }
+
   /** q55 kernel: winnowed fingerprints. Per-gram hash = first 8 hex digits
     * of md5 (unsigned 32-bit); minimum per sliding window of `w` hashes;
     * distinct, sorted ascending. Window minima via a monotonic deque —
@@ -241,6 +273,9 @@ object TextHash {
 
   def minhash_bands(c: Column, k: Int, bands: Int): Column =
     GraftColumnBridge.column(MinHashBandsExpr(GraftColumnBridge.expression(c), k, bands))
+
+  def md5_band_sigs(c: Column, k: Int, bands: Int): Column =
+    GraftColumnBridge.column(Md5BandSigsExpr(GraftColumnBridge.expression(c), k, bands))
 }
 
 /** Min over character k-grams of md5 hex — `array_min(transform(grams,
@@ -287,6 +322,22 @@ case class MinHashBandsExpr(child: Expression, k: Int, bands: Int) extends Unary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash$$.MODULE$$.minHashBands($c, $k, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** md5-based band signatures over character k-grams (engine-portable,
+  * DuckDB-reproducible banding for incremental dedup). */
+case class Md5BandSigsExpr(child: Expression, k: Int, bands: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(k >= 1 && bands >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.md5BandSigs(input.asInstanceOf[UTF8String], k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.md5BandSigs($c, $k, $bands)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -95,6 +95,18 @@ class TextHashParitySpec extends SparkSpec {
     }
   }
 
+  private def md5BandSigsRef(c: Column, k: Int, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => array_min(transform(charShingles(c, k),
+        s => md5(concat(b.cast("string"), lit(":"), s)))))
+
+  test("md5_band_sigs matches the composed md5(b || ':' || gram) form") {
+    for (bands <- Seq(1, 4, 6)) {
+      check(edgeTexts ++ randomTexts(30L + bands, 100),
+        TextHash.md5_band_sigs(_, 8, bands), md5BandSigsRef(_, 8, bands))
+    }
+  }
+
   test("simhash_md5 matches the array-accumulator composed form") {
     for (bits <- Seq(1, 32, 60)) {
       check(edgeTexts ++ randomTexts(10L + bits, 100),
