@@ -50,6 +50,15 @@ object ScaleProbe {
       val bands = TextDedup.minHashBands(docs.toDF(), "text", 8, 8)
       TextDedup.lshCandidatePairs(bands, "id").count()
     }
+    time("incremental_dedup") {
+      // daily-increment shape: ~1% batch vs the rest as history; the
+      // history side must stream once with no shuffle (see SCALING.md)
+      TextDedup.incrementalDupFlags(
+        docs.filter(col("id") % 100 =!= 0).toDF(),
+        docs.filter(col("id") % 100 === 0).toDF(),
+        "text", "id", 8, 4)
+        .filter(col("dup_in_history")).count()
+    }
     time("simhash")(docs.select(TextDedup.simHash32(col("text"))).count())
     time("simhash_neardup_components") {
       // full near-dup path at scale: 60-bit sigs -> banded pairs -> clusters
@@ -60,34 +69,67 @@ object ScaleProbe {
     }
 
     // top-k-per-key at scale: the same row_number()<=k query through the
-    // sort-based Window plan (rewrite off) vs the BoundedTopK aggregate
-    // (rewrite on) — the 100 TB argument for RewriteRankFilterToTopK,
-    // measured. ~nDocs rows, nDocs/200 groups, k=5.
+    // stock Spark plan (rewrite off: WindowGroupLimit + two full
+    // partition sorts) vs the BoundedTopK aggregate (rewrite on: O(n
+    // log k) heap, no sort) — the 100 TB argument for
+    // RewriteRankFilterToTopK, measured. nDocs*25 rows in 8 input
+    // partitions (NOT one per thread): the rewrite's win is the
+    // eliminated per-partition sort, so rows-per-partition is the scale
+    // variable — cluster tasks run millions of rows, not thousands.
     locally {
       import org.apache.spark.sql.expressions.Window
-      val rows = spark.range(nDocs.toLong * 25)
+      val rows = spark.range(0L, nDocs.toLong * 25, 1L, 8)
         .withColumn("grp", col("id") % (nDocs / 200))
         .withColumn("score",
           conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"))
       val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
       def top5 = rows.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).drop("rn")
-      // the cluster-scale difference is WHAT CROSSES THE EXCHANGE: the
-      // window form shuffles every row to sort it; the aggregate form
-      // ships ≤k rows per (group × map partition). Count both.
+      // shuffle bytes are reported as a sanity check that BOTH forms
+      // bound what crosses the exchange (~k rows per group × map
+      // partition): stock Spark 4 inserts a Partial WindowGroupLimit
+      // below the exchange, so shuffle volume is NOT where the rewrite
+      // wins — the eliminated full partition sorts are (see SCALING.md).
       val shuffled = new java.util.concurrent.atomic.AtomicLong()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
           shuffled.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
+      // the listener bus is async: poll until the byte counter stops
+      // moving, or a late map-stage event lands in the NEXT measurement's
+      // bucket (a fixed post-run sleep measured the window form at 2 MB —
+      // off by ~50×)
+      def drained(): Long = {
+        var prev = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 10000) {
+          val cur = shuffled.get()
+          if (cur == prev) stable += 1 else stable = 0
+          prev = cur
+          Thread.sleep(200); waited += 200
+        }
+        prev
+      }
       def measured(name: String)(f: => Long): Unit = {
-        shuffled.set(0L)
-        val t0 = System.nanoTime()
-        val r = f
-        Thread.sleep(500) // let the async listener bus drain stage events
-        println(s"""{"probe":"$name","sec":${(System.nanoTime() - t0) / 1e9},""" +
-          s""""shuffle_mb":${shuffled.get() / 1048576.0},"result":"$r"}""")
+        // min of two runs with pre-run GC settling (Bench methodology):
+        // earlier probes leave old-gen debt that can double a single run
+        var best = Double.MaxValue
+        var bytes = 0L
+        var r = 0L
+        for (_ <- 1 to 2) {
+          System.gc()
+          drained()
+          shuffled.set(0L)
+          val t0 = System.nanoTime()
+          r = f
+          val sec = (System.nanoTime() - t0) / 1e9
+          bytes = drained()
+          if (sec < best) best = sec
+        }
+        println(s"""{"probe":"$name","sec":$best,""" +
+          s""""shuffle_mb":${bytes / 1048576.0},"result":"$r"}""")
       }
       spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
       measured("topk_window_sort")(top5.count())

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 /** Rewrites `Filter(row_number() <= k)` over a Window into a bounded
   * top-k aggregation ([[BoundedTopK]]) + posexplode.
   *
-  * Why: the Window form physically requires a full shuffle-sort of every
-  * partition group — at 100 TB that is sorting the whole table to keep k
-  * rows per key. The aggregate form is O(n log k) per input partition,
-  * partial-aggregates map-side (≤ k rows per group cross the shuffle), and
-  * never sorts the data. Same rows out (row_number's arbitrary tie order is
-  * preserved as "any k of the tied rows", identical to the Window's
-  * nondeterminism under ties).
+  * Why: Spark 4's own `InferWindowGroupLimit` already bounds what crosses
+  * the exchange (a Partial WindowGroupLimit runs below the shuffle), but
+  * its physical plan still FULLY SORTS every map partition to feed the
+  * group-limit, and sorts again after the exchange — at 100 TB that is
+  * two O(n log n) passes (with spill risk) over data of which only k rows
+  * per key survive. The aggregate form replaces both sorts with an
+  * O(n log k) bounded heap that can never spill beyond k rows per group.
+  * Measured (ScaleProbe): ~1.1× at 150k rows per input partition, 4-6×
+  * at 5M rows per partition — the win grows with exactly the variable
+  * that grows on a cluster. Same rows out (row_number's arbitrary tie
+  * order is preserved as "any k of the tied rows", identical to the
+  * Window's nondeterminism under ties).
   *
   * Matched shape (the `first row per group` / `argmax` / `top-k per key`
   * idioms, e.g. `/root/reference/code/04_fts_curated_flows.R:87-88`):
