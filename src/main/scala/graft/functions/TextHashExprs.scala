@@ -124,12 +124,19 @@ object TextHash {
     * xxhash64 k-from-1 scheme). One pass over the grams, gram bytes
     * encoded once and digested `bands` times against precomputed band
     * prefixes; hex only for the winners. */
+  // band-prefix bytes depend only on `bands` — built once, not per row
+  private val bandPrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def bandPrefixes(bands: Int): Array[Array[Byte]] =
+    bandPrefixCache.computeIfAbsent(bands,
+      n => Array.tabulate(n)(b => (b.toString + ":").getBytes(StandardCharsets.UTF_8)))
+
   def md5BandSigs(s: UTF8String, k: Int, bands: Int): GenericArrayData = {
     val str = s.toString
     val offs = cpStarts(str)
     val cp = if (offs == null) str.length else offs.length - 1
     val n = gramCount(cp, k)
-    val prefixes = Array.tabulate(bands)(b => (b.toString + ":").getBytes(StandardCharsets.UTF_8))
+    val prefixes = bandPrefixes(bands)
     val best = new Array[Array[Byte]](bands)
     val d = md5Local.get()
     var i = 0

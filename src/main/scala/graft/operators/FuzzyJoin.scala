@@ -51,22 +51,34 @@ object FuzzyJoin {
     * chars), so candidates are exactly the pairs sharing the left's
     * longest token. Right side explodes its distinct tokens once; the
     * equi-join on the token replaces O(|A|·|B|) with Σ-per-block, and
-    * the regex then confirms the full containment. Longest (rarest)
-    * token keeps blocks small; left names with no word character can't
-    * produce a bounded match and are dropped. */
+    * the regex then confirms the full containment.
+    *
+    * Left names with NO word character (pure punctuation — `\w` is
+    * ASCII in Java regex) have no token to block on yet can still hit
+    * (`\b-\b` fires inside "a-b"), so they take a separate broadcast
+    * nested-loop leg. That leg is bounded by the count of such
+    * degenerate names — probed at build time with one job over the
+    * deduplicated (small) name list, so the common all-tokened case
+    * keeps the pure equi-join plan. */
   def substringMatch(
       left: DataFrame, leftCol: String,
       right: DataFrame, rightCol: String): DataFrame = {
-    val l = left.select(col(leftCol)).distinct()
+    val lAll = left.select(col(leftCol)).distinct()
       .withColumn("__tok", longestToken(col(leftCol)))
-      .filter(col("__tok").isNotNull)
-    val r = right.select(col(rightCol)).distinct()
+    val l = lAll.filter(col("__tok").isNotNull)
+    val rDistinct = right.select(col(rightCol)).distinct()
+    val r = rDistinct
       .withColumn("__tok", explode(array_distinct(
         regexp_extract_all(col(rightCol), lit("""\w+"""), lit(0)))))
-    val withHit = l.join(r, Seq("__tok"))
+    def confirm(cand: DataFrame): DataFrame = cand
       .withColumn("__patt", concat(lit("""\b"""), SplitRows.regexEscapeCol(col(leftCol)), lit("""\b""")))
       .filter(regexp_count(col(rightCol), col("__patt")) > 0)
-      .drop("__tok", "__patt")
+      .drop("__patt")
+    val blocked = confirm(l.join(r, Seq("__tok"))).drop("__tok")
+    val tokenless = lAll.filter(col("__tok").isNull).drop("__tok")
+    val withHit =
+      if (tokenless.isEmpty) blocked
+      else blocked.unionByName(confirm(broadcast(tokenless).crossJoin(rDistinct)))
     val w = Window.partitionBy(leftCol).orderBy(length(col(rightCol)), col(rightCol))
     withHit.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -54,38 +54,65 @@ object EventPipeline {
     * same max. The merge is associative and commutative, so the final
     * table is independent of batch boundaries and arrival order.
     *
-    * State is versioned parquet (`v0`, `v1`, …): batch N rewrites vN
-    * from v(N-1) + delta, so a retried batch is idempotent. This is the
-    * engine-agnostic MERGE pattern; on a lakehouse table the body
-    * becomes a single MERGE INTO. State volume = live entities (keys),
-    * never stream history, and each batch's shuffle carries one
+    * State is versioned parquet (`v0`, `v1`, …): each batch merges the
+    * LATEST version on disk with its delta and writes the next version —
+    * keyed off the directory listing, never the batch id, so a NEW run
+    * over an existing stateDir (whose batch ids restart at 0) continues
+    * from the accumulated state instead of silently abandoning it. The
+    * max-merge is idempotent, so a retried batch re-merging state that
+    * already contains its delta writes a new version with identical
+    * rows. All but the two newest versions are pruned (current +
+    * rollback); the stream checkpoints under `stateDir/_checkpoint`, so
+    * a restarted run neither re-reads consumed input nor double-counts.
+    * This is the engine-agnostic MERGE pattern; on a lakehouse table the
+    * body becomes a single MERGE INTO. State volume = live entities
+    * (keys), never stream history, and each batch's shuffle carries one
     * pre-reduced row per (entity × input partition).
     *
     * `ops` contract: (entity, sec: long, event_id: long, op: 'U'|'D',
     * value: double) where (sec, event_id) totally orders ops. */
   def cdcApply(ops: DataFrame, stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     ops.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val delta = batch.groupBy("entity")
           .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
-        val prev = s"$stateDir/v${id - 1}"
-        val merged =
-          if (id == 0L || !new java.io.File(prev).exists()) delta
-          else s.read.parquet(prev).union(delta)
+        val existing = stateVersions(s, stateDir)
+        val merged = existing.maxOption match {
+          case None => delta
+          case Some(v) => s.read.parquet(s"$stateDir/v$v").union(delta)
             .groupBy("entity").agg(max(col("m")).as("m"))
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$id")
+        }
+        val next = existing.maxOption.map(_ + 1).getOrElse(0)
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$next")
+        val f = hadoopFs(s, stateDir)
+        stateVersions(s, stateDir).sorted.dropRight(2).foreach { v =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** Latest CDC state version written by [[cdcApply]]. */
-  def cdcState(s: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
-    val latest = new java.io.File(stateDir).listFiles()
-      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
-    s.read.parquet(s"$stateDir/v$latest")
+  private def hadoopFs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Version numbers present under `stateDir` (hadoop FS — the state
+    * lives on object storage at cluster scale, not a local disk). */
+  private def stateVersions(
+      s: org.apache.spark.sql.SparkSession, stateDir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val f = hadoopFs(s, stateDir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
   }
+
+  /** Latest CDC state version written by [[cdcApply]]. */
+  def cdcState(s: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(s"$stateDir/v${stateVersions(s, stateDir).max}")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)

@@ -60,6 +60,18 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(blocked.contains(("food programme", "food programme, global hq")))
   }
 
+  test("substringMatch keeps word-char-free left values (degenerate leg)") {
+    // "-" has no \w token to block on, but \b-\b still fires inside
+    // "a-b" (boundaries at the word/non-word transitions) — the old
+    // crossJoin form matched it, so the blocked form must too.
+    val toks = Seq("-", "widget").toDF("tok")
+    val hosts = Seq("a-b", "a - b", "cold widget").toDF("host")
+    val out = FuzzyJoin.substringMatch(toks, "tok", hosts, "host")
+      .select("tok", "host").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("-") == "a-b") // shortest hit wins over "a - b"
+    assert(out("widget") == "cold widget")
+  }
+
   test("fuzzyMatch first-letter blocking = unblocked on org-name typos (M6 wiring)") {
     // The unifyNames block key: typos that keep the first letter (the
     // reference's entire manual-match list does) make blocked and

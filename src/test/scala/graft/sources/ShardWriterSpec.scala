@@ -43,9 +43,13 @@ class ShardWriterSpec extends SparkSpec {
     assert(back.select("doc_id").distinct().count() == total)
     assert(back.count() == total)
 
-    // shard assignment matches the q102 SQL-side definition
-    val (shardCol, _) = ShardWriter.shardKeys(col("doc_id"), shards)
-    val expected = docs.select(col("doc_id"), shardCol.as("s"))
+    // shard assignment matches the documented definition — spelled
+    // independently in raw SQL (NOT via shardKeys, which would be a
+    // vacuous self-check) so implementation drift in shardKeys fails
+    // here. Note q102's oracle uses a coarser 1-hex-char variant for
+    // SQL brevity; the writer's 6-hex-char form supports shards > 16.
+    val expected = docs.selectExpr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 8 as s")
       .groupBy("s").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(expected == manifest)
