@@ -88,6 +88,36 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcApply: a second run over the same stateDir continues from prior state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_rerun_").toString
+    val state = s"$root/state"
+    // the incremental pattern: each run drains the NEW files that landed
+    // in the same input dir since the last run (the checkpoint under
+    // stateDir remembers consumed files), merging into the same stateDir
+    def run(rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      rows.toDF("entity", "sec", "event_id", "op", "value")
+        .repartition(2).write.mode("append").parquet(s"$root/in")
+      val ops = spark.readStream
+        .schema("entity LONG, sec LONG, event_id LONG, op STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      EventPipeline.cdcApply(ops, state).awaitTermination()
+    }
+    // run 1: entity 1 updated, entity 2 updated
+    run(Seq((1L, 10L, 1L, "U", 1.0), (2L, 10L, 2L, "U", 2.0)))
+    // run 2, SAME stateDir (a fresh query whose batch ids restart at 0):
+    // entity 2 gets a later op; entity 1's run-1 state must survive
+    run(Seq((2L, 20L, 3L, "U", 5.0), (3L, 20L, 4L, "U", 3.0)))
+    val out = EventPipeline.cdcState(spark, state)
+      .select(col("entity"), col("m.value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 5.0, 3L -> 3.0),
+      s"second run abandoned prior state: $out")
+    // version pruning: at most the two newest versions remain
+    assert(new java.io.File(state).listFiles()
+      .map(_.getName).count(_.matches("v\\d+")) <= 2)
+  }
+
   test("sessionize: >30min gap splits sessions within a batch") {
     val sqlc = spark.sqlContext
     import spark.implicits._
