@@ -64,6 +64,57 @@ object PipelineQueries {
             .as("spans"))
     },
 
+    // Packed-sequence MATERIALIZATION — the step after q83's assignment:
+    // cut every document's token array across the 256-token bin
+    // boundaries it spans and reassemble each bin's training sequence in
+    // offset order. The cut is a pure row-local generator (a task never
+    // holds more than one document's tokens); the reassembly is one
+    // grouped aggregation on the bin id with a sort-free ordered concat
+    // (array_sort over (offset, piece) structs — per-bin data only).
+    // Sequences are emitted as md5 + token count so row width stays
+    // constant at any bin size.
+    QueryDef("q104_pack_materialize", Seq("A1", "A5", "U6"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+          cum AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(sum(len(toks)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len(toks) AS BIGINT) AS start_tok
+            FROM tok WHERE len(toks) > 0),
+          pieces AS (
+            SELECT CAST(w AS BIGINT) AS bin,
+              greatest(start_tok, w*256) AS off,
+              array_to_string(toks[(greatest(w*256 - start_tok, 0) + 1):(least(start_tok + n_tokens, (w+1)*256) - start_tok)], ' ') AS piece,
+              least(start_tok + n_tokens, (w+1)*256) - greatest(start_tok, w*256) AS n_tok
+            FROM cum, LATERAL (SELECT unnest(generate_series(start_tok//256, (start_tok + n_tokens - 1)//256)) AS w))
+          SELECT bin, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            count(*) AS n_pieces,
+            md5(string_agg(piece, ' ' ORDER BY off)) AS seq_hash
+          FROM pieces GROUP BY bin""") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .filter(col("n_tokens") > 0)
+      val pieces = PrefixSum.exclusive(tok, col("doc_id"), col("n_tokens"),
+          expr("CAST(doc_id DIV 50 AS BIGINT)"), "start_tok")
+        .select(explode(expr(
+          "transform(sequence(start_tok DIV 256, (start_tok + n_tokens - 1) DIV 256)," +
+            " w -> named_struct(" +
+            "'bin', w," +
+            "'off', greatest(start_tok, w*256)," +
+            "'piece', concat_ws(' ', slice(toks, CAST(greatest(w*256 - start_tok, 0) + 1 AS INT)," +
+            "  CAST(least(start_tok + n_tokens, (w+1)*256) - greatest(start_tok, w*256) AS INT)))," +
+            "'n_tok', least(start_tok + n_tokens, (w+1)*256) - greatest(start_tok, w*256)))")).as("p"))
+        .select(col("p.bin").as("bin"), col("p.off").as("off"),
+          col("p.piece").as("piece"), col("p.n_tok").as("n_tok"))
+      pieces.groupBy("bin")
+        .agg(sum("n_tok").as("n_tokens"), count(lit(1)).as("n_pieces"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(off, piece))), x -> x.piece)")))
+            .as("seq_hash"))
+    },
+
     // Paragraph-level (span) dedup, C4-style: cut each doc into 20-word
     // spans, dedup spans EXACTLY across the corpus (keeper = smallest
     // (doc_id, span_idx)), report per-doc span and survivor counts. One

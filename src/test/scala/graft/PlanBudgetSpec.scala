@@ -193,6 +193,9 @@ class PlanBudgetSpec extends SparkSpec {
     // shard layout: one exchange on the shard key (the within-shard sort
     // IS the output contract — ordered writer tasks)
     assert(shuffles(q("q102_shard_assign")) == 1)
+    // pack materialization: the prefix-sum's two exchanges + the per-bin
+    // reassembly aggregate; the boundary cut itself is a pure generator
+    assert(shuffles(q("q104_pack_materialize")) <= 4)
   }
 
   test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
