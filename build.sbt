@@ -37,3 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Opt-in JVM forensics for full-session bench pathologies (a query can
+// run 20x slower after ~100 predecessors than standalone — GC debt and
+// code-cache churn hide from query-level timers): set
+// SPARK_GRAFT_JVM_LOG=/tmp/x.log to capture a unified GC log.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_LOG").toSeq.map(p =>
+  s"-Xlog:gc*=info:file=$p:time,uptime")

@@ -39,6 +39,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // Per-query times stream to a sidecar file (rewritten after every
+    // query, so a hung run still shows progress): the driver keeps only
+    // the last ~2000 chars of output, and at 104 queries the inline
+    // per-query map alone was ~1.4 KB — ~150 queries would push the JSON
+    // line out of the window again (the r1/r2 failure mode). The final
+    // line carries the totals plus this file's path.
+    val timesPath = new java.io.File("bench_times.json").getAbsolutePath
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def writeTimes(done: Seq[(String, Double)]): Unit = {
+      val qs = done.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v)}""" }
+        .mkString("{", ",", "}")
+      val w = new java.io.PrintWriter(timesPath, "UTF-8")
+      try w.println(s"""{"sf":"$sfDir","queries":$qs}""") finally w.close()
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results = selected.map { case (name, fn) =>
       warmDir.foreach { wd =>
         try fn(spark, wd).write.format("noop").mode("overwrite").save()
@@ -69,24 +84,19 @@ object Bench {
       }
       val good = times.filter(_ >= 0)
       // a failed query must read as a failure, not a fast time
-      name -> (if (good.isEmpty) -1.0 else good.min)
+      val t = if (good.isEmpty) -1.0 else good.min
+      done += (name -> t)
+      writeTimes(done.toSeq)
+      name -> t
     }.toMap
-    // The driver keeps only the last 2000 chars of output, so the JSON
-    // line must stay well under that: 2-decimal times, qNN keys (the full
-    // names live in SparkEntry.queries), no commentary. At ~11 chars per
-    // query this holds ~150 queries inside the window.
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
-    // a comma decimal separator would emit invalid JSON
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
     // failures carry a -1.0 sentinel per query; summing them would make
-    // a failing round read FASTER — exclude them and flag the count
+    // a failing round read FASTER — exclude them and flag the count.
+    // Locale.ROOT (fmt above): the f-interpolator honors the JVM default
+    // locale, and a comma decimal separator would emit invalid JSON.
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
     val failedField = if (failed > 0) s""","failed":$failed""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"$timesPath"$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

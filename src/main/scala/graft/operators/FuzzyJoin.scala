@@ -56,10 +56,16 @@ object FuzzyJoin {
     * Left names with NO word character (pure punctuation — `\w` is
     * ASCII in Java regex) have no token to block on yet can still hit
     * (`\b-\b` fires inside "a-b"), so they take a separate broadcast
-    * nested-loop leg. That leg is bounded by the count of such
-    * degenerate names — probed at build time with one job over the
-    * deduplicated (small) name list, so the common all-tokened case
-    * keeps the pure equi-join plan. */
+    * nested-loop leg, ALWAYS unioned in so the plan stays lazy: no job
+    * runs at DataFrame-construction time, and the degenerate-leg
+    * decision is the data's, not frozen at build. The leg is bounded by
+    * construction — its build side is the broadcast distinct tokenless
+    * names (tiny by nature), so its cost is |right| × |tokenless|; in
+    * the common all-tokened case the zero-row broadcast makes it one
+    * extra scan of the deduplicated right names emitting nothing
+    * (measured: AQE does NOT collapse the empty leg, it just runs
+    * cheaply), which is no more than the probe job the old eager
+    * `isEmpty` check paid unconditionally. */
   def substringMatch(
       left: DataFrame, leftCol: String,
       right: DataFrame, rightCol: String): DataFrame = {
@@ -76,9 +82,7 @@ object FuzzyJoin {
       .drop("__patt")
     val blocked = confirm(l.join(r, Seq("__tok"))).drop("__tok")
     val tokenless = lAll.filter(col("__tok").isNull).drop("__tok")
-    val withHit =
-      if (tokenless.isEmpty) blocked
-      else blocked.unionByName(confirm(broadcast(tokenless).crossJoin(rDistinct)))
+    val withHit = blocked.unionByName(confirm(broadcast(tokenless).crossJoin(rDistinct)))
     val w = Window.partitionBy(leftCol).orderBy(length(col(rightCol)), col(rightCol))
     withHit.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -112,4 +112,34 @@ object Unnest {
     val keep = df.columns.filter(c => counts.getAs[Long](c) > 0L)
     df.select(keep.map(c => col(s"`$c`")): _*)
   }
+
+  /** All-NA drop, specialized to the array-native form: a
+    * `{arrayCol}_{t}.{f}` cell is NULL iff NO element of type `t` exists
+    * in that row (a present group whose fields are all NULL still yields
+    * "" — concat_ws skips NULLs). So a grid column is all-NA across the
+    * frame iff its type occurs in NO row — and [[dropAllNaColumns]] ∘
+    * [[unnestGroupSameArray]] reduces to restricting the pivot domain to
+    * the types actually present.
+    *
+    * That turns the probe from a full re-run of the upstream aggregate
+    * (the generic path counts non-nulls over the BUILT grid) into one
+    * column-pruned scan of a single source column with a map-side-combine
+    * distinct — candidates are the caller's static type list, so at most
+    * `types.size` rows ever reach the driver. At 100 TB the generic probe
+    * re-executes the shuffle; this one reads one low-cardinality column.
+    *
+    * @param typeSource  the pre-aggregation frame (any frame holding one
+    *                    row per nested element)
+    * @param typeCol     element-type column on `typeSource`
+    */
+  def presentTypes(typeSource: DataFrame, typeCol: String, types: Seq[String]): Seq[String] = {
+    val present = typeSource
+      .select(col(typeCol))
+      .filter(col(typeCol).isin(types: _*)) // bounds the collect at types.size rows
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    types.filter(present)
+  }
 }

@@ -36,16 +36,33 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Only `row_number` is rewritten — `rank`/`dense_rank` can emit more than
   * k rows under ties, which a bounded buffer cannot. Set
   * `spark.graft.topk.rewrite.enabled=false` to disable, and
-  * `spark.graft.topk.rewrite.maxK` (default 4096) bounds the per-group
+  * `spark.graft.topk.rewrite.maxK` (default 1024) bounds the per-group
   * heap so a `rn <= 10000000` filter keeps the sort-based plan instead of
   * a giant heap.
+  *
+  * Memory safety is a PRODUCT bound, not k alone: ObjectHashAggregate's
+  * sort-based fallback triggers on GROUP COUNT only, so one task can hold
+  * `fallbackThreshold` groups × k buffered rows before any fallback —
+  * where the Window plan it replaces would sort-spill safely. The rewrite
+  * therefore also requires `k × fallbackThreshold ≤
+  * spark.graft.topk.rewrite.maxBufferedRowsPerTask` (default 2^21 ≈ 2M
+  * rows): a session that raises the threshold (as this harness does, to
+  * 65536) automatically tightens the eligible k instead of opening an
+  * OOM vector.
   */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.topk.rewrite.enabled", "true").toBoolean
   private def maxK: Int =
-    conf.getConfString("spark.graft.topk.rewrite.maxK", "4096").toInt
+    conf.getConfString("spark.graft.topk.rewrite.maxK", "1024").toInt
+  /** Groups-in-memory × k budget per task (see class doc). */
+  private def maxBufferedRows: Long =
+    conf.getConfString("spark.graft.topk.rewrite.maxBufferedRowsPerTask",
+      (1L << 21).toString).toLong
+  private def fallbackThreshold: Long =
+    conf.getConfString("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "128").toLong
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -93,7 +110,9 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
         val best = bounds.collect { case (c, Some((k, subsumed))) => (c, k, subsumed) }
           .sortBy(_._2).headOption
         best match {
-          case Some((boundConjunct, k, subsumed)) if k >= 1 && k <= maxK =>
+          case Some((boundConjunct, k, subsumed))
+              if k >= 1 && k <= maxK &&
+                k.toLong * fallbackThreshold <= maxBufferedRows =>
             val residual = conjuncts.filterNot(_ eq boundConjunct) ++
               (if (subsumed) Nil else Seq(boundConjunct))
             // Sort keys that are plain payload attributes are addressed

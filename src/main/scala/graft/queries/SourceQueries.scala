@@ -291,9 +291,15 @@ object SourceQueries {
       // array<struct> per row, so the unnest is a pure projection — no
       // explode/pivot/self-join (which needed a localCheckpoint pin and
       // re-shuffled row-local data; 79→~2 s at sf0.1).
-      Unnest.dropAllNaColumns(
-        Unnest.unnestGroupSameArray(nested, "objs", "type",
-          Seq("name", "ref"), Seq("A", "N", "R", "X")))
+      // The all-NA drop ('X' never occurs → its grid columns vanish) is
+      // the type-presence probe, NOT the generic count-over-built-grid
+      // pass: the generic form re-executed the whole collect_list
+      // aggregate eagerly at plan-build time, doubling every timed run.
+      val keepTypes = Unnest.presentTypes(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("type")),
+        "type", Seq("A", "N", "R", "X"))
+      Unnest.unnestGroupSameArray(nested, "objs", "type",
+        Seq("name", "ref"), keepTypes)
     },
   )
 }

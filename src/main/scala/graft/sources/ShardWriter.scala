@@ -28,8 +28,14 @@ object ShardWriter {
   }
 
   /** Writes `df` under `path` as `shard=<i>/` parquet directories, one
-    * ordered file each. Returns the per-shard row counts (read back from
-    * the written files — what a manifest would record). */
+    * ordered file each. Returns the per-shard row counts (the manifest).
+    *
+    * The `__h` sort key orders rows but is dropped before the write — it
+    * is layout plumbing, not corpus data, and readers recompute it from
+    * `idCol` if they ever need it (the projection after the local sort
+    * streams rows through, so the physical order survives). The manifest
+    * is a groupBy over the shard id on the PRE-write frame — one pruned
+    * scan of `idCol`, not a full read-back of everything just written. */
   def writeShards(df: DataFrame, path: String, idCol: String, shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val (shard, h) = shardKeys(col(idCol), shards)
@@ -38,12 +44,13 @@ object ShardWriter {
       // the exchange: every row of shard i lands in exactly one task
       .repartition(shards, col("__shard"))
       .sortWithinPartitions("__shard", "__h")
+      .drop("__h")
       .write
       .mode("overwrite")
       .partitionBy("__shard")
       .parquet(path)
-    val out = df.sparkSession.read.parquet(path)
-    out.groupBy(col("__shard").cast("long").as("shard"))
+    df.select(shard.as("shard"))
+      .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"))
   }
 }

@@ -61,9 +61,17 @@ object EventPipeline {
     * from the accumulated state instead of silently abandoning it. The
     * max-merge is idempotent, so a retried batch re-merging state that
     * already contains its delta writes a new version with identical
-    * rows. All but the two newest versions are pruned (current +
-    * rollback); the stream checkpoints under `stateDir/_checkpoint`, so
-    * a restarted run neither re-reads consumed input nor double-counts.
+    * rows. Only versions carrying a `_SUCCESS` marker count as state: a
+    * batch that dies mid-write leaves a partial `v<next>` dir, and the
+    * checkpoint-driven retry must merge from the newest COMPLETE version
+    * (reading the partial would fail permanently under a v1 committer and
+    * silently merge truncated state under a direct cloud committer). New
+    * versions are numbered past every existing dir — complete or not —
+    * so a retry never writes into the dir it is reading. All but the two
+    * newest complete versions are pruned (current + rollback; dead
+    * partial dirs go with them); the stream checkpoints under
+    * `stateDir/_checkpoint`, so a restarted run neither re-reads consumed
+    * input nor double-counts.
     * This is the engine-agnostic MERGE pattern; on a lakehouse table the
     * body becomes a single MERGE INTO. State volume = live entities
     * (keys), never stream history, and each batch's shuffle carries one
@@ -78,16 +86,18 @@ object EventPipeline {
         val s = batch.sparkSession
         val delta = batch.groupBy("entity")
           .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
-        val existing = stateVersions(s, stateDir)
-        val merged = existing.maxOption match {
+        val merged = completeVersions(s, stateDir).maxOption match {
           case None => delta
           case Some(v) => s.read.parquet(s"$stateDir/v$v").union(delta)
             .groupBy("entity").agg(max(col("m")).as("m"))
         }
-        val next = existing.maxOption.map(_ + 1).getOrElse(0)
+        // number past every existing dir, partial or complete, so the
+        // write target is never the dir being read
+        val next = (stateVersions(s, stateDir) :+ -1).max + 1
         merged.write.mode("overwrite").parquet(s"$stateDir/v$next")
         val f = hadoopFs(s, stateDir)
-        stateVersions(s, stateDir).sorted.dropRight(2).foreach { v =>
+        val keep = completeVersions(s, stateDir).sorted.takeRight(2).toSet
+        stateVersions(s, stateDir).filterNot(keep).foreach { v =>
           f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)
         }
         ()
@@ -110,9 +120,20 @@ object EventPipeline {
       .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
   }
 
-  /** Latest CDC state version written by [[cdcApply]]. */
+  /** Versions whose write committed (the `_SUCCESS` marker exists — the
+    * FileOutputCommitter and the S3A committers both write one on job
+    * commit, and only on commit). A dir without it is a dead batch's
+    * partial write and must be neither merged from nor served. */
+  private def completeVersions(
+      s: org.apache.spark.sql.SparkSession, stateDir: String): Seq[Int] = {
+    val f = hadoopFs(s, stateDir)
+    stateVersions(s, stateDir).filter(v =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_SUCCESS")))
+  }
+
+  /** Latest committed CDC state version written by [[cdcApply]]. */
   def cdcState(s: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame =
-    s.read.parquet(s"$stateDir/v${stateVersions(s, stateDir).max}")
+    s.read.parquet(s"$stateDir/v${completeVersions(s, stateDir).max}")
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)

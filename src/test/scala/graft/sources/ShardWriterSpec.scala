@@ -31,17 +31,22 @@ class ShardWriterSpec extends SparkSpec {
       val dir = new java.io.File(s"$path/__shard=$i")
       val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length == 1, s"shard $i has ${files.length} files")
-      // within-file order: rows come back in file order for a single
-      // file read as a single partition
+      // within-file order: the sort key is NOT persisted (shard files
+      // carry corpus columns only), so recompute it from doc_id in file
+      // order and assert the rows arrive already sorted by it
       val rows = spark.read.parquet(files.head.getPath)
-        .select("__h").coalesce(1).collect().map(_.getString(0))
-      assert(rows.sameElements(rows.sorted), s"shard $i not ordered by __h")
+        .select(md5(col("doc_id").cast("string")).as("h"))
+        .coalesce(1).collect().map(_.getString(0))
+      assert(rows.sameElements(rows.sorted), s"shard $i not ordered by the doc hash")
     }
 
-    // round trip: the union of shards is the corpus, no dup / no loss
+    // round trip: the union of shards is the corpus, no dup / no loss —
+    // and no helper columns leak into the shard contract
     val back = spark.read.parquet(path)
     assert(back.select("doc_id").distinct().count() == total)
     assert(back.count() == total)
+    assert(back.columns.toSet == docs.columns.toSet + "__shard",
+      s"unexpected columns in shards: ${back.columns.mkString(",")}")
 
     // shard assignment matches the documented definition — spelled
     // independently in raw SQL (NOT via shardKeys, which would be a

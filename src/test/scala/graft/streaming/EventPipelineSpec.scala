@@ -118,6 +118,40 @@ class EventPipelineSpec extends SparkSpec {
       .map(_.getName).count(_.matches("v\\d+")) <= 2)
   }
 
+  test("cdcApply: a dead batch's partial version dir is skipped and pruned") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_partial_").toString
+    val state = s"$root/state"
+    def run(rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      rows.toDF("entity", "sec", "event_id", "op", "value")
+        .repartition(2).write.mode("append").parquet(s"$root/in")
+      val ops = spark.readStream
+        .schema("entity LONG, sec LONG, event_id LONG, op STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      EventPipeline.cdcApply(ops, state).awaitTermination()
+    }
+    run(Seq((1L, 10L, 1L, "U", 1.0)))
+    // simulate a batch that died mid-write: a version dir newer than the
+    // committed one, holding a torn file and NO _SUCCESS marker
+    val vmax = new java.io.File(state).listFiles().map(_.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+    val partial = new java.io.File(state, s"v${vmax + 1}")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // unreadable as parquet
+    // serving must come from the committed version, not the partial
+    assert(EventPipeline.cdcState(spark, state)
+      .select("entity").as[Long].collect().toSeq == Seq(1L))
+    // the retry merges from the committed version (reading the partial
+    // would throw), lands past the partial, and prunes the dead dir
+    run(Seq((2L, 20L, 2L, "U", 2.0)))
+    val out = EventPipeline.cdcState(spark, state)
+      .select(col("entity"), col("m.value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 2.0), s"partial dir poisoned the merge: $out")
+    assert(!partial.exists(), "dead partial version dir was not pruned")
+  }
+
   test("sessionize: >30min gap splits sessions within a batch") {
     val sqlc = spark.sqlContext
     import spark.implicits._
