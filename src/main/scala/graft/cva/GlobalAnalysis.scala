@@ -32,12 +32,18 @@ object GlobalAnalysis {
 
   /** C4 (code/10:88-301): unify FTS org names against survey org names —
     * precedence manual ≻ exact (normalized) ≻ fuzzy ≻ substring; unmatched
-    * names keep their own normalized form. Returns (org_name, clean_org). */
-  def unifyNames(ftsNames: DataFrame, surveyNames: DataFrame, manual: DataFrame): DataFrame = {
+    * names keep their own normalized form. Returns (org_name, clean_org).
+    * `clean` is the normalizer — default ASCII [[TextFns.cleanName]];
+    * pass [[TextFns.cleanNameUnicode]] for reference-exact behavior on
+    * accented org names (GoldenSpec drives it that way against the
+    * committed cva_agg universe). */
+  def unifyNames(ftsNames: DataFrame, surveyNames: DataFrame, manual: DataFrame,
+      clean: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextFns.cleanName): DataFrame = {
     val fts = ftsNames.select(col("org_name")).distinct()
-      .withColumn("clean_name", TextFns.cleanName(col("org_name")))
+      .withColumn("clean_name", clean(col("org_name")))
     val survey = surveyNames.select(col("survey_org")).distinct()
-      .withColumn("clean_survey", TextFns.cleanName(col("survey_org")))
+      .withColumn("clean_survey", clean(col("survey_org")))
 
     val exact = fts.join(survey, col("clean_name") === col("clean_survey"))
       .select(col("org_name"), col("survey_org").as("matched"))

@@ -16,9 +16,24 @@ object TextFns {
   def standardizeBoolean(c: Column): Column =
     lower(trim(c)).isin("true", "qui", "yes")
 
-  /** U3 remove_punct + collapse_whitespace + lower (code/10:92-98). */
+  /** U3 remove_punct + collapse_whitespace + lower (code/10:92-98) —
+    * ASCII form: every non-[a-z0-9] char becomes a space. Exact for the
+    * ASCII corpora the oracle queries pin; on non-ASCII names it also
+    * spaces out accented letters, which the reference does NOT do — use
+    * [[cleanNameUnicode]] where reference parity on real org names is
+    * required. */
   def cleanName(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), """[^a-z0-9\s]""", " "), """\s+""", " "))
+
+  /** U3, reference-faithful form: the reference's `remove_punct` is
+    * stringr/ICU `[[:punct:]]` = Unicode category P (code/10:95-98), so
+    * accented letters survive (`développement` stays intact) while
+    * Unicode punctuation like the right single quote U+2019 becomes a
+    * space (`l’environnement` → `l environnement`) — both shapes are in
+    * the committed `output/cva_agg.csv` golden. `lower` is Unicode-aware
+    * in both engines. */
+  def cleanNameUnicode(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), """\p{P}""", " "), """\s+""", " "))
 
   /** U1 standardize_percentage (code/07:104-128): branchy extraction —
     * "45%" / "12.5 percent" / "less than 1" / bare number; else null.

@@ -184,6 +184,17 @@ class PlanBudgetSpec extends SparkSpec {
     // media near-dup rides the banded (band, chunk) equi-join
     val media = q("q98_media_neardup").queryExecution.executedPlan.toString
     assert(!media.contains("CartesianProduct"))
+    // S2 nested unnest: ONE shuffle (the collect_list aggregate); the
+    // group-same unnest itself is a pure row-local projection — no
+    // explode/pivot/self-join ever re-shuffles the nested rows, and the
+    // all-NA drop is a separate bounded type-presence probe, not a
+    // second execution of the aggregate riding in this plan
+    val unnest = q("q95_unnest_nested")
+    assert(shuffles(unnest) == 1)
+    val unnestPlan = unnest.queryExecution.executedPlan.toString
+    assert(!unnestPlan.contains("Generate"), s"q95 explodes:\n$unnestPlan")
+    assert(!unnestPlan.contains("PivotFirst"), s"q95 pivots:\n$unnestPlan")
+    assert(!unnestPlan.toLowerCase.contains("join"), s"q95 self-joins:\n$unnestPlan")
     // streaming CDC apply is exercised under the oracle (q97); its plan
     // is a streaming sink, so budget asserts live on the batch twin q87
   }

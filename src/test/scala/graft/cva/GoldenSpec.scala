@@ -63,6 +63,125 @@ class GoldenSpec extends SparkSpec {
     assert(joined.count() == golden.count()) // no extra groups invented
   }
 
+  test("cva_agg: every derivable column re-derived across all 1,562 rows (row-count + sorted-hash)") {
+    // The true upstreams (output/fts_cva.csv, cva_survey_data.xlsx) are
+    // MISSING_LARGE_BLOBS, so the aggregate's input-side columns come
+    // from the golden itself; every column code/10 DERIVES from them is
+    // recomputed with the engine's operators and hash-compared:
+    //   clean_org       = ICU-punct clean of Organisation (code/10:105)
+    //   PC.USD.m_undoubled = pmax(PC - subgrant, 0)       (code/10:314-315)
+    //   TV.USD.m (FTS)  = PC × per-year PC→TV factor       (code/10:71-72)
+    // The PC→TV factor sheet is not committed; it is recovered per year
+    // from the FTS rows and consistency-checked first (TV/PC is constant
+    // within a year by construction).
+    assume(new java.io.File(s"$refOut/cva_agg.csv").exists())
+    val agg = readRef("cva_agg.csv")
+    assert(agg.count() == 1562)
+
+    val ratios = agg.filter(col("source") === "FTS" && col("`PC.USD.m`") > 0 &&
+        col("`TV.USD.m`").isNotNull)
+      .withColumn("ratio", col("`TV.USD.m`") / col("`PC.USD.m`"))
+      .groupBy("Year")
+      .agg(min("ratio").as("rmin"), max("ratio").as("rmax"), first("ratio").as("ratio"))
+    assert(ratios.filter(col("rmax") - col("rmin") > 1e-9).count() == 0,
+      "PC→TV factor not constant within a year — recovery invalid")
+
+    // concat_ws silently skips NULLs (which would shift fields), and R's
+    // NA propagates through `NA - 0` where greatest() would swallow it —
+    // so every field is explicitly sentinel'd and NULL PC keeps its
+    // undoubled NULL.
+    def fmt(c: org.apache.spark.sql.Column) =
+      coalesce(format_number(c, 6), lit("NA"))
+    def tuple(clean: org.apache.spark.sql.Column, undoubled: org.apache.spark.sql.Column,
+        tv: org.apache.spark.sql.Column) =
+      concat_ws("|", coalesce(clean, lit("")), col("Year").cast("string"),
+        fmt(col("`PC.USD.m`")), fmt(undoubled), fmt(tv))
+
+    val joined = agg.join(broadcast(ratios.select("Year", "ratio")), Seq("Year"), "left")
+    val committed = joined.select(tuple(col("clean_org"),
+      col("`PC.USD.m_undoubled`"), col("`TV.USD.m`")).as("t"))
+    val derived = joined.select(tuple(
+      graft.functions.TextFns.cleanNameUnicode(
+        coalesce(col("Organisation"), col("`destinationObjects_Organization.name`"), lit(""))),
+      when(col("`PC.USD.m`").isNotNull,
+        CvaPipeline.undouble(col("`PC.USD.m`"), coalesce(col("`PC.USD.m_subgrant`"), lit(0.0)))),
+      when(col("source") === "FTS", col("`PC.USD.m`") * col("ratio"))
+        .otherwise(col("`TV.USD.m`"))).as("t"))
+
+    def sortedHash(df: org.apache.spark.sql.DataFrame): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(df.collect().map(_.getString(0)).sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(derived.count() == 1562)
+    assert(sortedHash(derived) == sortedHash(committed),
+      {
+        val c = committed.collect().map(_.getString(0)).sorted
+        val d = derived.collect().map(_.getString(0)).sorted
+        val diffs = c.zip(d).filter { case (a, b) => a != b }.take(5)
+        s"derived cva_agg diverges from golden, e.g.:\n${diffs.mkString("\n")}"
+      })
+  }
+
+  test("unifyNames cascade on the golden's real 555-org universe (code/10:117-301)") {
+    // Right side = the committed cva_agg's distinct clean_org values
+    // (real org names, accents included); left side = real subgrant
+    // recipient names committed in code/10's manual-match block plus
+    // names from the committed fts_survey_overlap mapping. Exercises all
+    // four precedence tiers on real data:
+    //   manual    — "drc" → "danish refugee council" (code/10:255-257):
+    //               unblocked fuzzy would hit "nrc"/"dca"-class traps
+    //               (the reference manually REJECTED its own fuzzy match
+    //               for exactly this name, code/10:158)
+    //   exact     — "qatar charity" is in the universe verbatim
+    //   fuzzy     — "action against hunger usa" is within the 20% edit
+    //               budget of "action against hunger" (d=4 ≤ ⌈0.2·24⌉)
+    //   substring — "mercy corps europe" contains "mercy corps" as a
+    //               word-bounded phrase and nothing closer
+    assume(new java.io.File(s"$refOut/cva_agg.csv").exists())
+    import spark.implicits._
+    val universe = readRef("cva_agg.csv")
+      .select(col("clean_org").as("survey_org"))
+      .filter(col("survey_org").isNotNull && col("survey_org") =!= "")
+      .distinct()
+    assert(universe.count() == 555)
+
+    val manual = Seq( // literal entries from code/10:229-285
+      ("drc", "danish refugee council"),
+      ("wfp", "world food programme"),
+      ("wvi", "world vision international"),
+      ("acf", "action against hunger"),
+      ("united nations children s fund", "unicef"),
+      ("somali cash consortium", "concern worldwide"))
+      .toDF("org_name", "clean_org")
+    val left = (manual.select("org_name") union Seq(
+      "qatar charity", "action against hunger usa", "mercy corps europe")
+      .toDF("org_name")).distinct()
+
+    val out = GlobalAnalysis.unifyNames(left, universe, manual,
+        clean = graft.functions.TextFns.cleanNameUnicode)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("drc") == "danish refugee council")
+    assert(out("wfp") == "world food programme")
+    assert(out("wvi") == "world vision international")
+    assert(out("acf") == "action against hunger")
+    assert(out("united nations children s fund") == "unicef")
+    assert(out("somali cash consortium") == "concern worldwide")
+    assert(out("qatar charity") == "qatar charity")
+    assert(out("action against hunger usa") == "action against hunger")
+    assert(out("mercy corps europe") == "mercy corps")
+
+    // manual really is load-bearing: without it, "drc" keeps its own name
+    // (first-letter blocking + the 1-char budget reject the "nrc"/"dca"
+    // traps the reference had to hand-fix), while the data-driven tiers
+    // still resolve the others identically.
+    val noManual = GlobalAnalysis.unifyNames(left, universe,
+        manual.limit(0), clean = graft.functions.TextFns.cleanNameUnicode)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(noManual("drc") == "drc")
+    assert(noManual("action against hunger usa") == "action against hunger")
+    assert(noManual("mercy corps europe") == "mercy corps")
+  }
+
   test("A8 invariants hold on the committed USA location analysis (code/11:62-89)") {
     // the upstream fts_cva.csv is a MISSING_LARGE_BLOB, so the full
     // re-derivation isn't possible; the golden's internal relationship
