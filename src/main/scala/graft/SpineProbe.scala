@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the MULTI-STAGE queries (q94 cva_end_to_end, q104
+  * pack_materialize): materializes a 2.5× copy of the fact tables they
+  * read and times each query at 1× and 2.5×, printing one JSON line per
+  * measurement (ScaleProbe methodology: min of 2 runs, GC settling).
+  *
+  * The 2.5× tables are built by key-offset unions — two full copies plus
+  * an even-key half copy. Offsets are multiples of the lcm of every
+  * modulus the q94 fixture derives from `o_orderkey` (4,5,3,7,11,13,19,
+  * 20,10,2 → 1,141,140) and of q104's `doc_id DIV 50` bin width, so each
+  * copy replicates the same per-group shapes under fresh ids: group
+  * COUNT grows 2.5×, per-group size does not — the growth profile a
+  * cluster sees, not artificially deepened groups. `nation` stays 1×
+  * (dimension).
+  *
+  * Usage: runMain graft.SpineProbe [sfDir]
+  */
+object SpineProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_spine_probe"
+    val ordersOff = 1141140L * 2 // > max key, multiple of every fixture modulus
+    val docsOff = 1000000L // multiple of the DIV-50 bin width, > max doc_id
+
+    def scale(table: String, key: String, off: Long): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      base
+        .unionByName(base.withColumn(key, col(key) + off))
+        .unionByName(base.filter(col(key) % 2 === 0).withColumn(key, col(key) + 2 * off))
+        .write.mode("overwrite").parquet(s"$scaled/$table.parquet")
+    }
+    scale("orders", "o_orderkey", ordersOff)
+    scale("documents", "doc_id", docsOff)
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.mode("overwrite").parquet(s"$scaled/nation.parquet")
+
+    def time(name: String, fn: => DataFrame): Unit = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        fn.write.format("noop").mode("overwrite").save() // materializes every column
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best) best = sec
+      }
+      val rows = fn.count() // outside the timer — result-size sanity only
+      println(s"""{"probe":"$name","sec":${math.round(best * 100) / 100.0},"rows":$rows}""")
+    }
+
+    for (q <- Seq("q94_cva_end_to_end", "q104_pack_materialize")) {
+      time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
+      time(s"${q}_2.5x", SparkEntry.queries(q)(spark, scaled))
+    }
+    spark.stop()
+  }
+}
