@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * measurement (ScaleProbe methodology: min of 2 runs, GC settling).
   *
   * The 2.5× tables are built by key-offset unions — two full copies plus
-  * an even-key half copy. Offsets are multiples of the lcm of every
-  * modulus the q94 fixture derives from `o_orderkey` (4,5,3,7,11,13,19,
-  * 20,10,2 → 1,141,140) and of q104's `doc_id DIV 50` bin width, so each
-  * copy replicates the same per-group shapes under fresh ids: group
-  * COUNT grows 2.5×, per-group size does not — the growth profile a
-  * cluster sees, not artificially deepened groups. `nation` stays 1×
-  * (dimension).
+  * a KEY-RANGE half copy (`key ≤ max/2`). The range cut keeps whole
+  * id-groups (a parity cut would halve every group's membership and
+  * ~triple group count instead); the offset is a multiple of every
+  * modulus the q94 fixture derives from `o_orderkey` AND — because the
+  * fixture also derives org/boundary patterns from `m = k div 4` — of
+  * 4 × lcm(m-moduli): 2⁴·3·5·7·11·13·19 = 4,564,560 (so m shifts by
+  * 1,141,140 ≡ 0 mod 420·2717). Each copy therefore replicates the same
+  * per-group shapes under fresh ids: group COUNT grows ~2.5×, per-group
+  * size does not — the growth profile a cluster sees, not artificially
+  * deepened groups. q104's only id derivation is `doc_id DIV 50`, so its
+  * offset just needs to be a bin-width multiple past the max id.
+  * `nation` stays 1× (dimension).
   *
   * Usage: runMain graft.SpineProbe [sfDir]
   */
@@ -32,14 +37,17 @@ object SpineProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val scaled = s"${System.getProperty("java.io.tmpdir")}/graft_spine_probe"
-    val ordersOff = 1141140L * 2 // > max key, multiple of every fixture modulus
+    val ordersOff = 4564560L // 2^4·3·5·7·11·13·19: > max key, ≡0 mod every k- and 4·m-modulus
     val docsOff = 1000000L // multiple of the DIV-50 bin width, > max doc_id
 
     def scale(table: String, key: String, off: Long): Unit = {
       val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val half = base.agg(max(col(key)).cast("long")).head().getLong(0) / 2
       base
         .unionByName(base.withColumn(key, col(key) + off))
-        .unionByName(base.filter(col(key) % 2 === 0).withColumn(key, col(key) + 2 * off))
+        // contiguous key RANGE (not parity): whole id-groups survive, so
+        // this adds ~half the groups at full per-group membership
+        .unionByName(base.filter(col(key) <= half).withColumn(key, col(key) + 2 * off))
         .write.mode("overwrite").parquet(s"$scaled/$table.parquet")
     }
     scale("orders", "o_orderkey", ordersOff)

@@ -60,9 +60,11 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
   private def maxBufferedRows: Long =
     conf.getConfString("spark.graft.topk.rewrite.maxBufferedRowsPerTask",
       (1L << 21).toString).toLong
+  // via the SQLConf entry, not a hand-copied default string — the gate
+  // must track the threshold the aggregate will actually fall back at
   private def fallbackThreshold: Long =
-    conf.getConfString("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "128").toLong
+    conf.getConf(org.apache.spark.sql.internal.SQLConf
+      .OBJECT_AGG_SORT_BASED_FALLBACK_THRESHOLD).toLong
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

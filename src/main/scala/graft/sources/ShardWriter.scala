@@ -34,8 +34,12 @@ object ShardWriter {
     * is layout plumbing, not corpus data, and readers recompute it from
     * `idCol` if they ever need it (the projection after the local sort
     * streams rows through, so the physical order survives). The manifest
-    * is a groupBy over the shard id on the PRE-write frame — one pruned
-    * scan of `idCol`, not a full read-back of everything just written. */
+    * counts what is actually ON DISK, but cheaply: the read-back projects
+    * only the `__shard` partition column, so the scan's ReadSchema is
+    * empty — row counts come from parquet footers and directory names,
+    * no data page is read. (A pre-write groupBy would re-execute the
+    * upstream lineage and could diverge from the persisted rows if that
+    * lineage is non-deterministic.) */
   def writeShards(df: DataFrame, path: String, idCol: String, shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val (shard, h) = shardKeys(col(idCol), shards)
@@ -49,8 +53,8 @@ object ShardWriter {
       .mode("overwrite")
       .partitionBy("__shard")
       .parquet(path)
-    df.select(shard.as("shard"))
-      .groupBy("shard")
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("__shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"))
   }
 }

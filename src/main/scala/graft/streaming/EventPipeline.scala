@@ -123,12 +123,26 @@ object EventPipeline {
   /** Versions whose write committed (the `_SUCCESS` marker exists — the
     * FileOutputCommitter and the S3A committers both write one on job
     * commit, and only on commit). A dir without it is a dead batch's
-    * partial write and must be neither merged from nor served. */
+    * partial write and must be neither merged from nor served.
+    *
+    * When the session disables markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) every
+    * version would read as incomplete — each batch would discard all
+    * accumulated state and the prune would delete the version just
+    * written — so completeness falls back to the plain listing there
+    * (the pre-marker semantics, with that config's torn-write exposure
+    * documented rather than silently converted into total state loss). */
   private def completeVersions(
       s: org.apache.spark.sql.SparkSession, stateDir: String): Seq[Int] = {
-    val f = hadoopFs(s, stateDir)
-    stateVersions(s, stateDir).filter(v =>
-      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_SUCCESS")))
+    val markersOn = s.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    val all = stateVersions(s, stateDir)
+    if (!markersOn) all
+    else {
+      val f = hadoopFs(s, stateDir)
+      all.filter(v =>
+        f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_SUCCESS")))
+    }
   }
 
   /** Latest committed CDC state version written by [[cdcApply]]. */

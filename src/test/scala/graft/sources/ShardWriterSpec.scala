@@ -16,8 +16,15 @@ class ShardWriterSpec extends SparkSpec {
     val shards = 8
     val path = Files.createTempDirectory("graft_shards").toString
 
-    val manifest = ShardWriter.writeShards(docs, path, "doc_id", shards)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manifestDf = ShardWriter.writeShards(docs, path, "doc_id", shards)
+    // the manifest counts the written files, but footer-only: the scan
+    // projects just the partition column, so ReadSchema is empty and no
+    // data page is touched
+    val scanLine = "ReadSchema: [^\n]*".r.findFirstIn(
+      manifestDf.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    assert(scanLine.exists(_.contains("struct<>")), s"manifest reads data: $scanLine")
+    val manifest = manifestDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // every shard exists, counts sum to the corpus, no shard is empty
     assert(manifest.keySet == (0L until shards).toSet)

@@ -118,6 +118,33 @@ class EventPipelineSpec extends SparkSpec {
       .map(_.getName).count(_.matches("v\\d+")) <= 2)
   }
 
+  test("cdcApply: with _SUCCESS markers disabled, state still accumulates (listing fallback)") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdc_nomark_").toString
+      val state = s"$root/state"
+      def run(rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+        rows.toDF("entity", "sec", "event_id", "op", "value")
+          .repartition(2).write.mode("append").parquet(s"$root/in")
+        val ops = spark.readStream
+          .schema("entity LONG, sec LONG, event_id LONG, op STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        EventPipeline.cdcApply(ops, state).awaitTermination()
+      }
+      run(Seq((1L, 10L, 1L, "U", 1.0)))
+      assert(!new java.io.File(state).listFiles().exists(d =>
+        new java.io.File(d, "_SUCCESS").exists()), "fixture: markers still written")
+      run(Seq((2L, 20L, 2L, "U", 2.0)))
+      val out = EventPipeline.cdcState(spark, state)
+        .select(col("entity"), col("m.value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out == Map(1L -> 1.0, 2L -> 2.0),
+        s"marker gating discarded state under marksuccessfuljobs=false: $out")
+    } finally hconf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
   test("cdcApply: a dead batch's partial version dir is skipped and pruned") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_cdc_partial_").toString
