@@ -239,5 +239,20 @@ object RelationalQueries {
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"))
     },
+
+    // SE3: intersect — the one set operation the reference never reaches
+    // for (SURVEY §2.8), included so the §2 table is covered wall to
+    // wall: nations present in BOTH the building-segment slice and the
+    // high-balance slice. Spark plans INTERSECT as an aggregate +
+    // left-semi join — distinct-then-join, never a cross product.
+    QueryDef("q105_intersect", Seq("SE3"),
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_nationkey FROM customer WHERE c_acctbal > 8000""") { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_nationkey")
+        .intersect(
+          Tables.customer(s, d).filter(col("c_acctbal") > 8000).select("c_nationkey"))
+    },
   )
 }
