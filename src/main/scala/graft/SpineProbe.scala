@@ -72,6 +72,16 @@ object SpineProbe {
     for (q <- Seq("q94_cva_end_to_end", "q104_pack_materialize")) {
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       time(s"${q}_2.5x", SparkEntry.queries(q)(spark, scaled))
+      // the SCALING.md claim is measured, not assumed: the 2.5× plan must
+      // keep the PlanBudget shape (no sort-merge fact join, no cross
+      // product, shuffle count unchanged vs 1×)
+      def shuffles(p: String) =
+        "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+      val p1 = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      val p25 = SparkEntry.queries(q)(spark, scaled).queryExecution.executedPlan.toString
+      val ok = !p25.contains("SortMergeJoin") && !p25.contains("CartesianProduct") &&
+        shuffles(p25) == shuffles(p1)
+      println(s"""{"probe":"${q}_plan_2.5x","shuffles":${shuffles(p25)},"ok":$ok}""")
     }
     spark.stop()
   }
