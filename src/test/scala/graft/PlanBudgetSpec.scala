@@ -216,6 +216,11 @@ class PlanBudgetSpec extends SparkSpec {
     // pack materialization: the prefix-sum's two exchanges + the per-bin
     // reassembly aggregate; the boundary cut itself is a pure generator
     assert(shuffles(q("q104_pack_materialize")) <= 4)
+    // SE3 intersect: distinct + semi join on co-partitioned keys — two
+    // keyed exchanges and never a cross product
+    val inter = q("q105_intersect")
+    assert(shuffles(inter) <= 2)
+    assert(!inter.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
   test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
