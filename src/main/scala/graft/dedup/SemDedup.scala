@@ -1,0 +1,48 @@
+package graft.dedup
+
+import graft.ann.KMeans
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) deduplication, SemDeDup-style: cluster the
+  * corpus with the trained k-means coarse quantizer, then remove documents
+  * whose cosine to a LOWER-ID document in the SAME cluster reaches the
+  * threshold — the greedy lowest-id-survivor rule, deterministic and
+  * SQL-replayable. Complements the reference's lexical dedup surface
+  * (`unique`/`distinct` in cva_fts_curated.R:70-83) with the
+  * embedding-space analogue a training-data pipeline needs.
+  *
+  * Scale shape: the trained centroids enter the plan as literals, so the
+  * CELL ASSIGNMENT IS ROW-LOCAL (no shuffle, no crossJoin — same property
+  * as IVF search). All-pairs comparison happens only INSIDE a cell via an
+  * equi-join on the cell id, so the quadratic term is bounded by the
+  * largest cell, not the corpus: at 100 TB you grow k with the corpus
+  * (k ≈ N/targetCellSize) and the per-cell work stays constant while the
+  * cell count parallelizes across executors. The duplicate-id set is a
+  * distinct projection of the pair join (small by construction — it is
+  * the data you are about to delete) and comes back as a broadcast
+  * anti-join, so the corpus itself never reshuffles.
+  */
+object SemDedup {
+
+  /** Survivors of greedy within-cell near-dup removal: rows (vec_id, cid)
+    * where vec_id has NO lower-id neighbor with round(cosine,6) >= tau in
+    * its cell. `cents` comes from [[graft.ann.KMeans.fit]]. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
+    val cells = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("cid", KMeans.nearestCentroid(col("__v"), cents).cast("long"))
+    val a = cells.select(col("cid"), col("vec_id").as("id_a"), col("__v").as("__va"))
+    val b = cells.select(col("cid"), col("vec_id").as("id_b"), col("__v").as("__vb"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFns.cosine(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    cells.join(broadcast(dups), Seq("vec_id"), "left_anti")
+      .select("vec_id", "cid")
+  }
+}

@@ -17,6 +17,46 @@ object AnnQueries {
   private val cosineSql =
     """list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[]))"""
 
+  // Deterministic two-round Lloyd replay shared by q96 (IVF search) and
+  // q106 (semantic dedup). Ends at `cells` = each vector's trained cell;
+  // mirrors graft.ann.KMeans.fit step for step (init = 16 lowest-id
+  // vectors, argmax of round(cosine,6) with cid tiebreak, means rounded
+  // to 6, empty cells keep their previous centroid).
+  private val trainedCellsCte =
+    """v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+       init AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
+         FROM v ORDER BY vec_id LIMIT 16),
+       a1 AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT t.vec_id, t.v, c.cid,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+           FROM v t CROSS JOIN init c) WHERE rn = 1),
+       m1 AS (
+         SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
+         FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+         GROUP BY cid, d.d),
+       c1 AS (
+         SELECT i.cid, coalesce(m.cent, i.cent) AS cent
+         FROM init i LEFT JOIN (SELECT cid, list(mu ORDER BY dim) AS cent FROM m1 GROUP BY cid) m USING (cid)),
+       a2 AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT t.vec_id, t.v, c.cid,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+           FROM v t CROSS JOIN c1 c) WHERE rn = 1),
+       m2 AS (
+         SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
+         FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+         GROUP BY cid, d.d),
+       c2 AS (
+         SELECT p.cid, coalesce(m.cent, p.cent) AS cent
+         FROM c1 p LEFT JOIN (SELECT cid, list(mu ORDER BY dim) AS cent FROM m2 GROUP BY cid) m USING (cid)),
+       cells AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT t.vec_id, t.v, c.cid,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+           FROM v t CROSS JOIN c2 c) WHERE rn = 1)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force top-5 cosine neighbors for the first 10 vectors.
@@ -219,39 +259,7 @@ object AnnQueries {
     // search. The oracle replays the identical training loop as chained
     // CTEs. Recall vs the exact baseline is asserted in KMeansSpec.
     QueryDef("q96_ann_ivf_trained", Seq("J12", "A5"),
-      """WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
-         init AS (
-           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
-           FROM v ORDER BY vec_id LIMIT 16),
-         a1 AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT t.vec_id, t.v, c.cid,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-             FROM v t CROSS JOIN init c) WHERE rn = 1),
-         m1 AS (
-           SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
-           FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
-           GROUP BY cid, d.d),
-         c1 AS (
-           SELECT i.cid, coalesce(m.cent, i.cent) AS cent
-           FROM init i LEFT JOIN (SELECT cid, list(mu ORDER BY dim) AS cent FROM m1 GROUP BY cid) m USING (cid)),
-         a2 AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT t.vec_id, t.v, c.cid,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-             FROM v t CROSS JOIN c1 c) WHERE rn = 1),
-         m2 AS (
-           SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
-           FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
-           GROUP BY cid, d.d),
-         c2 AS (
-           SELECT p.cid, coalesce(m.cent, p.cent) AS cent
-           FROM c1 p LEFT JOIN (SELECT cid, list(mu ORDER BY dim) AS cent FROM m2 GROUP BY cid) m USING (cid)),
-         cells AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT t.vec_id, t.v, c.cid,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-             FROM v t CROSS JOIN c2 c) WHERE rn = 1),
+      s"""WITH $trainedCellsCte,
          probes AS (
            SELECT vec_id AS query_id, v AS qv, cid FROM (
              SELECT t.vec_id, t.v, c.cid,
@@ -268,6 +276,23 @@ object AnnQueries {
       val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
       graft.ann.Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cents, k = 3, probes = 6)
+    },
+
+    // SemDeDup-style semantic dedup: all-pairs cosine ONLY within each
+    // trained k-means cell (the quadratic term is bounded by the largest
+    // cell, not the corpus); a vector is dropped iff a lower-id vector in
+    // its cell reaches cosine 0.3. Output = survivors with their cell.
+    QueryDef("q106_semdedup", Seq("J12", "A10"),
+      s"""WITH $trainedCellsCte,
+         dups AS (
+           SELECT DISTINCT b.vec_id
+           FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+         SELECT vec_id, cid FROM cells
+         WHERE vec_id NOT IN (SELECT vec_id FROM dups)""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.dedup.SemDedup.semanticDedup(emb, "vec_id", "embedding", cents, tau = 0.3)
     },
   )
 }

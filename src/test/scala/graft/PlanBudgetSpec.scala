@@ -221,6 +221,13 @@ class PlanBudgetSpec extends SparkSpec {
     val inter = q("q105_intersect")
     assert(shuffles(inter) <= 2)
     assert(!inter.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // semantic dedup: all-pairs only via the keyed cell join (equi-join
+    // on cid, broadcastable here), dup-set distinct is the one required
+    // exchange, survivors come back as a broadcast anti-join
+    val sem = q("q106_semdedup")
+    assert(shuffles(sem) <= 2)
+    val semPlan = sem.queryExecution.executedPlan.toString
+    assert(!semPlan.contains("CartesianProduct") && !semPlan.contains("SortMergeJoin"))
   }
 
   test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
