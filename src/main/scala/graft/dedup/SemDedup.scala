@@ -26,15 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Survivors of greedy within-cell near-dup removal: rows (vec_id, cid)
-    * where vec_id has NO lower-id neighbor with round(cosine,6) >= tau in
-    * its cell. `cents` comes from [[graft.ann.KMeans.fit]]. */
-  def semanticDedup(
+  /** The corpus with its trained cell: rows (vec_id, cid, __v). This IS
+    * the IVF index — at corpus scale you materialize it once (persist or
+    * write bucketed by cid) rather than re-deriving the O(k)-per-row
+    * assignment in every plan leg that references it. */
+  def assignCells(
       corpus: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
-    val cells = corpus
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .withColumn("cid", KMeans.nearestCentroid(col("__v"), cents).cast("long"))
+
+  /** Survivors of greedy within-cell near-dup removal: rows (vec_id, cid)
+    * where vec_id has NO lower-id neighbor with round(cosine,6) >= tau in
+    * its cell. `cells` comes from [[assignCells]] (pass it materialized
+    * when the corpus is large). */
+  def semanticDedupOnCells(cells: DataFrame, tau: Double): DataFrame = {
     val a = cells.select(col("cid"), col("vec_id").as("id_a"), col("__v").as("__va"))
     val b = cells.select(col("cid"), col("vec_id").as("id_b"), col("__v").as("__vb"))
     val dups = a.join(b, Seq("cid"))
@@ -45,4 +52,10 @@ object SemDedup {
     cells.join(broadcast(dups), Seq("vec_id"), "left_anti")
       .select("vec_id", "cid")
   }
+
+  /** One-shot convenience: assign + dedup in a single plan. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame =
+    semanticDedupOnCells(assignCells(corpus, idCol, vecCol, cents), tau)
 }
