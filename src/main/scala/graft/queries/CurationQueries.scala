@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * the only mixture form that needs no per-group ordering at 100 TB;
   * q102's within-shard sort is the deliberate exception because ordered
   * shard files ARE its output contract (8 balanced md5 shards ≈ ordered
-  * writer tasks).
+  * writer tasks). Round 6 adds the two mixture-realization steps: q107
+  * weighted sampling (global top-n as TakeOrderedAndProject — zero
+  * shuffles) and q108 epoch-repeat materialization (row-local explode
+  * against a broadcast per-lang rate — the multiplied rows never cross
+  * an exchange).
   */
 object CurationQueries {
 
@@ -97,11 +101,15 @@ object CurationQueries {
          rate AS (SELECT lang, least(1.0, 0.5 * boost / (SELECT min(boost) FROM wt)) AS p FROM wt)
          SELECT d.doc_id, d.lang FROM documents d JOIN rate r USING (lang)
          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INT) / 16777216.0 < r.p""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val wt = docs.groupBy("lang").agg(count(lit(1)).as("n"))
         .withColumn("boost", pow(col("n"), -0.5))
+      // global min via a window over the ALREADY-AGGREGATED per-lang
+      // frame (a handful of rows) — a crossJoin(broadcast(wt.agg(min)))
+      // would re-derive the aggregate subtree and scan the corpus twice
       val rate = wt
-        .crossJoin(broadcast(wt.agg(min(col("boost")).as("min_boost"))))
+        .withColumn("min_boost", min("boost").over(Window.partitionBy(lit(1))))
         .select(col("lang"),
           least(lit(1.0), lit(0.5) * col("boost") / col("min_boost")).as("p"))
       docs.join(broadcast(rate), "lang")
@@ -133,6 +141,70 @@ object CurationQueries {
         .withColumn("pos", row_number()
           .over(Window.partitionBy("shard").orderBy("h")).cast("long"))
         .select("doc_id", "shard", "pos")
+    },
+
+    // Deterministic weighted sampling (Efraimidis–Spiliotis A-ES): each
+    // doc draws u from its id hash and ranks by u^(1/w) with w = doc
+    // length — longer docs proportionally likelier, reproducible across
+    // runs and engines. Global top-n plans as TakeOrderedAndProject
+    // (per-partition partial top-n, no global sort, no shuffle) — the
+    // only sane shape for "pick n of 10^10 by weight". Keys rounded to
+    // 9 before ranking so both engines rank identical doubles.
+    QueryDef("q107_weighted_sample", Seq("F5", "W8"),
+      """WITH keyed AS (
+           SELECT doc_id, n_chars,
+             round(pow(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT) + 0.5) / 16777216.0,
+               1.0 / greatest(n_chars, 1)), 9) AS k
+           FROM documents)
+         SELECT doc_id, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 100""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double") + 0.5) / 16777216.0
+      val k = round(pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double")), 9)
+      docs.select(col("doc_id"), col("n_chars"), k.as("__k"))
+        .orderBy(col("__k").desc, col("doc_id")).limit(100)
+        .select("doc_id", "n_chars")
+    },
+
+    // Epoch-repeat materialization: the under-represented sources get a
+    // fractional repeat factor f = min(3, sqrt(max_n/n)) (rounded to 6 so
+    // both engines hold the same double); each doc repeats floor(f) times
+    // plus one more iff its id-hash fraction falls under frac(f) — the
+    // deterministic way to realize "this domain runs 2.3 epochs". The
+    // explode is a row-local generator over a broadcast per-source rate:
+    // nothing wide ever sees the multiplied rows.
+    QueryDef("q108_repeat_upsample", Seq("F5", "U6"),
+      """WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         f AS (
+           SELECT lang,
+             round(least(3.0, pow((SELECT max(n) FROM stats) / CAST(n AS DOUBLE), 0.5)), 6) AS f
+           FROM stats),
+         rep AS (
+           SELECT d.doc_id, d.lang,
+             CAST(floor(f.f) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS INT) / 16777216.0
+                      < f.f - floor(f.f) THEN 1 ELSE 0 END AS repeats
+           FROM documents d JOIN f USING (lang))
+         SELECT doc_id, lang, CAST(e AS BIGINT) AS epoch
+         FROM rep, LATERAL (SELECT unnest(generate_series(1, repeats)) AS e)""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      // same single-scan discipline as q101: global max over the per-lang
+      // aggregate rides a window, not a second aggregate subtree
+      val fByLang = stats
+        .withColumn("max_n", max("n").over(Window.partitionBy(lit(1))))
+        .select(col("lang"),
+          round(least(lit(3.0), pow(col("max_n") / col("n").cast("double"), 0.5)), 6).as("f"))
+      val hashFrac = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double") / 16777216.0
+      docs.join(broadcast(fByLang), "lang")
+        .withColumn("repeats",
+          floor(col("f")).cast("long")
+            + when(hashFrac < col("f") - floor(col("f")), 1L).otherwise(0L))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("repeats"))).as("epoch"))
     }
   )
 }

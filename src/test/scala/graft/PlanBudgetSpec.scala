@@ -204,10 +204,12 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(q("q99_repetition_scrub")) == 2)
     // stride windows are a pure generator: zero shuffles
     assert(shuffles(q("q100_token_windows")) == 0)
-    // mixture sampling: the corpus is filtered in place against broadcast
-    // rates — its only exchanges build the tiny per-lang rate table
+    // mixture sampling: the corpus is filtered in place against ONE
+    // broadcast rate table (r6: the global min rides a window over the
+    // aggregated per-lang frame, so the rate build scans the corpus once
+    // and the second broadcast leg is gone)
     val mix = q("q101_temperature_mix")
-    assert(broadcasts(mix) >= 2)
+    assert(broadcasts(mix) >= 1)
     assert(shuffles(mix) <= 3)
     assert(!mix.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
     // shard layout: one exchange on the shard key (the within-shard sort
@@ -228,6 +230,19 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(sem) <= 2)
     val semPlan = sem.queryExecution.executedPlan.toString
     assert(!semPlan.contains("CartesianProduct") && !semPlan.contains("SortMergeJoin"))
+    // weighted sampling: global top-n must plan as TakeOrderedAndProject
+    // (per-partition partial top-n) — no global sort, no shuffle at all
+    val ws = q("q107_weighted_sample")
+    assert(shuffles(ws) == 0)
+    assert(ws.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // repeat up-sampling: the corpus scans once per side — the per-lang
+    // rate (agg + 5-row global window) builds with two tiny exchanges and
+    // broadcasts; the explode is a row-local generator, so the multiplied
+    // rows never cross an exchange
+    val ru = q("q108_repeat_upsample")
+    assert(shuffles(ru) <= 2)
+    val ruPlan = ru.queryExecution.executedPlan.toString
+    assert(ruPlan.contains("Generate") && !ruPlan.contains("SortMergeJoin"))
   }
 
   test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
