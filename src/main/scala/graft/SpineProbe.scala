@@ -75,8 +75,7 @@ object SpineProbe {
       // the SCALING.md claim is measured, not assumed: the 2.5× plan must
       // keep the PlanBudget shape (no sort-merge fact join, no cross
       // product, shuffle count unchanged vs 1×)
-      def shuffles(p: String) =
-        "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+      def shuffles(p: String) = PlanText.shuffles(p)
       val p1 = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
       val p25 = SparkEntry.queries(q)(spark, scaled).queryExecution.executedPlan.toString
       val ok = !p25.contains("SortMergeJoin") && !p25.contains("CartesianProduct") &&

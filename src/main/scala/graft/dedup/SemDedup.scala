@@ -6,10 +6,16 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Semantic (embedding-space) deduplication, SemDeDup-style: cluster the
-  * corpus with the trained k-means coarse quantizer, then remove documents
-  * whose cosine to a LOWER-ID document in the SAME cluster reaches the
-  * threshold — the greedy lowest-id-survivor rule, deterministic and
-  * SQL-replayable. Complements the reference's lexical dedup surface
+  * corpus with the trained k-means coarse quantizer, then remove every
+  * document whose cosine to ANY lower-id document in the SAME cluster
+  * reaches the threshold. Note this is the one-pass pairwise rule, not
+  * sequential greedy dedup: in a chain a<b<c with cos(a,b)>=tau,
+  * cos(b,c)>=tau, cos(a,c)<tau it drops BOTH b and c (b still counts as
+  * c's neighbor even though b itself is dropped), where a sequential
+  * scan would keep c. The over-removal is deliberate — it is what makes
+  * the rule order-free (each doc's fate depends only on its own
+  * neighborhood, so the pair join parallelizes with no iteration) and
+  * exactly SQL-replayable. Complements the reference's lexical dedup surface
   * (`unique`/`distinct` in cva_fts_curated.R:70-83) with the
   * embedding-space analogue a training-data pipeline needs.
   *
@@ -37,7 +43,7 @@ object SemDedup {
       .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .withColumn("cid", KMeans.nearestCentroid(col("__v"), cents).cast("long"))
 
-  /** Survivors of greedy within-cell near-dup removal: rows (vec_id, cid)
+  /** Survivors of one-pass within-cell near-dup removal: rows (vec_id, cid)
     * where vec_id has NO lower-id neighbor with round(cosine,6) >= tau in
     * its cell. `cells` comes from [[assignCells]] (pass it materialized
     * when the corpus is large). */

@@ -204,7 +204,13 @@ object CurationQueries {
           floor(col("f")).cast("long")
             + when(hashFrac < col("f") - floor(col("f")), 1L).otherwise(0L))
         .select(col("doc_id"), col("lang"),
-          explode(sequence(lit(1L), col("repeats"))).as("epoch"))
+          // repeats >= 1 today (f = least(3, sqrt(max_n/n)) >= 1), but
+          // guard anyway: Spark's sequence(1, 0) yields [1, 0] (a
+          // DESCENDING two-element array) where DuckDB's
+          // generate_series(1, 0) yields nothing — a future
+          // down-sampling factor < 1 would silently diverge
+          explode(when(col("repeats") >= 1, sequence(lit(1L), col("repeats")))
+            .otherwise(array().cast("array<bigint>"))).as("epoch"))
     }
   )
 }

@@ -10,13 +10,9 @@ import org.apache.spark.sql.DataFrame
   */
 class PlanBudgetSpec extends SparkSpec {
 
-  private def shuffles(df: DataFrame): Int =
-    "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+  private def shuffles(df: DataFrame): Int = PlanText.shuffles(df)
 
-  private def broadcasts(df: DataFrame): Int =
-    "BroadcastExchange".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+  private def broadcasts(df: DataFrame): Int = PlanText.broadcasts(df)
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 

@@ -6,8 +6,7 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    "(?<!Broadcast)Exchange (hash|range|SinglePartition)".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+    graft.PlanText.shuffles(df)
 
   test("bucketed staging joins with zero exchanges on either side") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
