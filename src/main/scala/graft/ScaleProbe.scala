@@ -169,6 +169,28 @@ object ScaleProbe {
       kept
     }
 
+    // the same dedup under the two-level tree quantizer: k1·k2 ≈ k cells
+    // but assignment is k1+k2 cosines per row instead of k — the term
+    // that keeps growing once k scales with the corpus. Same recall
+    // contract (identical vectors share a cell under any row-local
+    // assignment).
+    time("semantic_dedup_tree") {
+      val vdup = spark.range(nVecs)
+        .withColumn("base", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
+        .withColumn("embedding", array((0 until 64).map(i =>
+          (conv(substring(md5(concat(col("base"), lit(i))), 1, 6), 16, 10).cast("float") / 8388608f) - 1f): _*))
+        .select(col("id").as("vec_id"), col("embedding"))
+        .cache()
+      vdup.count()
+      val side = math.max(4, math.ceil(math.sqrt(nVecs / 800.0)).toInt)
+      val tq = graft.ann.KMeans.fitTree(vdup, "vec_id", "embedding",
+        k1 = side, k2 = side, iters = 2)
+      val cells = graft.dedup.SemDedup.assignCellsTree(vdup, "vec_id", "embedding", tq).cache()
+      val kept = graft.dedup.SemDedup.semanticDedupOnCells(cells, tau = 0.999999).count()
+      cells.unpersist(); vdup.unpersist()
+      kept
+    }
+
     spark.stop()
   }
 }

@@ -64,4 +64,67 @@ object KMeans {
     }
     cents
   }
+
+  /** Two-level coarse quantizer: `branches` are the level-1 centroids,
+    * `leaves(b)` the level-2 centroids inside branch b (1..k2 of them —
+    * an under-populated branch trains fewer, an empty one keeps the
+    * branch centroid as its single leaf). Global cell id =
+    * b * k2 + leafIndex, always < k1 * k2. */
+  final case class TreeQuantizer(
+      branches: Seq[(Int, Seq[Double])], leaves: Seq[Seq[Seq[Double]]], k2: Int)
+
+  /** Nearest leaf WITHIN a known branch: the branch's leaf list comes off
+    * a plan-literal array-of-arrays via element_at, so each row scores
+    * only its own branch's ≤k2 leaves — assignment is k1 + k2 cosines per
+    * row instead of the flat quantizer's k1·k2. Same argmax/tiebreak
+    * arithmetic as [[nearestCentroid]] (sim desc, leaf index asc).
+    * Column expressions cannot let-bind, so compute the branch into its
+    * own column first and pass THAT — inlining nearestCentroid here would
+    * re-evaluate its k1 cosines a second time per row. */
+  def leafInBranch(vec: Column, branch: Column, tq: TreeQuantizer): Column = {
+    val scored = transform(element_at(typedlit(tq.leaves), (branch + 1).cast("int")),
+      (c, i) => struct(round(VectorFns.cosine(vec, c), 6).as("sim"),
+        (-i).as("mlid")))
+    (-array_max(scored).getField("mlid")).cast("int")
+  }
+
+  /** Train the two-level tree: level 1 = [[fit]] with k1; level 2 runs
+    * the same deterministic Lloyd recipe for ALL branches at once (init =
+    * the k2 lowest-id vectors of each branch, per-dimension means rounded
+    * to 6, an emptied leaf keeps its previous centroid) — each iteration
+    * is still ONE partial-agg shuffle, now keyed by (branch, leaf). */
+  def fitTree(corpus: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, iters: Int): TreeQuantizer = {
+    import org.apache.spark.sql.expressions.Window
+    val l1 = fit(corpus, idCol, vecCol, k1, iters)
+    val v = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__b", nearestCentroid(col("__v"), l1))
+    val w = Window.partitionBy("__b").orderBy("__id")
+    val init = v.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k2)
+      .select("__b", "__rn", "__v").collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getSeq[Double](2): Seq[Double]).toSeq)
+      .toMap
+    var leaves: Seq[Seq[Seq[Double]]] = l1.map { case (b, cent) =>
+      init.getOrElse(b, Seq(cent))
+    }
+    for (_ <- 1 to iters) {
+      val tq = TreeQuantizer(l1, leaves, k2)
+      val means = v
+        .withColumn("__l", leafInBranch(col("__v"), col("__b"), tq))
+        .select(col("__b"), col("__l"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__b", "__l", "__d").agg(avg("__x").as("__mu"))
+        .groupBy("__b", "__l")
+        .agg(transform(array_sort(collect_list(struct(col("__d"), col("__mu")))),
+          t => round(t.getField("__mu"), 6)).as("__cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      leaves = leaves.zipWithIndex.map { case (ls, b) =>
+        ls.zipWithIndex.map { case (prev, l) => means.getOrElse((b, l), prev) }
+      }
+    }
+    TreeQuantizer(l1, leaves, k2)
+  }
 }

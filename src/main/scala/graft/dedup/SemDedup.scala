@@ -43,6 +43,21 @@ object SemDedup {
       .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .withColumn("cid", KMeans.nearestCentroid(col("__v"), cents).cast("long"))
 
+  /** [[assignCells]] under a two-level tree quantizer
+    * ([[graft.ann.KMeans.fitTree]]): k1 + k2 cosines per row instead of
+    * the flat quantizer's k — with k grown ∝ N (the cell-size rule) the
+    * flat assignment term is N·k and eventually dominates; the tree swaps
+    * it for N·2√k with the dedup logic downstream unchanged. */
+  def assignCellsTree(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tq: KMeans.TreeQuantizer): DataFrame =
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("__b", KMeans.nearestCentroid(col("__v"), tq.branches))
+      .withColumn("cid",
+        (col("__b") * tq.k2 + KMeans.leafInBranch(col("__v"), col("__b"), tq)).cast("long"))
+      .drop("__b")
+
   /** Survivors of one-pass within-cell near-dup removal: rows (vec_id, cid)
     * where vec_id has NO lower-id neighbor with round(cosine,6) >= tau in
     * its cell. `cells` comes from [[assignCells]] (pass it materialized

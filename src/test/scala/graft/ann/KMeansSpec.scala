@@ -30,4 +30,37 @@ class KMeansSpec extends SparkSpec {
     assert(a.size == 16)
     assert(a.forall(_._2.size == 64))
   }
+
+  test("tree quantizer: deterministic fit, bounded shape, identical vectors share a cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = KMeans.fitTree(emb, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
+    val b = KMeans.fitTree(emb, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
+    assert(a == b)
+    assert(a.branches.size == 4)
+    assert(a.leaves.size == 4 && a.leaves.forall(ls => ls.nonEmpty && ls.size <= 4))
+    assert(a.leaves.flatten.forall(_.size == 64))
+    // identical vectors land in identical cells under any row-local
+    // assignment — the property semantic dedup's recall rests on
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val cells = graft.dedup.SemDedup.assignCellsTree(
+      emb.select("vec_id", "embedding").unionByName(planted), "vec_id", "embedding", a)
+    val byCell = cells.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 10L).forall(id => byCell(id) == byCell(id + 1000)))
+    assert(byCell.values.forall(c => c >= 0 && c < 16))
+  }
+
+  test("tree-assigned semantic dedup removes planted exact duplicates") {
+    val emb = Tables.embeddings(spark, sf)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val tq = KMeans.fitTree(corpus, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
+    val cells = graft.dedup.SemDedup.assignCellsTree(corpus, "vec_id", "embedding", tq)
+    val kept = graft.dedup.SemDedup.semanticDedupOnCells(cells, tau = 0.999999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((500L until 520L).forall(id => !kept.contains(id)))
+    assert(emb.select("vec_id").collect().map(_.getLong(0)).forall(kept.contains))
+  }
 }
