@@ -79,4 +79,37 @@ object SemDedup {
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame =
     semanticDedupOnCells(assignCells(corpus, idCol, vecCol, cents), tau)
+
+  /** Batch-vs-history flags, the embedding-space twin of
+    * [[TextDedup.incrementalDupFlags]]: for every batch vector, whether a
+    * same-cell history vector (dup_in_history) or a same-cell lower-id
+    * batch vector (dup_in_batch) reaches round(cosine,6) >= tau. The
+    * quantizer (`cents`) should be trained on history alone — arriving
+    * batches assign against the standing index and never retrain it.
+    * Scale shape: both pair joins put the BATCH-derived side behind
+    * `broadcast`, so the corpus-sized history streams map-side and never
+    * reshuffles; only batch-bounded frames cross exchanges. */
+  def incrementalSemanticDedup(
+      history: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
+    val h = assignCells(history, idCol, vecCol, cents)
+      .select(col("cid"), col("__v").as("__vh"))
+    val b = assignCells(batch, idCol, vecCol, cents)
+    val bCand = b.select(col("cid"), col("vec_id").as("__bid"), col("__v").as("__vb"))
+    val dupsH = h.join(broadcast(bCand), Seq("cid"))
+      .filter(round(VectorFns.cosine(col("__vh"), col("__vb")), 6) >= tau)
+      .select(col("__bid").as("vec_id")).distinct()
+    val dupsB = bCand
+      .select(col("cid"), col("__bid").as("__aid"), col("__vb").as("__va"))
+      .join(broadcast(bCand), Seq("cid"))
+      .filter(col("__aid") < col("__bid"))
+      .filter(round(VectorFns.cosine(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("__bid").as("vec_id")).distinct()
+    b.select("vec_id", "cid")
+      .join(broadcast(dupsH.withColumn("__dh", lit(true))), Seq("vec_id"), "left")
+      .join(broadcast(dupsB.withColumn("__db", lit(true))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("__dh"), lit(false)).as("dup_in_history"),
+        coalesce(col("__db"), lit(false)).as("dup_in_batch"))
+  }
 }

@@ -17,21 +17,24 @@ object AnnQueries {
   private val cosineSql =
     """list_cosine_similarity(cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[]))"""
 
-  // Deterministic two-round Lloyd replay shared by q96 (IVF search) and
-  // q106 (semantic dedup). Ends at `cells` = each vector's trained cell;
-  // mirrors graft.ann.KMeans.fit step for step (init = 16 lowest-id
-  // vectors, argmax of round(cosine,6) with cid tiebreak, means rounded
-  // to 6, empty cells keep their previous centroid).
-  private val trainedCellsCte =
-    """v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // Deterministic two-round Lloyd replay shared by q96 (IVF search),
+  // q106 (semantic dedup) and q109 (incremental semantic dedup). Ends at
+  // `cells` = EVERY vector's trained cell; training reads only `vt`
+  // (rows passing trainPred — q109 trains on history alone, the others
+  // on everything). Mirrors graft.ann.KMeans.fit step for step (init =
+  // 16 lowest-id vectors, argmax of round(cosine,6) with cid tiebreak,
+  // means rounded to 6, empty cells keep their previous centroid).
+  private def trainedCellsCte(trainPred: String = "true") =
+    s"""v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+       vt AS (SELECT vec_id, v FROM v WHERE $trainPred),
        init AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
-         FROM v ORDER BY vec_id LIMIT 16),
+         FROM vt ORDER BY vec_id LIMIT 16),
        a1 AS (
          SELECT vec_id, v, cid FROM (
            SELECT t.vec_id, t.v, c.cid,
              row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-           FROM v t CROSS JOIN init c) WHERE rn = 1),
+           FROM vt t CROSS JOIN init c) WHERE rn = 1),
        m1 AS (
          SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
          FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
@@ -43,7 +46,7 @@ object AnnQueries {
          SELECT vec_id, v, cid FROM (
            SELECT t.vec_id, t.v, c.cid,
              row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-           FROM v t CROSS JOIN c1 c) WHERE rn = 1),
+           FROM vt t CROSS JOIN c1 c) WHERE rn = 1),
        m2 AS (
          SELECT cid, d.d AS dim, round(avg(v[d.d]), 6) AS mu
          FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
@@ -259,7 +262,7 @@ object AnnQueries {
     // search. The oracle replays the identical training loop as chained
     // CTEs. Recall vs the exact baseline is asserted in KMeansSpec.
     QueryDef("q96_ann_ivf_trained", Seq("J12", "A5"),
-      s"""WITH $trainedCellsCte,
+      s"""WITH ${trainedCellsCte()},
          probes AS (
            SELECT vec_id AS query_id, v AS qv, cid FROM (
              SELECT t.vec_id, t.v, c.cid,
@@ -283,7 +286,7 @@ object AnnQueries {
     // cell, not the corpus); a vector is dropped iff a lower-id vector in
     // its cell reaches cosine 0.3. Output = survivors with their cell.
     QueryDef("q106_semdedup", Seq("J12", "A10"),
-      s"""WITH $trainedCellsCte,
+      s"""WITH ${trainedCellsCte()},
          dups AS (
            SELECT DISTINCT b.vec_id
            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -293,6 +296,36 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
       graft.dedup.SemDedup.semanticDedup(emb, "vec_id", "embedding", cents, tau = 0.3)
+    },
+
+    // Incremental semantic dedup (the embedding-space twin of q103's
+    // lexical batch-vs-history flags): the quantizer trains on HISTORY
+    // only (new batches don't retrain the index), both sides assign
+    // row-locally, and every pair check is within-cell. History joins a
+    // BROADCAST of the batch-derived side, so the corpus-sized history
+    // never reshuffles — only the 10% batch moves.
+    QueryDef("q109_semdedup_incremental", Seq("J12", "A10", "J11"),
+      s"""WITH ${trainedCellsCte("vec_id % 10 <> 0")},
+         dupsH AS (
+           SELECT DISTINCT b.vec_id
+           FROM cells h JOIN cells b ON h.cid = b.cid
+           WHERE h.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+             AND round(list_cosine_similarity(h.v, b.v), 6) >= 0.3),
+         dupsB AS (
+           SELECT DISTINCT b.vec_id
+           FROM cells a JOIN cells b ON a.cid = b.cid
+           WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+             AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+         SELECT c.vec_id, c.cid,
+           c.vec_id IN (SELECT vec_id FROM dupsH) AS dup_in_history,
+           c.vec_id IN (SELECT vec_id FROM dupsB) AS dup_in_batch
+         FROM cells c WHERE c.vec_id % 10 = 0""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val history = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val cents = graft.ann.KMeans.fit(history, "vec_id", "embedding", k = 16, iters = 2)
+      graft.dedup.SemDedup.incrementalSemanticDedup(
+        history, batch, "vec_id", "embedding", cents, tau = 0.3)
     },
   )
 }

@@ -259,6 +259,15 @@ class PlanBudgetSpec extends SparkSpec {
     assert(broadcasts(inc) >= 2)
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"))
+    // the embedding-space twin keeps the same discipline: history only
+    // ever inner-joins a broadcast batch side; the two exchanges are the
+    // batch-bounded dup-id distincts
+    val sem = q("q109_semdedup_incremental")
+    val semPlan = sem.queryExecution.executedPlan.toString
+    assert(broadcasts(sem) >= 3)
+    assert(shuffles(sem) <= 2)
+    assert(!semPlan.contains("SortMergeJoin"))
+    assert(!semPlan.contains("CartesianProduct"))
   }
 
   test("ANN per-query top-k plans as bounded top-k, not a window sort") {

@@ -32,6 +32,30 @@ class SemDedupSpec extends SparkSpec {
     assert(cids.forall(c => c >= 0 && c < 16))
   }
 
+  test("incremental flags: history copies flag dup_in_history, within-batch copies dup_in_batch") {
+    val emb = Tables.embeddings(spark, sf)
+    val history = emb.filter(col("vec_id") < 40).select("vec_id", "embedding")
+    val novel = emb.filter(col("vec_id") >= 40).select("vec_id", "embedding")
+    val histCopies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val batchCopy = emb.filter(col("vec_id") === 40)
+      .select((col("vec_id") + 3000).as("vec_id"), col("embedding"))
+    val batch = novel.unionByName(histCopies).unionByName(batchCopy)
+    val cents = KMeans.fit(history, "vec_id", "embedding", k = 8, iters = 2)
+    val flags = SemDedup.incrementalSemanticDedup(
+      history, batch, "vec_id", "embedding", cents, tau = 0.999999)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(flags.size == batch.count())
+    // exact copies of history vectors: flagged against history (same cell
+    // by row-local assignment), not against the batch
+    assert((1000L until 1005L).forall(id => flags(id) == (true, false)))
+    // vec 40 is novel; its higher-id exact twin 3040 flags within-batch only
+    assert(flags(40L) == (false, false))
+    assert(flags(3040L) == (false, true))
+    // the remaining novel vectors match nothing at this tau
+    assert((41L until 50L).forall(id => flags(id) == (false, false)))
+  }
+
   test("survivor set shrinks monotonically as tau drops") {
     val emb = Tables.embeddings(spark, sf)
     val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
