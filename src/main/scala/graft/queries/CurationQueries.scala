@@ -211,6 +211,58 @@ object CurationQueries {
           // down-sampling factor < 1 would silently diverge
           explode(when(col("repeats") >= 1, sequence(lit(1L), col("repeats")))
             .otherwise(array().cast("array<bigint>"))).as("epoch"))
+    },
+
+    // Classifier-scored curation ([[graft.ml.NaiveBayes]]): train a
+    // multinomial NB lang model in ONE aggregation pass (per-class doc
+    // counts ride the token-count shuffle via a marker token), then
+    // score every document ROW-LOCALLY — the per-class log-likelihoods
+    // are integer micro-log map literals, so the apply side is a pure
+    // map stage (no join, no shuffle) and scores are exact integer sums
+    // both engines agree on. The oracle replays training and scoring
+    // verbatim (floor(ln(p)·1e6); add-one smoothing over the global
+    // vocabulary; argmax tie → alphabetically-first class).
+    QueryDef("q110_nb_classifier", Seq("F5", "A11"),
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), w -> w <> '')) AS w
+           FROM documents),
+         v AS (SELECT count(DISTINCT w) AS v FROM tok),
+         nd AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         prior AS (
+           SELECT lang, CAST(floor(ln(n / CAST((SELECT sum(n) FROM nd) AS DOUBLE)) * 1e6) AS BIGINT) AS p
+           FROM nd),
+         cnt AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY 1, 2),
+         tot AS (SELECT lang, sum(n) AS t FROM cnt GROUP BY 1),
+         ll AS (
+           SELECT c.lang, c.w, CAST(floor(ln((c.n + 1.0) / (t.t + v.v)) * 1e6) AS BIGINT) AS l
+           FROM cnt c JOIN tot t USING (lang) CROSS JOIN v),
+         uns AS (SELECT t.lang, CAST(floor(ln(1.0 / (t.t + v.v)) * 1e6) AS BIGINT) AS u
+           FROM tot t CROSS JOIN v),
+         tokscore AS (
+           SELECT t.doc_id, u.lang AS c, sum(coalesce(l.l, u.u)) AS s
+           FROM tok t CROSS JOIN uns u
+           LEFT JOIN ll l ON l.lang = u.lang AND l.w = t.w
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT d.doc_id, d.lang, pr.lang AS c, pr.p + coalesce(ts.s, 0) AS s
+           FROM documents d
+           CROSS JOIN prior pr
+           LEFT JOIN tokscore ts ON ts.doc_id = d.doc_id AND ts.c = pr.lang),
+         pred AS (
+           SELECT doc_id, lang, c, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn
+           FROM sc)
+         SELECT doc_id, lang, c AS pred_lang, CAST(s AS BIGINT) AS score FROM pred WHERE rn = 1""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = graft.ml.NaiveBayes.fit(docs, "lang", "text")
+      // two-step select so the 5-class fold runs once per row: __b is
+      // non-cheap and referenced twice, which blocks CollapseProject
+      docs.select(col("doc_id"), col("lang"),
+          graft.ml.NaiveBayes.best(col("text"), m).as("__b"))
+        .select(col("doc_id"), col("lang"),
+          graft.ml.NaiveBayes.predClass(col("__b"), m).as("pred_lang"),
+          graft.ml.NaiveBayes.predScore(col("__b")).as("score"))
     }
   )
 }

@@ -239,6 +239,15 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(ru) <= 2)
     val ruPlan = ru.queryExecution.executedPlan.toString
     assert(ruPlan.contains("Generate") && !ruPlan.contains("SortMergeJoin"))
+    // classifier apply: the model is plan literals, so scoring is a pure
+    // map stage — scan + projections, zero shuffles, zero joins; and the
+    // expensive per-class fold appears exactly once (the two-step select
+    // keeps CollapseProject from inlining it into both outputs)
+    val nb = q("q110_nb_classifier")
+    assert(shuffles(nb) == 0)
+    val nbPlan = nb.queryExecution.executedPlan.toString
+    assert(!nbPlan.contains("Join"))
+    assert("array_max".r.findAllIn(nbPlan).size == 1)
   }
 
   test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
