@@ -191,6 +191,52 @@ object ScaleProbe {
       kept
     }
 
+    // Incremental (batch-vs-history) semantic dedup at scale, the q109
+    // contract: ~1% batch against the rest as history; the quantizer
+    // trains on history alone and the history side streams map-side into
+    // broadcast joins (never reshuffles). Every 50th vector duplicates
+    // its predecessor, so EVERY batch vector (id%100==0, hence id%50==0)
+    // has its exact copy at id+1 in history → expected dup_in_history
+    // count = nVecs/100 exactly.
+    time("incremental_semantic_dedup") {
+      val vdup = spark.range(nVecs)
+        .withColumn("base", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
+        .withColumn("embedding", array((0 until 64).map(i =>
+          (conv(substring(md5(concat(col("base"), lit(i))), 1, 6), 16, 10).cast("float") / 8388608f) - 1f): _*))
+        .select(col("id").as("vec_id"), col("embedding"))
+        .cache()
+      vdup.count()
+      val history = vdup.filter(col("vec_id") % 100 =!= 0)
+      val batch = vdup.filter(col("vec_id") % 100 === 0)
+      val k = math.max(16, nVecs / 800)
+      val cents = graft.ann.KMeans.fit(history, "vec_id", "embedding", k = k, iters = 2)
+      val flagged = graft.dedup.SemDedup.incrementalSemanticDedup(
+        history, batch, "vec_id", "embedding", cents, tau = 0.999999)
+        .filter(col("dup_in_history")).count()
+      vdup.unpersist()
+      flagged
+    }
+
+    // NB classifier apply throughput: the model trains in one agg pass
+    // over nDocs labeled docs, then scoring is the pure map stage the
+    // q110 plan assertion pins — this measures rows/sec through the
+    // per-class literal-map fold (the realistic "classifier-filter 100
+    // TB" unit cost).
+    time("nb_classifier") {
+      // bounded vocabulary (~997 tokens): NB's train collect is (class,
+      // token)-sized, so the corpus must share words — the shared `docs`
+      // fixture's per-doc-unique md5 tokens would make the "model"
+      // corpus-sized, which is exactly what fit() must never be fed
+      val labeled = spark.range(nDocs.toLong)
+        .withColumn("lang", concat(lit("l"), (col("id") % 5).cast("string")))
+        .withColumn("text", concat_ws(" ", (0 until 12).map(i =>
+          substring(md5((pmod(col("id") * (i + 7), lit(997))).cast("string")), 1, 6)): _*))
+      val m = graft.ml.NaiveBayes.fit(labeled, "lang", "text")
+      labeled.select(graft.ml.NaiveBayes.best(col("text"), m).as("__b"))
+        .select(graft.ml.NaiveBayes.predClass(col("__b"), m).as("p"))
+        .groupBy("p").count().count()
+    }
+
     spark.stop()
   }
 }

@@ -94,7 +94,14 @@ object SemDedup {
       cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
     val h = assignCells(history, idCol, vecCol, cents)
       .select(col("cid"), col("__v").as("__vh"))
-    val b = assignCells(batch, idCol, vecCol, cents)
+    // The batch assignment feeds FOUR plan legs (both pair-join probes,
+    // the within-batch self-join's second side, and the output spine).
+    // Left lazy, Catalyst re-derives and re-optimizes the k·dim-literal
+    // assignment tree per leg — at the documented k ∝ N rule that turned
+    // 2.5× data into 22× wall (ScaleProbe, k=156). The batch side is
+    // increment-sized by contract, so cut it once (q77/q89 pattern);
+    // history stays a single lazy leg and still never materializes.
+    val b = assignCells(batch, idCol, vecCol, cents).localCheckpoint(false)
     val bCand = b.select(col("cid"), col("vec_id").as("__bid"), col("__v").as("__vb"))
     val dupsH = h.join(broadcast(bCand), Seq("cid"))
       .filter(round(VectorFns.cosine(col("__vh"), col("__vb")), 6) >= tau)
