@@ -190,5 +190,66 @@ object DedupQueries {
         docs.filter(col("doc_id") % 11 === 0),
         "text", "doc_id", 8, 4)
     },
+
+    // Leakage-safe train/val split: near-duplicate documents must land
+    // on the SAME side, or the validation set scores memorization (the
+    // standard eval-contamination guard a per-doc hash split cannot
+    // give). Composition: q65's near-dup relation (60-bit simhash,
+    // banded pairs, hamming <= 3) -> connected components -> the split
+    // key is the CLUSTER id (singletons are their own cluster), side =
+    // 90/10 by md5-fraction of that key. Scale shape: pairs are
+    // band-blocked (no cross product), components are dup-cluster-sized
+    // and broadcast back onto the corpus, the corpus itself never
+    // reshuffles, and the side decision is row-local.
+    QueryDef("q111_leakage_split", Seq("A10", "F5"),
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
+           FROM documents),
+         bits AS (
+           SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+           GROUP BY doc_id, b.b),
+         sig AS (
+           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, simhash, band.band,
+             (simhash >> (15 * band.band)) & 32767 AS chunk
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs
+           UNION SELECT id_a, id_a FROM pairs
+           UNION SELECT id_b, id_b FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+         SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 6)) AS INT) / 16777216.0 < 0.9
+                THEN 'train' ELSE 'val' END AS side
+         FROM documents d LEFT JOIN comp c USING (doc_id)""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sig = docs.select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+      val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+      val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+      val cluster = coalesce(col("component"), col("doc_id"))
+      docs.select("doc_id")
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .select(col("doc_id"), cluster.as("cluster"),
+          when(conv(substring(md5(cluster.cast("string")), 1, 6), 16, 10)
+            .cast("double") / 16777216.0 < 0.9, lit("train"))
+            .otherwise(lit("val")).as("side"))
+    },
   )
 }

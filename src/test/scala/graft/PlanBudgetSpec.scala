@@ -277,6 +277,14 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(sem) <= 2)
     assert(!semPlan.contains("SortMergeJoin"))
     assert(!semPlan.contains("CartesianProduct"))
+    // leakage-safe split: components are dup-cluster-sized and broadcast
+    // back onto the corpus — the corpus-sized side never sort-merge-joins
+    // and the pair stage stays band-blocked (no cross product)
+    val ls = q("q111_leakage_split")
+    val lsPlan = ls.queryExecution.executedPlan.toString
+    assert(broadcasts(ls) >= 1)
+    assert(!lsPlan.contains("SortMergeJoin"))
+    assert(!lsPlan.contains("CartesianProduct"))
   }
 
   test("ANN per-query top-k plans as bounded top-k, not a window sort") {

@@ -109,4 +109,36 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
   }
+
+  test("leakage-safe split: near-dup twins always land on the same side") {
+    // the q111 composition on planted data: 30 singleton docs plus three
+    // exact-twin pairs and one hamming-close pair — every cluster must
+    // resolve to one side, so twins can never straddle train/val
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (
+      (0 until 30).map(i => (i.toLong, (1 to 40).map(j => s"w${i}_$j").mkString(" "))) ++
+      Seq((100L, base), (101L, base),
+        (102L, base + " extra"), (103L, base + " extra"),
+        (104L, base.replace("tok20", "tokXX")))
+    ).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"), TextDedup.simHashN(col("text"), 60).as("simhash"))
+    val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+    val cluster = coalesce(col("component"), col("doc_id"))
+    val side = docs.select("doc_id")
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .select(col("doc_id"), cluster.as("cluster"),
+        when(conv(substring(md5(cluster.cast("string")), 1, 6), 16, 10)
+          .cast("double") / 16777216.0 < 0.9, lit("train"))
+          .otherwise(lit("val")).as("side"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(side.size == 35)
+    assert(side(100L) == side(101L))
+    assert(side(102L) == side(103L))
+    // 104 is hamming-close to the base twins: same cluster, same side
+    assert(side(104L)._2 == side(100L)._2)
+    // both sides are actually populated across the 30 singletons
+    assert(side.values.map(_._2).toSet == Set("train", "val"))
+  }
 }
