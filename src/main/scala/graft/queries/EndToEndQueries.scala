@@ -62,7 +62,16 @@ object EndToEndQueries {
       (k % 19 === 0).as("manual_accept"),
       concat(lit("Org "), (m % 20).cast("string")).as("org_name"),
       concat(lit("ST"), (m % 3).cast("string")).as("org_subtypes"),
-      (m % 7 < 4).as("newMoney"))
+      (m % 7 < 4).as("newMoney"),
+      // flow description for the §3.2 keyword scan: deterministic filler
+      // (orders carries no text column) with CVA keywords injected into
+      // ~2/13 of rows
+      when(k % 13 === 0, concat(lit("cash transfer support "),
+          substring(md5(k.cast("string")), 1, 8)))
+        .when(k % 13 === 1, concat(lit("multipurpose voucher aid "),
+          substring(md5(k.cast("string")), 1, 8)))
+        .otherwise(concat(lit("programme activity "),
+          substring(md5(k.cast("string")), 1, 8))).as("text_raw"))
   }
 
   /** The full chain; also serves as `SparkEntry.entry` (the flagship). */
@@ -119,6 +128,65 @@ object EndToEndQueries {
       .select(col("Year").as("year"), col("Org_type").as("org_type"),
         round(col("`PC.USD.m`"), 4).as("pc_usd_m"),
         round(col("`TV.USD.m`"), 4).as("tv_usd_m"))
+  }
+
+  /** The reference's §3.2 flagging run as ONE plan: curated flows → F2
+    * boundary filter → project-side broadcast join (J5) → `all_text`
+    * fuse (R paste-NA semantics) → C1 sector/method/cluster relevance →
+    * keyword scan → ML candidate set ((keyword ∨ project_cva) ∧
+    * relevance=="None") → the Python process boundary re-expressed as a
+    * broadcast join against the committed predictions table (U4 option
+    * a, J6) → C2 ML upgrade → both 09 sinks (flagged set + manual
+    * queue) as one labeled union.
+    *
+    * Scale shape: the flow table never shuffles — the project side and
+    * the candidate-sized predictions table broadcast, every cascade is
+    * row-local, and the only exchange is the final partial-agg rollup.
+    * Asserted in PlanBudgetSpec.
+    */
+  def flaggingEndToEnd(s: SparkSession, d: String): DataFrame = {
+    val keywords = Seq("cash transfer", "voucher", "cash assistance")
+    val flows = flowsFixture(s, d)
+      .filter(col("boundary") =!= "outgoing") // F2 (code/08:24-34)
+      .withColumn("pm", (col("id") / 4).cast("long"))
+    // project side (07's output, reduced to its join contract): which
+    // project groups carry a CVA label
+    val projects = flows.select(col("pm")).distinct()
+      .filter(col("pm") % 6 === 0)
+      .withColumn("project_cva", lit(true))
+    val joined = flows.join(broadcast(projects), Seq("pm"), "left")
+      .withColumn("all_text",
+        CvaPipeline.pasteNA(col("org_name"), col("text_raw"))) // code/08:50
+      .withColumn("smc", CvaPipeline.sectorMethodClusterRelevance(
+        col("method"), col("`destinationObjects_Cluster.name`")))
+      .withColumn("keyword_match",
+        col("all_text").rlike(CvaPipeline.keywordRegex(keywords)))
+      .withColumn("project_cva", coalesce(col("project_cva"), lit(false)))
+    // the ML candidate set (code/08:151-155) and its committed
+    // predictions — the process boundary comes back as a broadcast join
+    val preds = joined
+      .filter(col("smc") === "None" &&
+        (col("keyword_match") || col("project_cva")))
+      .select(col("id"), col("pm")).distinct()
+      .withColumn("predicted_class",
+        when(col("pm") % 10 <= 1, "Full")
+          .when(col("pm") % 10 <= 3, "Partial")
+          .otherwise("None"))
+      .drop("pm")
+    val (rel, relMethod) = CvaPipeline.relevance(
+      col("smc"), col("project_cva_pct"), col("keyword_match"),
+      col("project_cva"), col("predicted_class"))
+    joined.join(broadcast(preds), Seq("id"), "left")
+      .withColumn("relevance", rel)
+      .withColumn("relevance_method", relMethod)
+      .withColumn("sink",
+        when(col("relevance") =!= "None", "flagged") // code/08:185-194
+          .when(col("keyword_match") &&
+            col("predicted_confidence") >= 0.5 &&
+            col("predicted_confidence") < 0.8, "manual_queue")) // code/09:59-72
+      .filter(col("sink").isNotNull)
+      .groupBy("sink", "relevance", "relevance_method")
+      .agg(count(lit(1)).as("n"), round(sum("amountUSD"), 4).as("amount"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -209,5 +277,65 @@ object EndToEndQueries {
          rolled AS (SELECT year_i, org_type, sum(undoubled) AS pc FROM und GROUP BY 1, 2)
          SELECT r.year_i AS year, r.org_type, round(r.pc, 4) AS pc_usd_m, round(r.pc * p.pc_average, 4) AS tv_usd_m
          FROM rolled r LEFT JOIN pctv p USING (year_i)""")(cvaEndToEnd),
+
+    QueryDef("q112_flagging_end_to_end", Seq("C1", "C2", "J5", "J6", "U4", "F2"),
+      """WITH flows AS (
+           SELECT o_orderkey - o_orderkey % 4 AS id,
+             (o_orderkey - o_orderkey % 4) // 4 AS pm,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN 'incoming' WHEN 1 THEN 'shared' WHEN 2 THEN 'outgoing' ELSE 'internal' END AS boundary,
+             o_totalprice AS amountUSD,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'Cash transfer programming (CTP)' ELSE 'Traditional aid' END AS method,
+             CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN 'Multipurpose Cash' WHEN 1 THEN 'Multipurpose Cash; Health' WHEN 2 THEN 'Health; Education' WHEN 3 THEN '' ELSE NULL END AS cluster,
+             CASE CAST(o_orderkey % 11 AS INT) WHEN 0 THEN 0.9 WHEN 1 THEN 0.4 ELSE NULL END AS project_cva_pct,
+             (o_orderkey % 10) / 10.0 AS predicted_confidence,
+             'Org ' || CAST((o_orderkey - o_orderkey % 4) // 4 % 20 AS VARCHAR) AS org_name,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'cash transfer support ' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  WHEN o_orderkey % 13 = 1 THEN 'multipurpose voucher aid ' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  ELSE 'programme activity ' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) END AS text_raw
+           FROM orders),
+         f2 AS (SELECT * FROM flows WHERE boundary <> 'outgoing'),
+         scanned AS (
+           SELECT *,
+             (pm % 6 = 0) AS project_cva,
+             CASE WHEN method = 'Cash transfer programming (CTP)' THEN 'Full'
+                  WHEN list_contains(string_split(coalesce(cluster, ''), '; '), 'Multipurpose Cash')
+                       AND len(string_split(coalesce(cluster, ''), '; ')) = 1 THEN 'Full'
+                  WHEN list_contains(string_split(coalesce(cluster, ''), '; '), 'Multipurpose Cash')
+                       AND len(string_split(coalesce(cluster, ''), '; ')) > 1 THEN 'Partial'
+                  ELSE 'None' END AS smc,
+             regexp_matches(org_name || ' ' || text_raw, '(?i)\b(cash transfer|voucher|cash assistance)\b') AS keyword_match
+           FROM f2),
+         preds AS (
+           SELECT DISTINCT id,
+             CASE WHEN pm % 10 <= 1 THEN 'Full'
+                  WHEN pm % 10 <= 3 THEN 'Partial'
+                  ELSE 'None' END AS predicted_class
+           FROM scanned
+           WHERE smc = 'None' AND (keyword_match OR project_cva)),
+         upgraded AS (
+           SELECT s.*,
+             CASE WHEN s.smc <> 'None' THEN s.smc
+                  WHEN s.project_cva_pct >= 0.75 THEN 'Full'
+                  WHEN s.project_cva_pct > 0 THEN 'Partial'
+                  WHEN s.keyword_match AND p.predicted_class IN ('Partial', 'Full') THEN p.predicted_class
+                  WHEN s.project_cva AND p.predicted_class IN ('Partial', 'Full') THEN p.predicted_class
+                  ELSE 'None' END AS relevance,
+             CASE WHEN s.smc <> 'None' THEN 'Sector/Method/Cluster'
+                  WHEN s.project_cva_pct >= 0.75 THEN 'Project CVA Percentage'
+                  WHEN s.project_cva_pct > 0 THEN 'Project CVA Percentage'
+                  WHEN s.keyword_match AND p.predicted_class IN ('Partial', 'Full') THEN 'Keyword + ML'
+                  WHEN s.project_cva AND p.predicted_class IN ('Partial', 'Full') THEN 'Project API + ML'
+                  ELSE 'None' END AS relevance_method
+           FROM scanned s LEFT JOIN preds p USING (id)),
+         sinks AS (
+           SELECT *,
+             CASE WHEN relevance <> 'None' THEN 'flagged'
+                  WHEN keyword_match AND predicted_confidence >= 0.5
+                       AND predicted_confidence < 0.8 THEN 'manual_queue' END AS sink
+           FROM upgraded)
+         SELECT sink, relevance, relevance_method, count(*) AS n,
+           round(sum(amountUSD), 4) AS amount
+         FROM sinks WHERE sink IS NOT NULL
+         GROUP BY sink, relevance, relevance_method""")(flaggingEndToEnd),
   )
 }

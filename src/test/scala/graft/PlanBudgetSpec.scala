@@ -305,4 +305,16 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(e) == 4)
     assert(!e.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
   }
+
+  test("flagging spine: fact rows never shuffle — project/predictions sides broadcast") {
+    // §3.2 as one plan: every exchange carries reduced data (two distinct
+    // builds, the candidate-sized predictions, the final rollup); the
+    // flow table itself reaches the aggregate through broadcast joins only
+    val f = q("q112_flagging_end_to_end")
+    assert(broadcasts(f) >= 2)
+    assert(shuffles(f) <= 4)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
