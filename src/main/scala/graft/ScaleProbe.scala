@@ -146,26 +146,29 @@ object ScaleProbe {
     time("ann_lsh_top3")(
       Knn.lshTopK(vecs, vecs.filter(col("vec_id") < 20), "vec_id", "embedding", 3, 8).count())
 
-    // SemDeDup at scale: every 50th vector duplicates its predecessor.
-    // k grows with the corpus (k = nVecs/800, the documented scaling
-    // rule) so the within-cell all-pairs term stays ~linear in N; the
-    // assigned corpus is materialized ONCE inside the timer (the IVF
-    // index build) rather than re-derived per plan leg. Expected
-    // survivors = nVecs - nVecs/50 exactly (full recall: an exact copy
-    // shares its original's cell and scores cosine 1.0).
+    // Shared fixture for the three SemDeDup probes: every 50th vector
+    // duplicates its predecessor. Built and cached ONCE so the timers
+    // measure dedup work, not three identical fixture builds.
+    val vdup = spark.range(nVecs)
+      .withColumn("base", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
+      .withColumn("embedding", array((0 until 64).map(i =>
+        (conv(substring(md5(concat(col("base"), lit(i))), 1, 6), 16, 10).cast("float") / 8388608f) - 1f): _*))
+      .select(col("id").as("vec_id"), col("embedding"))
+      .cache()
+    vdup.count()
+
+    // SemDeDup at scale: k grows with the corpus (k = nVecs/800, the
+    // documented scaling rule) so the within-cell all-pairs term stays
+    // ~linear in N; the assigned corpus is materialized ONCE inside the
+    // timer (the IVF index build) rather than re-derived per plan leg.
+    // Expected survivors = nVecs - nVecs/50 exactly (full recall: an
+    // exact copy shares its original's cell and scores cosine 1.0).
     time("semantic_dedup") {
-      val vdup = spark.range(nVecs)
-        .withColumn("base", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
-        .withColumn("embedding", array((0 until 64).map(i =>
-          (conv(substring(md5(concat(col("base"), lit(i))), 1, 6), 16, 10).cast("float") / 8388608f) - 1f): _*))
-        .select(col("id").as("vec_id"), col("embedding"))
-        .cache()
-      vdup.count()
       val k = math.max(16, nVecs / 800)
       val cents = graft.ann.KMeans.fit(vdup, "vec_id", "embedding", k = k, iters = 2)
       val cells = graft.dedup.SemDedup.assignCells(vdup, "vec_id", "embedding", cents).cache()
       val kept = graft.dedup.SemDedup.semanticDedupOnCells(cells, tau = 0.999999).count()
-      cells.unpersist(); vdup.unpersist()
+      cells.unpersist()
       kept
     }
 
@@ -175,19 +178,12 @@ object ScaleProbe {
     // contract (identical vectors share a cell under any row-local
     // assignment).
     time("semantic_dedup_tree") {
-      val vdup = spark.range(nVecs)
-        .withColumn("base", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
-        .withColumn("embedding", array((0 until 64).map(i =>
-          (conv(substring(md5(concat(col("base"), lit(i))), 1, 6), 16, 10).cast("float") / 8388608f) - 1f): _*))
-        .select(col("id").as("vec_id"), col("embedding"))
-        .cache()
-      vdup.count()
       val side = math.max(4, math.ceil(math.sqrt(nVecs / 800.0)).toInt)
       val tq = graft.ann.KMeans.fitTree(vdup, "vec_id", "embedding",
         k1 = side, k2 = side, iters = 2)
       val cells = graft.dedup.SemDedup.assignCellsTree(vdup, "vec_id", "embedding", tq).cache()
       val kept = graft.dedup.SemDedup.semanticDedupOnCells(cells, tau = 0.999999).count()
-      cells.unpersist(); vdup.unpersist()
+      cells.unpersist()
       kept
     }
 
@@ -199,13 +195,6 @@ object ScaleProbe {
     // has its exact copy at id+1 in history → expected dup_in_history
     // count = nVecs/100 exactly.
     time("incremental_semantic_dedup") {
-      val vdup = spark.range(nVecs)
-        .withColumn("base", when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id")))
-        .withColumn("embedding", array((0 until 64).map(i =>
-          (conv(substring(md5(concat(col("base"), lit(i))), 1, 6), 16, 10).cast("float") / 8388608f) - 1f): _*))
-        .select(col("id").as("vec_id"), col("embedding"))
-        .cache()
-      vdup.count()
       val history = vdup.filter(col("vec_id") % 100 =!= 0)
       val batch = vdup.filter(col("vec_id") % 100 === 0)
       val k = math.max(16, nVecs / 800)
@@ -213,9 +202,9 @@ object ScaleProbe {
       val flagged = graft.dedup.SemDedup.incrementalSemanticDedup(
         history, batch, "vec_id", "embedding", cents, tau = 0.999999)
         .filter(col("dup_in_history")).count()
-      vdup.unpersist()
       flagged
     }
+    vdup.unpersist()
 
     // NB classifier apply throughput: the model trains in one agg pass
     // over nDocs labeled docs, then scoring is the pure map stage the

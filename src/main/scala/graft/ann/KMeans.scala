@@ -100,6 +100,12 @@ object KMeans {
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
       .withColumn("__b", nearestCentroid(col("__v"), l1))
+      // __b never changes across the level-2 iterations, but each of the
+      // init collect and the per-iteration means collects is its own
+      // action — left lazy they would re-run the N·k1-cosine branch
+      // assignment every time (the same re-derivation class SemDedup's
+      // incremental path measured at 22×); cut it once
+      .localCheckpoint(false)
     val w = Window.partitionBy("__b").orderBy("__id")
     val init = v.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k2)

@@ -221,7 +221,9 @@ object CurationQueries {
     // map stage (no join, no shuffle) and scores are exact integer sums
     // both engines agree on. The oracle replays training and scoring
     // verbatim (floor(ln(p)·1e6); add-one smoothing over the global
-    // vocabulary; argmax tie → alphabetically-first class).
+    // vocabulary; argmax tie → alphabetically-first class; `uns` keys
+    // off nd, not tot, so a class whose docs are all empty still owns
+    // its smoothed unseen weight — matching fit()'s marker-token path).
     QueryDef("q110_nb_classifier", Seq("F5", "A11"),
       """WITH tok AS (
            SELECT doc_id, lang,
@@ -237,8 +239,9 @@ object CurationQueries {
          ll AS (
            SELECT c.lang, c.w, CAST(floor(ln((c.n + 1.0) / (t.t + v.v)) * 1e6) AS BIGINT) AS l
            FROM cnt c JOIN tot t USING (lang) CROSS JOIN v),
-         uns AS (SELECT t.lang, CAST(floor(ln(1.0 / (t.t + v.v)) * 1e6) AS BIGINT) AS u
-           FROM tot t CROSS JOIN v),
+         uns AS (
+           SELECT nd.lang, CAST(floor(ln(1.0 / (coalesce(t.t, 0) + v.v)) * 1e6) AS BIGINT) AS u
+           FROM nd LEFT JOIN tot t USING (lang) CROSS JOIN v),
          tokscore AS (
            SELECT t.doc_id, u.lang AS c, sum(coalesce(l.l, u.u)) AS s
            FROM tok t CROSS JOIN uns u

@@ -147,7 +147,7 @@ object EndToEndQueries {
   def flaggingEndToEnd(s: SparkSession, d: String): DataFrame = {
     val keywords = Seq("cash transfer", "voucher", "cash assistance")
     val flows = flowsFixture(s, d)
-      .filter(col("boundary") =!= "outgoing") // F2 (code/08:24-34)
+      .filter(col("boundary") =!= "outgoing") // F1 boundary filter (code/04:80)
       .withColumn("pm", (col("id") / 4).cast("long"))
     // project side (07's output, reduced to its join contract): which
     // project groups carry a CVA label
@@ -278,7 +278,7 @@ object EndToEndQueries {
          SELECT r.year_i AS year, r.org_type, round(r.pc, 4) AS pc_usd_m, round(r.pc * p.pc_average, 4) AS tv_usd_m
          FROM rolled r LEFT JOIN pctv p USING (year_i)""")(cvaEndToEnd),
 
-    QueryDef("q112_flagging_end_to_end", Seq("C1", "C2", "J5", "J6", "U4", "F2"),
+    QueryDef("q112_flagging_end_to_end", Seq("C1", "C2", "J5", "J6", "U4", "F1"),
       """WITH flows AS (
            SELECT o_orderkey - o_orderkey % 4 AS id,
              (o_orderkey - o_orderkey % 4) // 4 AS pm,
