@@ -53,12 +53,28 @@ object NaiveBayes {
   /** Train with add-one smoothing in one aggregation pass + a
     * model-sized collect. Smoothing denominator is `T_c + V` with V the
     * GLOBAL distinct vocabulary, so unseen-token mass is shared across
-    * classes. */
-  def fit(docs: DataFrame, labelCol: String, textCol: String): Model = {
-    val counts = docs
+    * classes.
+    *
+    * The collect is safe ONLY because text vocabulary is bounded — the
+    * reduced frame is (class × vocab)-sized, independent of corpus rows.
+    * `maxModelRows` makes that assumption explicit: the aggregate is cut
+    * once (so the guard count and the collect read the same
+    * materialization, not two corpus passes) and training fails loudly
+    * instead of OOMing the driver when fed an unbounded-vocabulary
+    * column; hash such tokens into a bounded feature space first. */
+  def fit(docs: DataFrame, labelCol: String, textCol: String,
+      maxModelRows: Long = 2000000L): Model = {
+    val agg = docs
       .select(col(labelCol).as("__c"),
         explode(concat(array(lit(DocMarker)), tokens(col(textCol)))).as("__w"))
       .groupBy("__c", "__w").count()
+      .localCheckpoint(false)
+    val modelRows = agg.count()
+    require(modelRows <= maxModelRows,
+      s"NB model would hold $modelRows (class, token) rows (> $maxModelRows): " +
+        "the text column's vocabulary is not bounded — hash tokens into a " +
+        "bounded feature space or raise maxModelRows")
+    val counts = agg
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val classes = counts.map(_._1).distinct.sorted.toSeq

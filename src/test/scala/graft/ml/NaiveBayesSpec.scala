@@ -43,6 +43,14 @@ class NaiveBayesSpec extends SparkSpec {
       m.prior("aa") + m.loglik("aa")("beta") + m.unseen("aa"))
   }
 
+  test("fit refuses an unbounded-vocabulary column instead of collecting it") {
+    val d = docs("aa" -> "alpha beta gamma delta", "bb" -> "epsilon zeta")
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayes.fit(d, "lang", "text", maxModelRows = 3L)
+    }
+    assert(e.getMessage.contains("vocabulary is not bounded"))
+  }
+
   test("exact score tie breaks to the alphabetically-first class") {
     // symmetric classes: equal doc counts, equal token totals, and the
     // scored doc holds only tokens unseen by both -> scores tie exactly
