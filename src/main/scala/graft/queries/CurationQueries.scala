@@ -266,6 +266,41 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"),
           graft.ml.NaiveBayes.predClass(col("__b"), m).as("pred_lang"),
           graft.ml.NaiveBayes.predScore(col("__b")).as("score"))
+    },
+
+    // Token-budget selection ("take the best documents until the budget
+    // is filled" — the corpus-sizing step after scoring): rank docs by
+    // lexical diversity (distinct/total tokens as an integer micro-key,
+    // doc_id tiebreak) and keep each doc whose tokens still fit the
+    // 15k-token budget (greedy — an oversized doc is skipped, smaller
+    // later docs still fit). The global ordered cumsum runs through
+    // PrefixSum's two-phase scan, NOT a single-partition window: bucket
+    // subtotals shuffle once, the un-partitioned window sees only the
+    // ~100 bucket rows, the within-bucket running sum parallelizes on
+    // the bucket key. Selection itself is a row-local predicate.
+    QueryDef("q113_token_budget", Seq("A5", "F5", "U6"),
+      s"""WITH tok AS (
+           SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+         scored AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             1000000 - CAST(floor(len(list_distinct(toks)) * 1e6 / len(toks)) AS BIGINT) AS nd
+           FROM tok WHERE len(toks) > 0),
+         cum AS (
+           SELECT doc_id, n_tokens, nd,
+             coalesce(sum(n_tokens) OVER (ORDER BY nd, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           FROM scored)
+         SELECT doc_id, nd, n_tokens, CAST(start_tok AS BIGINT) AS start_tok
+         FROM cum WHERE start_tok + n_tokens <= 15000""") { (s, d) =>
+      val scored = tok(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          (lit(1000000L) - floor(size(array_distinct(col("toks"))) * lit(1e6)
+            / size(col("toks"))).cast("long")).as("nd"))
+        .filter(col("n_tokens") > 0)
+      graft.operators.PrefixSum.exclusive(scored,
+          struct(col("nd"), col("doc_id")), col("n_tokens"),
+          expr("CAST(nd DIV 10000 AS BIGINT)"), "start_tok")
+        .filter(col("start_tok") + col("n_tokens") <= 15000)
+        .select("doc_id", "nd", "n_tokens", "start_tok")
     }
   )
 }

@@ -248,6 +248,14 @@ class PlanBudgetSpec extends SparkSpec {
     val nbPlan = nb.queryExecution.executedPlan.toString
     assert(!nbPlan.contains("Join"))
     assert("array_max".r.findAllIn(nbPlan).size == 1)
+    // token-budget selection: the global ordered cumsum goes through the
+    // two-phase prefix scan (bucket subtotal agg + broadcast offsets +
+    // within-bucket window) — never a single-partition window over the
+    // corpus; selection is a row-local filter
+    val tb = q("q113_token_budget")
+    assert(shuffles(tb) <= 4)
+    assert(broadcasts(tb) >= 1)
+    assert(!tb.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
   test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
