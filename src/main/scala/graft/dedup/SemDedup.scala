@@ -74,11 +74,19 @@ object SemDedup {
       .select("vec_id", "cid")
   }
 
-  /** One-shot convenience: assign + dedup in a single plan. */
+  /** One-shot convenience: assign + dedup. The assignment feeds THREE
+    * plan legs downstream (both pair-join sides and the anti-join
+    * spine), so it is cut once here — left lazy, Catalyst re-derives
+    * the k·dim-literal assignment tree per leg, the blowup the
+    * incremental path measured at 22× once k ∝ N (this is the
+    * "materialize the index" rule from [[assignCells]]' doc applied to
+    * the convenience form; at corpus scale prefer persisting or writing
+    * the index bucketed by cid and calling [[semanticDedupOnCells]]). */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame =
-    semanticDedupOnCells(assignCells(corpus, idCol, vecCol, cents), tau)
+    semanticDedupOnCells(
+      assignCells(corpus, idCol, vecCol, cents).localCheckpoint(false), tau)
 
   /** Batch-vs-history flags, the embedding-space twin of
     * [[TextDedup.incrementalDupFlags]]: for every batch vector, whether a
