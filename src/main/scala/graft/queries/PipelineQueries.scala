@@ -153,6 +153,38 @@ object PipelineQueries {
           sum(when(col("key") === col("keep_key"), 1L).otherwise(0L)).as("n_kept"))
     },
 
+    // Exact substring dedup (the sliding-window complement of q84's
+    // fixed chunks): every 20-token span appearing verbatim in ANOTHER
+    // doc, overlapping hits merged into maximal per-doc spans — see
+    // SpanDedup's scaladoc for the two-shuffle scale shape. Oracle is
+    // the classic gaps-and-islands (lag + running sum); the Spark side
+    // does the same merge as a row-local fold over each doc's sorted
+    // duplicated positions, no window function, no per-doc sort at the
+    // exchange.
+    QueryDef("q114_dup_spans", Seq("A10", "U6"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+          sh AS (
+            SELECT doc_id, p, md5(array_to_string(toks[p:p+19], ' ')) AS h
+            FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19)) AS p)
+            WHERE len(toks) >= 20),
+          dup AS (SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+          pos AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+          flags AS (
+            SELECT doc_id, p,
+              CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 20
+                   THEN 0 ELSE 1 END AS brk
+            FROM pos),
+          isl AS (
+            SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+            FROM flags)
+          SELECT doc_id, min(p) AS span_start, max(p) + 19 AS span_end,
+                 max(p) + 19 - min(p) + 1 AS span_tokens
+          FROM isl GROUP BY doc_id, island""") { (s, d) =>
+      graft.dedup.SpanDedup.duplicatedSpans(
+        Tables.documents(s, d), "doc_id", "text", k = 20)
+    },
+
     // Benchmark decontamination at corpus scale: plant the probe set
     // (docs ≡ 0 mod 97; half verbatim, half perturbed) back into the
     // corpus as a "leak" source, then remove exact fingerprint matches.

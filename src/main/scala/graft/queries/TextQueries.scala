@@ -337,6 +337,54 @@ object TextQueries {
         .select("doc_id", "rnk", "token", "tfidf")
     },
 
+    // BM25 retrieval scoring (Okapi, the Lucene always-positive idf
+    // variant) for a fixed query — the ranking twin of q78's TF-IDF
+    // keyword extraction. Scale shape: the explode is filtered to the
+    // QUERY terms before the (doc, term) aggregate, so only hit rows
+    // ever shuffle (query-sized, not vocabulary-sized); df comes off
+    // that tiny frame and broadcasts back; n_docs/avgdl are one scalar
+    // row off the checkpointed token frame (pinned once — the stats agg
+    // and the tf path would otherwise each re-tokenize the corpus).
+    // 'dup' is the corpus's planted rare token (high idf), 'spark' and
+    // 'merge' are common (~900 hits) — the score separates them.
+    QueryDef("q115_bm25", Seq("A5", "A11"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+          stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
+          tf AS (
+            SELECT doc_id, len(toks) AS dl, t, count(*) AS tf
+            FROM tok, LATERAL (SELECT unnest(toks) AS t)
+            WHERE t IN ('dup', 'spark', 'merge') GROUP BY 1, 2, 3),
+          df AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+          SELECT doc_id,
+            round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                  * tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+          FROM tf JOIN df USING (t) CROSS JOIN stats GROUP BY doc_id""") { (s, d) =>
+      val terms = Seq("dup", "spark", "merge")
+      val k1 = 1.2; val b = 0.75
+      val tok = Tables.documents(s, d)
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), split(trim(col("text")), """\s+""").as("toks"))
+        .localCheckpoint(false)
+      val stats = tok.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("toks"))).as("avgdl"))
+      val tf = tok
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // df and the scored side both read it (q78 pattern)
+      val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfc), "t")
+        .crossJoin(broadcast(stats))
+        .withColumn("w",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * (k1 + 1.0)
+            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
+    },
+
     // PII redaction (the privacy-scrub pass of a corpus build): phones
     // and emails replaced with placeholder tags, per-doc redaction
     // counts reported. Contact strings are synthesized deterministically

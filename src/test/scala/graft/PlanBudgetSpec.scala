@@ -256,6 +256,21 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(tb) <= 4)
     assert(broadcasts(tb) >= 1)
     assert(!tb.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // exact substring dedup: the shingle explode is shuffle-free; the
+    // cross-doc test is one hash-keyed exchange and the island merge one
+    // doc-keyed exchange — no join anywhere in the plan (occurrences
+    // ride the hash aggregate as a bounded collect_list)
+    val ds = q("q114_dup_spans")
+    assert(shuffles(ds) == 2)
+    assert(!ds.queryExecution.executedPlan.toString.contains("Join"))
+    // BM25: only query-term HITS ever shuffle (the isin filter precedes
+    // the (doc,term) aggregate); df/stats come back as broadcasts, the
+    // corpus-sized token frame crosses no exchange
+    val bm = q("q115_bm25")
+    assert(shuffles(bm) <= 4)
+    assert(broadcasts(bm) >= 1)
+    val bmPlan = bm.queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("SortMergeJoin") && !bmPlan.contains("CartesianProduct"))
   }
 
   test("row_number()<=k oracle queries plan as bounded top-k, not a window sort") {
