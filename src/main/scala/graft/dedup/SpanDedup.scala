@@ -1,7 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
+
+import graft.plans.BoundedTopK
 
 /** Cross-document duplicated-SPAN detection — the "exact substring
   * dedup" method (find every >= k-token span that also appears in some
@@ -21,10 +23,20 @@ import org.apache.spark.sql.functions._
   *  2. shuffle 1 — groupBy(hash): a span is cross-doc duplicated iff
   *     min(doc_id) != max(doc_id) (map-side combinable; no
   *     count-distinct expansion). Occurrences ride along as a
-  *     collect_list bounded by the shingle's multiplicity — the data
-  *     about to be cut, small by construction (a pathological
-  *     corpus-wide boilerplate shingle is the known hot key; production
-  *     would cap the list and treat the overflow as "everywhere").
+  *     SIZE-CAPPED [[BoundedTopK]] list (first `maxOcc` by (doc_id, p))
+  *     plus an exact count — the aggregation buffer can never exceed
+  *     maxOcc rows per shingle, map-side partials included, so the one
+  *     known hot key of this problem (a corpus-wide boilerplate shingle:
+  *     license text, a chat template) cannot put millions of structs in
+  *     a single reducer row. Shingles whose count overflows the cap are
+  *     routed to the [[everywhereShingles]] channel instead of the span
+  *     output: "this hash is everywhere — cut it unconditionally by
+  *     hash match", which is both cheaper and the right curation
+  *     decision for boilerplate. Memory is a product bound: one task
+  *     holds at most fallbackThreshold groups × maxOcc rows (the same
+  *     budget [[graft.plans.RewriteRankFilterToTopK]] enforces for the
+  *     auto-rewrite), and only shingles at the cap — rare by
+  *     construction — pay the full maxOcc.
   *  3. shuffle 2 — groupBy(doc_id): sort the (few) duplicated positions
   *     per doc and fold them row-locally into maximal spans — two fixed-
   *     length windows [p,p+k-1], [q,q+k-1] (p<=q) merge iff q <= p+k.
@@ -33,16 +45,28 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Rows (doc_id, span_start, span_end, span_tokens): maximal merged
-    * spans (1-based token positions, inclusive) of `textCol` that appear
-    * verbatim in at least one OTHER document. Docs with no cross-doc
-    * duplicated k-shingle produce no row. Within-doc repeats alone do
-    * NOT flag a span (min/max doc-id test) — self-repetition is q71's
-    * business, not dedup's. */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"span width must be >= 2 tokens, got $k")
-    // the >= k guard also keeps sequence() off its descending-on-empty form
-    val sh = docs
+  /** Default occurrence cap. Measured headroom: the synthetic corpus at
+    * sf0.1 tops out at 4 occurrences per 20-token shingle, and a real
+    * boilerplate shingle blows far past any sane cap anyway — the cap
+    * only needs to separate "merge these positions" from "everywhere". */
+  val DefaultMaxOcc = 1000
+
+  /** Bounded occurrence list: first `maxOcc` (doc_id, p) pairs per
+    * shingle, ascending — the aggregation form of
+    * `slice(array_sort(collect_list(...)), 1, maxOcc)` but with an
+    * O(maxOcc) buffer instead of an unbounded one. */
+  private def cappedOcc(maxOcc: Int): Column = {
+    val child = GraftColumnBridge.expression(struct(col("doc_id"), col("p")))
+    val keys = Seq(GraftColumnBridge.expression(col("doc_id")),
+      GraftColumnBridge.expression(col("p")))
+    GraftColumnBridge.column(
+      BoundedTopK(child, keys, maxOcc, Seq(0, 1), Seq((true, true), (true, true)))
+        .toAggregateExpression())
+  }
+
+  /** (doc_id, p, h): every k-token window of every doc, keyed by md5. */
+  private def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
       .filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc_id"), split(trim(col(textCol)), """\s+""").as("toks"))
       .filter(size(col("toks")) >= k)
@@ -51,10 +75,36 @@ object SpanDedup {
               p -> named_struct('p', CAST(p AS BIGINT),
                                 'h', md5(array_join(slice(toks, p, $k), ' '))))""")).as("sh"))
       .select(col("doc_id"), col("sh.p").as("p"), col("sh.h").as("h"))
-    val dupPos = sh.groupBy("h")
+
+  /** Per cross-doc-duplicated shingle: exact occurrence count and the
+    * capped occurrence list (complete iff n_occ <= maxOcc). */
+  private def dupShingleAgg(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxOcc: Int): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    require(maxOcc >= 2, s"occurrence cap must be >= 2, got $maxOcc")
+    // the >= k guard also keeps sequence() off its descending-on-empty form
+    shingles(docs, idCol, textCol, k)
+      .groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"),
-        collect_list(struct(col("doc_id"), col("p"))).as("occ"))
+        count(lit(1)).as("n_occ"), cappedOcc(maxOcc).as("occ"))
       .filter(col("d0") =!= col("d1"))
+  }
+
+  /** Rows (doc_id, span_start, span_end, span_tokens): maximal merged
+    * spans (1-based token positions, inclusive) of `textCol` that appear
+    * verbatim in at least one OTHER document. Docs with no cross-doc
+    * duplicated k-shingle produce no row. Within-doc repeats alone do
+    * NOT flag a span (min/max doc-id test) — self-repetition is q71's
+    * business, not dedup's.
+    *
+    * Shingles with more than `maxOcc` occurrences corpus-wide are
+    * EXCLUDED here and surfaced by [[everywhereShingles]] — a consumer
+    * cuts those by hash match over the doc's own windows (row-local, no
+    * shuffle), not by position list. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      maxOcc: Int = DefaultMaxOcc): DataFrame = {
+    val dupPos = dupShingleAgg(docs, idCol, textCol, k, maxOcc)
+      .filter(col("n_occ") <= maxOcc)
       .select(explode(col("occ")).as("o"))
       .select(col("o.doc_id").as("doc_id"), col("o.p").as("p"))
     dupPos.groupBy("doc_id")
@@ -76,4 +126,16 @@ object SpanDedup {
       .select(col("doc_id"), col("sp.s").as("span_start"), col("sp.e").as("span_end"),
         (col("sp.e") - col("sp.s") + lit(1L)).as("span_tokens"))
   }
+
+  /** Rows (h, n_occ): cross-doc duplicated k-shingles whose occurrence
+    * count exceeds `maxOcc` — corpus-wide boilerplate. The contract for
+    * consumers is "cut unconditionally": re-shingle each doc row-locally
+    * and drop any window whose md5 is in this (tiny, broadcastable) set,
+    * instead of enumerating the millions of positions a hot shingle
+    * would otherwise push through one reducer row. */
+  def everywhereShingles(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      maxOcc: Int = DefaultMaxOcc): DataFrame =
+    dupShingleAgg(docs, idCol, textCol, k, maxOcc)
+      .filter(col("n_occ") > maxOcc)
+      .select(col("h"), col("n_occ"))
 }

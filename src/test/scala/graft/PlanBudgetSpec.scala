@@ -258,11 +258,16 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!tb.queryExecution.executedPlan.toString.contains("CartesianProduct"))
     // exact substring dedup: the shingle explode is shuffle-free; the
     // cross-doc test is one hash-keyed exchange and the island merge one
-    // doc-keyed exchange — no join anywhere in the plan (occurrences
-    // ride the hash aggregate as a bounded collect_list)
+    // doc-keyed exchange — no join anywhere in the plan. Occurrences
+    // ride the hash aggregate as a SIZE-CAPPED bounded_top_k (buffer
+    // <= maxOcc rows per shingle even map-side), so the boilerplate
+    // hot-shingle key cannot grow a reducer row without bound — the
+    // r6-verdict skew hazard, fenced here.
     val ds = q("q114_dup_spans")
     assert(shuffles(ds) == 2)
-    assert(!ds.queryExecution.executedPlan.toString.contains("Join"))
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    assert(!dsPlan.contains("Join"))
+    assert(dsPlan.contains("bounded_top_k") && !dsPlan.contains("collect_list(struct(doc_id"))
     // BM25: only query-term HITS ever shuffle (the isin filter precedes
     // the (doc,term) aggregate); df/stats come back as broadcasts, the
     // corpus-sized token frame crosses no exchange

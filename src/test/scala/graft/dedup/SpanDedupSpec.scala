@@ -68,4 +68,51 @@ class SpanDedupSpec extends SparkSpec {
     val got = spans(Seq((1L, "a b c"), (2L, "a b c"), (3L, doc(40))), k = 10)
     assert(got.isEmpty)
   }
+
+  // --- occurrence cap (the r6-verdict hot-key hazard) ---
+
+  // a boilerplate run shared by MORE docs than the cap, plus a normal
+  // two-doc duplicate that must keep working alongside it
+  private def overflowFixture: Seq[(Long, String)] = {
+    val boiler = (0 until 10).map(i => s"bp$i")
+    val normal = (0 until 10).map(i => s"nm$i")
+    val boilerDocs = (1L to 5L).map { d =>
+      (d, ((0 until 10).map(i => s"u${d}_$i") ++ boiler).mkString(" "))
+    }
+    val normalDocs = Seq(
+      (6L, (normal ++ (0 until 10).map(i => s"v$i")).mkString(" ")),
+      (7L, ((0 until 10).map(i => s"w$i") ++ normal).mkString(" ")))
+    boilerDocs ++ normalDocs
+  }
+
+  test("shingle in more docs than maxOcc is routed to everywhere, not spans") {
+    import spark.implicits._
+    val df = overflowFixture.toDF("doc_id", "text")
+    val got = SpanDedup.duplicatedSpans(df, "doc_id", "text", k = 10, maxOcc = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sortBy(_._1).toSeq }
+    // the 5-doc boilerplate run (5 occurrences > cap 3) yields NO spans;
+    // the 2-doc normal run still does
+    assert(got.keySet == Set(6L, 7L))
+    assert(got(6L) == Seq((1L, 10L)) && got(7L) == Seq((11L, 20L)))
+    val ew = SpanDedup.everywhereShingles(df, "doc_id", "text", k = 10, maxOcc = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ew.length == 1 && ew.head._2 == 5L) // the boilerplate hash, exact count
+  }
+
+  test("a shingle with exactly maxOcc occurrences still produces full spans") {
+    import spark.implicits._
+    val df = overflowFixture.toDF("doc_id", "text")
+    val got = SpanDedup.duplicatedSpans(df, "doc_id", "text", k = 10, maxOcc = 5)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sortBy(_._1).toSeq }
+    // at the cap (5 == maxOcc) the capped list is the complete list:
+    // all five boilerplate docs report the span, plus the normal pair
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    (1L to 5L).foreach(d => assert(got(d) == Seq((11L, 20L))))
+    assert(SpanDedup.everywhereShingles(df, "doc_id", "text", k = 10, maxOcc = 5)
+      .isEmpty)
+  }
 }
