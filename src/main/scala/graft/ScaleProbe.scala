@@ -226,6 +226,33 @@ object ScaleProbe {
         .groupBy("p").count().count()
     }
 
+    // NB plan-literal cost: score()/best() embed the model as typedlit
+    // maps, so plan analysis/optimization and the task binary scale with
+    // the entry count — this times derivation (force executedPlan) and a
+    // tiny run (task serialization + broadcast) at V and 10V entries,
+    // 10V sitting exactly at the NaiveBayes.MaxModelRows ceiling. The
+    // growth factor is the evidence behind the 100k bound.
+    Seq(10000, 100000).foreach { entries =>
+      val classes = (0 until 5).map(i => s"c$i")
+      val perClass = entries / classes.length
+      val synth = graft.ml.NaiveBayes.Model(
+        classes,
+        classes.map(_ -> -1609438L).toMap,
+        classes.map(c => c -> (0 until perClass)
+          .map(j => s"w$j" -> -(10000000L + j)).toMap).toMap,
+        classes.map(_ -> -20000000L).toMap)
+      // construction is INSIDE the timer: typedlit converts the Scala
+      // maps to Catalyst MapData eagerly at Column-build time, and that
+      // conversion is part of what a larger model costs per query
+      def scored = spark.range(1000)
+        .withColumn("text", concat_ws(" ", lit("w1"), lit("w7"), lit("zz")))
+        .select(graft.ml.NaiveBayes.best(col("text"), synth).as("__b"))
+      time(s"nb_plan_derive_${entries}") {
+        scored.queryExecution.executedPlan; "derived"
+      }
+      time(s"nb_plan_run1k_${entries}")(scored.count())
+    }
+
     spark.stop()
   }
 }

@@ -29,8 +29,27 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  /** Cannot collide with whitespace-split tokens of real text. */
+  /** Synthetic per-document row that rides the (class, token) shuffle so
+    * per-class doc counts need no second pass. [[tokens]] strips this
+    * exact value from real text, so a hostile document containing the
+    * literal NUL-prefixed token cannot inflate its class's prior (raw
+    * NUL bytes DO survive whitespace splitting — "cannot collide" was
+    * wrong, so the collision is now prevented rather than assumed away). */
   private val DocMarker = "\u0000doc"
+
+  /** Hard ceiling on (class, token) model rows, for BOTH halves of the
+    * model's life: fit()'s driver collect, and — the tighter constraint —
+    * score()/best(), which embed the per-class maps into the plan as
+    * `typedlit` literals. A literal-backed model costs plan analysis,
+    * optimization and task-binary size proportional to its entry count
+    * (the same blowup class the centroid work measured at 22× when a
+    * literal subtree was re-derived per leg); ~100k entries is where the
+    * task binary stays single-digit MiB and plan derivation stays cheap
+    * (measured in ScaleProbe `nb_plan_*`, recorded in SCALING.md).
+    * Larger vocabularies must be hashed into a bounded feature space
+    * before training — at that size a literal map is the wrong
+    * representation, not a tunable. */
+  val MaxModelRows = 100000L
 
   private def microFloor(x: Double): Long = math.floor(x * 1e6).toLong
 
@@ -45,10 +64,13 @@ object NaiveBayes {
     * string yields [""], which must not count as a token). NULL text
     * counts as empty — otherwise the null array would silently drop the
     * document from training (no marker row → wrong prior) and null out
-    * its score on apply. */
+    * its score on apply. The [[DocMarker]] value is also dropped so no
+    * real token can impersonate the per-document counting row in fit()
+    * — symmetric at scoring time, where the marker token carries no
+    * evidence either way. */
   def tokens(text: Column): Column =
     filter(split(regexp_replace(trim(coalesce(text, lit(""))), "\\s+", " "), " "),
-      w => w =!= "")
+      w => w =!= "" && w =!= DocMarker)
 
   /** Train with add-one smoothing in one aggregation pass + a
     * model-sized collect. Smoothing denominator is `T_c + V` with V the
@@ -57,13 +79,15 @@ object NaiveBayes {
     *
     * The collect is safe ONLY because text vocabulary is bounded — the
     * reduced frame is (class × vocab)-sized, independent of corpus rows.
-    * `maxModelRows` makes that assumption explicit: the aggregate is cut
-    * once (so the guard count and the collect read the same
-    * materialization, not two corpus passes) and training fails loudly
-    * instead of OOMing the driver when fed an unbounded-vocabulary
-    * column; hash such tokens into a bounded feature space first. */
+    * `maxModelRows` (default [[MaxModelRows]], which is sized for the
+    * plan-literal scoring path, not just this collect) makes that
+    * assumption explicit: the aggregate is cut once (so the guard count
+    * and the collect read the same materialization, not two corpus
+    * passes) and training fails loudly instead of OOMing the driver or
+    * bloating every task binary when fed an unbounded-vocabulary column;
+    * hash such tokens into a bounded feature space first. */
   def fit(docs: DataFrame, labelCol: String, textCol: String,
-      maxModelRows: Long = 2000000L): Model = {
+      maxModelRows: Long = MaxModelRows): Model = {
     val agg = docs
       .select(col(labelCol).as("__c"),
         explode(concat(array(lit(DocMarker)), tokens(col(textCol)))).as("__w"))
@@ -73,7 +97,8 @@ object NaiveBayes {
     require(modelRows <= maxModelRows,
       s"NB model would hold $modelRows (class, token) rows (> $maxModelRows): " +
         "the text column's vocabulary is not bounded — hash tokens into a " +
-        "bounded feature space or raise maxModelRows")
+        "bounded feature space first (a model this size is too large to " +
+        "embed in the plan as scoring literals; see NaiveBayes.MaxModelRows)")
     val counts = agg
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -96,9 +121,20 @@ object NaiveBayes {
       model.map(m => m._1 -> m._3).toMap, model.map(m => m._1 -> m._4).toMap)
   }
 
+  /** A Model built outside [[fit]] (or deserialized) must still respect
+    * the plan-literal budget before its maps become `typedlit`s. */
+  private def requireLiteralBudget(m: Model): Unit = {
+    val entries = m.loglik.valuesIterator.map(_.size.toLong).sum
+    require(entries <= MaxModelRows,
+      s"NB model holds $entries loglik entries (> $MaxModelRows): too large " +
+        "to embed in the plan as scoring literals — hash tokens into a " +
+        "bounded feature space and retrain")
+  }
+
   /** Per-class score of `text`: prior + Σ loglik(token), unseen tokens
     * taking the class's smoothed floor. Integer fold — row-local. */
   def score(text: Column, m: Model, cls: String): Column = {
+    requireLiteralBudget(m)
     val weights = typedlit(m.loglik(cls))
     aggregate(tokens(text), lit(m.prior(cls)),
       (acc, w) => acc + coalesce(element_at(weights, w), lit(m.unseen(cls))))

@@ -51,6 +51,37 @@ class NaiveBayesSpec extends SparkSpec {
     assert(e.getMessage.contains("vocabulary is not bounded"))
   }
 
+  test("a document carrying the literal marker token cannot skew priors") {
+    // whitespace splitting does NOT drop NUL bytes, so without the
+    // tokens() strip this doc would count as TWO documents in class aa
+    val marker = 0.toChar.toString + "doc" // == the private DocMarker
+    val d = docs(
+      "aa" -> s"alpha $marker beta", "aa" -> "beta gamma",
+      "bb" -> "delta epsilon")
+    val clean = docs(
+      "aa" -> "alpha beta", "aa" -> "beta gamma",
+      "bb" -> "delta epsilon")
+    val m = NaiveBayes.fit(d, "lang", "text")
+    val mc = NaiveBayes.fit(clean, "lang", "text")
+    assert(m.prior == mc.prior && m.loglik == mc.loglik && m.unseen == mc.unseen)
+    // scoring side: the marker token contributes no evidence either
+    val s = docs("zz" -> s"beta $marker").select(
+      NaiveBayes.score(col("text"), m, "aa").as("s")).collect().head.getLong(0)
+    assert(s == m.prior("aa") + m.loglik("aa")("beta"))
+  }
+
+  test("scoring refuses a model too large to embed as plan literals") {
+    val big = NaiveBayes.Model(
+      classes = Seq("aa"),
+      prior = Map("aa" -> -1L),
+      loglik = Map("aa" -> (0 until 100001).map(i => s"w$i" -> -1L).toMap),
+      unseen = Map("aa" -> -2L))
+    val e = intercept[IllegalArgumentException] {
+      NaiveBayes.score(col("text"), big, "aa")
+    }
+    assert(e.getMessage.contains("plan"))
+  }
+
   test("exact score tie breaks to the alphabetically-first class") {
     // symmetric classes: equal doc counts, equal token totals, and the
     // scored doc holds only tokens unseen by both -> scores tie exactly
