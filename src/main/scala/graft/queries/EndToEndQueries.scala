@@ -189,6 +189,57 @@ object EndToEndQueries {
       .agg(count(lit(1)).as("n"), round(sum("amountUSD"), 4).as("amount"))
   }
 
+  /** The §3.2 flagging spine with the ML boundary run NATIVELY: where
+    * q112 re-expresses the Python process boundary as a broadcast join
+    * against committed predictions (U4 parity mode a), this variant
+    * scores the candidate set IN the engine through
+    * [[graft.ml.BatchedInference]] — batched row-wise scoring behind
+    * `mapPartitions`, the Spark-resident analogue of
+    * `flow_inference.py:11-28`'s export → score → join-back loop.
+    * Candidates dedup on the scored text before inference (each
+    * distinct text pays one forward pass), the scored frame broadcasts
+    * back, and the fact side still never shuffles — the RDD boundary's
+    * codegen break is confined to the candidate-sized subtree. */
+  def batchedFlaggingEndToEnd(s: SparkSession, d: String): DataFrame = {
+    val keywords = Seq("cash transfer", "voucher", "cash assistance")
+    val flows = flowsFixture(s, d)
+      .filter(col("boundary") =!= "outgoing")
+      .withColumn("pm", (col("id") / 4).cast("long"))
+    val projects = flows.select(col("pm")).distinct()
+      .filter(col("pm") % 6 === 0)
+      .withColumn("project_cva", lit(true))
+    val joined = flows.join(broadcast(projects), Seq("pm"), "left")
+      .withColumn("all_text",
+        CvaPipeline.pasteNA(col("org_name"), col("text_raw")))
+      .withColumn("smc", CvaPipeline.sectorMethodClusterRelevance(
+        col("method"), col("`destinationObjects_Cluster.name`")))
+      .withColumn("keyword_match",
+        col("all_text").rlike(CvaPipeline.keywordRegex(keywords)))
+      .withColumn("project_cva", coalesce(col("project_cva"), lit(false)))
+    // the exported candidate set (code/08:151-155), scored natively —
+    // one distinct text = one forward-pass slot in a batch
+    val cands = joined
+      .filter(col("smc") === "None" &&
+        (col("keyword_match") || col("project_cva")))
+      .select(col("all_text")).distinct()
+    val scored = graft.ml.BatchedInference.withPredictions(cands, "all_text")
+      .withColumnRenamed("predicted_confidence", "ml_confidence")
+    val (rel, relMethod) = CvaPipeline.relevance(
+      col("smc"), col("project_cva_pct"), col("keyword_match"),
+      col("project_cva"), col("predicted_class"))
+    joined.join(broadcast(scored), Seq("all_text"), "left")
+      .withColumn("relevance", rel)
+      .withColumn("relevance_method", relMethod)
+      .withColumn("sink",
+        when(col("relevance") =!= "None", "flagged")
+          .when(col("keyword_match") &&
+            col("ml_confidence") >= 0.5 &&
+            col("ml_confidence") < 0.8, "manual_queue"))
+      .filter(col("sink").isNotNull)
+      .groupBy("sink", "relevance", "relevance_method")
+      .agg(count(lit(1)).as("n"), round(sum("amountUSD"), 4).as("amount"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q94_cva_end_to_end",
       Seq("F1", "J13", "R1", "J1", "J3", "J4", "C1", "C3", "A5", "J7", "A6", "C6", "A7", "U3"),
@@ -337,5 +388,74 @@ object EndToEndQueries {
            round(sum(amountUSD), 4) AS amount
          FROM sinks WHERE sink IS NOT NULL
          GROUP BY sink, relevance, relevance_method""")(flaggingEndToEnd),
+
+    // U4 native mode: same spine as q112, but predictions come from the
+    // in-engine batched scorer (BatchedInference.withPredictions over
+    // the deduped candidate texts) instead of the committed-predictions
+    // table. The stub model is md5-derived, so the oracle replays the
+    // forward pass exactly: t = first 24 md5 bits mod 1000 -> class
+    // thresholds + t/1000 confidence (integer-over-1000 division is
+    // bit-exact in both engines). The manual-queue arm reads the
+    // MODEL's confidence, as code/09:59-72 does.
+    QueryDef("q116_batched_inference", Seq("U4", "C2", "J5", "J6", "F1"),
+      """WITH flows AS (
+           SELECT o_orderkey - o_orderkey % 4 AS id,
+             (o_orderkey - o_orderkey % 4) // 4 AS pm,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN 'incoming' WHEN 1 THEN 'shared' WHEN 2 THEN 'outgoing' ELSE 'internal' END AS boundary,
+             o_totalprice AS amountUSD,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'Cash transfer programming (CTP)' ELSE 'Traditional aid' END AS method,
+             CASE CAST(o_orderkey % 5 AS INT) WHEN 0 THEN 'Multipurpose Cash' WHEN 1 THEN 'Multipurpose Cash; Health' WHEN 2 THEN 'Health; Education' WHEN 3 THEN '' ELSE NULL END AS cluster,
+             CASE CAST(o_orderkey % 11 AS INT) WHEN 0 THEN 0.9 WHEN 1 THEN 0.4 ELSE NULL END AS project_cva_pct,
+             'Org ' || CAST((o_orderkey - o_orderkey % 4) // 4 % 20 AS VARCHAR) AS org_name,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'cash transfer support ' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  WHEN o_orderkey % 13 = 1 THEN 'multipurpose voucher aid ' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                  ELSE 'programme activity ' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) END AS text_raw
+           FROM orders),
+         f2 AS (SELECT * FROM flows WHERE boundary <> 'outgoing'),
+         scanned AS (
+           SELECT *,
+             org_name || ' ' || text_raw AS all_text,
+             (pm % 6 = 0) AS project_cva,
+             CASE WHEN method = 'Cash transfer programming (CTP)' THEN 'Full'
+                  WHEN list_contains(string_split(coalesce(cluster, ''), '; '), 'Multipurpose Cash')
+                       AND len(string_split(coalesce(cluster, ''), '; ')) = 1 THEN 'Full'
+                  WHEN list_contains(string_split(coalesce(cluster, ''), '; '), 'Multipurpose Cash')
+                       AND len(string_split(coalesce(cluster, ''), '; ')) > 1 THEN 'Partial'
+                  ELSE 'None' END AS smc,
+             regexp_matches(org_name || ' ' || text_raw, '(?i)\b(cash transfer|voucher|cash assistance)\b') AS keyword_match
+           FROM f2),
+         cand AS (
+           SELECT DISTINCT all_text FROM scanned
+           WHERE smc = 'None' AND (keyword_match OR project_cva)),
+         preds AS (
+           SELECT all_text,
+             CASE WHEN t >= 800 THEN 'Full' WHEN t >= 500 THEN 'Partial' ELSE 'None' END AS predicted_class,
+             t / 1000.0 AS ml_confidence
+           FROM (SELECT all_text, CAST('0x' || substr(md5(all_text), 1, 6) AS BIGINT) % 1000 AS t FROM cand)),
+         upgraded AS (
+           SELECT s.*, p.predicted_class, p.ml_confidence,
+             CASE WHEN s.smc <> 'None' THEN s.smc
+                  WHEN s.project_cva_pct >= 0.75 THEN 'Full'
+                  WHEN s.project_cva_pct > 0 THEN 'Partial'
+                  WHEN s.keyword_match AND p.predicted_class IN ('Partial', 'Full') THEN p.predicted_class
+                  WHEN s.project_cva AND p.predicted_class IN ('Partial', 'Full') THEN p.predicted_class
+                  ELSE 'None' END AS relevance,
+             CASE WHEN s.smc <> 'None' THEN 'Sector/Method/Cluster'
+                  WHEN s.project_cva_pct >= 0.75 THEN 'Project CVA Percentage'
+                  WHEN s.project_cva_pct > 0 THEN 'Project CVA Percentage'
+                  WHEN s.keyword_match AND p.predicted_class IN ('Partial', 'Full') THEN 'Keyword + ML'
+                  WHEN s.project_cva AND p.predicted_class IN ('Partial', 'Full') THEN 'Project API + ML'
+                  ELSE 'None' END AS relevance_method
+           FROM scanned s LEFT JOIN preds p USING (all_text)),
+         sinks AS (
+           SELECT *,
+             CASE WHEN relevance <> 'None' THEN 'flagged'
+                  WHEN keyword_match AND ml_confidence >= 0.5
+                       AND ml_confidence < 0.8 THEN 'manual_queue' END AS sink
+           FROM upgraded)
+         SELECT sink, relevance, relevance_method, count(*) AS n,
+           round(sum(amountUSD), 4) AS amount
+         FROM sinks WHERE sink IS NOT NULL
+         GROUP BY sink, relevance, relevance_method""")(batchedFlaggingEndToEnd),
   )
 }

@@ -344,5 +344,15 @@ class PlanBudgetSpec extends SparkSpec {
     val plan = f.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("CartesianProduct"))
+    // native-mode variant: the scored candidates come back through the
+    // RDD inference boundary and BROADCAST onto the unshuffled fact
+    // side — the codegen break stays inside the candidate subtree
+    val b = q("q116_batched_inference")
+    assert(broadcasts(b) >= 2)
+    assert(shuffles(b) <= 2) // final rollup (+ AQE variance); never the facts
+    val bp = b.queryExecution.executedPlan.toString
+    assert(bp.contains("ExistingRDD")) // the inference boundary is in-plan
+    assert(!bp.contains("SortMergeJoin"))
+    assert(!bp.contains("CartesianProduct"))
   }
 }
