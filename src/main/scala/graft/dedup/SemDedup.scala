@@ -61,8 +61,21 @@ object SemDedup {
   /** Survivors of one-pass within-cell near-dup removal: rows (vec_id, cid)
     * where vec_id has NO lower-id neighbor with round(cosine,6) >= tau in
     * its cell. `cells` comes from [[assignCells]] (pass it materialized
-    * when the corpus is large). */
-  def semanticDedupOnCells(cells: DataFrame, tau: Double): DataFrame = {
+    * when the corpus is large).
+    *
+    * The dup-id set is broadcast by default — CORRECT ONLY WHILE THE
+    * DUPLICATE SET FITS AN EXECUTOR: its size is bounded by the corpus
+    * dup rate, not by any batch, and a SemDeDup-style web-corpus run
+    * removes 30-50% — corpus-scale, not broadcastable. At that rate pass
+    * `broadcastDups = false`: the anti-join then shuffles both sides on
+    * vec_id (one extra exchange of the id column, never the vectors —
+    * `cells` projects to (vec_id, cid) before the join), and AQE still
+    * broadcast-converts at runtime if the dup set turns out small. The
+    * default stays hinted because near-threshold tau (this engine's
+    * q106 shape) yields sub-percent dup rates where the hint saves the
+    * corpus-side exchange deterministically. */
+  def semanticDedupOnCells(cells: DataFrame, tau: Double,
+      broadcastDups: Boolean = true): DataFrame = {
     val a = cells.select(col("cid"), col("vec_id").as("id_a"), col("__v").as("__va"))
     val b = cells.select(col("cid"), col("vec_id").as("id_b"), col("__v").as("__vb"))
     val dups = a.join(b, Seq("cid"))
@@ -70,8 +83,8 @@ object SemDedup {
       .filter(round(VectorFns.cosine(col("__va"), col("__vb")), 6) >= tau)
       .select(col("id_b").as("vec_id"))
       .distinct()
-    cells.join(broadcast(dups), Seq("vec_id"), "left_anti")
-      .select("vec_id", "cid")
+    cells.select("vec_id", "cid")
+      .join(if (broadcastDups) broadcast(dups) else dups, Seq("vec_id"), "left_anti")
   }
 
   /** One-shot convenience: assign + dedup. The assignment feeds THREE

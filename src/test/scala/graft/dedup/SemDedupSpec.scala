@@ -23,6 +23,25 @@ class SemDedupSpec extends SparkSpec {
     assert(emb.select("vec_id").collect().map(_.getLong(0)).forall(kept.contains))
   }
 
+  test("shuffled anti-join fallback returns the broadcast path's survivors") {
+    // the corpus-scale arm (broadcastDups = false, for SemDeDup-style
+    // 30-50% dup rates where the dup set cannot broadcast) must be a
+    // pure plan change: same survivor set, no broadcast of the dup ids
+    val emb = Tables.embeddings(spark, sf)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val cents = KMeans.fit(corpus, "vec_id", "embedding", k = 16, iters = 2)
+    val cells = SemDedup.assignCells(corpus, "vec_id", "embedding", cents)
+      .localCheckpoint(false)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val hinted = SemDedup.semanticDedupOnCells(cells, tau = 0.999999)
+    val fallback = SemDedup.semanticDedupOnCells(cells, tau = 0.999999,
+      broadcastDups = false)
+    assert(ids(hinted) == ids(fallback))
+  }
+
   test("tau above any real cosine keeps everything; survivors carry their cell") {
     val emb = Tables.embeddings(spark, sf)
     val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
