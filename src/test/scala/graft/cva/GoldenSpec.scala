@@ -196,4 +196,49 @@ class GoldenSpec extends SparkSpec {
     assert(badPc.count() == 0)
     assert(usa.select("`destinationObjects_Location.name`").distinct().count() == usa.count())
   }
+
+  test("USA location table re-derived across all 98 rows (row-count + sorted-hash, code/11:62-89)") {
+    // fts_cva.csv itself is a MISSING_LARGE_BLOB, but code/11's whole
+    // post-aggregate pipeline IS re-derivable from the golden: the two
+    // pre-merge location aggregates are recoverable exactly (every USA
+    // flow is also an overall flow, so the all-side holds every row, and
+    // the USA side is precisely the rows the zero-fill did NOT touch —
+    // a genuinely-zero USA aggregate lands in the same merged row either
+    // way). Re-runs merge(all=T) → zero-fill → pc division with engine
+    // operators and hash-compares all four columns over all 98 rows.
+    assume(new java.io.File(s"$refOut/fts_cva_USA_analysis.csv").exists())
+    val usa = readRef("fts_cva_USA_analysis.csv")
+    assert(usa.count() == 98)
+    // Spark's CSV reader turns the quoted-empty location into NULL, and
+    // null keys never equi-join — restore R's "" so the empty-location
+    // row merges instead of splitting into two outer-join halves
+    val loc = coalesce(col("`destinationObjects_Location.name`"), lit("")).as("loc")
+    val locAll = usa.select(loc, col("CVAamount"))
+    val locUsa = usa.filter(col("CVAamount_USA") =!= 0)
+      .select(loc, col("CVAamount_USA"))
+    val derived = locAll.join(locUsa, Seq("loc"), "full_outer") // merge all=T
+      .withColumn("CVAamount_USA", coalesce(col("CVAamount_USA"), lit(0.0)))
+      .withColumn("CVAamount_USA_pc", col("CVAamount_USA") / col("CVAamount"))
+
+    def fmt(c: org.apache.spark.sql.Column) =
+      coalesce(format_number(c, 6), lit("NA"))
+    def tuple(l: org.apache.spark.sql.Column) = concat_ws("|", l,
+      fmt(col("CVAamount")), fmt(col("CVAamount_USA")), fmt(col("CVAamount_USA_pc")))
+    def sortedHash(df: org.apache.spark.sql.DataFrame): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(df.collect().map(_.getString(0)).sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    val committed = usa.select(tuple(coalesce(
+      col("`destinationObjects_Location.name`"), lit(""))).as("t"))
+    val rederived = derived.select(tuple(col("loc")).as("t"))
+    assert(rederived.count() == 98)
+    assert(sortedHash(rederived) == sortedHash(committed),
+      {
+        val c = committed.collect().map(_.getString(0)).sorted
+        val d = rederived.collect().map(_.getString(0)).sorted
+        val diffs = c.zip(d).filter { case (a, b) => a != b }.take(5)
+        s"derived USA analysis diverges from golden, e.g.:\n${diffs.mkString("\n")}"
+      })
+  }
 }
