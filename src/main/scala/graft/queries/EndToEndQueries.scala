@@ -3,7 +3,8 @@ package graft.queries
 import graft.QueryDef
 import graft.cva.{CvaPipeline, FlowCuration, GlobalAnalysis}
 import graft.functions.TextFns
-import graft.sources.Tables
+import graft.operators.{Dedup, SplitRows}
+import graft.sources.{Bucketing, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -240,6 +241,48 @@ object EndToEndQueries {
       .agg(count(lit(1)).as("n"), round(sum("amountUSD"), 4).as("amount"))
   }
 
+  /** SURVEY §3.1's staging layout demonstrated on the spine's own
+    * source: the curated flows (boundary filter → prioritized dedup →
+    * year split) staged `partitionBy(year) + bucketBy(8, id)`, the
+    * predictions side staged bucketed by the same id, then joined — the
+    * join and every id-keyed operation downstream of the staged read
+    * run with ZERO exchanges (asserted in PlanBudgetSpec), because both
+    * scans already satisfy hashpartitioning(id). At 100 TB this is the
+    * shape every rerun of 08/09 wants: the curation shuffle is paid
+    * once at staging time, and year-partition pruning cuts what a
+    * yearly refresh re-reads. */
+  def stagedSpineJoin(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^a-z0-9]", "_")
+    val flowsT = s"curated_flows_bkt$sfx"; val predsT = s"flow_preds_bkt$sfx"
+    val flows = flowsFixture(s, d)
+      .filter(col("boundary") =!= "outgoing")
+      // undotted alias: the dedup helper addresses payload columns by
+      // bare name, where a reference-style dotted name parses as a
+      // struct-field access
+      .select(col("id"), col("boundary"),
+        col("`destinationObjects_UsageYear.name`").as("usage_year"),
+        col("amountUSD"))
+    // J13 as the partial-aggregatable min-struct form; order columns are
+    // non-null by fixture construction (see Dedup.firstRowPerGroupAgg's
+    // NULL caveat)
+    val dedup = Dedup.firstRowPerGroupAgg(flows, Seq("id"),
+      Seq(lit(1) - (col("boundary") === "incoming").cast("int"), col("usage_year")))
+    val curated = SplitRows.splitRows(dedup, "usage_year", Seq("amountUSD"))
+      .withColumn("year", col("usage_year").cast("int"))
+      .select("id", "year", "amountUSD")
+    Bucketing.ensureStaged(curated, flowsT, "id", 8, partitionCol = Some("year"))
+    val preds = flows.select(col("id")).distinct()
+      .withColumn("predicted_class",
+        when((col("id") / 4).cast("long") % 10 <= 1, "Full")
+          .when((col("id") / 4).cast("long") % 10 <= 3, "Partial")
+          .otherwise("None"))
+    Bucketing.ensureStaged(preds, predsT, "id", 8)
+    Bucketing.readTable(s, flowsT)
+      .join(Bucketing.readTable(s, predsT), Seq("id"))
+      .groupBy("year", "predicted_class")
+      .agg(count(lit(1)).as("n"), round(sum("amountUSD"), 4).as("amount"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q94_cva_end_to_end",
       Seq("F1", "J13", "R1", "J1", "J3", "J4", "C1", "C3", "A5", "J7", "A6", "C6", "A7", "U3"),
@@ -457,5 +500,38 @@ object EndToEndQueries {
            round(sum(amountUSD), 4) AS amount
          FROM sinks WHERE sink IS NOT NULL
          GROUP BY sink, relevance, relevance_method""")(batchedFlaggingEndToEnd),
+
+    // Bucketed STAGING on the spine (SURVEY §3.1): curated flows land
+    // partitionBy(year) + bucketBy(8, id), predictions bucket by the
+    // same id, and the downstream join is exchange-free on both legs
+    // (PlanBudgetSpec). The oracle replays the curation logically —
+    // staging is a layout choice, not a semantic one.
+    QueryDef("q117_staged_spine_join", Seq("S7", "J13", "A2", "R1", "J6"),
+      """WITH flows AS (
+           SELECT o_orderkey - o_orderkey % 4 AS id,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN 'incoming' WHEN 1 THEN 'shared' WHEN 2 THEN 'outgoing' ELSE 'internal' END AS boundary,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN '2021; 2022' WHEN 1 THEN '2022; 2023' WHEN 2 THEN '2021' WHEN 3 THEN '2023' ELSE '2021; 2023' END AS usage_year,
+             o_totalprice AS amountUSD
+           FROM orders),
+         f AS (SELECT * FROM flows WHERE boundary <> 'outgoing'),
+         dedup AS (
+           SELECT * EXCLUDE (rn) FROM (
+             SELECT *, row_number() OVER (PARTITION BY id ORDER BY (boundary = 'incoming') DESC, usage_year ASC) AS rn
+             FROM f) WHERE rn = 1),
+         ysplit AS (
+           SELECT id,
+             CAST(trim(unnest(string_split(usage_year, '; '))) AS INT) AS year,
+             amountUSD / len(string_split(usage_year, '; ')) AS amountUSD
+           FROM dedup),
+         preds AS (
+           SELECT DISTINCT id,
+             CASE WHEN (id // 4) % 10 <= 1 THEN 'Full'
+                  WHEN (id // 4) % 10 <= 3 THEN 'Partial'
+                  ELSE 'None' END AS predicted_class
+           FROM f)
+         SELECT year, predicted_class, count(*) AS n,
+           round(sum(amountUSD), 4) AS amount
+         FROM ysplit JOIN preds USING (id)
+         GROUP BY year, predicted_class""")(stagedSpineJoin),
   )
 }

@@ -13,19 +13,27 @@ object Bucketing {
   /** Write `df` as a bucketed managed table (overwriting any previous).
     * Also clears the warehouse location: a fresh session's in-memory
     * catalog forgets tables while their directories persist, and
-    * saveAsTable refuses to reuse an existing location. */
-  def stageBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    * saveAsTable refuses to reuse an existing location.
+    *
+    * `partitionCol` adds directory partitioning ON TOP of the bucketing —
+    * the SURVEY §3.1 curated-flow staging layout (partitionBy year,
+    * bucket by flow id): partition pruning cuts the years a run touches,
+    * while every id-keyed join/agg over what remains is still
+    * exchange-free (bucket b's files across all year directories feed
+    * task b). */
+  def stageBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      partitionCol: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    val w = df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
   }
 
   /** Stage only if the catalog doesn't already have the table — repeated
@@ -33,9 +41,10 @@ object Bucketing {
     * staging instead of re-paying the write, which is the point of
     * bucketed staging. A fresh session re-stages once (its in-memory
     * catalog starts empty even when the directory survived). */
-  def ensureStaged(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def ensureStaged(df: DataFrame, table: String, key: String, buckets: Int,
+      partitionCol: Option[String] = None): Unit =
     if (!df.sparkSession.catalog.tableExists(table))
-      stageBucketed(df, table, key, buckets)
+      stageBucketed(df, table, key, buckets, partitionCol)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -355,4 +355,23 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!bp.contains("SortMergeJoin"))
     assert(!bp.contains("CartesianProduct"))
   }
+
+  test("staged spine: the bucketed join legs cross zero exchanges") {
+    // broadcast disabled so the co-located bucket path is what's proven —
+    // with it on, a small preds side would be exchange-free trivially
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sj = q("q117_staged_spine_join")
+      // the ONLY exchange is the final (year, class) rollup: both join
+      // legs read bucketed staging that already satisfies
+      // hashpartitioning(id), so the curation shuffle paid at staging
+      // time never recurs downstream
+      assert(shuffles(sj) == 1)
+      val plan = sj.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
