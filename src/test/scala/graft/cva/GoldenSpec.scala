@@ -241,4 +241,61 @@ class GoldenSpec extends SparkSpec {
         s"derived USA analysis diverges from golden, e.g.:\n${diffs.mkString("\n")}"
       })
   }
+
+  // ---- questions goldens (code/07) --------------------------------------
+
+  private val projectsDir = "/root/reference/projects"
+
+  private def readQuestionsGolden(name: String) =
+    spark.read.option("header", "true").option("escape", "\"")
+      .csv(s"$refOut/$name") // write.csv(quote=TRUE) doubles inner quotes
+
+  test("questions.csv golden: the committed project stages' distinct questions all appear (code/07:26-40)") {
+    assume(new java.io.File(s"$projectsDir/project_data_2017.RData").exists()
+      && new java.io.File(s"$refOut/questions.csv").exists())
+    // the native S7 scan replaces load(); unique(all_projects$question)
+    // is a distinct over the rbindlist union (only 3 of the 8 years are
+    // committed, so derivation is a subset of the golden universe)
+    val derived = Seq("2017", "2018", "2024")
+      .map(y => graft.sources.RDataSource
+        .readDataFrame(spark, s"$projectsDir/project_data_$y.RData", "all_projects")
+        .select(col("question")))
+      .reduce(_ union _).distinct()
+    val golden = readQuestionsGolden("questions.csv") // single column "x"
+    val missing = derived.join(golden, derived("question") === golden("x"), "left_anti")
+    assert(missing.count() == 0, {
+      val ex = missing.take(3).map(_.getString(0))
+      s"questions derived from committed years missing from golden: ${ex.mkString(" | ")}"
+    })
+    assert(derived.count() > 300) // the 3 committed years carry real coverage
+  }
+
+  test("potential_new_cash_questions golden: keyword sweep + setdiff trigger reproduce the committed write (code/07:42-91)") {
+    assume(new java.io.File(s"$refOut/potential_new_cash_questions.csv").exists())
+    val golden = readQuestionsGolden("questions.csv")
+    // code/07:43-79's keyword list, \b-fenced and case-insensitive; (?U)
+    // makes Java's \b Unicode-aware like TRE's in a UTF-8 locale (the
+    // list has French/Spanish terms next to accented text)
+    val keywords = Seq("cash", "voucher", "vouchers", "cash transfer", "cash grant",
+      "unconditional cash", "money", "conditional cash transfer", "argent", "monetaires",
+      "bons", "espèces", "monnaie", "monétaires", "tokens", "coupons", "cupones",
+      "transfert monétaire", "transfer monétaire", "transferencias monetarias",
+      "public works programme", "social assistance", "social safety net", "social transfer",
+      "social protection", "CVA", "CCT", "UCT", "CTP", "CFW", "CFA", "SSN", "ESSN", "MPC", "MPCT")
+    val pattern = "(?iU)" + keywords.map(k => s"\\b$k\\b").mkString("|")
+    val potential = golden.filter(col("x").rlike(pattern))
+    assert(potential.count() > 0)
+    val labeled = spark.read.option("header", "true").option("escape", "\"")
+      .csv("/root/reference/reference_datasets/cva_project_questions.csv")
+    val fresh = potential.join(labeled,
+      potential("x") === labeled("Question"), "left_anti")
+    // the committed potential file exists, so the reference's trigger
+    // (setdiff nonempty) must fire on the committed inputs too
+    assert(fresh.count() > 0)
+    // and its write emits the FULL question vector (code/07:91 writes
+    // `questions`, not the new subset) — committed file == questions.csv
+    val committed = readQuestionsGolden("potential_new_cash_questions.csv")
+    assert(committed.count() == golden.count()
+      && committed.except(golden).isEmpty && golden.except(committed).isEmpty)
+  }
 }
