@@ -251,5 +251,60 @@ object DedupQueries {
             .cast("double") / 16777216.0 < 0.9, lit("train"))
             .otherwise(lit("val")).as("side"))
     },
+
+    // STREAMING incremental near-dup: q103's batch-vs-history verdicts
+    // with the increment ARRIVING as a stream. The band expansion (native
+    // md5 kernel) is stateless on the stream; the history LSH index is
+    // the STATIC side of a stream-static left-semi join (precomputed
+    // distinct (band, sig) — the index is ≪ corpus, broadcast under the
+    // threshold, hash-joined per micro-batch above it; history itself is
+    // never reshuffled by the stream). The one stateful operator is the
+    // per-doc hit count — md5_band_sigs emits exactly one row per (doc,
+    // band), so count(1) IS the distinct-band count, no streaming
+    // count-distinct needed. Complete mode under an AvailableNow drain
+    // here; production runs update mode + a watermark on arrival time so
+    // per-doc state expires. Zero-hit docs are patched in by a batch
+    // join against the tiny sink table after the drain. The verdict set
+    // is order-independent, so the batch oracle (= q103's) replays it.
+    QueryDef("q118_stream_incremental_neardup", Seq("A10", "J11"),
+      """WITH bands AS (SELECT unnest(generate_series(0, 3)) AS b),
+          sigs AS (
+            SELECT d.doc_id, bands.b,
+              list_min([md5(CAST(bands.b AS VARCHAR) || ':' || substring(d.text, g, 8))
+                        FOR g IN generate_series(1, greatest(length(d.text) - 7, 1))]) AS sig
+            FROM documents d CROSS JOIN bands),
+          hsig AS (SELECT DISTINCT b, sig FROM sigs WHERE doc_id % 11 <> 0),
+          hits AS (
+            SELECT s.doc_id, count(DISTINCT s.b) AS hit_bands
+            FROM sigs s JOIN hsig h ON s.b = h.b AND s.sig = h.sig
+            WHERE s.doc_id % 11 = 0
+            GROUP BY s.doc_id)
+          SELECT d.doc_id, coalesce(h.hit_bands, 0) AS hit_bands,
+            h.doc_id IS NOT NULL AS dup_in_history
+          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.doc_id % 11 = 0""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.documents(s0, d).schema
+      val s = EventQueries.streamSession(s0)
+      val history = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 11 =!= 0)
+      val index = TextDedup.md5BandSigs(history, "text", "doc_id", 8, 4)
+        .select("b", "sig").distinct()
+      val sinkName = "graft_stream_neardup"
+      val stream = s.readStream.schema(schema).parquet(s"$d/documents.parque[t]")
+        .filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextHash.md5_band_sigs(col("text"), 8, 4))
+            .as(Seq("b", "sig")))
+        .join(index, Seq("b", "sig"), "leftsemi")
+        .groupBy("doc_id").agg(count(lit(1)).as("hit_bands"))
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Tables.documents(s, d).filter(col("doc_id") % 11 === 0).select("doc_id")
+        .join(s.table(sinkName), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
+          col("hit_bands").isNotNull.as("dup_in_history"))
+    },
   )
 }

@@ -34,7 +34,7 @@ object EventQueries {
     * doubled q74/q81's wall time vs 8 (StreamProbe: 1.4s→0.85s agg,
     * 2.9s→1.5s dedup at sf0.1). On a large cluster raise it to match
     * keys-in-watermark, independently of the batch engine's setting. */
-  private def streamSession(s0: org.apache.spark.sql.SparkSession,
+  private[queries] def streamSession(s0: org.apache.spark.sql.SparkSession,
       statePartitions: Int = 8): org.apache.spark.sql.SparkSession = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions",

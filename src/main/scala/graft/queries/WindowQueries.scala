@@ -318,5 +318,48 @@ object WindowQueries {
         .groupBy("l_returnflag", "bucket")
         .agg(count(lit(1)).as("n"))
     },
+
+    // KMV (k-minimum-values) distinct-count sketch — the mergeable
+    // cardinality estimator for profiling at corpus scale, made
+    // ORACLE-EXACT by deriving the uniform hash from md5 (both engines
+    // produce identical doubles: 48 md5 bits / 2^48 is exact dyadic
+    // arithmetic). Estimator: (k-1)/u_(k) once a group holds ≥ k
+    // distinct hashes, exact count below (k = 32: the largest k whose
+    // k x agg-fallback-threshold product passes the TopK rewrite's
+    // buffered-rows memory gate in this harness). Scale shape: the k smallest
+    // hashes per group are a rank-filter, which the engine's
+    // RewriteRankFilterToTopK turns into the BoundedTopK aggregate —
+    // k·8 bytes of mergeable per-group state and no full sort, the same
+    // plan a sketch library's partial aggregation would give; the
+    // distinct pre-pass is one hash aggregate. At 100 TB the state per
+    // group stays 64 doubles regardless of group size.
+    QueryDef("q119_kmv_distinct", Seq("A11", "W6"),
+      """WITH h AS (
+           SELECT DISTINCT l_returnflag AS grp,
+             CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS BIGINT)
+               / 281474976710656.0 AS u
+           FROM lineitem),
+         r AS (SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rn FROM h),
+         t AS (SELECT grp, count(*) AS n_seen, max(u) AS kth FROM r WHERE rn <= 32 GROUP BY grp)
+         SELECT grp,
+           CASE WHEN n_seen < 32 THEN CAST(n_seen AS DOUBLE)
+                ELSE round(31.0 / kth, 6) END AS est_distinct
+         FROM t""") { (s, d) =>
+      val k = 32
+      val hashed = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          (conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+            .cast("double") / lit(281474976710656.0)).as("u"))
+        .distinct()
+      hashed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("grp").orderBy("u")))
+        .filter(col("rn") <= k)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_seen"), max("u").as("kth"))
+        .select(col("grp"),
+          when(col("n_seen") < k, col("n_seen").cast("double"))
+            .otherwise(round(lit(k - 1.0) / col("kth"), 6)).as("est_distinct"))
+    },
   )
 }

@@ -287,6 +287,18 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch: bounded top-k heap, no sorts, bounded per-group state") {
+    // distinct pre-agg (1 exchange) + bounded_top_k on the group key
+    // (1 exchange); the post-explode re-agg's exchange carries at most
+    // k rows per group — the only unbounded-width stages are hash aggs
+    val kmv = q("q119_kmv_distinct")
+    val plan = kmv.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_k"), s"q119 kept the window plan:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort "),
+      s"q119 sorts:\n$plan")
+    assert(shuffles(kmv) <= 3)
+  }
+
   test("incremental dedup: history never shuffles or sort-merge-joins") {
     // both join legs broadcast the batch-derived side; history's rows
     // cross no exchange (the distinct after the semi-join carries only
