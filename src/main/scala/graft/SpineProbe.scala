@@ -52,6 +52,19 @@ object SpineProbe {
     }
     scale("orders", "o_orderkey", ordersOff)
     scale("documents", "doc_id", docsOff)
+    // q119 scans lineitem; the offset keeps l_orderkey groups intact and
+    // shifts l_partkey too so the sketch's distinct-value universe (and
+    // not just the row count) genuinely grows with scale
+    locally {
+      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val half = base.agg(max(col("l_orderkey")).cast("long")).head().getLong(0) / 2
+      def copy(off: Long) = base
+        .withColumn("l_orderkey", col("l_orderkey") + off)
+        .withColumn("l_partkey", col("l_partkey") + off)
+      base.unionByName(copy(ordersOff))
+        .unionByName(copy(2 * ordersOff).filter(col("l_orderkey") <= half + 2 * ordersOff))
+        .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+    }
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.mode("overwrite").parquet(s"$scaled/nation.parquet")
 
@@ -98,7 +111,9 @@ object SpineProbe {
       ("q104_pack_materialize", scaled),
       ("q113_token_budget", scaled),
       ("q115_bm25", scaled),
-      ("q114_dup_spans", scaledSfx))
+      ("q114_dup_spans", scaledSfx),
+      ("q118_stream_incremental_neardup", scaled),
+      ("q119_kmv_distinct", scaled))
     for ((q, big) <- probes) {
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       time(s"${q}_2.5x", SparkEntry.queries(q)(spark, big))
