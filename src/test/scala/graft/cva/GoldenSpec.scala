@@ -298,4 +298,45 @@ class GoldenSpec extends SparkSpec {
     assert(committed.count() == golden.count()
       && committed.except(golden).isEmpty && golden.except(committed).isEmpty)
   }
+
+  test("cash_projects golden: the committed years re-derive their slice row-for-row (code/07:96-160)") {
+    assume(new java.io.File(s"$projectsDir/cash_projects.csv").exists()
+      && new java.io.File(s"$projectsDir/project_data_2017.RData").exists())
+    // the full M3 chain from the native S7 scan: labeled-question joins
+    // (F3) -> standardize (U1/U2) -> per-project aggs (A3/A4) -> overlap
+    // patches (R5) -> flag reconciliation (C5). Project ids are
+    // year-scoped and per-project aggregation never crosses projects, so
+    // committed years must reproduce EXACTLY the golden's rows for their
+    // own project ids — row-for-row. 2024 is excluded on evidence, not
+    // convenience: the committed golden predates that snapshot (its max
+    // project_id is 213,154; the 2024 stage runs to 219,338), so its
+    // projects cannot appear in the golden at all.
+    val qa = Seq("2017", "2018")
+      .map(y => graft.sources.RDataSource
+        .readDataFrame(spark, s"$projectsDir/project_data_$y.RData", "all_projects")
+        .select(col("project_id").cast("long"), col("question"), col("answer")))
+      .reduce(_ unionByName _)
+    val questions = spark.read.option("header", "true").option("escape", "\"")
+      .csv("/root/reference/reference_datasets/cva_project_questions.csv")
+      .select(col("Question").as("question"), col("`Question type`").as("qtype"))
+    val derived = Projects.cashProjects(qa, questions)
+      .select(col("project_id"),
+        round(col("cva_percentage"), 6).as("cva_percentage"), col("cva"))
+    val golden = spark.read.option("header", "true")
+      .csv(s"$projectsDir/cash_projects.csv")
+      .select(col("project_id").cast("long"),
+        round(col("cva_percentage").try_cast("double"), 6).as("cva_percentage"),
+        col("cva").try_cast("boolean").as("cva"))
+    val goldenSlice = golden.join(derived.select("project_id").distinct(), Seq("project_id"), "leftsemi")
+    // CVA questions only enter the plans in later years, so the two
+    // committed-and-covered years yield a small but fully-checkable slice
+    assert(derived.count() >= 70)
+    assert(goldenSlice.count() == derived.count())
+    val extra = derived.except(goldenSlice)
+    val lost = goldenSlice.except(derived)
+    assert(extra.isEmpty && lost.isEmpty, {
+      s"cash_projects divergence, derived-not-golden: ${extra.take(3).mkString(" | ")}; " +
+        s"golden-not-derived: ${lost.take(3).mkString(" | ")}"
+    })
+  }
 }
