@@ -130,18 +130,19 @@ object RDataSource {
   private final class Reader(in: DataInput, path: String) {
     private val refs = ArrayBuffer.empty[RObj]
 
-    private def readAttrs(has: Boolean): Map[String, RObj] =
-      if (!has) Map.empty
-      else {
-        val out = Map.newBuilder[String, RObj]
-        var cur = readItem()
-        while (cur != RNull) cur match {
-          case RPair(RSym(n), v, cdr) => out += ((n, v)); cur = cdr
-          case other => throw new IllegalArgumentException(
-            s"$path: malformed attribute pairlist ($other)")
-        }
-        out.result()
+    private def pairsToMap(obj: RObj): Map[String, RObj] = {
+      val out = Map.newBuilder[String, RObj]
+      var cur = obj
+      while (cur != RNull) cur match {
+        case RPair(RSym(n), v, cdr) => out += ((n, v)); cur = cdr
+        case other => throw new IllegalArgumentException(
+          s"$path: malformed attribute pairlist ($other)")
       }
+      out.result()
+    }
+
+    private def readAttrs(has: Boolean): Map[String, RObj] =
+      if (!has) Map.empty else pairsToMap(readItem())
 
     def readItem(): RObj = {
       val flags = in.readInt()
@@ -222,23 +223,34 @@ object RDataSource {
     }
 
     /** ALTREP: serialized class descriptor (class sym, package sym,
-      * type), then the class-specific state, then attributes. Decodes
-      * the forms R emits for saved data.frames; anything else is loud. */
+      * type), then the class-specific state, then the OBJECT's
+      * attributes — for wrap_* forms that trailing slot carries the
+      * wrapped vector's real attributes (class/levels/names), so it must
+      * be re-attached, not skipped. Decodes the forms R emits for saved
+      * data.frames; anything else is loud. */
     private def altrep(): RObj = {
       val info = readItem()
       val state = readItem()
-      readItem() // trailing attributes (none on the supported forms)
+      val attrs = pairsToMap(readItem())
       val className = info match {
         case RPair(_, RSym(n), _) => n
         case other => throw new IllegalArgumentException(s"$path: ALTREP info $other")
       }
+      def withAttrs(o: RObj): RObj = if (attrs.isEmpty) o else o match {
+        case RInt(v, a) => RInt(v, a ++ attrs)
+        case RReal(v, a) => RReal(v, a ++ attrs)
+        case RLgl(v, a) => RLgl(v, a ++ attrs)
+        case RStr(v, a) => RStr(v, a ++ attrs)
+        case RVec(v, a) => RVec(v, a ++ attrs)
+        case other => other
+      }
       (className, state) match {
         case ("compact_intseq", RReal(Array(n, start, step), _)) =>
-          RInt(Array.tabulate(n.toInt)(i => (start + i * step).toInt), Map.empty)
+          withAttrs(RInt(Array.tabulate(n.toInt)(i => (start + i * step).toInt), Map.empty))
         case ("compact_realseq", RReal(Array(n, start, step), _)) =>
-          RReal(Array.tabulate[java.lang.Double](n.toInt)(i => start + i * step), Map.empty)
+          withAttrs(RReal(Array.tabulate[java.lang.Double](n.toInt)(i => start + i * step), Map.empty))
         case (w, RPair(_, wrapped, _)) if w.startsWith("wrap_") =>
-          wrapped // wrapper state = CONS(data, metadata); data is plain
+          withAttrs(wrapped) // wrapper state = CONS(data, metadata)
         case _ => throw new IllegalArgumentException(
           s"$path: unsupported ALTREP class '$className'")
       }
@@ -252,10 +264,13 @@ object RDataSource {
     case _ => false
   }
 
-  private def isFactor(attrs: Map[String, RObj]): Boolean = attrs.get("class").exists {
-    case RStr(cls, _) => cls.contains("factor")
-    case _ => false
+  private def classesOf(attrs: Map[String, RObj]): Seq[String] = attrs.get("class") match {
+    case Some(RStr(cls, _)) => cls.filter(_ != null)
+    case _ => Nil
   }
+
+  private def isFactor(attrs: Map[String, RObj]): Boolean =
+    classesOf(attrs).contains("factor")
 
   private def toDataFrame(spark: SparkSession, frame: RVec, path: String): DataFrame = {
     val names = frame.attrs.get("names") match {
@@ -264,23 +279,51 @@ object RDataSource {
     }
     require(names.length == frame.values.length, s"$path: names/column mismatch")
 
+    // a classed numeric vector is NOT a plain number — decoding it as
+    // its serial representation would be a silent misread (a Date is
+    // days-since-epoch, POSIXct seconds-since-epoch), so model the two
+    // time classes and fail loudly on anything else classed
+    def vetClasses(nm: String, a: Map[String, RObj], allowed: String*): Unit = {
+      val unknown = classesOf(a).filterNot(allowed.contains)
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"$path: column '$nm' has unsupported R class ${unknown.mkString("/")}")
+    }
     val cols: Seq[(StructField, Int => Any)] = names.zip(frame.values).map {
       case (nm, RInt(v, a)) if isFactor(a) =>
+        vetClasses(nm, a, "factor", "ordered")
         val levels = a("levels") match {
           case RStr(l, _) => l
           case other => throw new IllegalArgumentException(s"$path: factor levels $other")
         }
         (StructField(nm, StringType), (i: Int) =>
           if (v(i) == Int.MinValue) null else levels(v(i) - 1))
-      case (nm, RInt(v, _)) =>
+      case (nm, RInt(v, a)) if classesOf(a).contains("Date") =>
+        vetClasses(nm, a, "Date")
+        (StructField(nm, DateType), (i: Int) =>
+          if (v(i) == Int.MinValue) null else java.time.LocalDate.ofEpochDay(v(i).toLong))
+      case (nm, RReal(v, a)) if classesOf(a).contains("Date") =>
+        vetClasses(nm, a, "Date")
+        (StructField(nm, DateType), (i: Int) =>
+          if (v(i) == null) null else java.time.LocalDate.ofEpochDay(math.floor(v(i)).toLong))
+      case (nm, RReal(v, a)) if classesOf(a).contains("POSIXct") =>
+        vetClasses(nm, a, "POSIXct", "POSIXt")
+        (StructField(nm, TimestampType), (i: Int) =>
+          if (v(i) == null) null
+          else java.time.Instant.ofEpochSecond(math.floor(v(i)).toLong,
+            math.round((v(i) - math.floor(v(i))) * 1e9)))
+      case (nm, RInt(v, a)) =>
+        vetClasses(nm, a)
         (StructField(nm, IntegerType), (i: Int) =>
           if (v(i) == Int.MinValue) null else v(i))
-      case (nm, RReal(v, _)) =>
+      case (nm, RReal(v, a)) =>
+        vetClasses(nm, a)
         (StructField(nm, DoubleType), (i: Int) => v(i))
-      case (nm, RLgl(v, _)) =>
+      case (nm, RLgl(v, a)) =>
+        vetClasses(nm, a)
         (StructField(nm, BooleanType), (i: Int) =>
           if (v(i) == Int.MinValue) null else v(i) != 0)
-      case (nm, RStr(v, _)) =>
+      case (nm, RStr(v, a)) =>
+        vetClasses(nm, a)
         (StructField(nm, StringType), (i: Int) => v(i))
       case (nm, other) => throw new IllegalArgumentException(
         s"$path: column '$nm' has unsupported column type ${other.getClass.getSimpleName}")
