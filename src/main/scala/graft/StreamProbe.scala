@@ -15,15 +15,14 @@ object StreamProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val schema = graft.sources.Tables.eventsRawSchema(spark, d)
 
     def run(tag: String, parts: Int, dedup: Boolean): Unit = {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", parts)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val base = s.readStream.schema(schema)
-        .parquet(s"$d/events.parque[t]")
+      val base = graft.sources.Tables.tsToNanos(
+          s.readStream.schema(schema).parquet(s"$d/events.parque[t]"))
         .select(col("event_type"), (col("event_id") % 500).as("dup_key"),
           col("value"), timestamp_seconds(expr("CAST(ts DIV 1000000000 AS BIGINT)")).as("tsec"))
         .withWatermark("tsec", "1 hour")

@@ -253,19 +253,23 @@ object DedupQueries {
     },
 
     // STREAMING incremental near-dup: q103's batch-vs-history verdicts
-    // with the increment ARRIVING as a stream. The band expansion (native
-    // md5 kernel) is stateless on the stream; the history LSH index is
-    // the STATIC side of a stream-static left-semi join (precomputed
-    // distinct (band, sig) — the index is ≪ corpus, broadcast under the
-    // threshold, hash-joined per micro-batch above it; history itself is
-    // never reshuffled by the stream). The one stateful operator is the
-    // per-doc hit count — md5_band_sigs emits exactly one row per (doc,
-    // band), so count(1) IS the distinct-band count, no streaming
-    // count-distinct needed. Complete mode under an AvailableNow drain
-    // here; production runs update mode + a watermark on arrival time so
-    // per-doc state expires. Zero-hit docs are patched in by a batch
-    // join against the tiny sink table after the drain. The verdict set
-    // is order-independent, so the batch oracle (= q103's) replays it.
+    // with the increment ARRIVING as a stream, in the BOUNDED-STATE
+    // production shape (graft.streaming.NearDupStream): band expansion
+    // stateless on the stream; the history LSH index the STATIC side of
+    // a stream-static left-semi join (precomputed distinct (band, sig) —
+    // the index is ≪ corpus, broadcast under the threshold, hash-joined
+    // per micro-batch above it; history itself is never reshuffled). The
+    // one stateful operator — the per-doc hit count — is keyed by
+    // (arrival window, doc_id) UNDER A WATERMARK and drained in UPDATE
+    // mode, so verdict state expires once the watermark passes a doc's
+    // arrival window and settled groups are never re-emitted: neither
+    // store nor sink scales with stream history (StreamingStateSpec
+    // drives the multi-batch case and asserts numRowsTotal stays
+    // bounded). Arrival time is synthesized from doc_id for determinism
+    // under replay. Zero-hit docs are patched in by a batch join against
+    // the tiny sink table after the drain; the max() over the sink is
+    // idempotent against any update-mode re-emission. The verdict set is
+    // order-independent, so the batch oracle (= q103's) replays it.
     QueryDef("q118_stream_incremental_neardup", Seq("A10", "J11"),
       """WITH bands AS (SELECT unnest(generate_series(0, 3)) AS b),
           sigs AS (
@@ -293,16 +297,16 @@ object DedupQueries {
       val sinkName = "graft_stream_neardup"
       val stream = s.readStream.schema(schema).parquet(s"$d/documents.parque[t]")
         .filter(col("doc_id") % 11 === 0)
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextHash.md5_band_sigs(col("text"), 8, 4))
-            .as(Seq("b", "sig")))
-        .join(index, Seq("b", "sig"), "leftsemi")
-        .groupBy("doc_id").agg(count(lit(1)).as("hit_bands"))
-      val q = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .withColumn("arrival", timestamp_seconds(col("doc_id")))
+      val verdicts = graft.streaming.NearDupStream.verdicts(
+        stream, index, shingle = 8, bands = 4)
+      val q = verdicts.writeStream.format("memory").queryName(sinkName)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      val hits = s.table(sinkName).groupBy("doc_id")
+        .agg(max("hit_bands").as("hit_bands"))
       Tables.documents(s, d).filter(col("doc_id") % 11 === 0).select("doc_id")
-        .join(s.table(sinkName), Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
           col("hit_bands").isNotNull.as("dup_in_history"))
     },

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * graft.streaming.EventPipeline); batch output gives them a DuckDB
   * oracle.
   *
-  * Timestamp discipline: events.ts is nanosecond parquet — Spark reads it
-  * as a raw nanos long (Tables.events) and all second/hour derivations are
+  * Timestamp discipline: events.ts is nanosecond parquet — Tables.events
+  * normalizes it to a nanos-since-epoch BIGINT whatever this Spark
+  * version's reader yields (raw long under ≤4.0's nanosAsLong flag,
+  * TIMESTAMP_NTZ µs on 4.1+), and all second/hour derivations are
   * integer division, which agrees exactly with DuckDB's floor(epoch(ts))
   * on the native ns timestamp.
   */
@@ -169,12 +171,13 @@ object EventQueries {
            event_type, count(*) AS n, round(sum(value), 4) AS total_value
          FROM events GROUP BY hour_epoch, event_type""") { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.events(s0, d).schema // also sets nanosAsLong
+      val schema = Tables.eventsRawSchema(s0, d) // also sets nanosAsLong
       val s = streamSession(s0)
       val sinkName = "graft_stream_hourly"
       // the file source wants a directory or a GLOB — "[t]" makes the
       // single-file path a glob, so the parent dir becomes the base path
-      val stream = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+      val stream = Tables.tsToNanos(
+          s.readStream.schema(schema).parquet(s"$d/events.parque[t]"))
         .select(col("event_type"), col("value"),
           timestamp_seconds(nsToSec("ts")).as("tsec"))
         .withWatermark("tsec", "1 hour")
@@ -200,10 +203,11 @@ object EventQueries {
            CAST(count(DISTINCT event_id % 500) AS BIGINT) AS n_surviving
          FROM events GROUP BY event_type""") { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.events(s0, d).schema // also sets nanosAsLong
+      val schema = Tables.eventsRawSchema(s0, d) // also sets nanosAsLong
       val s = streamSession(s0)
       val sinkName = "graft_stream_dedup"
-      val stream = s.readStream.schema(schema).parquet(s"$d/events.parque[t]")
+      val stream = Tables.tsToNanos(
+          s.readStream.schema(schema).parquet(s"$d/events.parque[t]"))
         .select(col("event_type"), (col("event_id") % 500).as("dup_key"),
           timestamp_seconds(nsToSec("ts")).as("tsec"))
         .withWatermark("tsec", "1 hour")
@@ -235,7 +239,9 @@ object EventQueries {
          SELECT CAST(entity AS BIGINT) AS entity, sec AS last_sec,
            round(value, 4) AS last_value
          FROM ranked WHERE rn = 1 AND op <> 'D'""") { (s0, d) =>
-      val schema = Tables.events(s0, d).schema // also sets nanosAsLong
+      // re-staged events are written from the NORMALIZED frame (ts nanos
+      // BIGINT), so the stream declares the normalized schema
+      val schema = Tables.events(s0, d).schema
       val s = streamSession(s0)
       val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
       Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")

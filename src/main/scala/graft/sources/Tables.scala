@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
 
 /** Readers for the driver-provided TPC-H-ish parquet tables
   * (`/root/repo/TESTDATA.md`). Schemas are fixed by the driver; we read
@@ -27,13 +29,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is nanosecond parquet, which Spark's vectorized reader
-    * rejects; read nanos as a raw long and keep all timestamp math in
-    * integer nanoseconds (doubles lose precision above 2^53 ≈ 104 days of
-    * nanos). Queries derive seconds via integer division. */
+  /** events.ts is nanosecond parquet, whose read differs by Spark
+    * version: ≤4.0 rejects it natively but honors the legacy
+    * `nanosAsLong` flag (→ raw nanos BIGINT); 4.1+ ignores that flag and
+    * reads TIMESTAMP_NTZ at microsecond precision. [[tsToNanos]] bridges
+    * both to ONE downstream contract — ts = nanos-since-epoch BIGINT —
+    * so every second/hour derivation stays integer division (doubles
+    * would corrupt above 2^53 nanos; the µs→ns widening is exact and
+    * second-floors agree with DuckDB's floor(epoch(ts)) either way). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    tsToNanos(load(s, d, "events"))
+  }
+
+  /** The events schema exactly as THIS Spark version's parquet reader
+    * yields it — readStream over the original files must declare the
+    * reader's schema, then normalize via [[tsToNanos]]. */
+  def eventsRawSchema(s: SparkSession, d: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").schema
+  }
+
+  /** Normalize an events frame (batch or stream) to ts: nanos BIGINT.
+    * The NTZ→timestamp cast is instant-preserving under the UTC session
+    * timezone every entrypoint pins. */
+  def tsToNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case _ => df.withColumn("ts",
+      unix_micros(col("ts").cast(TimestampType)) * 1000L)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.dedup.TextDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Bounded-state proof for the stateful streaming shapes (the q118 /
+  * q74 / q81 patterns): drive each query across micro-batches whose
+  * event time advances past the watermark horizon and assert, from
+  * `StreamingQueryProgress.stateOperators`, that
+  *   (a) expired state actually LEAVES the store (numRowsRemoved > 0) and
+  *   (b) the store never accumulates stream history (final numRowsTotal
+  *       ≪ keys seen, bounded by keys-per-watermark-horizon)
+  * while the emitted rows still match their batch twin. This is the
+  * assertion complete-mode drains cannot make — complete mode re-emits
+  * and retains every group forever; update/append + watermark is the
+  * 100 TB shape.
+  */
+class StreamingStateSpec extends SparkSpec {
+
+  private val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+
+  private def ts(minute: Long) = new java.sql.Timestamp(t0 + minute * 60000L)
+
+  /** All state-operator progress entries a query has reported. */
+  private def stateProgress(q: StreamingQuery) =
+    q.recentProgress.toSeq.flatMap(_.stateOperators)
+
+  test("near-dup verdicts (q118 shape, update mode): per-doc state expires behind the watermark") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+
+    // history = 10 docs; the stream re-sends half of them (dups) plus
+    // fresh text per batch
+    val histTexts = (0 until 10).map(i => s"history document number $i shared shingle payload")
+    val history = histTexts.zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+    val index = TextDedup.md5BandSigs(history, "text", "doc_id", 8, 4)
+      .select("b", "sig").distinct()
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "arrival")
+    val q = NearDupStream.verdicts(docs, index, shingle = 8, bands = 4)
+      .writeStream.format("memory").queryName("neardup_state")
+      .outputMode("update").start()
+    try {
+      // 3 batches, arrivals 3h apart; watermark delay 1h, window 1h —
+      // by batch N+1 the watermark has passed batch N's arrival window
+      def batch(n: Int): Seq[(Long, String, java.sql.Timestamp)] =
+        (0 until 10).map { i =>
+          val id = n * 100L + i
+          val text = if (i < 5) histTexts(i) // near-dup of history
+                     else s"fresh never seen before text $n $i with enough length"
+          (id, text, ts(n * 180L))
+        }
+      (0 until 3).foreach { n => input.addData(batch(n)); q.processAllAvailable() }
+
+      val prog = stateProgress(q)
+      assert(prog.nonEmpty, "no state operator progress reported")
+      val removed = prog.map(_.numRowsRemoved).sum
+      assert(removed >= 10L,
+        s"watermark never evicted verdict state (removed=$removed)")
+      val finalTotal = prog.last.numRowsTotal
+      // 30 docs seen; only the last horizon's (≤ 2 batches) may be live
+      assert(finalTotal <= 20L,
+        s"state accumulates with stream history: numRowsTotal=$finalTotal")
+
+      // emitted verdicts == batch twin (per-doc distinct-band hit count)
+      val emitted = spark.table("neardup_state")
+        .groupBy("doc_id").agg(max("hit_bands").as("hit_bands"))
+        .as[(Long, Long)].collect().toMap
+      val streamed = (0 until 3).flatMap(batch).map(r => (r._1, r._2))
+        .toDF("doc_id", "text")
+      val expected = TextDedup.md5BandSigs(streamed, "text", "doc_id", 8, 4)
+        .join(index, Seq("b", "sig"), "leftsemi")
+        .groupBy("doc_id").agg(countDistinct("b").as("hit_bands"))
+        .as[(Long, Long)].collect().toMap
+      assert(emitted == expected,
+        s"update-mode verdicts diverge from batch twin: $emitted vs $expected")
+      // and every dup doc was verdicted: 5 per batch share history text
+      assert(expected.count(_._2 == 4L) == 15)
+    } finally q.stop()
+  }
+
+  test("hourly agg (q74 shape, update mode): sealed windows leave the store") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventPipeline.Event](spark)
+    val q = EventPipeline.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly_state")
+      .outputMode("update").start()
+    try {
+      // one window per batch, 3h apart; watermark delay is 30min
+      (0 until 4).foreach { n =>
+        input.addData(
+          EventPipeline.Event(n * 10L, ts(n * 180L), 10, "click", 1.0),
+          EventPipeline.Event(n * 10L + 1, ts(n * 180L + 5), 11, "view", 2.0))
+        q.processAllAvailable()
+      }
+      val prog = stateProgress(q)
+      val removed = prog.map(_.numRowsRemoved).sum
+      assert(removed >= 4L,
+        s"watermark never evicted window state (removed=$removed)")
+      // 8 (window, type) groups seen over the run; at most the last
+      // horizon's may still be live
+      assert(prog.last.numRowsTotal <= 4L,
+        s"window state accumulates: numRowsTotal=${prog.last.numRowsTotal}")
+      // update mode still emitted every (window, type) count once
+      val emitted = spark.table("hourly_state")
+        .groupBy("hour_start", "event_type").agg(max("n").as("n"))
+        .count()
+      assert(emitted == 8L, s"expected 8 distinct window groups, got $emitted")
+    } finally q.stop()
+  }
+
+  test("dedup within watermark (q81 shape): key state ages out past the horizon") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventPipeline.Event](spark)
+    val q = EventPipeline.dedupWithinWatermark(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_state")
+      .outputMode("append").start()
+    try {
+      // 10 fresh keys per batch, batches 2h apart, 30min watermark —
+      // each batch's keys are expirable by the next
+      (0 until 3).foreach { n =>
+        input.addData((0 until 10).map(i =>
+          EventPipeline.Event(n * 100L + i, ts(n * 120L), 10, "click", 1.0)): _*)
+        q.processAllAvailable()
+      }
+      val prog = stateProgress(q)
+      val removed = prog.map(_.numRowsRemoved).sum
+      assert(removed >= 10L,
+        s"watermark never evicted dedup key state (removed=$removed)")
+      assert(prog.last.numRowsTotal <= 20L,
+        s"dedup state accumulates: numRowsTotal=${prog.last.numRowsTotal}")
+      // no survivors lost: all 30 distinct keys passed through
+      assert(spark.table("dedup_state").count() == 30L)
+    } finally q.stop()
+  }
+}
