@@ -49,6 +49,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * rows): a session that raises the threshold (as this harness does, to
   * 65536) automatically tightens the eligible k instead of opening an
   * OOM vector.
+  *
+  * Two refinements shrink what the gate must count. Payload columns that
+  * are partition ATTRIBUTES are never buffered — they are constant per
+  * group, so they ride the aggregate's grouping output and rejoin the
+  * payload after the explode. And when the surviving payload is a single
+  * non-struct DOUBLE (the KMV/sketch shape), the buffer drops to
+  * [[BoundedTopKDoubles]]'s flat primitive heap — 8 bytes per value, no
+  * per-row objects — gated in BYTES instead of rows:
+  * `k × fallbackThreshold × 8 ≤
+  * spark.graft.topk.rewrite.maxBufferedBytesPerTask` (default 2^27 =
+  * 128 MB), which admits k=256 under this harness's threshold where the
+  * row gate stops at 32.
   */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
@@ -60,6 +72,15 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
   private def maxBufferedRows: Long =
     conf.getConfString("spark.graft.topk.rewrite.maxBufferedRowsPerTask",
       (1L << 21).toString).toLong
+  /** Byte-denominated budget for the primitive-double specialization
+    * ([[BoundedTopKDoubles]]): its buffer is exactly 8 bytes per value
+    * with no per-row objects, so gating ROWS would leave a ~30× memory
+    * margin unusable — sketch-sized k (KMV k=256 × threshold 65536 × 8 B
+    * = 128 MB worst-case per task) is admitted here while the generic
+    * UnsafeRow-queue path keeps the row gate. */
+  private def maxBufferedBytes: Long =
+    conf.getConfString("spark.graft.topk.rewrite.maxBufferedBytesPerTask",
+      (1L << 27).toString).toLong
   // via the SQLConf entry, not a hand-copied default string — the gate
   // must track the threshold the aggregate will actually fall back at
   private def fallbackThreshold: Long =
@@ -112,50 +133,78 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
         val best = bounds.collect { case (c, Some((k, subsumed))) => (c, k, subsumed) }
           .sortBy(_._2).headOption
         best match {
-          case Some((boundConjunct, k, subsumed))
-              if k >= 1 && k <= maxK &&
-                k.toLong * fallbackThreshold <= maxBufferedRows =>
+          case Some((boundConjunct, k, subsumed)) if k >= 1 && k <= maxK =>
             val residual = conjuncts.filterNot(_ eq boundConjunct) ++
               (if (subsumed) Nil else Seq(boundConjunct))
+            // Partition keys are constant within their group, so payload
+            // columns that ARE partition attributes ride the aggregate's
+            // grouping output instead of being buffered k times per group
+            // (and serialized into every partial). Sort-key attributes
+            // stay in the struct — the buffer orders by them.
+            val partAttrIds = partSpec.collect { case a: Attribute => a.exprId }.toSet
+            val sortAttrIds = orderSpec.map(_.child)
+              .collect { case a: Attribute => a.exprId }.toSet
+            def viaGrouping(a: Attribute): Boolean =
+              partAttrIds.contains(a.exprId) && !sortAttrIds.contains(a.exprId)
+            val (passThrough, buffered) = child.output.partition(viaGrouping)
             // Sort keys that are plain payload attributes are addressed
             // by ordinal; only computed keys (e.g. `lower(name)`) become
             // extra leading struct fields — the serialized partial
             // buffers stay as narrow as the input rows.
-            val attrIndex = child.output.zipWithIndex
+            val bufIndex = buffered.zipWithIndex
               .map { case (a, i) => a.exprId -> i }.toMap
             val extras = scala.collection.mutable.ArrayBuffer.empty[Expression]
             val sortOrdinals = orderSpec.map(_.child match {
-              case a: Attribute if attrIndex.contains(a.exprId) => attrIndex(a.exprId)
+              case a: Attribute if bufIndex.contains(a.exprId) => bufIndex(a.exprId)
               case e => extras += e; -extras.length // placeholder, fixed below
             })
             val s = extras.length
             val fixedOrdinals = sortOrdinals.map(i => if (i < 0) -i - 1 else i + s)
-            val structExpr = CreateStruct(extras.toSeq ++ child.output)
             val dirs = orderSpec.map(so =>
               (so.direction == Ascending, so.nullOrdering == NullsFirst))
-            val topkAlias = Alias(
-              BoundedTopK(structExpr, orderSpec.map(_.child), k, fixedOrdinals, dirs)
-                .toAggregateExpression(),
-              "__topk")()
-            val agg = Aggregate(partSpec, Seq(topkAlias), child, None)
-            val structType = structExpr.dataType
-            val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
-            val colAttr = AttributeReference("col", structType, nullable = false)()
-            val gen = Generate(PosExplode(topkAlias.toAttribute),
-              unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
-              generatorOutput = Seq(posAttr, colAttr), agg)
-            // rebuild the Window's output under the ORIGINAL exprIds so
-            // every parent operator resolves unchanged
-            val payload = child.output.zipWithIndex.map { case (a, i) =>
-              Alias(GetStructField(colAttr, s + i, Some(a.name)), a.name)(
-                exprId = a.exprId, qualifier = a.qualifier)
+            // Single-double payload → primitive-heap specialization with
+            // the byte-denominated gate; everything else keeps the
+            // generic row buffer under the row-count gate.
+            val scalarDouble = s == 0 && buffered.length == 1 &&
+              buffered.head.dataType == org.apache.spark.sql.types.DoubleType &&
+              fixedOrdinals == Seq(0)
+            val admitted =
+              if (scalarDouble) k.toLong * fallbackThreshold * 8L <= maxBufferedBytes
+              else k.toLong * fallbackThreshold <= maxBufferedRows
+            if (!admitted) f else {
+              val aggFn =
+                if (scalarDouble)
+                  BoundedTopKDoubles(orderSpec.head.child, k,
+                    asc = dirs.head._1, nullsFirst = dirs.head._2,
+                    fieldName = buffered.head.name,
+                    fieldNullable = buffered.head.nullable)
+                else
+                  BoundedTopK(CreateStruct(extras.toSeq ++ buffered),
+                    orderSpec.map(_.child), k, fixedOrdinals, dirs)
+              val topkAlias = Alias(aggFn.toAggregateExpression(), "__topk")()
+              val agg = Aggregate(partSpec, passThrough :+ topkAlias, child, None)
+              val structType =
+                aggFn.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+              val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
+              val colAttr = AttributeReference("col", structType, nullable = false)()
+              val gen = Generate(PosExplode(topkAlias.toAttribute),
+                unrequiredChildIndex = Seq(passThrough.length), outer = false,
+                qualifier = None, generatorOutput = Seq(posAttr, colAttr), agg)
+              // rebuild the Window's output under the ORIGINAL exprIds so
+              // every parent operator resolves unchanged; grouping-borne
+              // columns already carry theirs through the aggregate
+              val payload = child.output.map { a =>
+                if (viaGrouping(a)) a
+                else Alias(GetStructField(colAttr, s + bufIndex(a.exprId), Some(a.name)),
+                  a.name)(exprId = a.exprId, qualifier = a.qualifier)
+              }
+              val rnExpr = Alias(Add(posAttr, Literal(1)), alias.name)(
+                exprId = alias.exprId, qualifier = alias.qualifier)
+              val project = org.apache.spark.sql.catalyst.plans.logical.Project(
+                payload :+ rnExpr, gen)
+              if (residual.isEmpty) project
+              else Filter(residual.reduce(And), project)
             }
-            val rnExpr = Alias(Add(posAttr, Literal(1)), alias.name)(
-              exprId = alias.exprId, qualifier = alias.qualifier)
-            val project = org.apache.spark.sql.catalyst.plans.logical.Project(
-              payload :+ rnExpr, gen)
-            if (residual.isEmpty) project
-            else Filter(residual.reduce(And), project)
           case _ => f
         }
     }

@@ -324,15 +324,15 @@ object WindowQueries {
     // ORACLE-EXACT by deriving the uniform hash from md5 (both engines
     // produce identical doubles: 48 md5 bits / 2^48 is exact dyadic
     // arithmetic). Estimator: (k-1)/u_(k) once a group holds ≥ k
-    // distinct hashes, exact count below (k = 32: the largest k whose
-    // k x agg-fallback-threshold product passes the TopK rewrite's
-    // buffered-rows memory gate in this harness). Scale shape: the k smallest
-    // hashes per group are a rank-filter, which the engine's
-    // RewriteRankFilterToTopK turns into the BoundedTopK aggregate —
-    // k·8 bytes of mergeable per-group state and no full sort, the same
-    // plan a sketch library's partial aggregation would give; the
+    // distinct hashes, exact count below. k = 256 (rel. stderr ≈ 1/√k ≈
+    // 6%; KmvAccuracySpec asserts the estimate lands within 3/√k of the
+    // exact count): the rank-filter is a single-double payload after the
+    // TopK rewrite routes the group key around the buffer, so it runs on
+    // BoundedTopKDoubles' flat primitive heap under the BYTE memory gate
+    // — k·8 bytes of mergeable per-group state and no full sort, the
+    // same plan a sketch library's partial aggregation would give; the
     // distinct pre-pass is one hash aggregate. At 100 TB the state per
-    // group stays 64 doubles regardless of group size.
+    // group stays 256 doubles regardless of group size.
     QueryDef("q119_kmv_distinct", Seq("A11", "W6"),
       """WITH h AS (
            SELECT DISTINCT l_returnflag AS grp,
@@ -340,12 +340,12 @@ object WindowQueries {
                / 281474976710656.0 AS u
            FROM lineitem),
          r AS (SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rn FROM h),
-         t AS (SELECT grp, count(*) AS n_seen, max(u) AS kth FROM r WHERE rn <= 32 GROUP BY grp)
+         t AS (SELECT grp, count(*) AS n_seen, max(u) AS kth FROM r WHERE rn <= 256 GROUP BY grp)
          SELECT grp,
-           CASE WHEN n_seen < 32 THEN CAST(n_seen AS DOUBLE)
-                ELSE round(31.0 / kth, 6) END AS est_distinct
+           CASE WHEN n_seen < 256 THEN CAST(n_seen AS DOUBLE)
+                ELSE round(255.0 / kth, 6) END AS est_distinct
          FROM t""") { (s, d) =>
-      val k = 32
+      val k = 256
       val hashed = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"),
           (conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)

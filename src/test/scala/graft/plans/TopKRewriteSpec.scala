@@ -112,6 +112,74 @@ class TopKRewriteSpec extends SparkSpec {
       .filter(col("rn") <= 32)) // at the boundary the rewrite still fires
   }
 
+  test("partition-key payload columns ride the grouping, not the buffer") {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val out = cust.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val topks = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect { case b: BoundedTopK => b })
+    }.flatten
+    assert(topks.nonEmpty, "no BoundedTopK in the optimized plan")
+    val bufferedCols = topks.head.child.children.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+    }
+    assert(!bufferedCols.contains("c_nationkey"),
+      s"partition key buffered k times per group: $bufferedCols")
+    assert(bufferedCols.toSet == Set("c_custkey", "c_acctbal", "c_mktsegment"))
+    check(cust.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
+  }
+
+  test("single-double payload runs the primitive-heap specialization past the row gate") {
+    // (grp, u) with the group key routed around the buffer — the KMV
+    // sketch shape. k=64 exceeds the ROW gate (32 under this harness's
+    // fallback threshold) but the 8-byte-per-value heap passes the BYTE
+    // gate; the result must still match the sort-based Window.
+    val df = cust.select(col("c_nationkey"), col("c_acctbal"))
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"))
+    val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 64)
+    assert(out.queryExecution.optimizedPlan.toString.contains("bounded_top_k_doubles"),
+      s"specialization did not fire:\n${out.queryExecution.optimizedPlan}")
+    check(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 64))
+    // k × threshold × 8B beyond the byte budget keeps the sort plan:
+    // 257 × 65536 × 8 is one value past the default 2^27
+    check(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 257),
+      expectRewrite = false)
+  }
+
+  test("double specialization: nulls, directions and orderings match the window plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xd0b1e)
+    for (trial <- 1 to 6) {
+      val n = 150 + rnd.nextInt(300)
+      val rows = Seq.tabulate(n) { _ =>
+        val key = rnd.nextInt(1 + rnd.nextInt(20))
+        // duplicate-heavy domain: tied doubles and null blocks both hit
+        // the heap's eviction and the eval interleave
+        val d = if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(12).toDouble / 4)
+        (key, d)
+      }
+      val df = rows.toDF("grp", "score")
+      val k = 1 + rnd.nextInt(8)
+      val ord = (rnd.nextInt(4): @unchecked) match {
+        case 0 => col("score").asc_nulls_first
+        case 1 => col("score").asc_nulls_last
+        case 2 => col("score").desc_nulls_first
+        case 3 => col("score").desc_nulls_last
+      }
+      val w = Window.partitionBy("grp").orderBy(ord)
+      withClue(s"trial $trial (k=$k, ord=$ord): ") {
+        val out = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+        assert(out.queryExecution.optimizedPlan.toString.contains("bounded_top_k_doubles"))
+        // rn dropped: under tied doubles the rank ASSIGNMENT is arbitrary
+        // but the surviving multiset is not
+        check(df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn"))
+      }
+    }
+  }
+
   test("seeded randomized trials: rewritten == window plan on null-heavy data") {
     // Deterministic fuzz over the rewrite's whole parameter space: random
     // group cardinality (incl. groups smaller than k), nullable sort keys,
