@@ -112,6 +112,8 @@ object SpineProbe {
       ("q113_token_budget", scaled),
       ("q115_bm25", scaled),
       ("q114_dup_spans", scaledSfx),
+      ("q116_batched_inference", scaled),
+      ("q117_staged_spine_join", scaled),
       ("q118_stream_incremental_neardup", scaled),
       ("q119_kmv_distinct", scaled))
     for ((q, big) <- probes) {

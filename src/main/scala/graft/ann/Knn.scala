@@ -59,6 +59,25 @@ object Knn {
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
 
+  /** recall@k of an approximate result against the exact baseline: the
+    * fraction of true (query, neighbor) pairs the approximate search
+    * found. Both frames carry (query_id, neighbor_id) — the shapes
+    * [[bruteForceTopK]]/[[ivfTopK]]/[[lshTopK]] emit. The measured-eval
+    * discipline of the reference's ML half
+    * (`classifier_code/train_flow_classifier_weighted.py:171-185` reports
+    * accuracy/F1 on a held-out split at train time) applied to similarity
+    * search: an index whose recall nobody measured is not a search
+    * structure, it's a rumor. KMeansSpec gates trained IVF at its shipped
+    * nprobe on this; RecallProbe sweeps the recall-vs-nprobe tradeoff. */
+  def recall(exact: DataFrame, approx: DataFrame): Double = {
+    val truth = exact.select("query_id", "neighbor_id")
+    val n = truth.count()
+    require(n > 0, "empty ground truth")
+    val hits = truth.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "leftsemi").count()
+    hits.toDouble / n
+  }
+
   /** LSH-bucketed variant: candidates restricted to the query's sign
     * bucket. Recall < 1 by construction; nBits trades recall for fanout. */
   def lshTopK(

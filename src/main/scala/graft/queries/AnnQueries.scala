@@ -258,16 +258,21 @@ object AnnQueries {
     // Trained-centroid IVF: two deterministic Lloyd rounds (init = 16
     // lowest-id vectors, argmax of round(cosine,6) with cid tiebreak,
     // means rounded to 6, empty cells keep their previous centroid)
-    // build the coarse quantizer, then multi-probe (6 of 16 cells)
+    // build the coarse quantizer, then multi-probe (12 of 16 cells)
     // search. The oracle replays the identical training loop as chained
-    // CTEs. Recall vs the exact baseline is asserted in KMeansSpec.
+    // CTEs. nprobe is MEASURED, not assumed: RecallProbe's sweep against
+    // the q37 brute-force ground truth puts recall@10 at 0.77 for 6
+    // probes and 0.94-0.96 at 12 on this near-uniform synthetic corpus
+    // (recall tracks the scan fraction when cosine neighborhoods barely
+    // follow the cells — real embedding corpora cluster harder and earn
+    // lower nprobe); KMeansSpec gates recall@10 >= 0.9 at this setting.
     QueryDef("q96_ann_ivf_trained", Seq("J12", "A5"),
       s"""WITH ${trainedCellsCte()},
          probes AS (
            SELECT vec_id AS query_id, v AS qv, cid FROM (
              SELECT t.vec_id, t.v, c.cid,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 6)
+             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12)
          SELECT query_id, rnk, neighbor_id, cosine FROM (
            SELECT p.query_id, e.vec_id AS neighbor_id,
              round(list_cosine_similarity(p.qv, e.v), 6) AS cosine,
@@ -278,7 +283,7 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
       graft.ann.Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", cents, k = 3, probes = 6)
+        "vec_id", "embedding", cents, k = 3, probes = 12)
     },
 
     // SemDeDup-style semantic dedup: all-pairs cosine ONLY within each

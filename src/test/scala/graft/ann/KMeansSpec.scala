@@ -6,20 +6,19 @@ import org.apache.spark.sql.functions._
 
 class KMeansSpec extends SparkSpec {
 
-  test("trained IVF multi-probe recall@5 >= 0.9 vs brute force (sf0.001)") {
+  test("trained IVF at its shipped nprobe: recall@10 >= 0.9 vs brute-force ground truth") {
+    // q96's index (k=16 cells, 2 Lloyd rounds) at q96's nprobe (12),
+    // measured against q37's exact baseline on a 50-query set — the
+    // recall gate. RecallProbe sweeps the full recall-vs-nprobe curve;
+    // 12 is where this corpus crosses 0.9 (the old recall@5-on-10-queries
+    // check passed at nprobe 6 only as a small-sample artifact).
     val emb = Tables.embeddings(spark, sf)
-    val queries = emb.filter(col("vec_id") < 10)
-    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
     val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
-    val ivf = Knn.ivfTopK(emb, queries, "vec_id", "embedding", cents, k = 5, probes = 6)
-      .select("query_id", "neighbor_id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recall = exact.keys.toSeq.map { q =>
-      (exact(q) intersect ivf.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
-    }.sum / exact.size
-    assert(recall >= 0.9, s"IVF probe-6/16 recall@5 = $recall")
+    val ivf = Knn.ivfTopK(emb, queries, "vec_id", "embedding", cents, k = 10, probes = 12)
+    val recall = Knn.recall(exact, ivf)
+    assert(recall >= 0.9, s"IVF probe-12/16 recall@10 = $recall")
   }
 
   test("fit is deterministic and keeps empty clusters on their previous centroid") {
