@@ -242,6 +242,124 @@ class GoldenSpec extends SparkSpec {
       })
   }
 
+  test("survey workbook loop: cva_agg's survey slice re-derived from workbook BYTES (code/10:30-37,302-315)") {
+    // The reference commits the survey data only as cva_agg.csv rows
+    // (source == 'Survey'); the .xlsx itself is not in the repo. Close
+    // the S9 loop by writing those rows back into a REAL 3-sheet
+    // workbook (zip + OOXML via XlsxTestWriter) and re-deriving the
+    // slice through the production read path:
+    //   XlsxSource.readSurveyWorkbook (trim/try_cast/Take.out/rename)
+    //   → unifyNames on the sub-grant recipients (exact tier)
+    //   → GlobalAnalysis.undoubleAgg (A6 + C6)
+    // then row-count + sorted-hash against the committed slice — the
+    // same discipline as the 1,562-row and 98-row re-derivations.
+    assume(new java.io.File(s"$refOut/cva_agg.csv").exists())
+    import spark.implicits._
+    val slice = readRef("cva_agg.csv").filter(col("source") === "Survey")
+      .localCheckpoint(true)
+    assert(slice.count() == 254)
+    // the sub-grant reconstruction below re-aggregates by (clean_org,
+    // Year); a duplicate key would make per-row subgrant ambiguous
+    assert(slice.groupBy("clean_org", "Year").count()
+      .filter(col("count") > 1).count() == 0)
+
+    val in = slice.select(col("Organisation"), col("Year"),
+        col("Org_type"), col("`PC.USD.m`"), col("`TV.USD.m`"),
+        col("`PC.USD.m_subgrant`")).collect()
+    // sheet 1 exactly as read.xlsx expects it: spaced headers (dotted on
+    // read), blanks as ABSENT cells, one Organisation padded to prove
+    // the code/10:31 trim runs
+    val sheet1 = in.zipWithIndex.map { case (r, i) =>
+      Seq[Any](
+        if (i == 0) s"  ${r.getString(0)}  " else r.getString(0),
+        r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))
+    }.toSeq
+    // sheet 2: each positive committed subgrant split into two half
+    // rows (the A6 SUM is exercised, and a/2 + a/2 == a exactly in
+    // IEEE), Take.out case varied; decoys that the reader's filter and
+    // the name cascade's no-match path must drop
+    val sgRows = in.filter(r => !r.isNullAt(5) && r.getDouble(5) > 0)
+    val sheet2 = sgRows.zipWithIndex.flatMap { case (r, i) =>
+      val half = r.getDouble(5) / 2
+      Seq(
+        Seq[Any](r.getString(0), half, r.getInt(1), if (i % 2 == 0) "Y" else "y"),
+        Seq[Any](r.getString(0), half, r.getInt(1), "y"),
+        Seq[Any](r.getString(0), 999999.0, r.getInt(1), "n")) // filtered out
+    }.toSeq :+ Seq[Any]("Entirely Unrelated Consortium", 777.0, 2020, "y")
+    // sheet 3: the per-year PC→TV factors recovered from the FTS rows
+    // (constant within a year — asserted by the 1,562-row test)
+    val ratios = readRef("cva_agg.csv")
+      .filter(col("source") === "FTS" && col("`PC.USD.m`") > 0 &&
+        col("`TV.USD.m`").isNotNull)
+      .groupBy("Year")
+      .agg(first(col("`TV.USD.m`") / col("`PC.USD.m`")).as("ratio"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val sheet3 = ratios.map { case (y, f) => Seq[Any](y, f) }.toSeq
+
+    val path = graft.sources.XlsxTestWriter.write("graft_cva_survey_golden", Seq(
+      ("survey_data", Seq("Organisation", "Year", "Org_type", "PC USD m", "TV USD m"), sheet1),
+      ("sub_grants", Seq("Recipient org", "Amount USD", "Year", "Take out"), sheet2),
+      ("pc_tv_estimate", Seq("CVA data year", "PC average used"), sheet3)))
+
+    // ---- production read path, workbook bytes in ----------------------
+    val (survey, subGrants, pcTv) =
+      graft.sources.XlsxSource.readSurveyWorkbook(spark, path)
+    // the rename + numeric round-trip through the sheet is exact
+    assert(pcTv.columns.toSeq == Seq("year", "PC.average.used"))
+    assert(pcTv.select(col("year").cast("int"),
+        col("`PC.average.used`").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+      == ratios.toSeq)
+
+    val clean = graft.functions.TextFns.cleanNameUnicode(_)
+    val surveyAgg = survey.select(clean(col("Organisation")).as("clean_org"),
+      col("Year").cast("int").as("Year"), lit("FALSE").as("newMoney"),
+      col("`PC.USD.m`"), col("`TV.USD.m`"))
+    // code/10:286-301: recipients resolve against the survey org
+    // universe through the cascade (all exact here — the committed
+    // recipients ARE survey orgs); the decoy keeps its own name and
+    // falls out of the join
+    val universe = survey.select(clean(col("Organisation")).as("survey_org")).distinct()
+    val mapping = GlobalAnalysis.unifyNames(
+      subGrants.select(col("`Recipient.org`").as("org_name")).distinct(),
+      universe, Seq.empty[(String, String)].toDF("org_name", "clean_org"),
+      clean = graft.functions.TextFns.cleanNameUnicode)
+    val sub = subGrants
+      .join(mapping, subGrants("`Recipient.org`") === mapping("org_name"))
+      .select(col("clean_org"), col("Year").cast("int").as("Year"),
+        lit("FALSE").as("newMoney"),
+        col("`Amount.USD`").cast("double").as("amount_usd"))
+    val derived = GlobalAnalysis.undoubleAgg(surveyAgg, sub)
+      // R's NA - 0 stays NA; greatest() would swallow it (same caveat as
+      // the 1,562-row test)
+      .withColumn("PC.USD.m_undoubled",
+        when(col("`PC.USD.m`").isNotNull, col("`PC.USD.m_undoubled`")))
+
+    def fmt(c: org.apache.spark.sql.Column) =
+      coalesce(format_number(c, 6), lit("NA"))
+    def tuple(df: org.apache.spark.sql.DataFrame) = df.select(concat_ws("|",
+      col("clean_org"), col("Year").cast("string"), fmt(col("`PC.USD.m`")),
+      fmt(col("`PC.USD.m_subgrant`")), fmt(col("`PC.USD.m_undoubled`")),
+      fmt(col("`TV.USD.m`"))).as("t"))
+    def sortedHash(df: org.apache.spark.sql.DataFrame): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(df.collect().map(_.getString(0)).sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    val committed = tuple(slice)
+    val rederived = tuple(derived)
+    assert(rederived.count() == 254)
+    assert(sortedHash(rederived) == sortedHash(committed),
+      {
+        val c = committed.collect().map(_.getString(0)).sorted
+        val d = rederived.collect().map(_.getString(0)).sorted
+        val diffs = c.zip(d).filter { case (a, b) => a != b }.take(5)
+        s"workbook-derived survey slice diverges from golden, e.g.:\n${diffs.mkString("\n")}"
+      })
+  }
+
   // ---- questions goldens (code/07) --------------------------------------
 
   private val projectsDir = "/root/reference/projects"
