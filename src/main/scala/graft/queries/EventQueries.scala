@@ -257,5 +257,57 @@ object EventQueries {
         .select(col("entity"), col("m.sec").as("last_sec"),
           round(col("m.value"), 4).as("last_value"))
     },
+
+    // Streaming CDC apply via the BUILT-IN stateful aggregation — the
+    // update-mode twin of q97's foreachBatch merge, so both streaming
+    // idioms are demonstrated on the same semantics: here
+    // `groupBy(entity) + max(struct)` IS the associative merge, held in
+    // the state store instead of versioned parquet. State is one struct
+    // per LIVE ENTITY — the CDC contract's own bound, independent of
+    // stream length (StreamingStateSpec asserts numRowsTotal tracks the
+    // entity count, not the row count) — and update mode re-emits an
+    // entity only in batches where its max changed; the sink is then
+    // reduced by the same max, which is idempotent under re-emission.
+    // Events drain one staged file per micro-batch (q97's fixture
+    // discipline) so the cross-batch state path genuinely runs; the
+    // merge is associative + commutative, so the final state equals the
+    // batch result regardless of batch boundaries — exactly what the
+    // shared q87 oracle asserts.
+    QueryDef("q120_stream_cdc_native", Seq("A2", "W6"),
+      """WITH ops AS (
+           SELECT event_id % 300 AS entity,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+           FROM events),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY entity ORDER BY sec DESC, event_id DESC) AS rn
+           FROM ops)
+         SELECT CAST(entity AS BIGINT) AS entity, sec AS last_sec,
+           round(value, 4) AS last_value
+         FROM ranked WHERE rn = 1 AND op <> 'D'""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      // staged events are written from the NORMALIZED frame (ts nanos
+      // BIGINT), so the stream declares the normalized schema
+      val schema = Tables.events(s0, d).schema
+      val s = streamSession(s0)
+      val sinkName = "graft_stream_cdc_native"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcn_").toString
+      Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      val state = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value"))
+        .groupBy("entity")
+        .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
+      val q = state.writeStream.format("memory").queryName(sinkName)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).groupBy("entity").agg(max("m").as("m"))
+        .filter(col("m.op") =!= "D")
+        .select(col("entity"), col("m.sec").as("last_sec"),
+          round(col("m.value"), 4).as("last_value"))
+    },
   )
 }

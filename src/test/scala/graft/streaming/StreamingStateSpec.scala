@@ -115,6 +115,38 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native CDC agg (q120 shape): state tracks live entities, not stream length") {
+    // no watermark BY DESIGN: CDC state is one struct per live entity —
+    // the contract's own bound — so the assertion is that numRowsTotal
+    // equals the entity count and stays flat as more rows stream in
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Double)](spark)
+    val state = input.toDF().toDF("entity", "sec", "value")
+      .groupBy("entity")
+      .agg(max(struct(col("sec"), col("value"))).as("m"))
+    val q = state.writeStream.format("memory").queryName("cdc_native_state")
+      .outputMode("update").start()
+    try {
+      // 3 batches × 40 rows over the SAME 10 entities
+      (0 until 3).foreach { n =>
+        input.addData((0 until 40).map(i =>
+          ((i % 10).toLong, n * 100L + i, i / 7.0)): _*)
+        q.processAllAvailable()
+      }
+      val prog = stateProgress(q)
+      assert(prog.nonEmpty)
+      assert(prog.forall(_.numRowsTotal <= 10L),
+        s"CDC state grew past the live-entity bound: ${prog.map(_.numRowsTotal).toSeq}")
+      assert(prog.last.numRowsTotal == 10L)
+      // last-writer-wins: final merged value per entity = overall max
+      val merged = spark.table("cdc_native_state")
+        .groupBy("entity").agg(max("m").as("m"))
+        .select(col("entity"), col("m.sec")).as[(Long, Long)].collect().toMap
+      assert(merged == (0L until 10L).map(e => e -> (200L + 30 + e)).toMap)
+    } finally q.stop()
+  }
+
   test("dedup within watermark (q81 shape): key state ages out past the horizon") {
     val sqlc = spark.sqlContext
     import spark.implicits._
