@@ -289,7 +289,12 @@ object DedupQueries {
           WHERE d.doc_id % 11 = 0""") { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
       val schema = Tables.documents(s0, d).schema
-      val s = EventQueries.streamSession(s0)
+      // state = one counter per batch doc (~N/11 keys) across TWO
+      // micro-batches (data + the watermark-advance batch update mode
+      // adds), so each state partition pays its load+commit twice:
+      // size partitions to the few-hundred-key state per the
+      // streamSession sizing rule, not to q74/q81's thousands
+      val s = EventQueries.streamSession(s0, statePartitions = 2)
       val history = Tables.documents(s, d).select("doc_id", "text")
         .filter(col("doc_id") % 11 =!= 0)
       val index = TextDedup.md5BandSigs(history, "text", "doc_id", 8, 4)
