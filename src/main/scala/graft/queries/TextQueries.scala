@@ -420,5 +420,61 @@ object TextQueries {
           size(regexp_extract_all(col("contact"), lit("""\d{2}-\d{3}-\d{4}"""), lit(0))).as("n_phones"),
           size(regexp_extract_all(col("contact"), lit("""[a-z0-9#]+@[a-z.]+"""), lit(0))).as("n_emails"))
     },
+
+    // Count-min sketch + heavy hitters — the mergeable COUNTING sketch
+    // next to q119's KMV cardinality sketch, made oracle-exact by
+    // deriving the d=4 row hashes from md5 (identical buckets in both
+    // engines). Scale shape: the sketch build is one partial-agg shuffle
+    // whose keyspace is FIXED at d×w = 4×1024 cells regardless of corpus
+    // size (the per-executor partial maps cap at 4,096 entries — this is
+    // the aggregation whose state cannot blow up on a hot vocabulary);
+    // estimates ride a broadcast of the 4,096-cell table. The exact
+    // per-token counts emitted alongside are the oracle's measuring
+    // stick — at 100 TB that exact groupBy (state ∝ vocabulary) is
+    // precisely what the CMS replaces, and the emitted rows demonstrate
+    // the CMS guarantee est ≥ exact with bounded overestimate. Heavy
+    // hitters = tokens whose ESTIMATE clears total/200 — the decision a
+    // streaming pass would make from the sketch alone.
+    QueryDef("q121_cms_heavy_hitters", Seq("A11", "U6"),
+      s"""WITH tok AS (SELECT unnest($wsToks) AS token FROM documents),
+          rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+          cms AS (
+            SELECT r.r,
+              ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT % 1024 AS b,
+              count(*) AS c
+            FROM tok t CROSS JOIN rows_ r GROUP BY r.r, b),
+          counts AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token),
+          est AS (
+            SELECT k.token, k.n_exact, min(m.c) AS n_est
+            FROM counts k CROSS JOIN rows_ r
+            JOIN cms m ON m.r = r.r
+              AND m.b = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || k.token), 1, 8))::BIGINT % 1024
+            GROUP BY k.token, k.n_exact),
+          tot AS (SELECT sum(n_exact) AS total FROM counts)
+          SELECT token, n_exact, CAST(n_est AS BIGINT) AS n_est
+          FROM est, tot WHERE n_est >= total / 200.0""") { (s, d) =>
+      val depth = 4
+      val width = 1024
+      def bucket(r: Int, c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
+          .cast("long") % width
+      val toks = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), """\s+""")).as("token"))
+      val banded = toks.select(col("token"),
+        posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
+          .as(Seq("r", "b")))
+      val cms = banded.groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      val tot = counts.agg(sum("n_exact").as("total"))
+      counts
+        .select(col("token"), col("n_exact"),
+          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
+            .as(Seq("r", "b")))
+        .join(broadcast(cms), Seq("r", "b"))
+        .groupBy("token", "n_exact").agg(min("c").as("n_est"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_est") >= col("total") / 200.0)
+        .select("token", "n_exact", "n_est")
+    },
   )
 }

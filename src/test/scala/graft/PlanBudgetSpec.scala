@@ -287,6 +287,19 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  test("CMS heavy hitters: fixed-width sketch aggregation, estimate side broadcasts") {
+    // the sketch build's keyspace is pinned at d×w = 4,096 cells, so its
+    // exchange (and per-task partial map) cannot grow with vocabulary;
+    // the estimate join rides broadcasts of the cell table and the 1-row
+    // total — no cross product, no sort-merge join
+    val cms = q("q121_cms_heavy_hitters")
+    val plan = cms.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q121 cross-products:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"q121 sort-merge-joins:\n$plan")
+    assert(broadcasts(cms) >= 2, s"q121 sketch/total not broadcast:\n$plan")
+    assert(shuffles(cms) <= 4)
+  }
+
   test("KMV sketch: bounded top-k heap, no sorts, bounded per-group state") {
     // distinct pre-agg (1 exchange) + bounded_top_k on the group key
     // (1 exchange); the post-explode re-agg's exchange carries at most
