@@ -32,9 +32,13 @@ object SpineProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toDouble).getOrElse(2.5)
+    require(factor >= 1, s"scale factor must be >= 1, got $factor")
     val fullCopies = math.floor(factor).toInt - 1 // beyond the base
     val halfCopy = factor - math.floor(factor) >= 0.49
-    val tag = if (factor == factor.floor) f"${factor}%.0fx" else s"${factor}x"
+    // the tag records what was BUILT (copies quantize to halves), never
+    // the requested factor — labels land in SCALING.md
+    val built = 1.0 + fullCopies + (if (halfCopy) 0.5 else 0.0)
+    val tag = if (built == built.floor) f"${built}%.0fx" else s"${built}x"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -68,24 +72,30 @@ object SpineProbe {
       withHalf.reduce(_ unionByName _)
     }
 
+    // the decade probe covers the spine family; the per-round sweep the
+    // full list — staging below is gated on what the list actually reads
+    val decade = factor >= 4
+
     def stage(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$scaled/$name.parquet")
 
     stage("orders", scaleUnion(
       spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey", ordersOff))
-    stage("documents", scaleUnion(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", docsOff))
-    // q119 scans lineitem; shift l_partkey too so the sketch's
-    // distinct-value universe (not just the row count) grows with scale
-    stage("lineitem", scaleUnion(
-      spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey", ordersOff,
-      (df, c) => df.withColumn("l_partkey", col("l_partkey") + c * ordersOff)))
-    // embeddings: dimension-ROTATED copies — norms and within-copy cosine
-    // structure preserved, cross-copy cosines decorrelated (dims are
-    // near-iid), so semantic-dedup cells and dup-groups grow ~N× at
+    if (!decade) { // q104/q113/q115/q118 read documents; q94/q112 do not
+      stage("documents", scaleUnion(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", docsOff))
+      // q119 scans lineitem; shift l_partkey too so the sketch's
+      // distinct-value universe (not just the row count) grows with scale
+      stage("lineitem", scaleUnion(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey", ordersOff,
+        (df, c) => df.withColumn("l_partkey", col("l_partkey") + c * ordersOff)))
+    }
+    // embeddings (q106): dimension-ROTATED copies — norms and within-copy
+    // cosine structure preserved, cross-copy cosines decorrelated (dims
+    // are near-iid), so semantic-dedup cells and dup-groups grow ~N× at
     // constant per-group shape: the vector-space analogue of the
     // token-suffix trick below
-    stage("embeddings", scaleUnion(
+    if (decade) stage("embeddings", scaleUnion(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", docsOff,
       (df, c) => {
         val r = (7 * c) % 64

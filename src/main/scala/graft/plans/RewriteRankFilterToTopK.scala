@@ -140,12 +140,28 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
             // columns that ARE partition attributes ride the aggregate's
             // grouping output instead of being buffered k times per group
             // (and serialized into every partial). Sort-key attributes
-            // stay in the struct — the buffer orders by them.
+            // stay in the struct — the buffer orders by them. Floating-
+            // point keys also stay buffered: grouping NORMALIZES them
+            // (-0.0 → 0.0, NaN bit patterns collapse), so routing the
+            // payload through the grouping output would swap each row's
+            // stored value for the normalized key where the Window plan
+            // emits the row's own value.
             val partAttrIds = partSpec.collect { case a: Attribute => a.exprId }.toSet
             val sortAttrIds = orderSpec.map(_.child)
               .collect { case a: Attribute => a.exprId }.toSet
+            def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+              import org.apache.spark.sql.types._
+              dt match {
+                case FloatType | DoubleType => true
+                case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+                case a: ArrayType => hasFloat(a.elementType)
+                case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+                case _ => false
+              }
+            }
             def viaGrouping(a: Attribute): Boolean =
-              partAttrIds.contains(a.exprId) && !sortAttrIds.contains(a.exprId)
+              partAttrIds.contains(a.exprId) && !sortAttrIds.contains(a.exprId) &&
+                !hasFloat(a.dataType)
             val (passThrough, buffered) = child.output.partition(viaGrouping)
             // Sort keys that are plain payload attributes are addressed
             // by ordinal; only computed keys (e.g. `lower(name)`) become

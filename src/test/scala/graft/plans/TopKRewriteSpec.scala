@@ -130,6 +130,23 @@ class TopKRewriteSpec extends SparkSpec {
     check(cust.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
   }
 
+  test("float partition keys keep each row's own stored value") {
+    import spark.implicits._
+    // -0.0 and 0.0 land in the same group (grouping and window
+    // partitioning normalize floats), but the emitted payload must be
+    // each ROW's value — routing a double key through the grouping
+    // output would swap both rows' values for the single normalized key
+    val df = Seq((-0.0, 1L), (0.0, 2L), (1.5, 3L)).toDF("g", "uid")
+    val w = Window.partitionBy("g").orderBy("uid")
+    val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(hasTopK(out))
+    val bits = out.select("g").collect()
+      .map(r => java.lang.Double.doubleToRawLongBits(r.getDouble(0))).toSet
+    assert(bits.contains(java.lang.Double.doubleToRawLongBits(-0.0)) &&
+      bits.contains(java.lang.Double.doubleToRawLongBits(0.0)),
+      s"double partition key normalized away a row's own -0.0/0.0: $bits")
+  }
+
   test("single-double payload runs the primitive-heap specialization past the row gate") {
     // (grp, u) with the group key routed around the buffer — the KMV
     // sketch shape. k=64 exceeds the ROW gate (32 under this harness's

@@ -25,6 +25,7 @@ object XlsxTestWriter {
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;") // also used inside attribute values (sheet names)
 
   private def cell(ref: String, v: Any): String = v match {
     case null => ""
