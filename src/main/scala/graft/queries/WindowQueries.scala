@@ -361,5 +361,67 @@ object WindowQueries {
           when(col("n_seen") < k, col("n_seen").cast("double"))
             .otherwise(round(lit(k - 1.0) / col("kth"), 6)).as("est_distinct"))
     },
+
+    // Approximate per-group quantiles from a BOTTOM-k-BY-HASH uniform
+    // sample — the third mergeable sketch beside KMV (q119, cardinality)
+    // and CMS (q121, counts). The k rows with the smallest md5-rank per
+    // group are a uniform random sample that every engine draws
+    // IDENTICALLY (md5 is the shared randomness — no RNG, re-runnable,
+    // mergeable: min-k of min-k's is the min-k). Scale shape: the rank
+    // filter on the hash is a single-double payload, so it runs on
+    // BoundedTopKDoubles' primitive heap (k·8 bytes per group, no sort
+    // of the fact table — plan-asserted); the sampled KEYS broadcast
+    // back over a leftsemi join (groups × k rows), and only the
+    // ≤ groups×k sample rows ever meet a Window. q61 computes these
+    // quantiles exactly with a corpus-wide cumulative window; this is
+    // the form that replaces it when the table is 100 TB —
+    // QuantileSampleSpec asserts the rank error stays within the
+    // 3·√(p(1-p)/k) sampling bound.
+    QueryDef("q122_quantile_sample", Seq("A11", "W6"),
+      """WITH li AS (
+           SELECT l_returnflag AS grp, l_extendedprice AS v,
+             CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+               || ':' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 12) AS BIGINT)
+               / 281474976710656.0 AS u
+           FROM lineitem),
+         keys_ AS (
+           SELECT grp, u FROM (
+             SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rn FROM li)
+           WHERE rn <= 256),
+         samp AS (SELECT li.grp, li.v FROM li JOIN keys_ USING (grp, u)),
+         ranked AS (
+           SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS vr,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM samp)
+         SELECT grp, CAST(max(n) AS BIGINT) AS n_sample,
+           round(max(CASE WHEN vr = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END), 4) AS p50_est,
+           round(max(CASE WHEN vr = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN v END), 4) AS p90_est
+         FROM ranked GROUP BY grp""") { (s, d) =>
+      val k = 256
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+        (conv(substring(md5(concat_ws(":",
+            col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+            col("l_partkey").cast("string"), col("l_suppkey").cast("string"))), 1, 12), 16, 10)
+          .cast("double") / lit(281474976710656.0)).as("u"))
+      // sample keys: k smallest hash ranks per group — the primitive-heap
+      // aggregate; the emitted doubles are bit-exact copies, so the
+      // row-local recompute on the join side matches them exactly
+      val keys = li.select("grp", "u")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("grp").orderBy("u")))
+        .filter(col("rn") <= k)
+        .drop("rn")
+      val samp = li.join(broadcast(keys), Seq("grp", "u"), "leftsemi")
+      val ranked = samp
+        .withColumn("vr", row_number().over(
+          Window.partitionBy("grp").orderBy("v")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      def at(p: Double) = floor(lit(p) * (col("n") - 1)).cast("long") + 1
+      ranked.groupBy("grp").agg(
+        max("n").cast("long").as("n_sample"),
+        round(max(when(col("vr") === at(0.5), col("v"))), 4).as("p50_est"),
+        round(max(when(col("vr") === at(0.9), col("v"))), 4).as("p90_est"))
+    },
   )
 }

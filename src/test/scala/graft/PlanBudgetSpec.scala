@@ -300,6 +300,17 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(cms) <= 4)
   }
 
+  test("quantile sample: hash-rank filter runs the primitive heap, sample keys broadcast") {
+    // the corpus meets only the k·8-byte-per-group heap and a broadcast
+    // semi-join; the only Window sorts the ≤ groups×k sample rows
+    val qs = q("q122_quantile_sample")
+    val plan = qs.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_k_doubles"), s"q122 kept the window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"q122 wide join:\n$plan")
+    assert(broadcasts(qs) >= 1, s"q122 sample keys not broadcast:\n$plan")
+  }
+
   test("KMV sketch: bounded top-k heap, no sorts, bounded per-group state") {
     // distinct pre-agg (1 exchange) + bounded_top_k on the group key
     // (1 exchange); the post-explode re-agg's exchange carries at most
