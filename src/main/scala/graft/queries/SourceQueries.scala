@@ -134,6 +134,33 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
     },
 
+    // S7: Z-ORDERED staging + 2-D box-filtered read-back. Partitioning
+    // (q50) prunes ONE column and a single-column sort gives row-group
+    // stats pruning on ONE column; the Morton-interleave sort makes
+    // every file and row group cover a compact RECTANGLE in
+    // (l_partkey, l_suppkey) space, so the same footer-stats pruning
+    // skips on BOTH predicates — the multi-dim layout a 100 TB scan
+    // wants for point-in-box workloads. The staged read must return
+    // byte-identical rows to the raw table (the oracle filters
+    // lineitem directly); the layout EFFECT — row groups intersecting
+    // the box, z-ordered vs arrival order — is measured from real
+    // parquet footers in ZOrderSpec.
+    QueryDef("q123_zorder_scan", Seq("S7", "F6"),
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 4) AS amount,
+           count(DISTINCT l_partkey) AS n_parts
+         FROM lineitem
+         WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 8""") { (s, d) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${d.replaceAll("[^a-z0-9.]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        graft.sources.ZOrder.stageZOrdered(
+          Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice"),
+          dir, "l_partkey", "l_suppkey")
+      s.read.parquet(dir)
+        .filter(col("l_partkey").between(50, 150) && col("l_suppkey").between(2, 8))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("amount"),
+          countDistinct("l_partkey").as("n_parts"))
+    },
+
     // U4/S14: parity-mode ML-prediction join — a deterministic scored
     // table (md5-derived class + confidence) joined onto documents, then
     // the C2-style upgrade. Mirrors joining the committed

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) staging layout — MULTI-dimensional scan pruning for
+  * the 100 TB read path. Partition directories prune one column
+  * (Bucketing's `partitionCol`) and a single-column sort gives parquet
+  * row-group min/max pruning on that one column; a Z-ORDERED sort makes
+  * every row group cover a compact rectangle in TWO dimensions, so a
+  * reader's footer-stats pruning skips on both predicates of a 2-D box
+  * filter. This is the layout trick lakehouse engines expose as
+  * `OPTIMIZE ... ZORDER BY`, expressed with stock Spark operators: an
+  * integer bit-interleave column, `repartitionByRange` on it (so FILES
+  * cover disjoint z-ranges too), and `sortWithinPartitions`.
+  *
+  * The interleave is pure integer Column arithmetic — deterministic and
+  * engine-portable (the q123 oracle replays it in DuckDB), and the
+  * staging write is a one-time cost amortized over every later scan,
+  * same as the bucketed staging's shuffle (SURVEY §3.1 discipline).
+  * ZOrderSpec measures the effect on real parquet footers: row groups
+  * whose [min,max] boxes intersect a 2-D query box, z-ordered vs
+  * arrival-ordered.
+  */
+object ZOrder {
+
+  /** 2-D Morton interleave of the low `bits` bits of `a` and `b` (`a`
+    * takes the even bit positions). Inputs must be non-negative and fit
+    * in `bits` bits for the locality guarantee to hold; higher bits are
+    * simply ignored (values only lose LOCALITY, never correctness, since
+    * the z-value is used purely as a sort key). */
+  def zvalue2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Stage `df` z-ordered on (colA, colB): range-partitioned on the
+    * z-value (files cover disjoint z-ranges) and sorted within
+    * partitions (row groups cover compact z-ranges ⇒ small rectangles
+    * in (A, B) space). `options` pass through to the parquet writer
+    * (tests shrink `parquet.block.size` to get many row groups). */
+  def stageZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
+      bits: Int = 16, partitions: Int = 16,
+      options: Map[String, String] = Map.empty): Unit =
+    df.withColumn("__z", zvalue2(col(colA), col(colB), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").options(options).parquet(dir)
+}
