@@ -152,7 +152,10 @@ object SpineProbe {
         ("q116_batched_inference", scaled),
         ("q117_staged_spine_join", scaled),
         ("q118_stream_incremental_neardup", scaled),
-        ("q119_kmv_distinct", scaled))
+        ("q119_kmv_distinct", scaled),
+        ("q121_cms_heavy_hitters", scaled),
+        ("q122_quantile_sample", scaled),
+        ("q123_zorder_scan", scaled))
     for ((q, big) <- probes) {
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       time(s"${q}_$tag", SparkEntry.queries(q)(spark, big))
