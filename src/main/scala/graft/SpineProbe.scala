@@ -81,15 +81,15 @@ object SpineProbe {
 
     stage("orders", scaleUnion(
       spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey", ordersOff))
-    if (!decade) { // q104/q113/q115/q118 read documents; q94/q112 do not
-      stage("documents", scaleUnion(
-        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", docsOff))
-      // q119 scans lineitem; shift l_partkey too so the sketch's
-      // distinct-value universe (not just the row count) grows with scale
-      stage("lineitem", scaleUnion(
-        spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey", ordersOff,
-        (df, c) => df.withColumn("l_partkey", col("l_partkey") + c * ordersOff)))
-    }
+    // documents: q104/q113/q115/q118 (sweep) and q121 (decade);
+    // lineitem: q119/q122 in both lists — shift l_partkey so the
+    // sketch's distinct-value universe (not just the row count) grows
+    // with scale
+    stage("documents", scaleUnion(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", docsOff))
+    stage("lineitem", scaleUnion(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey", ordersOff,
+      (df, c) => df.withColumn("l_partkey", col("l_partkey") + c * ordersOff)))
     // embeddings (q106): dimension-ROTATED copies — norms and within-copy
     // cosine structure preserved, cross-copy cosines decorrelated (dims
     // are near-iid), so semantic-dedup cells and dup-groups grow ~N× at
@@ -138,11 +138,14 @@ object SpineProbe {
     }
 
     val probes =
-      if (factor >= 4) Seq( // the decade probe: the spine family
+      if (factor >= 4) Seq( // the decade probe: the spine + sketch families
         ("q94_cva_end_to_end", scaled),
         ("q106_semdedup", scaled),
         ("q112_flagging_end_to_end", scaled),
-        ("q114_dup_spans", scaledSfx))
+        ("q114_dup_spans", scaledSfx),
+        ("q119_kmv_distinct", scaled),
+        ("q121_cms_heavy_hitters", scaled),
+        ("q122_quantile_sample", scaled))
       else Seq(
         ("q94_cva_end_to_end", scaled),
         ("q104_pack_materialize", scaled),
@@ -169,6 +172,58 @@ object SpineProbe {
         pN.contains("SortMergeJoin") == p1.contains("SortMergeJoin") &&
         shuffles(pN) == shuffles(p1)
       println(s"""{"probe":"${q}_plan_$tag","shuffles":${shuffles(pN)},"ok":$ok}""")
+    }
+
+    // The decade probe also re-asserts each sketch's ACCURACY gate at
+    // 10× — wall-clock exponents alone would let a sketch get fast by
+    // getting wrong. Same bounds as the sf0.01 specs (KmvAccuracySpec,
+    // QuantileSampleSpec, the q121 est≥exact guarantee), evaluated on
+    // the scaled tables.
+    if (decade) {
+      def gate(name: String, ok: Boolean, detail: String): Unit =
+        println(s"""{"gate":"$name","ok":$ok,"detail":"$detail"}""")
+
+      val kSketch = 256
+      val kmvEst = SparkEntry.queries("q119_kmv_distinct")(spark, scaled)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val kmvExact = spark.read.parquet(s"$scaled/lineitem.parquet")
+        .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kmvWorst = kmvExact.map { case (g, n) =>
+        math.abs(kmvEst(g) - n) / n.toDouble }.max
+      gate(s"q119_kmv_within_3oversqrtk_$tag",
+        kmvWorst <= 3.0 / math.sqrt(kSketch), f"max_rel_err=$kmvWorst%.4f")
+
+      // q121: the CMS hard guarantee (est ≥ exact) must hold on every
+      // emitted heavy hitter; the measured worst overestimate is
+      // reported in units of N/w (the sketch's error scale) so drift
+      // is visible even while the hard bound holds
+      val hh = SparkEntry.queries("q121_cms_heavy_hitters")(spark, scaled)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val totalToks = spark.read.parquet(s"$scaled/documents.parquet")
+        .select(explode(split(trim(col("text")), """\s+""")).as("t")).count()
+      val overUnit = totalToks.toDouble / 1024
+      val allGe = hh.forall { case (_, exact, est) => est >= exact }
+      val worstOver = if (hh.isEmpty) 0.0
+        else hh.map { case (_, exact, est) => (est - exact) / overUnit }.max
+      gate(s"q121_cms_est_ge_exact_$tag", allGe && hh.nonEmpty,
+        f"hitters=${hh.length} worst_overestimate=${worstOver}%.3f N_over_w_units")
+
+      // q122: exact CDF at each estimate within 3·√(p(1-p)/k) of p
+      val qs = SparkEntry.queries("q122_quantile_sample")(spark, scaled)
+        .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      val li = spark.read.parquet(s"$scaled/lineitem.parquet")
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
+        .localCheckpoint()
+      val qWorst = qs.map { case (g, (p50, p90)) =>
+        val total = li.filter(col("grp") === g).count().toDouble
+        def cdf(x: Double) =
+          li.filter(col("grp") === g && col("v") <= x).count() / total
+        math.max(math.abs(cdf(p50) - 0.5) / (3 * math.sqrt(0.25 / kSketch)),
+          math.abs(cdf(p90) - 0.9) / (3 * math.sqrt(0.09 / kSketch)))
+      }.max
+      gate(s"q122_rank_error_in_bound_$tag", qWorst <= 1.0,
+        f"worst_error_over_bound=$qWorst%.3f")
     }
     spark.stop()
   }

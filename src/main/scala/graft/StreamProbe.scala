@@ -35,8 +35,9 @@ object StreamProbe {
             .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("tv"))
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
+        // update mode, matching the production drain q74/q81 now use
         val q = stream.writeStream.format("memory").queryName(s"sp_${tag}_$i")
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val batches = q.recentProgress.length
         val secs = (System.nanoTime() - t0) / 1e9

@@ -43,6 +43,29 @@ object KMeans {
     transform(slice(array_sort(array(entries: _*)), 1, probes), x => x.getField("cid"))
   }
 
+  /** The tree-routed query side: score all k1 branches (k1 cosines),
+    * keep the best `branchProbes`, score only THOSE branches' leaves
+    * (≤ branchProbes·k2 more cosines), and return the `probes` best
+    * global cell ids (b·k2 + leafIdx), best first — sim desc, cell asc,
+    * the [[probeCells]] determinism. Routing cost is k1 + branchProbes·k2
+    * per query instead of the flat quantizer's k1·k2 — the reason the
+    * tree is the production path once cell count ∝ N. */
+  def probeCellsTree(vec: Column, tq: TreeQuantizer,
+      probes: Int, branchProbes: Int): Column = {
+    val branchScored = tq.branches.map { case (b, c) =>
+      struct((-round(VectorFns.cosine(vec, typedlit(c)), 6)).as("nsim"),
+        lit(b).as("b"))
+    }
+    val topBranches = transform(
+      slice(array_sort(array(branchScored: _*)), 1, branchProbes),
+      x => x.getField("b"))
+    val leafScored = flatten(transform(topBranches, b =>
+      transform(element_at(typedlit(tq.leaves), (b + 1).cast("int")),
+        (c, i) => struct((-round(VectorFns.cosine(vec, c), 6)).as("nsim"),
+          (b * tq.k2 + i).as("cell")))))
+    transform(slice(array_sort(leafScored), 1, probes), x => x.getField("cell"))
+  }
+
   /** Train k centroids with `iters` Lloyd rounds. `vecCol` may be
     * float[] or double[]; math runs in double. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {

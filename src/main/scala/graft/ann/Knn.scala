@@ -59,6 +59,38 @@ object Knn {
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
 
+  /** Tree-quantizer IVF search — [[ivfTopK]] with [[KMeans.fitTree]]'s
+    * two-level cells, for the k ∝ N regime where a flat centroid table
+    * would make ASSIGNMENT the bottleneck: corpus rows pay k1 +
+    * k2 cosines (branch, then that branch's leaves), queries pay k1 +
+    * branchProbes·k2 to route to their `probes` cells. Candidates come
+    * from the equi-join on the global cell id; the query side broadcasts,
+    * the corpus never shuffles, the per-query top-k window is the single
+    * exchange — identical plumbing to the flat index. */
+  def ivfTopKTree(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      tq: KMeans.TreeQuantizer, k: Int, probes: Int,
+      branchProbes: Int = 2): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__cell",
+        explode(KMeans.probeCellsTree(col("__qvec"), tq, probes, branchProbes)))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .withColumn("__b", KMeans.nearestCentroid(col("__cvec"), tq.branches))
+      .withColumn("__cell",
+        col("__b") * tq.k2 + KMeans.leafInBranch(col("__cvec"), col("__b"), tq))
+      .drop("__b")
+    val cand = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
   /** recall@k of an approximate result against the exact baseline: the
     * fraction of true (query, neighbor) pairs the approximate search
     * found. Both frames carry (query_id, neighbor_id) — the shapes

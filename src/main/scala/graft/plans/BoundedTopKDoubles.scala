@@ -28,10 +28,16 @@ final class DoubleTopK(val k: Int) {
   * same `array<struct>` contract as the generic aggregate so the
   * posexplode plumbing downstream is identical.
   *
-  * Ordering matches the generic path's InterpretedOrdering for doubles
-  * (java.lang.Double.compare: NaN greatest, -0.0 < 0.0), and the null
-  * block sits at the end the window's null ordering dictates. Ties keep
-  * an arbitrary survivor — row_number's own nondeterminism under ties.
+  * Ordering is java.lang.Double.compare (NaN greatest, -0.0 < 0.0) and
+  * the null block sits at the end the window's null ordering dictates.
+  * One documented divergence from Spark's SQL comparison
+  * (SQLOrderingUtil.compareDoubles treats -0.0 == 0.0): at the k
+  * boundary this heap can keep a different ±0.0 representative than the
+  * window/sort plan would — benign, because ±0.0 are a row_number TIE
+  * under SQL ordering and the tie survivor is nondeterministic in the
+  * sort plan too; normalize -0.0 on insert if bit-exact parity with a
+  * specific sort run is ever needed. Other ties likewise keep an
+  * arbitrary survivor — row_number's own nondeterminism under ties.
   */
 case class BoundedTopKDoubles(
     child: Expression,

@@ -251,9 +251,10 @@ object EndToEndQueries {
     * shape every rerun of 08/09 wants: the curation shuffle is paid
     * once at staging time, and year-partition pruning cuts what a
     * yearly refresh re-reads. */
-  def stagedSpineJoin(s: SparkSession, d: String): DataFrame = {
-    val sfx = d.replaceAll("[^a-z0-9]", "_")
-    val flowsT = s"curated_flows_bkt$sfx"; val predsT = s"flow_preds_bkt$sfx"
+  /** The curated spine both staging layouts share: boundary filter →
+    * prioritized dedup (J13's min-struct form) → year split →
+    * (id, year, amountUSD). */
+  private[graft] def curatedSpine(s: SparkSession, d: String): DataFrame = {
     val flows = flowsFixture(s, d)
       .filter(col("boundary") =!= "outgoing")
       // undotted alias: the dedup helper addresses payload columns by
@@ -267,9 +268,35 @@ object EndToEndQueries {
     // NULL caveat)
     val dedup = Dedup.firstRowPerGroupAgg(flows, Seq("id"),
       Seq(lit(1) - (col("boundary") === "incoming").cast("int"), col("usage_year")))
-    val curated = SplitRows.splitRows(dedup, "usage_year", Seq("amountUSD"))
+    SplitRows.splitRows(dedup, "usage_year", Seq("amountUSD"))
       .withColumn("year", col("usage_year").cast("int"))
       .select("id", "year", "amountUSD")
+  }
+
+  /** Z-ordered staging of the curated spine on (id, year) — the CVA
+    * pipeline's own data under the q123 layout, so multi-dimensional
+    * pruning is a pipeline feature, not a lineitem demo. Staged once per
+    * source content (dir keyed on the orders.parquet fingerprint), then
+    * every (id-range × year-range) cut — the shape an incremental
+    * reprocessing window reads — prunes row groups on BOTH dimensions
+    * from footer stats alone (measured in ZOrderSpec on the spine copy). */
+  def zStagedSpineDir(s: SparkSession, d: String): String = {
+    val fp = graft.sources.ZOrder.fingerprint(s"$d/orders.parquet")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zspine_${d.replaceAll("[^a-z0-9.]", "_")}_$fp"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      graft.sources.ZOrder.stageZOrdered(curatedSpine(s, d), dir, "id", "year")
+    dir
+  }
+
+  def stagedSpineJoin(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.replaceAll("[^a-z0-9]", "_")
+    val flowsT = s"curated_flows_bkt$sfx"; val predsT = s"flow_preds_bkt$sfx"
+    val flows = flowsFixture(s, d)
+      .filter(col("boundary") =!= "outgoing")
+      .select(col("id"), col("boundary"),
+        col("`destinationObjects_UsageYear.name`").as("usage_year"),
+        col("amountUSD"))
+    val curated = curatedSpine(s, d)
     Bucketing.ensureStaged(curated, flowsT, "id", 8, partitionCol = Some("year"))
     val preds = flows.select(col("id")).distinct()
       .withColumn("predicted_class",
@@ -533,5 +560,40 @@ object EndToEndQueries {
            round(sum(amountUSD), 4) AS amount
          FROM ysplit JOIN preds USING (id)
          GROUP BY year, predicted_class""")(stagedSpineJoin),
+
+    // Z-ordered staging ON THE SPINE (q123's layout promoted from the
+    // lineitem demo to the pipeline's own curated flows): curated
+    // (id, year, amountUSD) staged Morton-ordered on (id, year), then an
+    // (id-range × year-range) box cut — the incremental-reprocessing
+    // read shape — comes back with row groups pruned on BOTH dimensions
+    // from parquet footer stats (ZOrderSpec measures the spine copy's
+    // skip factor; the oracle replays the curation logically, staging
+    // being a layout choice, not a semantic one).
+    QueryDef("q125_zorder_spine", Seq("S7", "J13", "R1", "F6"),
+      """WITH flows AS (
+           SELECT o_orderkey - o_orderkey % 4 AS id,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN 'incoming' WHEN 1 THEN 'shared' WHEN 2 THEN 'outgoing' ELSE 'internal' END AS boundary,
+             CASE CAST((o_orderkey % 4 + (o_orderkey - o_orderkey % 4) // 4) % 5 AS INT) WHEN 0 THEN '2021; 2022' WHEN 1 THEN '2022; 2023' WHEN 2 THEN '2021' WHEN 3 THEN '2023' ELSE '2021; 2023' END AS usage_year,
+             o_totalprice AS amountUSD
+           FROM orders),
+         f AS (SELECT * FROM flows WHERE boundary <> 'outgoing'),
+         dedup AS (
+           SELECT * EXCLUDE (rn) FROM (
+             SELECT *, row_number() OVER (PARTITION BY id ORDER BY (boundary = 'incoming') DESC, usage_year ASC) AS rn
+             FROM f) WHERE rn = 1),
+         ysplit AS (
+           SELECT id,
+             CAST(trim(unnest(string_split(usage_year, '; '))) AS INT) AS year,
+             amountUSD / len(string_split(usage_year, '; ')) AS amountUSD
+           FROM dedup)
+         SELECT count(*) AS n, round(sum(amountUSD), 4) AS amount,
+           count(DISTINCT id) AS n_ids
+         FROM ysplit
+         WHERE id BETWEEN 200 AND 900 AND year BETWEEN 2021 AND 2022""") { (s, d) =>
+      s.read.parquet(zStagedSpineDir(s, d))
+        .filter(col("id").between(200, 900) && col("year").between(2021, 2022))
+        .agg(count(lit(1)).as("n"), round(sum("amountUSD"), 4).as("amount"),
+          countDistinct("id").as("n_ids"))
+    },
   )
 }

@@ -161,11 +161,18 @@ object EventQueries {
     // aggregation as q43, but executed as a real streaming query —
     // file source → watermark → windowed agg → memory sink, drained with
     // Trigger.AvailableNow (deterministic: processes everything, then
-    // stops). Complete output mode emits every window, so the result is
-    // batch-equivalent and the batch oracle applies verbatim. On a live
-    // cluster the same plan runs on an unbounded source with append mode
-    // and the watermark bounding state (EventPipeline + its spec cover
-    // that shape); this query pins the semantics to DuckDB per round.
+    // stops). UPDATE output mode: each micro-batch emits only the groups
+    // it changed — sink and state both stay bounded by LIVE windows
+    // (complete mode would re-emit every window ever seen, per batch —
+    // the anti-scale drain on an unbounded stream). A group re-emitted
+    // across batches appears in the sink once per change, so the final
+    // table is reconstructed by the q118 recipe: group by key, keep the
+    // row with the largest n — n is a count, strictly increasing with
+    // each contributing batch, so max(struct(n, …)) IS "the latest
+    // emission" and the reconstruction is idempotent under any batch
+    // boundary placement. The watermark bounds state on a live stream
+    // (EventPipeline + its spec cover the append shape); this query pins
+    // the semantics to DuckDB per round.
     QueryDef("q74_stream_hourly", Seq("A5", "A11"),
       """SELECT cast(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
            event_type, count(*) AS n, round(sum(value), 4) AS total_value
@@ -186,9 +193,12 @@ object EventQueries {
         .select(unix_timestamp(col("window.start")).as("hour_epoch"),
           col("event_type"), col("n"), col("total_value"))
       val q = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sinkName)
+      s.table(sinkName).groupBy("hour_epoch", "event_type")
+        .agg(max(struct(col("n"), col("total_value"))).as("m"))
+        .select(col("hour_epoch"), col("event_type"),
+          col("m.n").as("n"), col("m.total_value").as("total_value"))
     },
 
     // Streaming dedup-within-watermark chained into an aggregation, also
@@ -197,7 +207,13 @@ object EventQueries {
     // arrival-order-dependent, so the query emits only the per-type
     // SURVIVOR COUNT — deterministic (= distinct keys per type) and
     // therefore oracle-checkable. The watermark bounds dedup state on a
-    // live stream; AvailableNow drains the bounded source in one batch.
+    // live stream; AvailableNow drains the bounded source. UPDATE mode
+    // keeps sink and agg state bounded by live groups (5 event types);
+    // n_surviving is a count — strictly increasing per group across
+    // contributing batches — so max() over the sink reconstructs the
+    // final value idempotently under any batch boundary placement
+    // (the q118 recipe; complete mode's re-emit-everything drain is
+    // retired from the inventory).
     QueryDef("q81_stream_dedup", Seq("A10", "A5"),
       """SELECT event_type,
            CAST(count(DISTINCT event_id % 500) AS BIGINT) AS n_surviving
@@ -215,9 +231,10 @@ object EventQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_surviving"))
       val q = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sinkName)
+      s.table(sinkName).groupBy("event_type")
+        .agg(max("n_surviving").as("n_surviving"))
     },
 
     // Streaming CDC apply under the oracle: the q87 argmax-agg as a

@@ -150,7 +150,11 @@ object SourceQueries {
            count(DISTINCT l_partkey) AS n_parts
          FROM lineitem
          WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 8""") { (s, d) =>
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${d.replaceAll("[^a-z0-9.]", "_")}"
+      // staging dir keyed on a source-content fingerprint (size+mtime),
+      // so a regenerated lineitem.parquet re-stages instead of silently
+      // serving the stale z-ordered copy
+      val fp = graft.sources.ZOrder.fingerprint(s"$d/lineitem.parquet")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${d.replaceAll("[^a-z0-9.]", "_")}_$fp"
       if (!new java.io.File(s"$dir/_SUCCESS").exists())
         graft.sources.ZOrder.stageZOrdered(
           Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice"),

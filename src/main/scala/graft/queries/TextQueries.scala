@@ -476,5 +476,64 @@ object TextQueries {
         .filter(col("n_est") >= col("total") / 200.0)
         .select("token", "n_exact", "n_est")
     },
+
+    // Sketch-ONLY heavy hitters — the decision path q121 demonstrates
+    // the guarantee for. q121 carries the exact vocabulary-sized
+    // groupBy(token) in-plan as the oracle's measuring stick; this
+    // sibling is the shape a 100 TB streaming pass actually runs: the
+    // corpus feeds ONLY (a) the CMS build, whose agg keyspace is FIXED
+    // at d×w = 4×1024 cells regardless of vocabulary, and (b) a BOUNDED
+    // candidate channel — each document contributes its first 3 tokens,
+    // then dedup (the CMS+heap idiom's candidate stream; chosen
+    // data-derived rather than per-partition-heap so the oracle can
+    // replay it — per-partition content is not SQL-visible). Estimates
+    // ride the 4,096-cell broadcast; the heavy-hitter threshold's total
+    // is read off CMS row 0 (every row of the sketch sums ALL
+    // insertions), so NO aggregate in the plan has vocabulary-sized
+    // state, and the output is the sketch's own estimate alone.
+    QueryDef("q124_cms_sketch_only", Seq("A11", "U6"),
+      s"""WITH tok AS (SELECT unnest($wsToks) AS token FROM documents),
+          rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+          cms AS (
+            SELECT r.r,
+              ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT % 1024 AS b,
+              count(*) AS c
+            FROM tok t CROSS JOIN rows_ r GROUP BY r.r, b),
+          tot AS (SELECT sum(c) AS total FROM cms WHERE r = 0),
+          cand AS (SELECT DISTINCT unnest(($wsToks)[1:3]) AS token FROM documents),
+          est AS (
+            SELECT k.token, min(m.c) AS n_est
+            FROM cand k CROSS JOIN rows_ r
+            JOIN cms m ON m.r = r.r
+              AND m.b = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || k.token), 1, 8))::BIGINT % 1024
+            GROUP BY k.token)
+          SELECT token, CAST(n_est AS BIGINT) AS n_est
+          FROM est, tot WHERE n_est >= total / 200.0""") { (s, d) =>
+      val depth = 4
+      val width = 1024
+      def bucket(r: Int, c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
+          .cast("long") % width
+      val toks = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), """\s+""")).as("token"))
+      val cms = toks
+        .select(col("token"),
+          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
+            .as(Seq("r", "b")))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val tot = cms.filter(col("r") === 0).agg(sum("c").as("total"))
+      val cand = Tables.documents(s, d)
+        .select(explode(slice(split(trim(col("text")), """\s+"""), 1, 3)).as("token"))
+        .distinct()
+      cand
+        .select(col("token"),
+          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
+            .as(Seq("r", "b")))
+        .join(broadcast(cms), Seq("r", "b"))
+        .groupBy("token").agg(min("c").as("n_est"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_est") >= col("total") / 200.0)
+        .select("token", "n_est")
+    },
   )
 }

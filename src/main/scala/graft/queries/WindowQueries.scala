@@ -381,14 +381,13 @@ object WindowQueries {
       """WITH li AS (
            SELECT l_returnflag AS grp, l_extendedprice AS v,
              CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
-               || ':' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 12) AS BIGINT)
-               / 281474976710656.0 AS u
+               || ':' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
            FROM lineitem),
          keys_ AS (
-           SELECT grp, u FROM (
-             SELECT grp, u, row_number() OVER (PARTITION BY grp ORDER BY u) AS rn FROM li)
+           SELECT grp, h FROM (
+             SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM li)
            WHERE rn <= 256),
-         samp AS (SELECT li.grp, li.v FROM li JOIN keys_ USING (grp, u)),
+         samp AS (SELECT li.grp, li.v FROM li JOIN keys_ USING (grp, h)),
          ranked AS (
            SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS vr,
              count(*) OVER (PARTITION BY grp) AS n
@@ -398,21 +397,27 @@ object WindowQueries {
            round(max(CASE WHEN vr = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN v END), 4) AS p90_est
          FROM ranked GROUP BY grp""") { (s, d) =>
       val k = 256
+      // h is the 48-bit integer hash rank; the JOIN key. The heap side
+      // orders by u = h / 2^48 — a pure exponent shift (h < 2^48), so
+      // both the division and the recovery u * 2^48 are EXACT in binary
+      // floating point: the semi-join below is on the integer h itself,
+      // not on a formatted double (no codegen/constant-folding rounding
+      // surface), while the rank filter still carries a single-double
+      // payload and runs on BoundedTopKDoubles' primitive heap.
       val li = Tables.lineitem(s, d).select(
         col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
-        (conv(substring(md5(concat_ws(":",
+        conv(substring(md5(concat_ws(":",
             col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
             col("l_partkey").cast("string"), col("l_suppkey").cast("string"))), 1, 12), 16, 10)
-          .cast("double") / lit(281474976710656.0)).as("u"))
-      // sample keys: k smallest hash ranks per group — the primitive-heap
-      // aggregate; the emitted doubles are bit-exact copies, so the
-      // row-local recompute on the join side matches them exactly
-      val keys = li.select("grp", "u")
+          .cast("long").as("h"))
+      val keys = li.select(col("grp"),
+          (col("h").cast("double") / lit(281474976710656.0)).as("u"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("grp").orderBy("u")))
         .filter(col("rn") <= k)
-        .drop("rn")
-      val samp = li.join(broadcast(keys), Seq("grp", "u"), "leftsemi")
+        .select(col("grp"),
+          (col("u") * lit(281474976710656.0)).cast("long").as("h"))
+      val samp = li.join(broadcast(keys), Seq("grp", "h"), "leftsemi")
       val ranked = samp
         .withColumn("vr", row_number().over(
           Window.partitionBy("grp").orderBy("v")))

@@ -300,6 +300,39 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(cms) <= 4)
   }
 
+  test("sketch-only heavy hitters: no vocabulary-sized aggregate, sketch and total broadcast") {
+    // q124 is the decision path: the corpus meets only the fixed
+    // 4×1024-cell CMS build and the first-3-tokens candidate channel —
+    // the q121 demo's exact groupBy(token) over the FULL token stream
+    // must not appear. Structurally: every corpus-wide aggregate groups
+    // by (r, b) [≤4096 keys]; the only token-keyed aggregates sit above
+    // the slice()d candidate channel.
+    val so = q("q124_cms_sketch_only")
+    val plan = so.queryExecution.executedPlan.toString
+    assert(plan.contains("slice("), s"q124 candidate channel missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q124 cross-products:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"q124 sort-merge-joins:\n$plan")
+    assert(broadcasts(so) >= 2, s"q124 sketch/total not broadcast:\n$plan")
+    assert(shuffles(so) <= 4)
+    // the full-stream token agg (q121's measuring stick) is absent: every
+    // HashAggregate keyed on token must sit above the slice()d channel
+    val aggLines = plan.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("keys=[token")).toSeq
+    assert(aggLines.nonEmpty, s"q124 lost its candidate dedup:\n$plan")
+  }
+
+  test("zorder spine: staged read is a pure scan-filter-agg, one shuffle") {
+    val zs = q("q125_zorder_spine")
+    val plan = zs.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    // scan → filter → partial agg → exchange(s) → final agg; the
+    // count(DISTINCT id) adds its id-keyed pre-distinct exchange
+    assert(shuffles(zs) <= 2, s"q125 staged read shuffles:\n$plan")
+    // the box predicates reach the parquet scan as pushed filters
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(id,200)"),
+      s"q125 box filter not pushed:\n$plan")
+  }
+
   test("quantile sample: hash-rank filter runs the primitive heap, sample keys broadcast") {
     // the corpus meets only the k·8-byte-per-group heap and a broadcast
     // semi-join; the only Window sorts the ≤ groups×k sample rows

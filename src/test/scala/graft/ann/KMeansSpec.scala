@@ -21,6 +21,50 @@ class KMeansSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF probe-12/16 recall@10 = $recall")
   }
 
+  test("clustered corpus: recall@10 >= 0.9 at scan fraction <= 0.25, flat and tree routing") {
+    // The number that justifies the index: on the planted-cluster corpus
+    // (the regime real embedding corpora live in — the raw synthetic
+    // table is near-uniform, IVF's worst case, where recall ≈ scan
+    // fraction) a trained quantizer aligns cells with clusters, so a
+    // quarter of the cells already holds ~every true neighbor.
+    val emb = Planted.corpus(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", nClusters = 32, eps = 0.15)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .localCheckpoint()
+
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val flat = Knn.ivfTopK(emb, queries, "vec_id", "embedding", cents,
+      k = 10, probes = 4)
+    val rFlat = Knn.recall(exact, flat)
+    assert(rFlat >= 0.9, s"flat IVF probe-4/16 clustered recall@10 = $rFlat")
+
+    // the tree quantizer's own search path (ivfTopKTree), same budget:
+    // 4 of 16 cells via branch-then-leaf routing
+    val tq = KMeans.fitTree(emb, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
+    val nCells = tq.leaves.map(_.size).sum
+    val tree = Knn.ivfTopKTree(emb, queries, "vec_id", "embedding", tq,
+      k = 10, probes = 4, branchProbes = 2)
+    val rTree = Knn.recall(exact, tree)
+    assert(rTree >= 0.9, s"tree IVF probe-4/$nCells clustered recall@10 = $rTree")
+  }
+
+  test("tree search matches flat search when the tree degenerates to one branch") {
+    // k1=1 makes branch routing trivial: every vector lands in branch 0
+    // and ivfTopKTree must reduce to ivfTopK over the leaf table — a
+    // correctness pin for the routing arithmetic (cell ids, probe order).
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val tq = KMeans.fitTree(emb, "vec_id", "embedding", k1 = 1, k2 = 8, iters = 2)
+    val leafCents = tq.leaves.head.zipWithIndex.map { case (c, i) => (i, c) }
+    val viaTree = Knn.ivfTopKTree(emb, queries, "vec_id", "embedding", tq,
+      k = 5, probes = 3, branchProbes = 1)
+    val viaFlat = Knn.ivfTopK(emb, queries, "vec_id", "embedding", leafCents,
+      k = 5, probes = 3)
+    assert(viaTree.collect().map(_.toSeq).toSet == viaFlat.collect().map(_.toSeq).toSet)
+  }
+
   test("fit is deterministic and keeps empty clusters on their previous centroid") {
     val emb = Tables.embeddings(spark, sf)
     val a = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)

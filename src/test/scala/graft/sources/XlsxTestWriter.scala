@@ -50,8 +50,27 @@ object XlsxTestWriter {
       z.write(body.getBytes("UTF-8"))
       z.closeEntry()
     }
+    // conformant OPC content types: the workbook and each worksheet get
+    // their real spreadsheetml Override (a reader that dispatches on
+    // content type — as spreadsheet tools do — needs these, not just the
+    // xml Default graft's lenient XlsxSource would accept)
     entry("[Content_Types].xml",
-      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""")
+      s"""<?xml version="1.0"?>
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+         |  <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+         |  <Default Extension="xml" ContentType="application/xml"/>
+         |  <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |${sheets.indices.map(i =>
+             s"""  <Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+           .mkString("\n")}
+         |</Types>""".stripMargin)
+    // the package-root relationship that points a generic OPC reader at
+    // the workbook part
+    entry("_rels/.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
     entry("xl/workbook.xml",
       s"""<?xml version="1.0"?>
          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
@@ -66,7 +85,7 @@ object XlsxTestWriter {
       s"""<?xml version="1.0"?>
          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
          |${sheets.indices.map(i =>
-             s"""  <Relationship Id="rId${i + 1}" Type="ws" Target="worksheets/sheet${i + 1}.xml"/>""")
+             s"""  <Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""")
            .mkString("\n")}
          |</Relationships>""".stripMargin)
     sheets.zipWithIndex.foreach { case ((_, header, rows), si) =>

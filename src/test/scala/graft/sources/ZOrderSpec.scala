@@ -34,7 +34,8 @@ class ZOrderSpec extends SparkSpec {
 
   /** Row groups of `dir` whose [min,max] on both columns intersect the
     * box — exactly the groups a footer-stats-pruning reader must scan. */
-  private def intersecting(dir: String, box: ((Long, Long), (Long, Long))): (Int, Int) = {
+  private def intersecting(dir: String, colA: String, colB: String,
+      box: ((Long, Long), (Long, Long))): (Int, Int) = {
     val ((aLo, aHi), (bLo, bHi)) = box
     val conf = spark.sessionState.newHadoopConf()
     val files = new java.io.File(dir).listFiles()
@@ -50,7 +51,7 @@ class ZOrderSpec extends SparkSpec {
           (s.genericGetMin.asInstanceOf[Number].longValue,
             s.genericGetMax.asInstanceOf[Number].longValue)
         }
-        val (pa, pb) = (range("l_partkey"), range("l_suppkey"))
+        val (pa, pb) = (range(colA), range(colB))
         total += 1
         if (pa._1 <= aHi && pa._2 >= aLo && pb._1 <= bHi && pb._2 >= bLo) hit += 1
       } finally r.close()
@@ -62,16 +63,18 @@ class ZOrderSpec extends SparkSpec {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_partkey", "l_suppkey", "l_extendedprice")
     val root = java.nio.file.Files.createTempDirectory("graft_zorder_spec_").toString
-    // small row groups so the layout has granularity to prune at this SF
-    val opts = Map("parquet.block.size" -> "16384", "parquet.page.size" -> "4096")
+    // tiny row groups so the layout has granularity to prune at this SF
+    // (range-exchange sampling can shift file sizes a little run to run;
+    // 2 KB groups keep the group count comfortably past the guard)
+    val opts = Map("parquet.block.size" -> "2048", "parquet.page.size" -> "512")
     ZOrder.stageZOrdered(li, s"$root/z", "l_partkey", "l_suppkey",
       partitions = 4, options = opts)
     li.repartition(4).write.mode("overwrite").options(opts).parquet(s"$root/arrival")
 
     // a selective box: ~15% of the partkey domain × ~30% of suppkey
     val box = ((10L, 40L), (2L, 4L))
-    val (zHit, zTotal) = intersecting(s"$root/z", box)
-    val (aHit, aTotal) = intersecting(s"$root/arrival", box)
+    val (zHit, zTotal) = intersecting(s"$root/z", "l_partkey", "l_suppkey", box)
+    val (aHit, aTotal) = intersecting(s"$root/arrival", "l_partkey", "l_suppkey", box)
     assert(zTotal >= 8 && aTotal >= 8,
       s"fixture too coarse to measure pruning: z=$zTotal arrival=$aTotal row groups")
     // arrival order scatters both keys, so ~every group straddles the
@@ -84,5 +87,34 @@ class ZOrderSpec extends SparkSpec {
       .filter(col("l_partkey").between(10, 40) && col("l_suppkey").between(2, 4))
       .agg(count(lit(1)), round(sum("l_extendedprice"), 4)).collect().head.toSeq
     assert(boxed(spark.read.parquet(s"$root/z")) == boxed(li))
+  }
+
+  test("spine staging: the curated-flows z-order prunes the (id, year) box vs arrival order") {
+    // q125's layout measured on the pipeline's OWN data: curated spine
+    // (id, year, amountUSD), z-staged with auto-derived bit width, read
+    // back under the incremental-reprocessing box cut
+    // sf0.01: enough curated rows for the 16 KB row groups to have
+    // measurable granularity (sf0.001's ~2k rows fit in ~4 groups)
+    val curated = graft.queries.EndToEndQueries.curatedSpine(spark, "/root/testdata/sf0.01")
+    val root = java.nio.file.Files.createTempDirectory("graft_zspine_spec_").toString
+    val opts = Map("parquet.block.size" -> "2048", "parquet.page.size" -> "512")
+    ZOrder.stageZOrdered(curated, s"$root/z", "id", "year",
+      partitions = 4, options = opts)
+    curated.repartition(4).write.mode("overwrite").options(opts).parquet(s"$root/arrival")
+
+    // q125's read shape: an id window × two of the three years
+    val box = ((200L, 900L), (2021L, 2022L))
+    val (zHit, zTotal) = intersecting(s"$root/z", "id", "year", box)
+    val (aHit, aTotal) = intersecting(s"$root/arrival", "id", "year", box)
+    assert(zTotal >= 8 && aTotal >= 8,
+      s"fixture too coarse to measure pruning: z=$zTotal arrival=$aTotal row groups")
+    assert(zHit < aHit, s"z-order pruned nothing: z $zHit/$zTotal vs arrival $aHit/$aTotal")
+    assert(zHit.toDouble / zTotal <= 0.5 * aHit.toDouble / aTotal,
+      s"z-order pruning below 2×: z $zHit/$zTotal vs arrival $aHit/$aTotal")
+    // and the staged copy returns exactly the curated rows
+    val boxed = (df: org.apache.spark.sql.DataFrame) => df
+      .filter(col("id").between(200, 900) && col("year").between(2021, 2022))
+      .agg(count(lit(1)), round(sum("amountUSD"), 4)).collect().head.toSeq
+    assert(boxed(spark.read.parquet(s"$root/z")) == boxed(curated))
   }
 }
