@@ -42,13 +42,41 @@ object ZOrder {
     * z-value (files cover disjoint z-ranges) and sorted within
     * partitions (row groups cover compact z-ranges ⇒ small rectangles
     * in (A, B) space). `options` pass through to the parquet writer
-    * (tests shrink `parquet.block.size` to get many row groups). */
+    * (tests shrink `parquet.block.size` to get many row groups).
+    *
+    * `bits <= 0` (the default) derives the interleave width from the
+    * columns' actual max — one tiny agg job at staging time — so keys
+    * wider than a hand-picked width can't silently wrap into the low
+    * z-space and degrade locality (they'd stay CORRECT, since z is only
+    * a sort key, but every high bit above the width is ignored). */
   def stageZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
-      bits: Int = 16, partitions: Int = 16,
-      options: Map[String, String] = Map.empty): Unit =
-    df.withColumn("__z", zvalue2(col(colA), col(colB), bits))
+      bits: Int = 0, partitions: Int = 16,
+      options: Map[String, String] = Map.empty): Unit = {
+    val useBits = if (bits > 0) bits else {
+      val r = df.agg(max(col(colA).cast("long")), max(col(colB).cast("long"))).head()
+      val m = math.max(if (r.isNullAt(0)) 1L else r.getLong(0),
+        if (r.isNullAt(1)) 1L else r.getLong(1))
+      math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m, 1L))))
+    }
+    df.withColumn("__z", zvalue2(col(colA), col(colB), useBits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").options(options).parquet(dir)
+  }
+
+  /** Cheap content fingerprint of a staged source: total byte length and
+    * max mtime over the files under `path` — pure filesystem metadata,
+    * no Spark job. Staging dirs keyed on it revalidate when the source
+    * is regenerated in place (the `_SUCCESS`-only guard would silently
+    * keep serving the stale staged copy). */
+  def fingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val fs = walk(new java.io.File(path))
+    val len = fs.map(_.length).sum
+    val mt = if (fs.isEmpty) 0L else fs.map(_.lastModified).max
+    java.lang.Long.toHexString(len * 31L + mt)
+  }
 }
