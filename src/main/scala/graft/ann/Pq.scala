@@ -1,0 +1,163 @@
+package graft.ann
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) over an embedding column — the
+  * compression layer that lets a 100 TB embedding store fit in cluster
+  * RAM: each d-dim vector is split into `m` subvectors and every
+  * subvector replaced by the id of its nearest codeword in a per-subspace
+  * codebook of `k` entries, so the corpus side carries m·log2(k) bits per
+  * vector (m=8, k=16 ⇒ 4 bytes) instead of d doubles (64 ⇒ 512 bytes), a
+  * 128× cut — past SQ8's 4× (q79) and orthogonal to IVF cell routing
+  * (q96): production stacks coarse-quantize THEN product-quantize.
+  *
+  * Sub-metric is angular (argmax cosine per subspace), matching the
+  * engine's scoring metric and [[KMeans]]'s pinned determinism recipe —
+  * init = the k lowest-id vectors' slices, assignment = argmax of
+  * round(cosine, 6) with lowest-code tiebreak, codeword = per-dimension
+  * mean rounded to 6, an emptied code keeps its previous codeword — so a
+  * SQL engine replays training bit-for-bit (q126's oracle does).
+  *
+  * Scale shape: codebooks live on the driver (m·k·subDim doubles — 1024
+  * for the 8×16×8 default) and enter plans as literals, so ENCODING IS
+  * ROW-LOCAL. Each training iteration costs ONE partial-agg shuffle of
+  * the (subspace, code, dim, value) rows — all m subspaces train in the
+  * same pass (the per-subspace-loop alternative scans the corpus m times
+  * for identical output). Search reconstructs candidates from codes via
+  * literal-array lookup (8 element_ats, no vector column read) and ranks
+  * by cosine(query, reconstruction) — arithmetically the ADC score with
+  * the LUT inlined, written as one left-to-right fold so both engines
+  * accumulate identically.
+  */
+object Pq {
+
+  /** `books(mi)(code)` = codeword for subspace mi — m × k × subDim. */
+  final case class Codebooks(subDim: Int, books: Seq[Seq[Seq[Double]]]) {
+    def m: Int = books.size
+    def k: Int = books.head.size
+  }
+
+  /** Nearest codeword id within subspace `mi` (a plan-time constant):
+    * [[KMeans.nearestCentroid]]'s argmax over that subspace's book. */
+  private def nearestCode(subvec: Column, book: Seq[Seq[Double]]): Column =
+    KMeans.nearestCentroid(subvec, book.zipWithIndex.map { case (c, i) => (i, c) })
+
+  /** Nearest codeword id with the subspace carried in a COLUMN — the
+    * fused-training form: the row's book comes off a plan-literal
+    * array-of-books via element_at (the [[KMeans.leafInBranch]] idiom),
+    * so one expression assigns every subspace's rows in a single pass. */
+  private def nearestCodeBy(subvec: Column, mi: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val scored = transform(element_at(typedlit(books), (mi + 1).cast("int")),
+      (c, i) => struct(round(VectorFns.cosine(subvec, c), 6).as("sim"), (-i).as("mcid")))
+    (-array_max(scored).getField("mcid")).cast("int")
+  }
+
+  /** One row per (vector, subspace): the fused training relation. */
+  private def subRows(v: DataFrame, m: Int, subDim: Int): DataFrame =
+    v.select(col("__id"), explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("__m"), slice(col("__v"), mi * subDim + 1, subDim).as("__sv"))): _*)).as("__s"))
+      .select(col("__id"), col("__s.__m").as("__m"), col("__s.__sv").as("__sv"))
+
+  /** Train m codebooks of k codewords with `iters` Lloyd rounds. The
+    * vector dimension must divide evenly by m. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Codebooks = {
+    val v = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val dim = v.select(size(col("__v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    // init: the k lowest-id vectors, sliced — one collect seeds all m
+    // books (each subspace's k lowest-id subvectors are slices of the
+    // same k vectors, so no per-subspace scan is needed)
+    val firstK: Seq[Seq[Double]] = v.orderBy("__id").limit(k).collect()
+      .map(r => r.getSeq[Double](1): Seq[Double]).toSeq
+    require(firstK.size == k, s"corpus has only ${firstK.size} of $k init rows")
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => firstK.map(_.slice(mi * subDim, (mi + 1) * subDim)))
+    val sub = subRows(v, m, subDim)
+    for (_ <- 1 to iters) {
+      val means = sub
+        .withColumn("__c", nearestCodeBy(col("__sv"), col("__m"), books))
+        .select(col("__m"), col("__c"), posexplode(col("__sv")).as(Seq("__d", "__x")))
+        .groupBy("__m", "__c", "__d").agg(avg("__x").as("__mu"))
+        .groupBy("__m", "__c")
+        .agg(transform(array_sort(collect_list(struct(col("__d"), col("__mu")))),
+          t => round(t.getField("__mu"), 6)).as("__cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getSeq[Double](2): Seq[Double])).toMap
+      books = books.zipWithIndex.map { case (cw, mi) =>
+        cw.zipWithIndex.map { case (prev, cid) => means.getOrElse((mi, cid), prev) }
+      }
+    }
+    Codebooks(subDim, books)
+  }
+
+  /** The m-element code array for a vector column — row-local; at rest
+    * this is the ONLY per-vector state the index keeps. */
+  def codes(vec: Column, cb: Codebooks): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    array(cb.books.zipWithIndex.map { case (book, mi) =>
+      nearestCode(slice(v, mi * cb.subDim + 1, cb.subDim), book)
+    }: _*)
+  }
+
+  /** Reconstruction from a code array: codewords concatenated in
+    * subspace order via literal-array lookup — no vector column read. */
+  def reconstruct(codesCol: Column, cb: Codebooks): Column =
+    flatten(transform(codesCol, (c, mi) =>
+      element_at(element_at(typedlit(cb.books), (mi + 1).cast("int")), (c + 1).cast("int"))))
+
+  /** Top-k by cosine(query, PQ reconstruction) — the ADC ranking. The
+    * query side broadcasts with full-precision vectors (queries are few);
+    * the corpus side is scored from its codes alone, so the scan reads
+    * m codes per row, not d doubles. Same candidate plumbing and top-k
+    * window as [[Knn.bruteForceTopK]]; compose with IVF cells to cut
+    * candidates the way q96 does — the two quantizers are orthogonal. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"), codes(col(vecCol), cb).as("__codes"))
+      .withColumn("__rv", reconstruct(col("__codes"), cb))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cosine", round(VectorFns.cosine(col("__qvec"), col("__rv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "approx_cosine")
+  }
+
+  /** The production two-stage search: ADC shortlist of `r` candidates
+    * per query, then EXACT cosine re-ranking of just those r — the FAISS
+    * `IndexPQ + refine` shape. Needed because a tight cluster collapses
+    * to identical codes (identical reconstructions), making the ADC
+    * order inside it an id-tiebreak: measured on the planted corpus,
+    * raw ADC recall@10 is 0.668 ≈ 10/15 (one cluster's members over the
+    * shortlist cut) while the reranked form restores ≥0.9 (PqSpec).
+    * The refetch joins the Q·r shortlist BROADCAST against the corpus,
+    * so the full-precision side still never shuffles and only r vectors
+    * per query are ever read at full width. */
+  def pqTopKRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks, k: Int, r: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = pqTopK(corpus, queries, idCol, vecCol, cb, r)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__cvec"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+}

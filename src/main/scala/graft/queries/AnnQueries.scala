@@ -332,5 +332,91 @@ object AnnQueries {
       graft.dedup.SemDedup.incrementalSemanticDedup(
         history, batch, "vec_id", "embedding", cents, tau = 0.3)
     },
+
+    // Product quantization with exact re-ranking (the FAISS IndexPQ +
+    // refine shape): each 64-dim vector compressed to 8 subspace codes
+    // (8×16 codebooks, 2 deterministic Lloyd rounds per subspace — all 8
+    // trained in ONE pass per round), a 30-candidate shortlist ranked by
+    // cosine(query, codeword reconstruction) = the ADC score, then the
+    // shortlist re-ranked at full precision. 128× smaller corpus
+    // representation than raw doubles — the compression layer past SQ8
+    // (q79), orthogonal to IVF routing (q96). The oracle replays the
+    // fused per-subspace training as chained CTEs (init = the 16
+    // lowest-id vectors' slices, argmax round(cosine,6) with code
+    // tiebreak, means rounded to 6, empty codes keep their codeword),
+    // the same shortlist, and the same rerank. PqSpec gates recall on
+    // the planted clustered corpus (raw ADC 0.668 there — tight
+    // clusters collapse to identical codes — rerank restores ≥0.9).
+    QueryDef("q126_ann_pq", Seq("J12", "A5"),
+      """WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sub AS (
+           SELECT vec_id, m.m AS m, v[(m.m*8+1):(m.m*8+8)] AS sv
+           FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
+         init AS (
+           SELECT m, rn - 1 AS cid, sv AS cent FROM (
+             SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+             FROM sub) WHERE rn <= 16),
+         a1 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM sub s JOIN init c ON s.m = c.m) WHERE rn = 1),
+         m1 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         c1 AS (
+           SELECT i.m, i.cid, coalesce(mm.cent, i.cent) AS cent
+           FROM init i LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM m1 GROUP BY m, cid) mm
+             USING (m, cid)),
+         a2 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM sub s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
+         m2 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         c2 AS (
+           SELECT p.m, p.cid, coalesce(mm.cent, p.cent) AS cent
+           FROM c1 p LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM m2 GROUP BY m, cid) mm
+             USING (m, cid)),
+         codes AS (
+           SELECT vec_id, m, cid FROM (
+             SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM sub s JOIN c2 c ON s.m = c.m) WHERE rn = 1),
+         recon AS (
+           SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS rv
+           FROM codes k JOIN c2 c ON k.m = c.m AND k.cid = c.cid
+           GROUP BY k.vec_id),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, r.rv), 6) DESC, r.vec_id) AS rn
+             FROM v q JOIN recon r ON r.vec_id <> q.vec_id
+             WHERE q.vec_id < 10)
+           WHERE rn <= 30)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, s.neighbor_id) AS rnk
+           FROM short s
+           JOIN v q ON q.vec_id = s.query_id
+           JOIN v c ON c.vec_id = s.neighbor_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.ann.Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      graft.ann.Pq.pqTopKRerank(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cb, k = 3, r = 30)
+    },
   )
 }
