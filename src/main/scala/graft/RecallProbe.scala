@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.{KMeans, Knn, Planted}
+import graft.ann.{KMeans, Knn, Planted, Pq}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,6 +63,19 @@ object RecallProbe {
           k = k, probes = p, branchProbes = 3).localCheckpoint()
         val r = Knn.recall(exact, approx)
         println(f"[recall] $tag%-9s tree probes=$p%2d scan_frac=${p.toDouble / nCells}%.4f recall@$k=$r%.4f")
+      }
+
+      // PQ (8×16, the q126 index): raw ADC ranking vs the two-stage
+      // rerank across shortlist sizes — the curve that shows where the
+      // 128×-compressed scan needs its exact refine stage
+      val cb = Pq.fit(corpus, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val raw = Knn.recall(exact,
+        Pq.pqTopK(corpus, queries, "vec_id", "embedding", cb, k = k).localCheckpoint())
+      println(f"[recall] $tag%-9s pq8x16 raw ADC recall@$k=$raw%.4f")
+      Seq(k, 2 * k, 3 * k, 5 * k).foreach { r0 =>
+        val r = Knn.recall(exact, Pq.pqTopKRerank(corpus, queries,
+          "vec_id", "embedding", cb, k = k, r = r0).localCheckpoint())
+        println(f"[recall] $tag%-9s pq8x16 rerank r=$r0%3d recall@$k=$r%.4f")
       }
     }
 

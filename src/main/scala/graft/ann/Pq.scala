@@ -160,4 +160,47 @@ object Pq {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
+
+  /** The full production stack — IVF routing × PQ scoring × exact rerank
+    * (FAISS IVFADC + refine, minus residual encoding, whose determinism
+    * cost outweighs its precision gain at these code sizes): corpus rows
+    * carry (cell, codes) — the complete at-rest index state, 4+4 bytes —
+    * queries probe their `probes` nearest cells, ADC ranks the probed
+    * cells' candidates from codes alone, and the exact stage re-ranks
+    * the Q·r shortlist. Both quantizers assign row-locally off plan
+    * literals; candidates come from the cell equi-join against the
+    * BROADCAST query×probe side, so the corpus never shuffles at any
+    * stage. The two top-k windows rewrite to bounded aggregates. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], cb: Codebooks,
+      k: Int, probes: Int, r: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__cell", KMeans.nearestCentroid(col("__v"), cents))
+      .withColumn("__rv", reconstruct(codes(col("__v"), cb), cb))
+      .select("neighbor_id", "__cell", "__rv")
+    val q = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__qvec"))
+      .withColumn("__cell", explode(KMeans.probeCells(col("__qvec"), cents, probes)))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
+    val short = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", round(VectorFns.cosine(col("__qvec"), col("__rv")), 6))
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= r)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__cvec"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
 }

@@ -418,5 +418,94 @@ object AnnQueries {
       graft.ann.Pq.pqTopKRerank(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cb, k = 3, r = 30)
     },
+
+    // The composed production index — IVF routing (q96's trained 16-cell
+    // quantizer, 12 probes) × PQ scoring (q126's 8×16 codebooks) × exact
+    // rerank of the 30-candidate shortlist: FAISS IVFADC + refine, minus
+    // residual encoding. Corpus at rest carries (cell, codes) = 8 bytes
+    // per vector; candidates come from the cell equi-join against the
+    // broadcast query×probe side, ADC ranks them from codes alone, and
+    // only the Q·30 shortlist is ever read at full width. The oracle
+    // replays BOTH trainings (the shared Lloyd CTE for cells, the
+    // per-subspace fused CTEs for codes), the probe routing, the ADC
+    // shortlist, and the rerank.
+    QueryDef("q127_ann_ivfpq", Seq("J12", "A5"),
+      s"""WITH ${trainedCellsCte()},
+         probes AS (
+           SELECT vec_id AS query_id, v AS qv, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12),
+         psub AS (
+           SELECT vec_id, m.m AS m, v[(m.m*8+1):(m.m*8+8)] AS sv
+           FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
+         pinit AS (
+           SELECT m, rn - 1 AS cid, sv AS cent FROM (
+             SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+             FROM psub) WHERE rn <= 16),
+         pa1 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pinit c ON s.m = c.m) WHERE rn = 1),
+         pm1 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM pa1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         pc1 AS (
+           SELECT i.m, i.cid, coalesce(mm.cent, i.cent) AS cent
+           FROM pinit i LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm1 GROUP BY m, cid) mm
+             USING (m, cid)),
+         pa2 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
+         pm2 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM pa2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         pc2 AS (
+           SELECT p.m, p.cid, coalesce(mm.cent, p.cent) AS cent
+           FROM pc1 p LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm2 GROUP BY m, cid) mm
+             USING (m, cid)),
+         pcodes AS (
+           SELECT vec_id, m, cid FROM (
+             SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pc2 c ON s.m = c.m) WHERE rn = 1),
+         precon AS (
+           SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS rv
+           FROM pcodes k JOIN pc2 c ON k.m = c.m AND k.cid = c.cid
+           GROUP BY k.vec_id),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(p.qv, r.rv), 6) DESC, e.vec_id) AS rn
+             FROM probes p JOIN cells e USING (cid)
+             JOIN precon r ON r.vec_id = e.vec_id
+             WHERE e.vec_id <> p.query_id) WHERE rn <= 30)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, s.neighbor_id) AS rnk
+           FROM short s
+           JOIN v q ON q.vec_id = s.query_id
+           JOIN v c ON c.vec_id = s.neighbor_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val cb = graft.ann.Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents, cb, k = 3, probes = 12, r = 30)
+    },
   )
 }

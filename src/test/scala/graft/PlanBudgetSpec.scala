@@ -389,11 +389,17 @@ class PlanBudgetSpec extends SparkSpec {
     // rewrite must fire on all of them — at 100 TB the candidate set is
     // Q·N rows and a full window sort of it is the dominant cost.
     for (name <- Seq("q37_ann_bruteforce", "q38_ann_lsh", "q53_ann_ivf",
-        "q96_ann_ivf_trained")) {
+        "q96_ann_ivf_trained", "q126_ann_pq")) {
       val plan = q(name).queryExecution.executedPlan.toString
       assert(plan.contains("bounded_top_k"), s"$name kept the window plan:\n$plan")
       assert(!plan.contains("WindowExec"), s"$name still sorts a window:\n$plan")
     }
+    // PQ two-stage: both the Q·r shortlist and the query vectors reach
+    // the corpus as broadcasts — the full-width vector column never
+    // crosses an exchange on the corpus side
+    val pq = q("q126_ann_pq")
+    assert(broadcasts(pq) >= 2, "q126 shortlist/query sides must broadcast")
+    assert(!pq.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
   }
 
   test("flagship entry: the q94 spine — broadcast-only joins") {

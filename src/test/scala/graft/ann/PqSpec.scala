@@ -47,4 +47,25 @@ class PqSpec extends SparkSpec {
       Pq.pqTopKRerank(emb, queries, "vec_id", "embedding", cb, k = 10, r = 30))
     assert(reranked >= 0.9, s"PQ 8x16 rerank-30 planted recall@10 = $reranked")
   }
+
+  test("planted corpus: composed IVF x PQ x rerank recall@10 >= 0.9 at probe-4/16") {
+    // q127's stack end to end on the clustered corpus: routing prunes to
+    // a quarter of the cells, ADC ranks the survivors from 4-byte codes,
+    // the exact stage reads only the 30-candidate shortlist at full
+    // width. The composed recall must hold both components' gates —
+    // cells keep the home cluster (IVF gate), the shortlist keeps the
+    // true top-10 despite code collapse (PQ gate).
+    val emb = Planted.corpus(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", nClusters = 32, eps = 0.15)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .localCheckpoint()
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val ivfpq = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", cents, cb,
+      k = 10, probes = 4, r = 30)
+    val recall = Knn.recall(exact, ivfpq)
+    assert(recall >= 0.9, s"IVFADC probe-4/16 rerank-30 planted recall@10 = $recall")
+  }
 }
