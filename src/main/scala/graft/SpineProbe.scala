@@ -90,12 +90,14 @@ object SpineProbe {
     stage("lineitem", scaleUnion(
       spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey", ordersOff,
       (df, c) => df.withColumn("l_partkey", col("l_partkey") + c * ordersOff)))
-    // embeddings (q106): dimension-ROTATED copies — norms and within-copy
-    // cosine structure preserved, cross-copy cosines decorrelated (dims
-    // are near-iid), so semantic-dedup cells and dup-groups grow ~N× at
-    // constant per-group shape: the vector-space analogue of the
-    // token-suffix trick below
-    if (decade) stage("embeddings", scaleUnion(
+    // embeddings (q106 decade; q126/q127 sweep): dimension-ROTATED
+    // copies — norms and within-copy cosine structure preserved,
+    // cross-copy cosines decorrelated (dims are near-iid), so
+    // semantic-dedup cells and dup-groups grow ~N× at constant
+    // per-group shape: the vector-space analogue of the token-suffix
+    // trick below. The 7-dim rotation also straddles PQ's 8-dim
+    // subspace boundaries, so copies land on fresh code combinations.
+    stage("embeddings", scaleUnion(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", docsOff,
       (df, c) => {
         val r = (7 * c) % 64
@@ -158,7 +160,9 @@ object SpineProbe {
         ("q119_kmv_distinct", scaled),
         ("q121_cms_heavy_hitters", scaled),
         ("q122_quantile_sample", scaled),
-        ("q123_zorder_scan", scaled))
+        ("q123_zorder_scan", scaled),
+        ("q126_ann_pq", scaled),
+        ("q127_ann_ivfpq", scaled))
     for ((q, big) <- probes) {
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       time(s"${q}_$tag", SparkEntry.queries(q)(spark, big))

@@ -362,6 +362,65 @@ object WindowQueries {
             .otherwise(round(lit(k - 1.0) / col("kth"), 6)).as("est_distinct"))
     },
 
+    // HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    // fixed-256-byte mergeable twin of q119's KMV: register j = 8 md5
+    // bits, rank = leading zeros of the other 48 + 1, per-group state =
+    // 256 register maxima that merge by max (THE industry cardinality
+    // sketch shape; KMV keeps k hash values, HLL k 6-bit ranks). Made
+    // oracle-exact where float folds would diverge: the harmonic-mean
+    // denominator Σ 2^(-M_j) is scaled by 2^49 into an INTEGER sum
+    // (pow(2, 49-r) is exact dyadic, the bigint sum is order-free), so
+    // both engines divide the same integer; ranks come from
+    // length(bin(w)) — integer bit length, no float log2. Two partial-agg
+    // shuffles, the first carrying ≤256 rows per (partition, group), the
+    // second 256 per group — at 100 TB per-group state never grows.
+    // Linear-counting branch (E ≤ 2.5m with empty registers) fires at
+    // sf0.001, the raw branch at sf0.01+, so both get oracle coverage.
+    QueryDef("q128_hll_distinct", Seq("A11"),
+      """WITH h AS (
+           SELECT l_returnflag AS grp,
+             CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS BIGINT) AS w,
+             CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 13, 2) AS BIGINT) AS j
+           FROM lineitem),
+         regs AS (
+           SELECT grp, j,
+             max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS r
+           FROM h GROUP BY grp, j),
+         t AS (
+           SELECT grp, count(*) AS n_present,
+             sum(CAST(pow(2.0, 49 - r) AS BIGINT)) AS s_present
+           FROM regs GROUP BY grp),
+         e AS (
+           SELECT grp, 256 - n_present AS v,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0
+               / CAST(s_present + (256 - n_present) * 562949953421312 AS DOUBLE) AS e_raw
+           FROM t)
+         SELECT grp,
+           round(CASE WHEN e_raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                      ELSE e_raw END, 4) AS est_distinct
+         FROM e""") { (s, d) =>
+      val md = md5(col("l_partkey").cast("string"))
+      val h = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        conv(substring(md, 1, 12), 16, 10).cast("long").as("w"),
+        conv(substring(md, 13, 2), 16, 10).cast("long").as("j"))
+      val regs = h.groupBy("grp", "j")
+        .agg(max(when(col("w") === 0, lit(49))
+          .otherwise(lit(49) - length(bin(col("w"))))).as("r"))
+      val t = regs.groupBy("grp")
+        .agg(count(lit(1)).as("n_present"),
+          sum(pow(lit(2.0), lit(49) - col("r")).cast("long")).as("s_present"))
+      val twoTo49 = 562949953421312.0
+      val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+        lit(twoTo49) /
+        (col("s_present") + (lit(256) - col("n_present")) * lit(twoTo49).cast("long")).cast("double")
+      t.select(col("grp"), (lit(256) - col("n_present")).as("v"), eRaw.as("e_raw"))
+        .select(col("grp"),
+          round(when(col("e_raw") <= 640.0 && col("v") > 0,
+            lit(256.0) * log(lit(256.0) / col("v").cast("double")))
+            .otherwise(col("e_raw")), 4).as("est_distinct"))
+    },
+
     // Approximate per-group quantiles from a BOTTOM-k-BY-HASH uniform
     // sample — the third mergeable sketch beside KMV (q119, cardinality)
     // and CMS (q121, counts). The k rows with the smallest md5-rank per
