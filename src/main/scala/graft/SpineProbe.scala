@@ -140,14 +140,17 @@ object SpineProbe {
     }
 
     val probes =
-      if (factor >= 4) Seq( // the decade probe: the spine + sketch families
+      if (factor >= 4) Seq( // the decade probe: the spine + sketch + ANN families
         ("q94_cva_end_to_end", scaled),
         ("q106_semdedup", scaled),
         ("q112_flagging_end_to_end", scaled),
         ("q114_dup_spans", scaledSfx),
         ("q119_kmv_distinct", scaled),
         ("q121_cms_heavy_hitters", scaled),
-        ("q122_quantile_sample", scaled))
+        ("q122_quantile_sample", scaled),
+        ("q126_ann_pq", scaled),
+        ("q127_ann_ivfpq", scaled),
+        ("q128_hll_distinct", scaled))
       else Seq(
         ("q94_cva_end_to_end", scaled),
         ("q104_pack_materialize", scaled),
@@ -228,6 +231,58 @@ object SpineProbe {
       }.max
       gate(s"q122_rank_error_in_bound_$tag", qWorst <= 1.0,
         f"worst_error_over_bound=$qWorst%.3f")
+
+      // q128: the HLL bound re-asserted on the 10× distinct universe
+      // (l_partkey shifts per copy, so exact cardinality really grows
+      // 10× — deep inside the raw harmonic-mean branch)
+      val hllEst = SparkEntry.queries("q128_hll_distinct")(spark, scaled)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val hllWorst = kmvExact.map { case (g, n) =>
+        math.abs(hllEst(g) - n) / n.toDouble }.max
+      gate(s"q128_hll_within_3sigma_$tag",
+        hllWorst <= 3.0 * 1.04 / math.sqrt(256.0), f"max_rel_err=$hllWorst%.4f")
+
+      // ANN recall at 10×: the composed IVFADC stack re-gated on a
+      // planted-cluster blend of the SCALED corpus (20k vectors, 32
+      // clusters of ~625 — every cluster 10× as populous as the 1×
+      // PqSpec gate). The probe measures the three-rung ladder that IS
+      // the production scaling rule, because each rung's failure is a
+      // distinct mechanism (numbers in SCALING.md):
+      //   1. raw codes at the 1× settings (nlist=16, 4-bit, r=30):
+      //      collapses — tight-cluster members code identically, the
+      //      in-cluster ADC order is an id-tiebreak.
+      //   2. residual codes under a TOO-COARSE router (nlist=16 < 32
+      //      clusters): still collapses — the residual is dominated by
+      //      the shared anchor−centroid offset, not member differences.
+      //      Residuals alone don't save you; the router must resolve
+      //      clusters first.
+      //   3. the FAISS-shaped config — nlist ∝ N (64 cells ≈ 2 per
+      //      cluster), 8-bit residual codebooks, rerank r = 10·k:
+      //      recall ≥ 0.9. This rung is the gate.
+      val embBig = graft.ann.Planted.corpus(
+        spark.read.parquet(s"$scaled/embeddings.parquet"),
+        "vec_id", "embedding", nClusters = 32, eps = 0.15).localCheckpoint()
+      val qs50 = embBig.filter(col("vec_id") < 50)
+      val exactNN = graft.ann.Knn.bruteForceTopK(
+        embBig, qs50, "vec_id", "embedding", 10).localCheckpoint()
+      def ivfpqRecall(cents: Seq[(Int, Seq[Double])], cb: graft.ann.Pq.Codebooks,
+          probes: Int, r: Int, res: Boolean) =
+        graft.ann.Knn.recall(exactNN, graft.ann.Pq.ivfPqTopK(
+          embBig, qs50, "vec_id", "embedding", cents, cb,
+          k = 10, probes = probes, r = r, residual = res))
+      val cents16 = graft.ann.KMeans.fit(embBig, "vec_id", "embedding", k = 16, iters = 2)
+      val rRaw = ivfpqRecall(cents16,
+        graft.ann.Pq.fit(embBig, "vec_id", "embedding", m = 8, k = 16, iters = 2),
+        probes = 4, r = 30, res = false)
+      val rResCoarse = ivfpqRecall(cents16,
+        graft.ann.Pq.fitResidual(embBig, "vec_id", "embedding", cents16, m = 8, k = 16, iters = 2),
+        probes = 4, r = 30, res = true)
+      val cents64 = graft.ann.KMeans.fit(embBig, "vec_id", "embedding", k = 64, iters = 2)
+      val rProd = ivfpqRecall(cents64,
+        graft.ann.Pq.fitResidual(embBig, "vec_id", "embedding", cents64, m = 8, k = 256, iters = 2),
+        probes = 16, r = 100, res = true)
+      gate(s"q127_ivfpq_residual_recall_planted_$tag", rProd >= 0.9,
+        f"nlist64/8-bit-residual/r100 recall@10=$rProd%.4f (ladder: raw 1x-config $rRaw%.4f, residual-under-coarse-router $rResCoarse%.4f)")
     }
     spark.stop()
   }

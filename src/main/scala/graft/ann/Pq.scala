@@ -61,12 +61,46 @@ object Pq {
         struct(lit(mi).as("__m"), slice(col("__v"), mi * subDim + 1, subDim).as("__sv"))): _*)).as("__s"))
       .select(col("__id"), col("__s.__m").as("__m"), col("__s.__sv").as("__sv"))
 
+  /** The cell centroid as a plan-literal lookup by cell id (cents must
+    * be cid-ordered 0..k-1, as [[KMeans.fit]] returns them). */
+  private def centAt(cell: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    element_at(typedlit(cents.map(_._2)), (cell + 1).cast("int"))
+
+  /** x − centroid(cell): the residual a coarse-quantized vector leaves
+    * behind — what IVFADC actually product-quantizes. Encoding residuals
+    * instead of raw vectors is what keeps PQ discriminative INSIDE a
+    * tight cluster: members share the centroid, so their residuals are
+    * the eps-scale individual differences the raw codes collapse away
+    * (measured: the 10× planted probe's raw-code recall collapse,
+    * SCALING.md). `cell` must already be a computed column so the k
+    * routing cosines are paid once per row. Row-local — the centroid
+    * table is a plan literal. */
+  private def residualOf(v: Column, cell: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    zip_with(v, centAt(cell, cents), (x, c) => x - c)
+
   /** Train m codebooks of k codewords with `iters` Lloyd rounds. The
     * vector dimension must divide evenly by m. */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int): Codebooks = {
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+    fitPrepared(v, m, k, iters)
+  }
+
+  /** [[fit]] over the RESIDUALS of `cents`' cells — the FAISS
+    * `by_residual` training path; pair with
+    * `ivfPqTopK(..., residual = true)`. */
+  def fitResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], m: Int, k: Int, iters: Int): Codebooks = {
+    val v = corpus.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__cell", KMeans.nearestCentroid(col("__v"), cents))
+      .select(col("__id"),
+        residualOf(col("__v"), col("__cell"), cents).as("__v"))
+    fitPrepared(v, m, k, iters)
+  }
+
+  private def fitPrepared(v: DataFrame, m: Int, k: Int, iters: Int): Codebooks = {
     val dim = v.select(size(col("__v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
@@ -174,12 +208,22 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
-      k: Int, probes: Int, r: Int): DataFrame = {
+      k: Int, probes: Int, r: Int, residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // residual = true is the FAISS by_residual path: codes (trained via
+    // fitResidual) quantize x − centroid(cell), and the ADC
+    // reconstruction is centroid + codeword concat — still row-local,
+    // still m codes per vector at rest (the cell id was already stored)
+    val withCell = corpus.select(col(idCol).as("neighbor_id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .withColumn("__cell", KMeans.nearestCentroid(col("__v"), cents))
-      .withColumn("__rv", reconstruct(codes(col("__v"), cb), cb))
+    val c = (if (residual)
+        withCell.withColumn("__rv",
+          zip_with(centAt(col("__cell"), cents),
+            reconstruct(codes(residualOf(col("__v"), col("__cell"), cents), cb), cb),
+            (a, b) => a + b))
+      else
+        withCell.withColumn("__rv", reconstruct(codes(col("__v"), cb), cb)))
       .select("neighbor_id", "__cell", "__rv")
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("__qvec"))

@@ -321,6 +321,18 @@ class PlanBudgetSpec extends SparkSpec {
     assert(aggLines.nonEmpty, s"q124 lost its candidate dedup:\n$plan")
   }
 
+  test("HLL: two partial-agg shuffles, no join, no sort") {
+    // q128 is scan → (grp, register) max-agg → (grp) sum-agg: the first
+    // exchange carries ≤256 rows per (partition, group) after the
+    // partial max, the second 256 per group — nothing else may appear
+    val hll = q("q128_hll_distinct")
+    val plan = hll.queryExecution.executedPlan.toString
+    assert(shuffles(hll) == 2, s"q128 shuffle count:\n$plan")
+    assert(!plan.contains("Join"), s"q128 grew a join:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort "),
+      s"q128 sorts:\n$plan")
+  }
+
   test("zorder spine: staged read is a pure scan-filter-agg, one shuffle") {
     val zs = q("q125_zorder_spine")
     val plan = zs.queryExecution.executedPlan.toString

@@ -68,4 +68,34 @@ class PqSpec extends SparkSpec {
     val recall = Knn.recall(exact, ivfpq)
     assert(recall >= 0.9, s"IVFADC probe-4/16 rerank-30 planted recall@10 = $recall")
   }
+
+  test("residual codes discriminate where raw codes collapse") {
+    // The FAISS by_residual rationale, measured: raw-vector codes map a
+    // tight cluster's members to (near-)identical codewords, so the ADC
+    // shortlist inside the cluster is an id-tiebreak — survivable at 1×
+    // only because rerank-30 still covers the ~15-member clusters, and
+    // fatal at 10× (the decade probe records r=300 reaching only 0.52).
+    // Residual encoding quantizes x − centroid(cell): the eps-scale
+    // member differences land in the codebook's range, so the ADC
+    // ordering itself must now separate cluster members — gated as
+    // strictly better shortlist quality at the SAME r than raw codes'
+    // id-tiebreak baseline.
+    val emb = Planted.corpus(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", nClusters = 32, eps = 0.15)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .localCheckpoint()
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val cbRaw = Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val cbRes = Pq.fitResidual(emb, "vec_id", "embedding", cents, m = 8, k = 16, iters = 2)
+    // shortlist quality without the rerank's safety net: r = k exactly
+    val raw = Knn.recall(exact, Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      cents, cbRaw, k = 10, probes = 4, r = 10))
+    val res = Knn.recall(exact, Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      cents, cbRes, k = 10, probes = 4, r = 10, residual = true))
+    assert(res > raw,
+      f"residual ADC must beat collapsed raw codes: residual $res%.4f vs raw $raw%.4f")
+    assert(res >= 0.5, f"residual ADC shortlist quality degenerate: $res%.4f")
+  }
 }
