@@ -507,5 +507,103 @@ object AnnQueries {
       graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cents, cb, k = 3, probes = 12, r = 30)
     },
+
+    // q127 with RESIDUAL encoding — FAISS's by_residual=true, the
+    // production IVFADC: the PQ codebooks train on x − centroid(cell)
+    // (element-exact double subtraction, so both engines derive the same
+    // residuals) and the ADC reconstruction is centroid + codeword
+    // concat. Residuals are what keep PQ codes discriminative inside
+    // tight clusters (the 10× decade ladder in SCALING.md measures the
+    // raw-code collapse this fixes); this query pins the residual
+    // training + encode + search arithmetic against the oracle end to
+    // end, at the same probe/shortlist settings as q127.
+    QueryDef("q129_ann_ivfpq_residual", Seq("J12", "A5"),
+      s"""WITH ${trainedCellsCte()},
+         probes AS (
+           SELECT vec_id AS query_id, v AS qv, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12),
+         res AS (
+           SELECT e.vec_id, e.cid,
+             list_transform(list_zip(e.v, cc.cent), s -> s[1] - s[2]) AS rv
+           FROM cells e JOIN c2 cc USING (cid)),
+         psub AS (
+           SELECT vec_id, m.m AS m, rv[(m.m*8+1):(m.m*8+8)] AS sv
+           FROM res CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
+         pinit AS (
+           SELECT m, rn - 1 AS cid, sv AS cent FROM (
+             SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+             FROM psub) WHERE rn <= 16),
+         pa1 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pinit c ON s.m = c.m) WHERE rn = 1),
+         pm1 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM pa1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         pc1 AS (
+           SELECT i.m, i.cid, coalesce(mm.cent, i.cent) AS cent
+           FROM pinit i LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm1 GROUP BY m, cid) mm
+             USING (m, cid)),
+         pa2 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
+         pm2 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM pa2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         pc2 AS (
+           SELECT p.m, p.cid, coalesce(mm.cent, p.cent) AS cent
+           FROM pc1 p LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm2 GROUP BY m, cid) mm
+             USING (m, cid)),
+         pcodes AS (
+           SELECT vec_id, m, cid FROM (
+             SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pc2 c ON s.m = c.m) WHERE rn = 1),
+         precon AS (
+           SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS prv
+           FROM pcodes k JOIN pc2 c ON k.m = c.m AND k.cid = c.cid
+           GROUP BY k.vec_id),
+         recon AS (
+           SELECT r.vec_id, e.cid,
+             list_transform(list_zip(cc.cent, r.prv), s -> s[1] + s[2]) AS rv
+           FROM precon r
+           JOIN cells e ON e.vec_id = r.vec_id
+           JOIN c2 cc ON cc.cid = e.cid),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(p.qv, e.rv), 6) DESC, e.vec_id) AS rn
+             FROM probes p JOIN recon e USING (cid)
+             WHERE e.vec_id <> p.query_id) WHERE rn <= 30)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, s.neighbor_id) AS rnk
+           FROM short s
+           JOIN v q ON q.vec_id = s.query_id
+           JOIN v c ON c.vec_id = s.neighbor_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
+        m = 8, k = 16, iters = 2)
+      graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents, cb, k = 3, probes = 12, r = 30, residual = true)
+    },
   )
 }
