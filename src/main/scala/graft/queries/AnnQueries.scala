@@ -60,6 +60,65 @@ object AnnQueries {
              row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
            FROM v t CROSS JOIN c2 c) WHERE rn = 1)"""
 
+  // Deterministic fused per-subspace PQ training replay (8 codebooks ×
+  // 16 codewords, 2 Lloyd rounds) shared by q126/q127/q129 — mirrors
+  // graft.ann.Pq.fit/fitPrepared step for step: init = the 16 lowest-id
+  // vectors' slices, assignment = argmax of round(cosine, 6) with
+  // lowest-code tiebreak, codeword = per-dimension mean rounded to 6, an
+  // emptied code keeps its previous codeword. ONE definition so a recipe
+  // fix cannot silently diverge between the three oracles. `srcRel` must
+  // expose (vec_id, `vecCol` DOUBLE[64]) — q129 points it at the
+  // residual relation. Ends at `pcodes` (every vector's code per
+  // subspace) and `precon` (`prv` = the codeword concat in m order).
+  private def pqTrainingCte(srcRel: String, vecCol: String) =
+    s"""psub AS (
+           SELECT vec_id, m.m AS m, $vecCol[(m.m*8+1):(m.m*8+8)] AS sv
+           FROM $srcRel CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
+         pinit AS (
+           SELECT m, rn - 1 AS cid, sv AS cent FROM (
+             SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+             FROM psub) WHERE rn <= 16),
+         pa1 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pinit c ON s.m = c.m) WHERE rn = 1),
+         pm1 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM pa1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         pc1 AS (
+           SELECT i.m, i.cid, coalesce(mm.cent, i.cent) AS cent
+           FROM pinit i LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm1 GROUP BY m, cid) mm
+             USING (m, cid)),
+         pa2 AS (
+           SELECT vec_id, m, sv, cid FROM (
+             SELECT s.vec_id, s.m, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
+         pm2 AS (
+           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
+           FROM pa2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+           GROUP BY m, cid, d.d),
+         pc2 AS (
+           SELECT p.m, p.cid, coalesce(mm.cent, p.cent) AS cent
+           FROM pc1 p LEFT JOIN (
+             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm2 GROUP BY m, cid) mm
+             USING (m, cid)),
+         pcodes AS (
+           SELECT vec_id, m, cid FROM (
+             SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
+             FROM psub s JOIN pc2 c ON s.m = c.m) WHERE rn = 1),
+         precon AS (
+           SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS prv
+           FROM pcodes k JOIN pc2 c ON k.m = c.m AND k.cid = c.cid
+           GROUP BY k.vec_id)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force top-5 cosine neighbors for the first 10 vectors.
@@ -348,60 +407,14 @@ object AnnQueries {
     // the planted clustered corpus (raw ADC 0.668 there — tight
     // clusters collapse to identical codes — rerank restores ≥0.9).
     QueryDef("q126_ann_pq", Seq("J12", "A5"),
-      """WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
-         sub AS (
-           SELECT vec_id, m.m AS m, v[(m.m*8+1):(m.m*8+8)] AS sv
-           FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
-         init AS (
-           SELECT m, rn - 1 AS cid, sv AS cent FROM (
-             SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-             FROM sub) WHERE rn <= 16),
-         a1 AS (
-           SELECT vec_id, m, sv, cid FROM (
-             SELECT s.vec_id, s.m, s.sv, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM sub s JOIN init c ON s.m = c.m) WHERE rn = 1),
-         m1 AS (
-           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
-           FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
-           GROUP BY m, cid, d.d),
-         c1 AS (
-           SELECT i.m, i.cid, coalesce(mm.cent, i.cent) AS cent
-           FROM init i LEFT JOIN (
-             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM m1 GROUP BY m, cid) mm
-             USING (m, cid)),
-         a2 AS (
-           SELECT vec_id, m, sv, cid FROM (
-             SELECT s.vec_id, s.m, s.sv, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM sub s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
-         m2 AS (
-           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
-           FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
-           GROUP BY m, cid, d.d),
-         c2 AS (
-           SELECT p.m, p.cid, coalesce(mm.cent, p.cent) AS cent
-           FROM c1 p LEFT JOIN (
-             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM m2 GROUP BY m, cid) mm
-             USING (m, cid)),
-         codes AS (
-           SELECT vec_id, m, cid FROM (
-             SELECT s.vec_id, s.m, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM sub s JOIN c2 c ON s.m = c.m) WHERE rn = 1),
-         recon AS (
-           SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS rv
-           FROM codes k JOIN c2 c ON k.m = c.m AND k.cid = c.cid
-           GROUP BY k.vec_id),
+      s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${pqTrainingCte("v", "v")},
          short AS (
            SELECT query_id, neighbor_id FROM (
              SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.v, r.rv), 6) DESC, r.vec_id) AS rn
-             FROM v q JOIN recon r ON r.vec_id <> q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, r.prv), 6) DESC, r.vec_id) AS rn
+             FROM v q JOIN precon r ON r.vec_id <> q.vec_id
              WHERE q.vec_id < 10)
            WHERE rn <= 30)
          SELECT query_id, rnk, neighbor_id, cosine FROM (
@@ -437,58 +450,12 @@ object AnnQueries {
                row_number() OVER (PARTITION BY t.vec_id
                  ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
              FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12),
-         psub AS (
-           SELECT vec_id, m.m AS m, v[(m.m*8+1):(m.m*8+8)] AS sv
-           FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
-         pinit AS (
-           SELECT m, rn - 1 AS cid, sv AS cent FROM (
-             SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-             FROM psub) WHERE rn <= 16),
-         pa1 AS (
-           SELECT vec_id, m, sv, cid FROM (
-             SELECT s.vec_id, s.m, s.sv, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pinit c ON s.m = c.m) WHERE rn = 1),
-         pm1 AS (
-           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
-           FROM pa1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
-           GROUP BY m, cid, d.d),
-         pc1 AS (
-           SELECT i.m, i.cid, coalesce(mm.cent, i.cent) AS cent
-           FROM pinit i LEFT JOIN (
-             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm1 GROUP BY m, cid) mm
-             USING (m, cid)),
-         pa2 AS (
-           SELECT vec_id, m, sv, cid FROM (
-             SELECT s.vec_id, s.m, s.sv, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
-         pm2 AS (
-           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
-           FROM pa2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
-           GROUP BY m, cid, d.d),
-         pc2 AS (
-           SELECT p.m, p.cid, coalesce(mm.cent, p.cent) AS cent
-           FROM pc1 p LEFT JOIN (
-             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm2 GROUP BY m, cid) mm
-             USING (m, cid)),
-         pcodes AS (
-           SELECT vec_id, m, cid FROM (
-             SELECT s.vec_id, s.m, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pc2 c ON s.m = c.m) WHERE rn = 1),
-         precon AS (
-           SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS rv
-           FROM pcodes k JOIN pc2 c ON k.m = c.m AND k.cid = c.cid
-           GROUP BY k.vec_id),
+         ${pqTrainingCte("v", "v")},
          short AS (
            SELECT query_id, neighbor_id FROM (
              SELECT p.query_id, e.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY p.query_id
-                 ORDER BY round(list_cosine_similarity(p.qv, r.rv), 6) DESC, e.vec_id) AS rn
+                 ORDER BY round(list_cosine_similarity(p.qv, r.prv), 6) DESC, e.vec_id) AS rn
              FROM probes p JOIN cells e USING (cid)
              JOIN precon r ON r.vec_id = e.vec_id
              WHERE e.vec_id <> p.query_id) WHERE rn <= 30)
@@ -529,53 +496,7 @@ object AnnQueries {
            SELECT e.vec_id, e.cid,
              list_transform(list_zip(e.v, cc.cent), s -> s[1] - s[2]) AS rv
            FROM cells e JOIN c2 cc USING (cid)),
-         psub AS (
-           SELECT vec_id, m.m AS m, rv[(m.m*8+1):(m.m*8+8)] AS sv
-           FROM res CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
-         pinit AS (
-           SELECT m, rn - 1 AS cid, sv AS cent FROM (
-             SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-             FROM psub) WHERE rn <= 16),
-         pa1 AS (
-           SELECT vec_id, m, sv, cid FROM (
-             SELECT s.vec_id, s.m, s.sv, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pinit c ON s.m = c.m) WHERE rn = 1),
-         pm1 AS (
-           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
-           FROM pa1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
-           GROUP BY m, cid, d.d),
-         pc1 AS (
-           SELECT i.m, i.cid, coalesce(mm.cent, i.cent) AS cent
-           FROM pinit i LEFT JOIN (
-             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm1 GROUP BY m, cid) mm
-             USING (m, cid)),
-         pa2 AS (
-           SELECT vec_id, m, sv, cid FROM (
-             SELECT s.vec_id, s.m, s.sv, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
-         pm2 AS (
-           SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
-           FROM pa2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
-           GROUP BY m, cid, d.d),
-         pc2 AS (
-           SELECT p.m, p.cid, coalesce(mm.cent, p.cent) AS cent
-           FROM pc1 p LEFT JOIN (
-             SELECT m, cid, list(mu ORDER BY dim) AS cent FROM pm2 GROUP BY m, cid) mm
-             USING (m, cid)),
-         pcodes AS (
-           SELECT vec_id, m, cid FROM (
-             SELECT s.vec_id, s.m, c.cid,
-               row_number() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pc2 c ON s.m = c.m) WHERE rn = 1),
-         precon AS (
-           SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS prv
-           FROM pcodes k JOIN pc2 c ON k.m = c.m AND k.cid = c.cid
-           GROUP BY k.vec_id),
+         ${pqTrainingCte("res", "rv")},
          recon AS (
            SELECT r.vec_id, e.cid,
              list_transform(list_zip(cc.cent, r.prv), s -> s[1] + s[2]) AS rv

@@ -280,13 +280,9 @@ object EndToEndQueries {
     * every (id-range × year-range) cut — the shape an incremental
     * reprocessing window reads — prunes row groups on BOTH dimensions
     * from footer stats alone (measured in ZOrderSpec on the spine copy). */
-  def zStagedSpineDir(s: SparkSession, d: String): String = {
-    val fp = graft.sources.ZOrder.fingerprint(s"$d/orders.parquet")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zspine_${d.replaceAll("[^a-z0-9.]", "_")}_$fp"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      graft.sources.ZOrder.stageZOrdered(curatedSpine(s, d), dir, "id", "year")
-    dir
-  }
+  def zStagedSpineDir(s: SparkSession, d: String): String =
+    graft.sources.ZOrder.ensureStaged(
+      "graft_zspine", d, s"$d/orders.parquet", "id", "year")(curatedSpine(s, d))
 
   def stagedSpineJoin(s: SparkSession, d: String): DataFrame = {
     val sfx = d.replaceAll("[^a-z0-9]", "_")

@@ -169,10 +169,18 @@ object EventQueries {
     // table is reconstructed by the q118 recipe: group by key, keep the
     // row with the largest n — n is a count, strictly increasing with
     // each contributing batch, so max(struct(n, …)) IS "the latest
-    // emission" and the reconstruction is idempotent under any batch
-    // boundary placement. The watermark bounds state on a live stream
-    // (EventPipeline + its spec cover the append shape); this query pins
-    // the semantics to DuckDB per round.
+    // emission". RE-EMISSION is thus handled under any batch boundary
+    // placement; watermark LATENESS is not reconstruction's job but the
+    // CONTRACT: rows arriving more than the horizon behind max event
+    // time are dropped (and their evicted windows never re-open) -- the
+    // defined price of state that cannot grow with stream history, on
+    // ANY watermarked engine. The oracle equivalence therefore requires
+    // the drain's batches to be event-time-disordered by less than the
+    // horizon (here trivially so: the single-file glob yields one
+    // batch); a multi-batch replay of out-of-horizon history is a
+    // backfill job (the batch twin q43), not a stream. The watermark
+    // bounds state on a live stream (EventPipeline + its spec cover the
+    // append shape); this query pins the semantics to DuckDB per round.
     QueryDef("q74_stream_hourly", Seq("A5", "A11"),
       """SELECT cast(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
            event_type, count(*) AS n, round(sum(value), 4) AS total_value
@@ -211,9 +219,11 @@ object EventQueries {
     // keeps sink and agg state bounded by live groups (5 event types);
     // n_surviving is a count — strictly increasing per group across
     // contributing batches — so max() over the sink reconstructs the
-    // final value idempotently under any batch boundary placement
-    // (the q118 recipe; complete mode's re-emit-everything drain is
-    // retired from the inventory).
+    // final value across re-emissions (the q118 recipe; complete mode's
+    // re-emit-everything drain is retired from the inventory). As with
+    // q74, watermark lateness is contract, not a reconstruction gap:
+    // a multi-batch drain whose batches disorder event time beyond the
+    // horizon would drop those rows by design.
     QueryDef("q81_stream_dedup", Seq("A10", "A5"),
       """SELECT event_type,
            CAST(count(DISTINCT event_id % 500) AS BIGINT) AS n_surviving

@@ -153,12 +153,9 @@ object SourceQueries {
       // staging dir keyed on a source-content fingerprint (size+mtime),
       // so a regenerated lineitem.parquet re-stages instead of silently
       // serving the stale z-ordered copy
-      val fp = graft.sources.ZOrder.fingerprint(s"$d/lineitem.parquet")
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${d.replaceAll("[^a-z0-9.]", "_")}_$fp"
-      if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        graft.sources.ZOrder.stageZOrdered(
-          Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice"),
-          dir, "l_partkey", "l_suppkey")
+      val dir = graft.sources.ZOrder.ensureStaged(
+        "graft_zorder", d, s"$d/lineitem.parquet", "l_partkey", "l_suppkey")(
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice"))
       s.read.parquet(dir)
         .filter(col("l_partkey").between(50, 150) && col("l_suppkey").between(2, 8))
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("amount"),

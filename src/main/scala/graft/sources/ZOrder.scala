@@ -52,24 +52,35 @@ object ZOrder {
   def stageZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
       bits: Int = 0, partitions: Int = 16,
       options: Map[String, String] = Map.empty): Unit = {
-    val useBits = if (bits > 0) bits else {
-      val r = df.agg(max(col(colA).cast("long")), max(col(colB).cast("long"))).head()
-      val m = math.max(if (r.isNullAt(0)) 1L else r.getLong(0),
-        if (r.isNullAt(1)) 1L else r.getLong(1))
-      math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m, 1L))))
-    }
-    df.withColumn("__z", zvalue2(col(colA), col(colB), useBits))
-      .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").options(options).parquet(dir)
+    // bits derivation executes df once and the write a second time —
+    // cut the upstream pipeline to one run for the pair (the KMeans
+    // .fitTree re-derivation discipline; disk-backed, so staging-sized
+    // inputs don't have to fit in executor memory). Callers that know
+    // the key domain can pass `bits` and skip both the agg and the cache.
+    val toStage = if (bits > 0) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val useBits = if (bits > 0) bits else {
+        val r = toStage.agg(max(col(colA).cast("long")), max(col(colB).cast("long"))).head()
+        val m = math.max(if (r.isNullAt(0)) 1L else r.getLong(0),
+          if (r.isNullAt(1)) 1L else r.getLong(1))
+        math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(m, 1L))))
+      }
+      toStage.withColumn("__z", zvalue2(col(colA), col(colB), useBits))
+        .repartitionByRange(partitions, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").options(options).parquet(dir)
+    } finally if (!(bits > 0)) toStage.unpersist()
   }
 
   /** Cheap content fingerprint of a staged source: total byte length and
     * max mtime over the files under `path` — pure filesystem metadata,
     * no Spark job. Staging dirs keyed on it revalidate when the source
     * is regenerated in place (the `_SUCCESS`-only guard would silently
-    * keep serving the stale staged copy). */
+    * keep serving the stale staged copy). The two values are encoded
+    * SEPARATELY — folding them into one long would let a length delta
+    * cancel an mtime delta and collide two distinct source states. */
   def fingerprint(path: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
@@ -77,6 +88,20 @@ object ZOrder {
     val fs = walk(new java.io.File(path))
     val len = fs.map(_.length).sum
     val mt = if (fs.isEmpty) 0L else fs.map(_.lastModified).max
-    java.lang.Long.toHexString(len * 31L + mt)
+    java.lang.Long.toHexString(len) + "_" + java.lang.Long.toHexString(mt)
+  }
+
+  /** The fingerprint-keyed staging-cache idiom shared by q123 and the
+    * z-staged spine (q125): dir name = tag + sanitized sf dir + the
+    * source fingerprint; stage once per source CONTENT, `_SUCCESS`
+    * guarding the completed write. `build` is only invoked on a cache
+    * miss. Returns the staged dir. */
+  def ensureStaged(tag: String, sfDir: String, fingerprintSource: String,
+      colA: String, colB: String)(build: => DataFrame): String = {
+    val fp = fingerprint(fingerprintSource)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/${tag}_${sfDir.replaceAll("[^a-z0-9.]", "_")}_$fp"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      stageZOrdered(build, dir, colA, colB)
+    dir
   }
 }

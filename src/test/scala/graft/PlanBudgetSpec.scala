@@ -314,11 +314,46 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"q124 sort-merge-joins:\n$plan")
     assert(broadcasts(so) >= 2, s"q124 sketch/total not broadcast:\n$plan")
     assert(shuffles(so) <= 4)
-    // the full-stream token agg (q121's measuring stick) is absent: every
-    // HashAggregate keyed on token must sit above the slice()d channel
-    val aggLines = plan.linesIterator.filter(l =>
-      l.contains("HashAggregate") && l.contains("keys=[token")).toSeq
-    assert(aggLines.nonEmpty, s"q124 lost its candidate dedup:\n$plan")
+    // the NEGATIVE check the comment promises: the full-stream token agg
+    // (q121's measuring stick — the state the sketch exists to replace)
+    // is structurally absent. Walked on the plan TREE, not grepped:
+    // every token-keyed aggregate's subtree must generate its tokens
+    // exclusively from the slice()d candidate channel — a token-keyed
+    // agg over an UN-sliced explode is exactly the vocabulary-sized
+    // state this query must never build.
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    // AdaptiveSparkPlanExec holds its plan in a field, not in children —
+    // TreeNode.collect would see an empty tree without the unwrap
+    val root = so.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val tokenAggs = root.collect {
+      case h: HashAggregateExec
+        if h.groupingExpressions.exists(_.name.startsWith("token")) => h
+    }
+    assert(tokenAggs.nonEmpty, s"q124 lost its candidate dedup:\n$plan")
+    tokenAggs.foreach { h =>
+      // trace the aggregate's OWN grouping attribute (by exprId) to the
+      // generator that produces it: the estimate join's subtree also
+      // contains the cell build's full-stream explode, but that one
+      // feeds a DIFFERENT token attribute that dies inside the
+      // 4096-cell aggregate — only the attribute this agg groups on
+      // must come from the slice()d candidate channel
+      val keyIds = h.groupingExpressions.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute
+          if a.name.startsWith("token") => a.exprId
+      }.toSet
+      val tokenGens = h.collect {
+        case g: GenerateExec
+          if g.generatorOutput.exists(o => keyIds.contains(o.exprId)) => g
+      }
+      assert(tokenGens.nonEmpty &&
+          tokenGens.forall(_.generator.toString.contains("slice(")),
+        s"q124 token-keyed aggregate fed by an un-sliced token stream:\n$h")
+    }
   }
 
   test("HLL: two partial-agg shuffles, no join, no sort") {
@@ -401,7 +436,8 @@ class PlanBudgetSpec extends SparkSpec {
     // rewrite must fire on all of them — at 100 TB the candidate set is
     // Q·N rows and a full window sort of it is the dominant cost.
     for (name <- Seq("q37_ann_bruteforce", "q38_ann_lsh", "q53_ann_ivf",
-        "q96_ann_ivf_trained", "q126_ann_pq")) {
+        "q96_ann_ivf_trained", "q126_ann_pq", "q127_ann_ivfpq",
+        "q129_ann_ivfpq_residual")) {
       val plan = q(name).queryExecution.executedPlan.toString
       assert(plan.contains("bounded_top_k"), s"$name kept the window plan:\n$plan")
       assert(!plan.contains("WindowExec"), s"$name still sorts a window:\n$plan")
