@@ -336,5 +336,64 @@ object EventQueries {
         .select(col("entity"), col("m.sec").as("last_sec"),
           round(col("m.value"), 4).as("last_value"))
     },
+
+    // Stream-STREAM interval join — the last major Structured Streaming
+    // operator family (q74/q81 aggregate, q118 stream-static, q97/q120
+    // stateful CDC cover the rest): clicks joined to same-user purchases
+    // within the following 10 minutes, both sides watermarked so the
+    // buffered state expires with the horizon. An append-mode inner join
+    // emits each matched pair EXACTLY ONCE, so a plain aggregate over
+    // the sink is drain-insensitive and oracle-checkable. The staged
+    // files are RANGE-partitioned on event time and drained in path
+    // order (one per micro-batch), so no row arrives out-of-horizon late
+    // — the watermark contract q74 documents — while cross-batch pairs
+    // (click near a file boundary, purchase in the next file) genuinely
+    // exercise the buffered-state path. At 100 TB/day the state is both
+    // sides' rows inside (watermark + interval) per user — bounded by
+    // the horizon, not the stream.
+    QueryDef("q130_stream_interval_join", Seq("J12", "A5"),
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events)
+         SELECT c.user_id, count(*) AS n_pairs,
+           round(sum(p.value), 4) AS attributed
+         FROM e c JOIN e p ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.sec >= c.sec AND p.sec <= c.sec + 600
+         GROUP BY c.user_id""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.events(s0, d).schema
+      val s = streamSession(s0)
+      val sinkName = "graft_stream_interval_join"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
+      // ascending-time file ranges, drained in RANGE order: the file
+      // source orders by modification time, and parallel write tasks
+      // finish in random order — leaving mtimes alone intermittently
+      // drains a late range first, advancing the watermark past the
+      // earlier ranges' rows (observed: a 0-row run). Stamp mtimes in
+      // part-file (= range) order so the drain is the ordered replay
+      // the lateness=0 contract needs.
+      Tables.events(s, d).repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      new java.io.File(s"$tmp/in").listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+      def side(tpe: String, prefix: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"),
+          timestamp_seconds(nsToSec("ts")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum("p_value"), 4).as("attributed"))
+    },
   )
 }

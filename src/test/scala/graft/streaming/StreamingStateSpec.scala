@@ -147,6 +147,42 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (q130 shape): both buffers expire with the horizon") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val clicks = clicksIn.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val buys = buysIn.toDF().toDF("p_user", "p_ts", "p_value").withWatermark("p_ts", "1 hour")
+    val q = clicks.join(buys,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      .writeStream.format("memory").queryName("ssj_state")
+      .outputMode("append").start()
+    try {
+      // click n arrives in batch n; its matching purchase (5 min later
+      // in EVENT time) arrives one batch LATER — every pair is matched
+      // from the join buffer, the path a single-batch drain never runs.
+      // Batches advance event time 3h per step against the 1h watermark
+      // + 10min interval, so old buffered rows must leave the store.
+      (0 until 4).foreach { n =>
+        clicksIn.addData((n.toLong, ts(n * 180L)))
+        if (n > 0) buysIn.addData((n - 1L, ts((n - 1) * 180L + 5), (n - 1) * 10.0))
+        q.processAllAvailable()
+      }
+      val prog = stateProgress(q)
+      val removed = prog.map(_.numRowsRemoved).sum
+      assert(removed >= 3L,
+        s"watermark never evicted join buffers (removed=$removed)")
+      assert(prog.last.numRowsTotal <= 4L,
+        s"join buffers accumulate with stream history: numRowsTotal=${prog.last.numRowsTotal}")
+      // every cross-batch pair was emitted exactly once (click 3's
+      // purchase never arrives, so 3 pairs)
+      val pairs = spark.table("ssj_state").select("c_user", "p_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(pairs == Seq((0L, 0.0), (1L, 10.0), (2L, 20.0)), s"pairs: $pairs")
+    } finally q.stop()
+  }
+
   test("dedup within watermark (q81 shape): key state ages out past the horizon") {
     val sqlc = spark.sqlContext
     import spark.implicits._
