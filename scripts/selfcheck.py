@@ -11,8 +11,10 @@ from pathlib import Path
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+argv = [a for a in sys.argv[1:] if a != "--no-run" and not a.startswith("--only")]
+ONLY = next((a.split("=", 1)[1].split(",") for a in sys.argv if a.startswith("--only=")), None)
+SF = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+OUT = Path(argv[1] if len(argv) > 1 else "/tmp/verify_out")
 
 
 def canon(v):
@@ -62,8 +64,9 @@ def compare(name, sql, con):
 
 def main():
     if "--no-run" not in sys.argv:
+        filt = f" {','.join(ONLY)}" if ONLY else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{filt}'],
             capture_output=True, text=True, cwd="/root/repo")
         if r.returncode != 0:
             print(r.stdout[-4000:], r.stderr[-4000:])
@@ -76,6 +79,8 @@ def main():
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    if ONLY:
+        oracles = {k: v for k, v in oracles.items() if k in ONLY}
     fails = 0
     for name in sorted(oracles):
         try:
@@ -87,6 +92,8 @@ def main():
         print(msg)
     # queries with no oracle: rows-only smoke
     declared = {p.name for p in OUT.iterdir() if p.is_dir()}
+    if ONLY:
+        declared &= set(ONLY)
     for name in sorted(declared - set(oracles)):
         files = sorted(str(p) for p in (OUT / name).glob("*.parquet"))
         n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else -1

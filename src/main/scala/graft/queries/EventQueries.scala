@@ -395,5 +395,88 @@ object EventQueries {
         .agg(count(lit(1)).as("n_pairs"),
           round(sum("p_value"), 4).as("attributed"))
     },
+
+    // Streaming SESSION-window aggregation — q69's gap-merge sessionizer
+    // under Structured Streaming. Session windows only support APPEND
+    // output (update is rejected: a later event can merge two sessions,
+    // invalidating rows already emitted), so a session is emitted exactly
+    // once, when the watermark passes its end and nothing can extend it.
+    // The drain therefore needs the watermark to ADVANCE past the last
+    // real session: a sentinel far-future row (user_id −1, staged as the
+    // final file in the mtime drain order) pushes it there, and the
+    // sentinel's own never-finalized session simply stays in state. With
+    // exactly-once emission the sink read is a plain projection — no
+    // max-over-sink reconstruction. At 100 TB/day the state is the OPEN
+    // sessions inside the watermark horizon per user — bounded by the
+    // horizon and the gap, not the stream.
+    QueryDef("q131_stream_session", Seq("W3", "A5"),
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             cast(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
+               THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         sessions AS (
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, min(sec) AS session_start, count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+         FROM sessions GROUP BY user_id, session_id""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s0, d) // ts already nanos BIGINT
+      val schema = batch.schema
+      val s = streamSession(s0)
+      val sinkName = "graft_stream_session"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_").toString
+      batch.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      // Sentinels: TWO far-future rows in two files. The watermark for
+      // batch N is derived from data seen through batch N−1, so the
+      // batch that INGESTS sentinel A (max+3 h) still runs at the old
+      // watermark — only a LATER batch observes max+2 h. A final no-data
+      // micro-batch would advance it, but that batch is not guaranteed
+      // under AvailableNow (observed: the last two sessions dropped at
+      // sf0.001). Sentinel B (max+10 h) forces a real batch whose
+      // watermark is already past every session end + 30 min gap.
+      val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
+      Seq(3L, 10L).zipWithIndex.foreach { case (h, i) =>
+        s0.range(1).select(
+            lit(-1L).as("event_id"), lit(maxTs + h * 3600 * 1000000000L).as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          // coalesce(1): range(1) parallelizes over defaultParallelism
+          // tasks, and a multi-file write makes the `.head` below grab
+          // an EMPTY part file — the sentinel row silently vanishes and
+          // the tail sessions never finalize (observed intermittently).
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/sent$i")
+        val part = new java.io.File(s"$tmp/sent$i").listFiles()
+          .filter(_.getName.startsWith("part-")).head.toPath
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$tmp/in/zz-sentinel-$i.parquet"))
+      }
+      // mtimes stamped in range order, sentinel last — the file source
+      // drains by modification time (see q130's rationale).
+      new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .select(col("user_id"), col("value"),
+          timestamp_seconds(nsToSec("ts")).as("tsec"))
+        .withWatermark("tsec", "1 hour")
+        .groupBy(col("user_id"), session_window(col("tsec"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events"), col("session_value"))
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "n_events", "session_value")
+    },
   )
 }
