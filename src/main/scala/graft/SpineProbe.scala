@@ -107,6 +107,17 @@ object SpineProbe {
       }))
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.mode("overwrite").parquet(s"$scaled/nation.parquet")
+    // events (q130/q131 sweep): copies shift user_id, so USERS grow N×
+    // while sessions-per-user and pairs-per-user stay constant — the
+    // profile a cluster sees (more keys, same per-key depth; streaming
+    // state per watermark horizon grows N×, exactly what the probe
+    // should charge the queries for). event_id offset is a multiple of
+    // lcm(500, 300) so q81/q97/q120's derived-entity dup structure
+    // would also replicate per copy. Staged from Tables.events so ts is
+    // the normalized nanos BIGINT either way.
+    stage("events", scaleUnion(
+      graft.sources.Tables.events(spark, sfDir), "event_id", 3000000L,
+      (df, c) => df.withColumn("user_id", col("user_id") + c * 10000L)))
 
     // q114 (cross-doc span dedup) needs a SECOND documents scaling: the
     // plain copy above duplicates every text verbatim, which flips the
@@ -165,8 +176,12 @@ object SpineProbe {
         ("q122_quantile_sample", scaled),
         ("q123_zorder_scan", scaled),
         ("q126_ann_pq", scaled),
-        ("q127_ann_ivfpq", scaled))
-    for ((q, big) <- probes) {
+        ("q127_ann_ivfpq", scaled),
+        ("q130_stream_interval_join", scaled),
+        ("q131_stream_session", scaled))
+    // optional third arg: comma-separated query filter (dev iteration)
+    val onlyQ: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    for ((q, big) <- probes if onlyQ.forall(_.contains(q))) {
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       time(s"${q}_$tag", SparkEntry.queries(q)(spark, big))
       // the SCALING.md claim is measured, not assumed: the N× plan must
