@@ -535,5 +535,78 @@ object TextQueries {
         .filter(col("n_est") >= col("total") / 200.0)
         .select("token", "n_est")
     },
+
+    // STREAMING count-min sketch — the same 4×1024 CMS as q124, built
+    // from an unbounded token stream. The point q118/q131 cannot make:
+    // the sketch bounds state BY CONSTRUCTION (4,096 cells, however
+    // many distinct tokens arrive), so the aggregation needs NO
+    // watermark and never evicts — mergeable-sketch state is the shape
+    // that makes an infinite stream aggregable at all. Cell counts are
+    // additive and strictly increasing across batches, so the
+    // update-mode drain reconstructs the final sketch with max() per
+    // cell (the q118 recipe), and the estimate stage is q124's
+    // verbatim: candidates ride a broadcast of the 4,096-cell table,
+    // no vocabulary-sized aggregate anywhere.
+    QueryDef("q132_stream_cms", Seq("A11", "U6"),
+      s"""WITH tok AS (SELECT unnest($wsToks) AS token FROM documents),
+          rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+          cms AS (
+            SELECT r.r,
+              ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT % 1024 AS b,
+              count(*) AS c
+            FROM tok t CROSS JOIN rows_ r GROUP BY r.r, b),
+          tot AS (SELECT sum(c) AS total FROM cms WHERE r = 0),
+          cand AS (SELECT DISTINCT unnest(($wsToks)[1:3]) AS token FROM documents),
+          est AS (
+            SELECT k.token, min(m.c) AS n_est
+            FROM cand k CROSS JOIN rows_ r
+            JOIN cms m ON m.r = r.r
+              AND m.b = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || k.token), 1, 8))::BIGINT % 1024
+            GROUP BY k.token)
+          SELECT token, CAST(n_est AS BIGINT) AS n_est
+          FROM est, tot WHERE n_est >= total / 200.0""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val depth = 4
+      val width = 1024
+      def bucket(r: Int, c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
+          .cast("long") % width
+      val batchDocs = Tables.documents(s0, d)
+      val schema = batchDocs.schema
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_cms"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scms_").toString
+      batchDocs.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      // arrival order is irrelevant here (cell counts commute), but the
+      // mtime stamps keep the multi-batch drain deterministic anyway
+      new java.io.File(s"$tmp/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+      val cmsStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .select(explode(split(trim(col("text")), """\s+""")).as("token"))
+        .select(col("token"),
+          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
+            .as(Seq("r", "b")))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val q = cmsStream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val cms = s.table(sinkName).groupBy("r", "b").agg(max("c").as("c"))
+      val tot = cms.filter(col("r") === 0).agg(sum("c").as("total"))
+      val cand = Tables.documents(s, d)
+        .select(explode(slice(split(trim(col("text")), """\s+"""), 1, 3)).as("token"))
+        .distinct()
+      cand
+        .select(col("token"),
+          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
+            .as(Seq("r", "b")))
+        .join(broadcast(cms), Seq("r", "b"))
+        .groupBy("token").agg(min("c").as("n_est"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_est") >= col("total") / 200.0)
+        .select("token", "n_est")
+    },
   )
 }

@@ -250,4 +250,43 @@ class StreamingStateSpec extends SparkSpec {
       assert(emitted.contains(s2), s"second session missing: $emitted")
     } finally q.stop()
   }
+
+  test("streaming CMS (q132 shape): sketch state is bounded by construction, not by watermark") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val depth = 4
+    val width = 16 // small width so the cell table saturates in-test
+    def bucket(r: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10).cast("long") % width
+    val input = MemoryStream[String](spark)
+    val q = input.toDF().toDF("token")
+      .select(col("token"),
+        posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
+          .as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName("cms_state")
+      .outputMode("update").start()
+    try {
+      // 200 FRESH tokens per batch — the vocabulary grows without bound
+      // while the sketch's state may not exceed depth×width cells. No
+      // watermark anywhere: boundedness comes from the sketch itself.
+      (0 until 3).foreach { n =>
+        input.addData((0 until 200).map(i => s"tok_${n}_$i"): _*)
+        q.processAllAvailable()
+      }
+      val prog = stateProgress(q)
+      assert(prog.nonEmpty && prog.forall(_.numRowsTotal <= depth.toLong * width),
+        s"sketch state exceeded depth*width: ${prog.map(_.numRowsTotal).toSeq}")
+      // saturated by 200 tokens x 4 rows over 16 buckets; stays flat as
+      // 400 more distinct tokens stream in
+      assert(prog.last.numRowsTotal == depth.toLong * width,
+        s"cell table never saturated: ${prog.last.numRowsTotal}")
+      // max-over-sink reconstruction equals the additive truth: each of
+      // the 4 rows' cells sum to all 600 insertions
+      val perRow = spark.table("cms_state").groupBy("r", "b").agg(max("c").as("c"))
+        .groupBy("r").agg(sum("c").as("n")).select("n")
+        .as[Long].collect().toSeq
+      assert(perRow == Seq.fill(depth)(600L), s"per-row totals: $perRow")
+    } finally q.stop()
+  }
 }
