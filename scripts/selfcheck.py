@@ -11,6 +11,9 @@ from pathlib import Path
 
 import duckdb
 
+if "--only" in sys.argv:
+    sys.exit("use --only=<name>[,<name>...] (the space-separated form would be "
+             "misread as the SF dir)")
 argv = [a for a in sys.argv[1:] if a != "--no-run" and not a.startswith("--only")]
 ONLY = next((a.split("=", 1)[1].split(",") for a in sys.argv if a.startswith("--only=")), None)
 SF = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
@@ -75,6 +78,12 @@ def main():
             if "[verify]" in line:
                 print(line)
     oracles = json.loads((OUT / "oracle_sql.json").read_text())
+    if ONLY:
+        # a typo'd name must not produce a vacuous ALL GREEN
+        known = set(oracles) | {p.name for p in OUT.iterdir() if p.is_dir()}
+        unknown = set(ONLY) - known
+        if unknown:
+            sys.exit(f"--only names not in the inventory: {sorted(unknown)}")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:

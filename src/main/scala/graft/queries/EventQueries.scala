@@ -46,6 +46,41 @@ object EventQueries {
     s
   }
 
+  /** Stamp every parquet file in `dir` with ascending mtimes in
+    * part-NAME (= range) order. The file source drains by modification
+    * time, and parallel write tasks finish in random order — leaving
+    * mtimes alone intermittently drains a late range first, advancing
+    * the watermark past earlier rows (observed: a 0-row q130 run). This
+    * is the ONE place that contract lives; call it again after adding
+    * files (they sort after `part-...` by name and so drain last). */
+  private[queries] def stampDrainOrder(dir: String): Unit =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+
+  /** Stage `df` as `parts` event-time ranges under a fresh temp dir and
+    * stamp the drain order; returns the input dir for `readStream`. */
+  private[queries] def stageRangedDrain(df: org.apache.spark.sql.DataFrame,
+      parts: Int, rangeCol: String, prefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    df.repartitionByRange(parts, col(rangeCol))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    stampDrainOrder(s"$tmp/in")
+    s"$tmp/in"
+  }
+
+  /** Delete a staged drain dir (its whole temp parent) once the drain
+    * has materialized into its sink — the memory sink never re-reads
+    * the files, and leaving them accumulates a full table copy per
+    * query invocation (probes invoke each query several times). */
+  private[queries] def dropStaged(inDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(inDir).getParentFile)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour window aggregation (the batch twin of the
@@ -331,6 +366,7 @@ object EventQueries {
       val q = state.writeStream.format("memory").queryName(sinkName)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      dropStaged(s"$tmp/in") // memory sink holds the rows; the staged copy is dead weight
       s.table(sinkName).groupBy("entity").agg(max("m").as("m"))
         .filter(col("m.op") =!= "D")
         .select(col("entity"), col("m.sec").as("last_sec"),
@@ -366,21 +402,11 @@ object EventQueries {
       val schema = Tables.events(s0, d).schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_interval_join"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
-      // ascending-time file ranges, drained in RANGE order: the file
-      // source orders by modification time, and parallel write tasks
-      // finish in random order — leaving mtimes alone intermittently
-      // drains a late range first, advancing the watermark past the
-      // earlier ranges' rows (observed: a 0-row run). Stamp mtimes in
-      // part-file (= range) order so the drain is the ordered replay
-      // the lateness=0 contract needs.
-      Tables.events(s, d).repartitionByRange(4, col("ts"))
-        .write.mode("overwrite").parquet(s"$tmp/in")
-      new java.io.File(s"$tmp/in").listFiles()
-        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+      // ascending-time file ranges drained in RANGE order (the ordered
+      // replay the lateness=0 contract needs — see stampDrainOrder)
+      val in = stageRangedDrain(Tables.events(s, d), 4, "ts", "graft_ssj_")
       def side(tpe: String, prefix: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .option("maxFilesPerTrigger", 1).parquet(in)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"),
@@ -391,6 +417,7 @@ object EventQueries {
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      dropStaged(in)
       s.table(sinkName).groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           round(sum("p_value"), 4).as("attributed"))
@@ -430,9 +457,8 @@ object EventQueries {
       val schema = batch.schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_session"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_").toString
-      batch.repartitionByRange(4, col("ts"))
-        .write.mode("overwrite").parquet(s"$tmp/in")
+      val in = stageRangedDrain(batch, 4, "ts", "graft_sess_")
+      val tmp = new java.io.File(in).getParent
       // Sentinels: TWO far-future rows in two files. The watermark for
       // batch N is derived from data seen through batch N−1, so the
       // batch that INGESTS sentinel A (max+3 h) still runs at the old
@@ -456,15 +482,13 @@ object EventQueries {
         val part = new java.io.File(s"$tmp/sent$i").listFiles()
           .filter(_.getName.startsWith("part-")).head.toPath
         java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$tmp/in/zz-sentinel-$i.parquet"))
+          java.nio.file.Paths.get(s"$in/zz-sentinel-$i.parquet"))
       }
-      // mtimes stamped in range order, sentinel last — the file source
-      // drains by modification time (see q130's rationale).
-      new java.io.File(s"$tmp/in").listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+      // re-stamp: the zz- names sort after every part- range file, so
+      // the sentinels drain last
+      stampDrainOrder(in)
       val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .option("maxFilesPerTrigger", 1).parquet(in)
         .select(col("user_id"), col("value"),
           timestamp_seconds(nsToSec("ts")).as("tsec"))
         .withWatermark("tsec", "1 hour")
@@ -475,6 +499,7 @@ object EventQueries {
       val q = stream.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      dropStaged(in)
       s.table(sinkName).filter(col("user_id") >= 0)
         .select("user_id", "session_start", "n_events", "session_value")
     },

@@ -14,6 +14,37 @@ object TextQueries {
 
   // DuckDB-side expression fragments mirroring TextFns exactly.
   private val wsToks = """string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
+
+  // Count-min sketch geometry + hash, shared by the batch (q124) and
+  // streaming (q132) builds — the bucket expression MUST stay
+  // bit-identical between them (and with the oracle SQL's md5 replay),
+  // so it lives in exactly one place.
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private def cmsBucket(r: Int, c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+  private def cmsCells(tokens: org.apache.spark.sql.DataFrame) = tokens
+    .select(col("token"),
+      posexplode(array((0 until CmsDepth).map(r => cmsBucket(r, col("token"))): _*))
+        .as(Seq("r", "b")))
+  /** q124's estimate stage over a built cell table: candidates ride a
+    * broadcast of the ≤ depth×width cells; total insertions are read
+    * off row 0 (every CMS row sums all insertions); no aggregate has
+    * vocabulary-sized state. */
+  private def cmsEstimate(s: org.apache.spark.sql.SparkSession, d: String,
+      cms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = cms.filter(col("r") === 0).agg(sum("c").as("total"))
+    val cand = Tables.documents(s, d)
+      .select(explode(slice(split(trim(col("text")), """\s+"""), 1, 3)).as("token"))
+      .distinct()
+    cmsCells(cand)
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy("token").agg(min("c").as("n_est"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_est") >= col("total") / 200.0)
+      .select("token", "n_est")
+  }
   private def stopHits(stops: Seq[String]) =
     s"""len(list_filter($wsToks, t -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], lower(t))))"""
 
@@ -509,31 +540,10 @@ object TextQueries {
             GROUP BY k.token)
           SELECT token, CAST(n_est AS BIGINT) AS n_est
           FROM est, tot WHERE n_est >= total / 200.0""") { (s, d) =>
-      val depth = 4
-      val width = 1024
-      def bucket(r: Int, c: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
-          .cast("long") % width
       val toks = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), """\s+""")).as("token"))
-      val cms = toks
-        .select(col("token"),
-          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
-            .as(Seq("r", "b")))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
-      val tot = cms.filter(col("r") === 0).agg(sum("c").as("total"))
-      val cand = Tables.documents(s, d)
-        .select(explode(slice(split(trim(col("text")), """\s+"""), 1, 3)).as("token"))
-        .distinct()
-      cand
-        .select(col("token"),
-          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
-            .as(Seq("r", "b")))
-        .join(broadcast(cms), Seq("r", "b"))
-        .groupBy("token").agg(min("c").as("n_est"))
-        .crossJoin(broadcast(tot))
-        .filter(col("n_est") >= col("total") / 200.0)
-        .select("token", "n_est")
+      val cms = cmsCells(toks).groupBy("r", "b").agg(count(lit(1)).as("c"))
+      cmsEstimate(s, d, cms)
     },
 
     // STREAMING count-min sketch — the same 4×1024 CMS as q124, built
@@ -566,47 +576,24 @@ object TextQueries {
           SELECT token, CAST(n_est AS BIGINT) AS n_est
           FROM est, tot WHERE n_est >= total / 200.0""") { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
-      val depth = 4
-      val width = 1024
-      def bucket(r: Int, c: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
-          .cast("long") % width
       val batchDocs = Tables.documents(s0, d)
       val schema = batchDocs.schema
       val s = EventQueries.streamSession(s0)
       val sinkName = "graft_stream_cms"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_scms_").toString
-      batchDocs.repartitionByRange(4, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$tmp/in")
       // arrival order is irrelevant here (cell counts commute), but the
-      // mtime stamps keep the multi-batch drain deterministic anyway
-      new java.io.File(s"$tmp/in").listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+      // stamped drain keeps the multi-batch replay deterministic anyway
+      val in = EventQueries.stageRangedDrain(batchDocs, 4, "doc_id", "graft_scms_")
       val cmsStream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        .option("maxFilesPerTrigger", 1).parquet(in)
         .select(explode(split(trim(col("text")), """\s+""")).as("token"))
-        .select(col("token"),
-          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
-            .as(Seq("r", "b")))
+      val q = cmsCells(cmsStream)
         .groupBy("r", "b").agg(count(lit(1)).as("c"))
-      val q = cmsStream.writeStream.format("memory").queryName(sinkName)
+        .writeStream.format("memory").queryName(sinkName)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      EventQueries.dropStaged(in)
       val cms = s.table(sinkName).groupBy("r", "b").agg(max("c").as("c"))
-      val tot = cms.filter(col("r") === 0).agg(sum("c").as("total"))
-      val cand = Tables.documents(s, d)
-        .select(explode(slice(split(trim(col("text")), """\s+"""), 1, 3)).as("token"))
-        .distinct()
-      cand
-        .select(col("token"),
-          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
-            .as(Seq("r", "b")))
-        .join(broadcast(cms), Seq("r", "b"))
-        .groupBy("token").agg(min("c").as("n_est"))
-        .crossJoin(broadcast(tot))
-        .filter(col("n_est") >= col("total") / 200.0)
-        .select("token", "n_est")
+      cmsEstimate(s, d, cms)
     },
   )
 }
