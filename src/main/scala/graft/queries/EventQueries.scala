@@ -373,6 +373,64 @@ object EventQueries {
           round(col("m.value"), 4).as("last_value"))
     },
 
+    // CDC apply #3: the Spark 4.x ARBITRARY-STATE operator
+    // (`transformWithState` + StatefulProcessor on RocksDB), completing
+    // the triptych with q97 (foreachBatch merge) and q120 (built-in
+    // max-struct aggregation) on identical semantics and the SAME
+    // oracle. The processor holds ONE typed ValueState cell per entity
+    // (the live-entity bound is explicit in code, not implied by an
+    // agg) and emits only when an input row displaces the stored op, so
+    // the update-mode sink re-reduces with the same max — idempotent
+    // under re-emission, exactly q120's reconstruction. This is the API
+    // the other two graduate to when the logic outgrows an aggregate
+    // (timers, TTL, multi-variable state).
+    QueryDef("q133_stream_cdc_tws", Seq("A2", "W6"),
+      """WITH ops AS (
+           SELECT event_id % 300 AS entity,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+           FROM events),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY entity ORDER BY sec DESC, event_id DESC) AS rn
+           FROM ops)
+         SELECT CAST(entity AS BIGINT) AS entity, sec AS last_sec,
+           round(value, 4) AS last_value
+         FROM ranked WHERE rn = 1 AND op <> 'D'""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+      import graft.streaming.TwsCdc
+      val schema = Tables.events(s0, d).schema
+      val s = streamSession(s0)
+      // transformWithState requires the RocksDB state store provider
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sinkName = "graft_stream_cdc_tws"
+      val in = stageRangedDrain(Tables.events(s, d), 4, "ts", "graft_tws_")
+      implicit val opEnc: org.apache.spark.sql.Encoder[TwsCdc.Op] =
+        org.apache.spark.sql.Encoders.product[TwsCdc.Op]
+      implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      val ops = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value"))
+        .as[TwsCdc.Op]
+        .groupByKey(_.entity)
+        .transformWithState(new TwsCdc.LastWriterWins,
+          TimeMode.None(), OutputMode.Update())
+      val q = ops.toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      dropStaged(in)
+      s.table(sinkName)
+        .groupBy("entity")
+        .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
+        .filter(col("m.op") =!= "D")
+        .select(col("entity"), col("m.sec").as("last_sec"),
+          round(col("m.value"), 4).as("last_value"))
+    },
+
     // Stream-STREAM interval join — the last major Structured Streaming
     // operator family (q74/q81 aggregate, q118 stream-static, q97/q120
     // stateful CDC cover the rest): clicks joined to same-user purchases

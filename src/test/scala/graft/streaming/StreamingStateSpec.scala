@@ -289,4 +289,52 @@ class StreamingStateSpec extends SparkSpec {
       assert(perRow == Seq.fill(depth)(600L), s"per-row totals: $perRow")
     } finally q.stop()
   }
+
+  test("transformWithState CDC (q133 shape): one ValueState cell per live entity, emit on change only") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.TwsCdc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TwsCdc.Op](spark)
+    val q = input.toDS().groupByKey(_.entity)
+      .transformWithState(new TwsCdc.LastWriterWins, TimeMode.None(), OutputMode.Update())
+      .toDF().writeStream.format("memory").queryName("tws_state")
+      .outputMode("update").start()
+    try {
+      // 10 entities; batch 0 writes sec=100+e, batch 1 UPDATES half with
+      // sec=200+e and sends STALE ops (sec=50) for the rest — the stale
+      // half must neither update state nor re-emit; batch 2 deletes e=0
+      (0 until 10).foreach(e => input.addData(TwsCdc.Op(e, 100 + e, e, "U", e * 1.0)))
+      q.processAllAvailable()
+      (0 until 10).foreach { e =>
+        if (e < 5) input.addData(TwsCdc.Op(e, 200 + e, 100 + e, "U", e * 2.0))
+        else input.addData(TwsCdc.Op(e, 50, 200 + e, "U", -1.0))
+      }
+      q.processAllAvailable()
+      input.addData(TwsCdc.Op(0, 300, 300, "D", 0.0))
+      q.processAllAvailable()
+
+      val prog = stateProgress(q)
+      assert(prog.last.numRowsTotal == 10L,
+        s"state is not one cell per live entity: ${prog.map(_.numRowsTotal).toSeq}")
+      // emissions: 10 (batch 0) + 5 fresh (batch 1; stale half silent) + 1 delete
+      assert(spark.table("tws_state").count() == 16L,
+        s"emit-on-change violated: ${spark.table("tws_state").count()} rows")
+      val last = spark.table("tws_state")
+        .groupBy("entity").agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
+        .select(col("entity"), col("m.sec"), col("m.op")).as[(Long, Long, String)]
+        .collect().map { case (e, s, o) => e -> ((s, o)) }.toMap
+      assert(last(0L) == (300L, "D") && last(3L) == (203L, "U") && last(7L) == (107L, "U"),
+        s"last-writer-wins violated: $last")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
