@@ -345,6 +345,44 @@ object AnnQueries {
         "vec_id", "embedding", cents, k = 3, probes = 12)
     },
 
+    // Train-once / search-many: q96's IVF index PERSISTED to a staging
+    // dir keyed on the corpus content fingerprint (q123's revalidating
+    // cache idiom — a regenerated corpus retrains, a rerun loads). The
+    // deterministic Lloyd recipe makes the staged index equal the
+    // freshly-trained one, so this shares q96's oracle verbatim while
+    // demonstrating the production shape: at 100 TB the index is a
+    // maintained artifact beside the corpus (training amortized over
+    // every search), and the search path pays only a 16×64-double load
+    // + the same cell-join + bounded top-k as q96.
+    QueryDef("q134_ann_ivf_persisted", Seq("J12", "A5"),
+      s"""WITH ${trainedCellsCte()},
+         probes AS (
+           SELECT vec_id AS query_id, v AS qv, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, e.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY round(list_cosine_similarity(p.qv, e.v), 6) DESC, e.vec_id) AS rnk
+           FROM probes p JOIN cells e USING (cid)
+           WHERE e.vec_id <> p.query_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val fp = graft.sources.ZOrder.fingerprint(s"$d/embeddings.parquet")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+        s"${d.replaceAll("[^a-z0-9.]", "_")}_$fp"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        import s.implicits._
+        graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+          .toDF("cid", "cent").coalesce(1).write.mode("overwrite").parquet(dir)
+      }
+      val loaded = s.read.parquet(dir).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+      graft.ann.Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", loaded, k = 3, probes = 12)
+    },
+
     // SemDeDup-style semantic dedup: all-pairs cosine ONLY within each
     // trained k-means cell (the quadratic term is bounded by the largest
     // cell, not the corpus); a vector is dropped iff a lower-id vector in
