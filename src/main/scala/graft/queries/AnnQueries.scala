@@ -24,6 +24,24 @@ object AnnQueries {
   // on everything). Mirrors graft.ann.KMeans.fit step for step (init =
   // 16 lowest-id vectors, argmax of round(cosine,6) with cid tiebreak,
   // means rounded to 6, empty cells keep their previous centroid).
+  // The trained-IVF probe+search oracle, shared VERBATIM by q96 (train
+  // in-query) and q134 (load the persisted index) — one text, so an
+  // oracle fix cannot reach one and miss the other.
+  private def trainedIvfSearchSql =
+    s"""WITH ${trainedCellsCte()},
+       probes AS (
+         SELECT vec_id AS query_id, v AS qv, cid FROM (
+           SELECT t.vec_id, t.v, c.cid,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+           FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12)
+       SELECT query_id, rnk, neighbor_id, cosine FROM (
+         SELECT p.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(p.qv, e.v), 6) AS cosine,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY round(list_cosine_similarity(p.qv, e.v), 6) DESC, e.vec_id) AS rnk
+         FROM probes p JOIN cells e USING (cid)
+         WHERE e.vec_id <> p.query_id)
+       WHERE rnk <= 3"""
+
   private def trainedCellsCte(trainPred: String = "true") =
     s"""v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
        vt AS (SELECT vec_id, v FROM v WHERE $trainPred),
@@ -326,19 +344,7 @@ object AnnQueries {
     // follow the cells — real embedding corpora cluster harder and earn
     // lower nprobe); KMeansSpec gates recall@10 >= 0.9 at this setting.
     QueryDef("q96_ann_ivf_trained", Seq("J12", "A5"),
-      s"""WITH ${trainedCellsCte()},
-         probes AS (
-           SELECT vec_id AS query_id, v AS qv, cid FROM (
-             SELECT t.vec_id, t.v, c.cid,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12)
-         SELECT query_id, rnk, neighbor_id, cosine FROM (
-           SELECT p.query_id, e.vec_id AS neighbor_id,
-             round(list_cosine_similarity(p.qv, e.v), 6) AS cosine,
-             row_number() OVER (PARTITION BY p.query_id ORDER BY round(list_cosine_similarity(p.qv, e.v), 6) DESC, e.vec_id) AS rnk
-           FROM probes p JOIN cells e USING (cid)
-           WHERE e.vec_id <> p.query_id)
-         WHERE rnk <= 3""") { (s, d) =>
+      trainedIvfSearchSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
       graft.ann.Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -355,27 +361,17 @@ object AnnQueries {
     // every search), and the search path pays only a 16×64-double load
     // + the same cell-join + bounded top-k as q96.
     QueryDef("q134_ann_ivf_persisted", Seq("J12", "A5"),
-      s"""WITH ${trainedCellsCte()},
-         probes AS (
-           SELECT vec_id AS query_id, v AS qv, cid FROM (
-             SELECT t.vec_id, t.v, c.cid,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 12)
-         SELECT query_id, rnk, neighbor_id, cosine FROM (
-           SELECT p.query_id, e.vec_id AS neighbor_id,
-             round(list_cosine_similarity(p.qv, e.v), 6) AS cosine,
-             row_number() OVER (PARTITION BY p.query_id ORDER BY round(list_cosine_similarity(p.qv, e.v), 6) DESC, e.vec_id) AS rnk
-           FROM probes p JOIN cells e USING (cid)
-           WHERE e.vec_id <> p.query_id)
-         WHERE rnk <= 3""") { (s, d) =>
+      trainedIvfSearchSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val fp = graft.sources.ZOrder.fingerprint(s"$d/embeddings.parquet")
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
-        s"${d.replaceAll("[^a-z0-9.]", "_")}_$fp"
-      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      // cache key carries the TRAINING RECIPE alongside the corpus
+      // fingerprint — a future k/iters change must miss, not silently
+      // serve the old geometry
+      val (k16, it2) = (16, 2)
+      val dir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivf_idx_k${k16}i$it2", d, s"$d/embeddings.parquet") { target =>
         import s.implicits._
-        graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
-          .toDF("cid", "cent").coalesce(1).write.mode("overwrite").parquet(dir)
+        graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = k16, iters = it2)
+          .toDF("cid", "cent").coalesce(1).write.mode("overwrite").parquet(target)
       }
       val loaded = s.read.parquet(dir).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)

@@ -81,6 +81,25 @@ object EventQueries {
     rm(new java.io.File(inDir).getParentFile)
   }
 
+  /** The CDC fixture projection shared by the triptych (q97/q120/q133):
+    * entity = event_id % 300, op D/U from event_type, (sec, event_id)
+    * the total order. One definition — the "identical semantics, same
+    * oracle" contract between the three is enforced by construction. */
+  private def cdcOpsProjection(df: org.apache.spark.sql.DataFrame) = df
+    .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
+      col("event_id"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("value"))
+
+  /** Idempotent reduce over an update-mode CDC sink (q120/q133): the
+    * same max(struct) that ordered the ops re-reduces re-emissions. */
+  private def cdcSinkReduce(sink: org.apache.spark.sql.DataFrame) = sink
+    .groupBy("entity")
+    .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
+    .filter(col("m.op") =!= "D")
+    .select(col("entity"), col("m.sec").as("last_sec"),
+      round(col("m.value"), 4).as("last_value"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour window aggregation (the batch twin of the
@@ -307,12 +326,8 @@ object EventQueries {
       val s = streamSession(s0)
       val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
       Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
-      val ops = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-        .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
-          col("event_id"),
-          when(col("event_type") === "error", "D").otherwise("U").as("op"),
-          col("value"))
+      val ops = cdcOpsProjection(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"))
       graft.streaming.EventPipeline.cdcApply(ops, s"$tmp/state").awaitTermination()
       graft.streaming.EventPipeline.cdcState(s, s"$tmp/state")
         .filter(col("m.op") =!= "D")
@@ -355,22 +370,17 @@ object EventQueries {
       val sinkName = "graft_stream_cdc_native"
       val tmp = java.nio.file.Files.createTempDirectory("graft_cdcn_").toString
       Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
-      val state = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-        .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
-          col("event_id"),
-          when(col("event_type") === "error", "D").otherwise("U").as("op"),
-          col("value"))
+      val state = cdcOpsProjection(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"))
         .groupBy("entity")
         .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
       val q = state.writeStream.format("memory").queryName(sinkName)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       dropStaged(s"$tmp/in") // memory sink holds the rows; the staged copy is dead weight
-      s.table(sinkName).groupBy("entity").agg(max("m").as("m"))
-        .filter(col("m.op") =!= "D")
-        .select(col("entity"), col("m.sec").as("last_sec"),
-          round(col("m.value"), 4).as("last_value"))
+      cdcSinkReduce(s.table(sinkName)
+        .select(col("entity"), col("m.sec").as("sec"), col("m.event_id").as("event_id"),
+          col("m.op").as("op"), col("m.value").as("value")))
     },
 
     // CDC apply #3: the Spark 4.x ARBITRARY-STATE operator
@@ -378,8 +388,10 @@ object EventQueries {
     // the triptych with q97 (foreachBatch merge) and q120 (built-in
     // max-struct aggregation) on identical semantics and the SAME
     // oracle. The processor holds ONE typed ValueState cell per entity
-    // (the live-entity bound is explicit in code, not implied by an
-    // agg) and emits only when an input row displaces the stored op, so
+    // EVER SEEN ('D' keeps a tombstone so late stale ops cannot
+    // resurrect — the retention q120's agg has implicitly; TTLConfig is
+    // the churn lever only this API exposes — see TwsCdc's Scaladoc)
+    // and emits only when an input row displaces the stored op, so
     // the update-mode sink re-reduces with the same max — idempotent
     // under re-emission, exactly q120's reconstruction. This is the API
     // the other two graduate to when the logic outgrows an aggregate
@@ -409,12 +421,8 @@ object EventQueries {
         org.apache.spark.sql.Encoders.product[TwsCdc.Op]
       implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
         org.apache.spark.sql.Encoders.scalaLong
-      val ops = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .select((col("event_id") % 300).as("entity"), nsToSec("ts").as("sec"),
-          col("event_id"),
-          when(col("event_type") === "error", "D").otherwise("U").as("op"),
-          col("value"))
+      val ops = cdcOpsProjection(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in))
         .as[TwsCdc.Op]
         .groupByKey(_.entity)
         .transformWithState(new TwsCdc.LastWriterWins,
@@ -423,12 +431,7 @@ object EventQueries {
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       dropStaged(in)
-      s.table(sinkName)
-        .groupBy("entity")
-        .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
-        .filter(col("m.op") =!= "D")
-        .select(col("entity"), col("m.sec").as("last_sec"),
-          round(col("m.value"), 4).as("last_value"))
+      cdcSinkReduce(s.table(sinkName))
     },
 
     // Stream-STREAM interval join — the last major Structured Streaming

@@ -91,17 +91,25 @@ object ZOrder {
     java.lang.Long.toHexString(len) + "_" + java.lang.Long.toHexString(mt)
   }
 
-  /** The fingerprint-keyed staging-cache idiom shared by q123 and the
-    * z-staged spine (q125): dir name = tag + sanitized sf dir + the
-    * source fingerprint; stage once per source CONTENT, `_SUCCESS`
-    * guarding the completed write. `build` is only invoked on a cache
-    * miss. Returns the staged dir. */
-  def ensureStaged(tag: String, sfDir: String, fingerprintSource: String,
-      colA: String, colB: String)(build: => DataFrame): String = {
+  /** The fingerprint-keyed staging-cache idiom shared by q123, the
+    * z-staged spine (q125), and the persisted IVF index (q134): dir
+    * name = tag + sanitized sf dir + the source fingerprint; stage once
+    * per source CONTENT, `_SUCCESS` guarding the completed write.
+    * `write` is only invoked (with the target dir) on a cache miss.
+    * The ONE home of the cache-key scheme — a revalidation or
+    * sanitization fix here reaches every staged artifact. */
+  def ensureStagedDir(tag: String, sfDir: String, fingerprintSource: String)(
+      write: String => Unit): String = {
     val fp = fingerprint(fingerprintSource)
     val dir = s"${System.getProperty("java.io.tmpdir")}/${tag}_${sfDir.replaceAll("[^a-z0-9.]", "_")}_$fp"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      stageZOrdered(build, dir, colA, colB)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) write(dir)
     dir
   }
+
+  /** [[ensureStagedDir]] with a z-order write (`build` only runs on a
+    * cache miss). */
+  def ensureStaged(tag: String, sfDir: String, fingerprintSource: String,
+      colA: String, colB: String)(build: => DataFrame): String =
+    ensureStagedDir(tag, sfDir, fingerprintSource)(dir =>
+      stageZOrdered(build, dir, colA, colB))
 }

@@ -10,12 +10,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * Semantics are identical to q120's aggregate: per entity, keep the op
   * with the greatest (sec, event_id) and emit it whenever it changes.
   * What the arbitrary-state API buys over the built-in agg is explicit
-  * control: a typed ValueState cell per entity (one struct — the state
-  * bound IS the live-entity count, visible in the code rather than
-  * implied by the agg), emission only from `handleInputRows` (update
-  * mode re-emits only touched entities), and room to grow into timers /
-  * TTL / Map state where an aggregate cannot follow. Requires the
-  * RocksDB state store provider (the TWS operator's native backend).
+  * control: a typed ValueState cell per entity, emission only from
+  * `handleInputRows` (update mode re-emits only touched entities), and
+  * room to grow into timers / TTL / Map state where an aggregate cannot
+  * follow. State bound, stated precisely: one cell per entity EVER
+  * SEEN — a 'D' deliberately keeps a tombstone cell (clearing it would
+  * let a late stale 'U' resurrect the entity), the same retention
+  * q120's aggregate has implicitly. Under entity churn that is
+  * entities-ever, not live entities; the production lever is exactly
+  * the TTLConfig this API exposes (expire tombstones once the source's
+  * lateness horizon has passed), which the aggregate form cannot
+  * express. Requires the RocksDB state store provider (the TWS
+  * operator's native backend).
   *
   * Streaming form of SURVEY §2 A2/W6 (argmax-per-group — the same
   * "latest row wins" shape the reference applies with data.table
