@@ -106,7 +106,8 @@ object SpineProbe {
         ("q130_stream_interval_join", "events"),
         ("q131_stream_session", "events"),
         ("q132_stream_cms", "documents"),
-        ("q133_stream_cdc_tws", "events"))
+        ("q133_stream_cdc_tws", "events"),
+        ("q135_stream_interval_outer", "events"))
     // optional third arg: comma-separated query filter (dev iteration);
     // staging is gated on the SELECTED queries' tables, so a one-query
     // drill-down doesn't pay the full multi-table 2.5× materialization
@@ -210,7 +211,8 @@ object SpineProbe {
     // StreamingStateSpec instead; the probe reports wall + rows only.
     val drainsInBuild = Set("q118_stream_incremental_neardup",
       "q130_stream_interval_join", "q131_stream_session",
-      "q132_stream_cms", "q133_stream_cdc_tws")
+      "q132_stream_cms", "q133_stream_cdc_tws",
+      "q135_stream_interval_outer")
     for ((q, tbl) <- selected) {
       val big = if (tbl == "documents_sfx") scaledSfx else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))

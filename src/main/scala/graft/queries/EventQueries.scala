@@ -484,6 +484,73 @@ object EventQueries {
           round(sum("p_value"), 4).as("attributed"))
     },
 
+    // Stream-stream LEFT OUTER interval join — the hard half of the
+    // join family: matched pairs emit eagerly (q130's path), but an
+    // UNMATCHED click can only emit its null-padded row once the
+    // watermark proves no purchase can still arrive (click_ts + 10 min
+    // behind the horizon). That terminal emission needs the q131
+    // two-sentinel drain — and because each SIDE advances its own
+    // watermark after its event_type filter (the global watermark is
+    // their min), every sentinel wave carries BOTH a click and a
+    // purchase row. Each click then appears exactly once per match, or
+    // exactly once with nulls, so the sink aggregate counts clicks,
+    // matches, and attributed revenue per user — including the
+    // zero-conversion users an inner join (q130) cannot see.
+    QueryDef("q135_stream_interval_outer", Seq("J12", "F4", "A5"),
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events)
+         SELECT c.user_id, count(*) AS n_rows,
+           CAST(count(p.event_id) AS BIGINT) AS n_matched,
+           round(coalesce(sum(p.value), 0), 4) AS attributed
+         FROM (SELECT * FROM e WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.sec >= c.sec AND p.sec <= c.sec + 600
+         GROUP BY c.user_id""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s0, d)
+      val schema = batch.schema
+      val s = streamSession(s0)
+      val sinkName = "graft_stream_interval_outer"
+      val in = stageRangedDrain(batch, 4, "ts", "graft_ssjo_")
+      val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
+      Seq(3L, 10L).zipWithIndex.foreach { case (h, i) =>
+        s0.range(2).select(
+            (lit(-1L) - col("id") - i * 2).as("event_id"),
+            lit(maxTs + h * 3600 * 1000000000L).as("ts"),
+            lit(-1L).as("user_id"),
+            when(col("id") === 0, "click").otherwise("purchase").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1) // single part file — see q131's sentinel rationale
+          .write.mode("overwrite").parquet(s"${new java.io.File(in).getParent}/sent$i")
+        val part = new java.io.File(s"${new java.io.File(in).getParent}/sent$i")
+          .listFiles().filter(_.getName.startsWith("part-")).head.toPath
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$in/zz-sentinel-$i.parquet"))
+      }
+      stampDrainOrder(in)
+      def side(tpe: String, prefix: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"),
+          timestamp_seconds(nsToSec("ts")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+        "leftOuter")
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      dropStaged(in)
+      s.table(sinkName).filter(col("c_user") >= 0)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_id")).as("n_matched"),
+          round(coalesce(sum("p_value"), lit(0.0)), 4).as("attributed"))
+    },
+
     // Streaming SESSION-window aggregation — q69's gap-merge sessionizer
     // under Structured Streaming. Session windows only support APPEND
     // output (update is rejected: a later event can merge two sessions,

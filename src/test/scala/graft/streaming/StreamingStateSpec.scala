@@ -183,6 +183,43 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join (q135 shape): unmatched rows emit when the watermark closes their window") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val clicks = clicksIn.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val buys = buysIn.toDF().toDF("p_user", "p_ts", "p_value").withWatermark("p_ts", "1 hour")
+    val q = clicks.join(buys,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+        "leftOuter")
+      .writeStream.format("memory").queryName("ssjo_state")
+      .outputMode("append").start()
+    try {
+      // user 0's click converts (purchase arrives NEXT batch, within the
+      // interval); user 1's never does. The null-padded row for user 1
+      // may only appear after the watermark passes c_ts + 10 min — both
+      // streams then jump event time twice so the window provably closes
+      // and the buffers drain.
+      clicksIn.addData((0L, ts(0)), (1L, ts(0))); q.processAllAvailable()
+      buysIn.addData((0L, ts(5), 10.0)); q.processAllAvailable()
+      clicksIn.addData((-9L, ts(360))); buysIn.addData((-9L, ts(360), 0.0))
+      q.processAllAvailable()
+      clicksIn.addData((-8L, ts(1440))); buysIn.addData((-8L, ts(1440), 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("ssjo_state").filter(col("c_user") >= 0)
+        .select(col("c_user"), col("p_value")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((0L, Some(10.0)), (1L, None)),
+        s"outer emissions wrong: $rows")
+      val prog = stateProgress(q)
+      assert(prog.map(_.numRowsRemoved).sum >= 2L,
+        s"join buffers never drained (removed=${prog.map(_.numRowsRemoved).sum})")
+    } finally q.stop()
+  }
+
   test("dedup within watermark (q81 shape): key state ages out past the horizon") {
     val sqlc = spark.sqlContext
     import spark.implicits._
