@@ -301,6 +301,70 @@ object CurationQueries {
           expr("CAST(nd DIV 10000 AS BIGINT)"), "start_tok")
         .filter(col("start_tok") + col("n_tokens") <= 15000)
         .select("doc_id", "nd", "n_tokens", "start_tok")
+    },
+
+    // Data-quality gate — the constraint battery every production
+    // pipeline runs before trusting an ingest (Deequ's core checks,
+    // declaratively): key uniqueness, FK resolution, domain ranges,
+    // non-emptiness, and a derived-column consistency check, one row
+    // per check. Scale shape: the row-local checks per table FUSE into
+    // ONE conditional-sum aggregate per scan (three scans total), the
+    // FK check is the only join (anti, resolved-side projected to its
+    // key), and everything meets in 1-row crossJoins + a stack unpivot
+    // — at 100 TB this is 3 passes + 1 keyed anti-join, not a pass per
+    // check.
+    QueryDef("q136_dq_checks", Seq("A11", "F4"),
+      """WITH o AS (
+           SELECT count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust
+           FROM orders),
+         li AS (
+           SELECT sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS disc,
+             sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS qty
+           FROM lineitem),
+         orph AS (
+           SELECT count(*) AS orphans
+           FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey IS NULL),
+         doc AS (
+           SELECT sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS empty_text,
+             sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS bad_nchars
+           FROM documents)
+         SELECT dq_check, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS pass
+         FROM (
+           SELECT 'orders_pk_unique' AS dq_check, pk_dup AS violations FROM o
+           UNION ALL SELECT 'orders_custkey_not_null', null_cust FROM o
+           UNION ALL SELECT 'lineitem_fk_resolves', orphans FROM orph
+           UNION ALL SELECT 'lineitem_discount_in_range', disc FROM li
+           UNION ALL SELECT 'lineitem_qty_positive', qty FROM li
+           UNION ALL SELECT 'documents_text_nonempty', empty_text FROM doc
+           UNION ALL SELECT 'documents_nchars_consistent', bad_nchars FROM doc)""") { (s, d) =>
+      val o = Tables.orders(s, d).agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"))
+      val li = Tables.lineitem(s, d).agg(
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty"))
+      val orph = Tables.lineitem(s, d).select("l_orderkey")
+        .join(Tables.orders(s, d).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      val doc = Tables.documents(s, d).agg(
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("empty_text"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("bad_nchars"))
+      o.crossJoin(li).crossJoin(orph).crossJoin(doc) // four 1-row frames
+        .select(expr(
+          """stack(7,
+             'orders_pk_unique', pk_dup,
+             'orders_custkey_not_null', null_cust,
+             'lineitem_fk_resolves', orphans,
+             'lineitem_discount_in_range', disc,
+             'lineitem_qty_positive', qty,
+             'documents_text_nonempty', empty_text,
+             'documents_nchars_consistent', bad_nchars) AS (dq_check, violations)"""))
+        .select(col("dq_check"), col("violations").cast("long").as("violations"),
+          (col("violations") === 0).as("pass"))
     }
   )
 }
