@@ -81,6 +81,52 @@ object EventQueries {
     rm(new java.io.File(inDir).getParentFile)
   }
 
+  /** Append the two-wave far-future sentinel files to a staged drain
+    * dir (q131/q135): wave A (max+3 h) only advances the watermark for
+    * batches AFTER the one that ingests it, so wave B (max+10 h) forces
+    * a batch that already runs past every real row's horizon — the
+    * final no-data micro-batch is not guaranteed under AvailableNow.
+    * One sentinel row per entry in `types` per wave, because a side
+    * that filters on event_type advances its watermark only from rows
+    * surviving its filter (the global watermark is the min over sides).
+    * Re-stamps the drain order (zz- names sort after every part-
+    * range, so the sentinels drain last). */
+  private def addSentinelWaves(s0: org.apache.spark.sql.SparkSession,
+      in: String, maxTs: Long, types: Seq[String]): Unit = {
+    val parent = new java.io.File(in).getParent
+    Seq(3L, 10L).zipWithIndex.foreach { case (h, i) =>
+      import s0.implicits._
+      types.zipWithIndex.map { case (t, j) =>
+          (-(1L + i * types.size + j), maxTs + h * 3600 * 1000000000L,
+            -1L, t, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // coalesce(1): a multi-task write can hand the `.head` below an
+        // EMPTY part file and the sentinel row silently vanishes
+        // (observed intermittently before this was centralized)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$parent/sent$i")
+      val part = new java.io.File(s"$parent/sent$i").listFiles()
+        .filter(_.getName.startsWith("part-")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$in/zz-sentinel-$i.parquet"))
+    }
+    stampDrainOrder(in)
+  }
+
+  /** One side of a typed stream-stream interval join (q130/q135): the
+    * event_type-filtered, prefix-renamed, watermarked feed. Shared so
+    * the inner and outer joins cannot diverge on lateness semantics. */
+  private def intervalJoinSide(s: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, in: String,
+      tpe: String, prefix: String) =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"),
+        timestamp_seconds(nsToSec("ts")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
   /** The CDC fixture projection shared by the triptych (q97/q120/q133):
     * entity = event_id % 300, op D/U from event_type, (sec, event_id)
     * the total order. One definition — the "identical semantics, same
@@ -466,15 +512,9 @@ object EventQueries {
       // ascending-time file ranges drained in RANGE order (the ordered
       // replay the lateness=0 contract needs — see stampDrainOrder)
       val in = stageRangedDrain(Tables.events(s, d), 4, "ts", "graft_ssj_")
-      def side(tpe: String, prefix: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .filter(col("event_type") === tpe)
-        .select(col("user_id").as(s"${prefix}_user"),
-          col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"),
-          timestamp_seconds(nsToSec("ts")).as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-      val joined = side("click", "c").join(side("purchase", "p"),
-        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      val joined = intervalJoinSide(s, schema, in, "click", "c")
+        .join(intervalJoinSide(s, schema, in, "purchase", "p"),
+          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -515,31 +555,11 @@ object EventQueries {
       val sinkName = "graft_stream_interval_outer"
       val in = stageRangedDrain(batch, 4, "ts", "graft_ssjo_")
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
-      Seq(3L, 10L).zipWithIndex.foreach { case (h, i) =>
-        s0.range(2).select(
-            (lit(-1L) - col("id") - i * 2).as("event_id"),
-            lit(maxTs + h * 3600 * 1000000000L).as("ts"),
-            lit(-1L).as("user_id"),
-            when(col("id") === 0, "click").otherwise("purchase").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-          .coalesce(1) // single part file — see q131's sentinel rationale
-          .write.mode("overwrite").parquet(s"${new java.io.File(in).getParent}/sent$i")
-        val part = new java.io.File(s"${new java.io.File(in).getParent}/sent$i")
-          .listFiles().filter(_.getName.startsWith("part-")).head.toPath
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$in/zz-sentinel-$i.parquet"))
-      }
-      stampDrainOrder(in)
-      def side(tpe: String, prefix: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .filter(col("event_type") === tpe)
-        .select(col("user_id").as(s"${prefix}_user"),
-          col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"),
-          timestamp_seconds(nsToSec("ts")).as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-      val joined = side("click", "c").join(side("purchase", "p"),
-        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
-        "leftOuter")
+      addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
+      val joined = intervalJoinSide(s, schema, in, "click", "c")
+        .join(intervalJoinSide(s, schema, in, "purchase", "p"),
+          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+          "leftOuter")
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -586,35 +606,11 @@ object EventQueries {
       val s = streamSession(s0)
       val sinkName = "graft_stream_session"
       val in = stageRangedDrain(batch, 4, "ts", "graft_sess_")
-      val tmp = new java.io.File(in).getParent
-      // Sentinels: TWO far-future rows in two files. The watermark for
-      // batch N is derived from data seen through batch N−1, so the
-      // batch that INGESTS sentinel A (max+3 h) still runs at the old
-      // watermark — only a LATER batch observes max+2 h. A final no-data
-      // micro-batch would advance it, but that batch is not guaranteed
-      // under AvailableNow (observed: the last two sessions dropped at
-      // sf0.001). Sentinel B (max+10 h) forces a real batch whose
-      // watermark is already past every session end + 30 min gap.
+      // Two sentinel waves push the watermark past every real session's
+      // end + 30 min gap (observed without them: the last two sessions
+      // dropped at sf0.001) — see addSentinelWaves for the mechanics.
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
-      Seq(3L, 10L).zipWithIndex.foreach { case (h, i) =>
-        s0.range(1).select(
-            lit(-1L).as("event_id"), lit(maxTs + h * 3600 * 1000000000L).as("ts"),
-            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-          // coalesce(1): range(1) parallelizes over defaultParallelism
-          // tasks, and a multi-file write makes the `.head` below grab
-          // an EMPTY part file — the sentinel row silently vanishes and
-          // the tail sessions never finalize (observed intermittently).
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/sent$i")
-        val part = new java.io.File(s"$tmp/sent$i").listFiles()
-          .filter(_.getName.startsWith("part-")).head.toPath
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$in/zz-sentinel-$i.parquet"))
-      }
-      // re-stamp: the zz- names sort after every part- range file, so
-      // the sentinels drain last
-      stampDrainOrder(in)
+      addSentinelWaves(s0, in, maxTs, Seq("sentinel"))
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .select(col("user_id"), col("value"),
