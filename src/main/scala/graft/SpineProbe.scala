@@ -107,7 +107,8 @@ object SpineProbe {
         ("q131_stream_session", "events"),
         ("q132_stream_cms", "documents"),
         ("q133_stream_cdc_tws", "events"),
-        ("q135_stream_interval_outer", "events"))
+        ("q135_stream_interval_outer", "events"),
+        ("q137_stream_join_window", "events"))
     // optional third arg: comma-separated query filter (dev iteration);
     // staging is gated on the SELECTED queries' tables, so a one-query
     // drill-down doesn't pay the full multi-table 2.5× materialization
@@ -212,7 +213,7 @@ object SpineProbe {
     val drainsInBuild = Set("q118_stream_incremental_neardup",
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
-      "q135_stream_interval_outer")
+      "q135_stream_interval_outer", "q137_stream_join_window")
     for ((q, tbl) <- selected) {
       val big = if (tbl == "documents_sfx") scaledSfx else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))

@@ -571,6 +571,55 @@ object EventQueries {
           round(coalesce(sum("p_value"), lit(0.0)), 4).as("attributed"))
     },
 
+    // CHAINED stateful operators — the stream-stream interval join
+    // (q130's) feeding a tumbling-window aggregation INSIDE one
+    // streaming query, the multi-stateful-operator pipeline Spark
+    // supports natively since 3.5 (before that the join had to
+    // materialize to a sink and a second query re-read it). Both
+    // operators share the event-time watermark lineage: the join emits
+    // pairs carrying c_ts, the window aggregate groups them by hour,
+    // and a window finalizes (append mode emits it exactly once) when
+    // the JOIN-ADJUSTED watermark passes its end — driven past the last
+    // real hour by the same two-wave sentinel drain, with the sentinel
+    // pair filtered out between the two stateful ops (a stateless
+    // filter between stateful operators is legal and keeps the
+    // sentinel's never-closing window out of the aggregate's state).
+    QueryDef("q137_stream_join_window", Seq("J12", "A5"),
+      """WITH e AS (
+           SELECT user_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         pairs AS (
+           SELECT c.sec AS csec, p.value AS pvalue
+           FROM (SELECT * FROM e WHERE event_type = 'click') c
+           JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+             ON c.user_id = p.user_id AND p.sec >= c.sec AND p.sec <= c.sec + 600)
+         SELECT CAST(csec // 3600 AS BIGINT) * 3600 AS hour_epoch,
+           count(*) AS n_pairs, round(sum(pvalue), 4) AS attributed
+         FROM pairs GROUP BY hour_epoch""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s0, d)
+      val schema = batch.schema
+      val s = streamSession(s0)
+      val sinkName = "graft_stream_join_window"
+      val in = stageRangedDrain(batch, 4, "ts", "graft_ssjw_")
+      val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
+      addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
+      val stream = intervalJoinSide(s, schema, in, "click", "c")
+        .join(intervalJoinSide(s, schema, in, "purchase", "p"),
+          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+        .filter(col("c_user") >= 0) // sentinel pair stays out of agg state
+        .groupBy(window(col("c_ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_pairs"), round(sum("p_value"), 4).as("attributed"))
+        .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+          col("n_pairs"), col("attributed"))
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      dropStaged(in)
+      s.table(sinkName).select("hour_epoch", "n_pairs", "attributed")
+    },
+
     // Streaming SESSION-window aggregation — q69's gap-merge sessionizer
     // under Structured Streaming. Session windows only support APPEND
     // output (update is rejected: a later event can merge two sessions,
