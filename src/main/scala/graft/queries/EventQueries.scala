@@ -113,9 +113,8 @@ object EventQueries {
     stampDrainOrder(in)
   }
 
-  /** One side of a typed stream-stream interval join (q130/q135): the
-    * event_type-filtered, prefix-renamed, watermarked feed. Shared so
-    * the inner and outer joins cannot diverge on lateness semantics. */
+  /** One side of a typed stream-stream interval join: the event_type-
+    * filtered, prefix-renamed, watermarked feed. */
   private def intervalJoinSide(s: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType, in: String,
       tpe: String, prefix: String) =
@@ -126,6 +125,18 @@ object EventQueries {
         col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"),
         timestamp_seconds(nsToSec("ts")).as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
+
+  /** The click→purchase interval-join pair (q130/q135/q137): BOTH the
+    * watermarked sides and the 10-minute interval predicate live here,
+    * so the inner, outer, and chained queries cannot diverge on
+    * lateness or interval semantics — the whole contract in one place. */
+  private def intervalJoinPair(s: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, in: String,
+      joinType: String = "inner") =
+    intervalJoinSide(s, schema, in, "click", "c")
+      .join(intervalJoinSide(s, schema, in, "purchase", "p"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+        joinType)
 
   /** The CDC fixture projection shared by the triptych (q97/q120/q133):
     * entity = event_id % 300, op D/U from event_type, (sec, event_id)
@@ -512,9 +523,7 @@ object EventQueries {
       // ascending-time file ranges drained in RANGE order (the ordered
       // replay the lateness=0 contract needs — see stampDrainOrder)
       val in = stageRangedDrain(Tables.events(s, d), 4, "ts", "graft_ssj_")
-      val joined = intervalJoinSide(s, schema, in, "click", "c")
-        .join(intervalJoinSide(s, schema, in, "purchase", "p"),
-          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      val joined = intervalJoinPair(s, schema, in)
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -556,10 +565,7 @@ object EventQueries {
       val in = stageRangedDrain(batch, 4, "ts", "graft_ssjo_")
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
       addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
-      val joined = intervalJoinSide(s, schema, in, "click", "c")
-        .join(intervalJoinSide(s, schema, in, "purchase", "p"),
-          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
-          "leftOuter")
+      val joined = intervalJoinPair(s, schema, in, "leftOuter")
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -605,9 +611,7 @@ object EventQueries {
       val in = stageRangedDrain(batch, 4, "ts", "graft_ssjw_")
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
       addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
-      val stream = intervalJoinSide(s, schema, in, "click", "c")
-        .join(intervalJoinSide(s, schema, in, "purchase", "p"),
-          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      val stream = intervalJoinPair(s, schema, in)
         .filter(col("c_user") >= 0) // sentinel pair stays out of agg state
         .groupBy(window(col("c_ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("n_pairs"), round(sum("p_value"), 4).as("attributed"))

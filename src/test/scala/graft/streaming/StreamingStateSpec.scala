@@ -220,6 +220,42 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained join->window (q137 shape): both stateful operators hold and drain their own state") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val clicks = clicksIn.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val buys = buysIn.toDF().toDF("p_user", "p_ts", "p_value").withWatermark("p_ts", "1 hour")
+    val q = clicks.join(buys,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      .groupBy(window(col("c_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"), sum("p_value").as("attributed"))
+      .select(col("w.start").cast("long").as("hour_epoch"), col("n_pairs"), col("attributed"))
+      .writeStream.format("memory").queryName("jw_state")
+      .outputMode("append").start()
+    try {
+      // two pairs in hour 0 (one cross-batch), then two big event-time
+      // jumps so the join buffers expire AND the hour-0 window finalizes
+      clicksIn.addData((1L, ts(0)), (2L, ts(30))); q.processAllAvailable()
+      buysIn.addData((1L, ts(5), 10.0), (2L, ts(35), 20.0)); q.processAllAvailable()
+      clicksIn.addData((-9L, ts(360))); buysIn.addData((-9L, ts(360), 0.0))
+      q.processAllAvailable()
+      clicksIn.addData((-8L, ts(1440))); buysIn.addData((-8L, ts(1440), 0.0))
+      q.processAllAvailable()
+
+      // TWO stateful operators must appear in progress, each evicting
+      val lastOps = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.length).getOrElse(0)
+      assert(lastOps == 2, s"expected join + window agg state operators, saw $lastOps")
+      assert(stateProgress(q).map(_.numRowsRemoved).sum >= 2L,
+        "neither operator drained state past the watermark")
+      val hour0 = spark.table("jw_state").filter(col("hour_epoch") === t0 / 1000L)
+        .select("n_pairs", "attributed").as[(Long, Double)].collect().toSeq
+      assert(hour0 == Seq((2L, 30.0)), s"hour-0 window wrong or re-emitted: $hour0")
+    } finally q.stop()
+  }
+
   test("dedup within watermark (q81 shape): key state ages out past the horizon") {
     val sqlc = spark.sqlContext
     import spark.implicits._
