@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Version of the pinned deterministic training recipe (init rule,
+    * rounding, tiebreaks, empty-cell handling). Bump on ANY change to
+    * the arithmetic above — persisted-index cache keys (q134) embed it,
+    * so a recipe change invalidates staged indexes instead of silently
+    * serving geometry trained under the old rules. */
+  val recipeVersion = 1
+
   /** Nearest-centroid id as a row-local expression (argmax by
     * (rounded cosine, -cid) over an inline struct array). */
   def nearestCentroid(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {

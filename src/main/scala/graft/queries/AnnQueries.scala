@@ -42,12 +42,12 @@ object AnnQueries {
          WHERE e.vec_id <> p.query_id)
        WHERE rnk <= 3"""
 
-  private def trainedCellsCte(trainPred: String = "true") =
+  private def trainedCellsCte(trainPred: String = "true", k: Int = 16) =
     s"""v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
        vt AS (SELECT vec_id, v FROM v WHERE $trainPred),
        init AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
-         FROM vt ORDER BY vec_id LIMIT 16),
+         FROM vt ORDER BY vec_id LIMIT $k),
        a1 AS (
          SELECT vec_id, v, cid FROM (
            SELECT t.vec_id, t.v, c.cid,
@@ -88,14 +88,14 @@ object AnnQueries {
   // expose (vec_id, `vecCol` DOUBLE[64]) — q129 points it at the
   // residual relation. Ends at `pcodes` (every vector's code per
   // subspace) and `precon` (`prv` = the codeword concat in m order).
-  private def pqTrainingCte(srcRel: String, vecCol: String) =
+  private def pqTrainingCte(srcRel: String, vecCol: String, k: Int = 16) =
     s"""psub AS (
            SELECT vec_id, m.m AS m, $vecCol[(m.m*8+1):(m.m*8+8)] AS sv
            FROM $srcRel CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
          pinit AS (
            SELECT m, rn - 1 AS cid, sv AS cent FROM (
              SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-             FROM psub) WHERE rn <= 16),
+             FROM psub) WHERE rn <= $k),
          pa1 AS (
            SELECT vec_id, m, sv, cid FROM (
              SELECT s.vec_id, s.m, s.sv, c.cid,
@@ -136,6 +136,64 @@ object AnnQueries {
            SELECT k.vec_id, flatten(list(c.cent ORDER BY k.m)) AS prv
            FROM pcodes k JOIN pc2 c ON k.m = c.m AND k.cid = c.cid
            GROUP BY k.vec_id)"""
+
+  // Deterministic two-level (8×8) tree-quantizer replay — mirrors
+  // graft.ann.KMeans.fitTree step for step on top of trainedCellsCte's
+  // level-1 training at k1=8 (whose `cells` IS the branch assignment:
+  // fitTree assigns branches off the final level-1 centroids, exactly
+  // what `cells` holds). Level 2 runs the same pinned Lloyd recipe
+  // per branch: init = each branch's 8 lowest-id vectors (an empty
+  // branch keeps its branch centroid as a single leaf), assignment =
+  // argmax of round(cosine, 6) with lowest-leaf tiebreak, means rounded
+  // to 6, an emptied leaf keeps its previous centroid. Ends at `tcells`
+  // = every vector's global cell id (branch·8 + leaf).
+  private def treeCellsCte =
+    s"""${trainedCellsCte(k = 8)},
+       linit AS (
+         SELECT cid AS b, rn - 1 AS l, v AS cent FROM (
+           SELECT cid, v, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+           FROM cells) WHERE rn <= 8),
+       l0 AS (
+         SELECT b, l, cent FROM linit
+         UNION ALL
+         SELECT c.cid AS b, 0 AS l, c.cent FROM c2 c
+         WHERE c.cid NOT IN (SELECT b FROM linit)),
+       la1 AS (
+         SELECT vec_id, b, v, l FROM (
+           SELECT t.vec_id, t.cid AS b, t.v, c.l,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.l) AS rn
+           FROM cells t JOIN l0 c ON t.cid = c.b) WHERE rn = 1),
+       lm1 AS (
+         SELECT b, l, d.d AS dim, round(avg(v[d.d]), 6) AS mu
+         FROM la1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+         GROUP BY b, l, d.d),
+       lc1 AS (
+         SELECT p.b, p.l, coalesce(m.cent, p.cent) AS cent
+         FROM l0 p LEFT JOIN (
+           SELECT b, l, list(mu ORDER BY dim) AS cent FROM lm1 GROUP BY b, l) m
+           USING (b, l)),
+       la2 AS (
+         SELECT vec_id, b, v, l FROM (
+           SELECT t.vec_id, t.cid AS b, t.v, c.l,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.l) AS rn
+           FROM cells t JOIN lc1 c ON t.cid = c.b) WHERE rn = 1),
+       lm2 AS (
+         SELECT b, l, d.d AS dim, round(avg(v[d.d]), 6) AS mu
+         FROM la2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+         GROUP BY b, l, d.d),
+       lc2 AS (
+         SELECT p.b, p.l, coalesce(m.cent, p.cent) AS cent
+         FROM lc1 p LEFT JOIN (
+           SELECT b, l, list(mu ORDER BY dim) AS cent FROM lm2 GROUP BY b, l) m
+           USING (b, l)),
+       tcells AS (
+         SELECT vec_id, v, cell FROM (
+           SELECT t.vec_id, t.v, t.cid * 8 + c.l AS cell,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.l) AS rn
+           FROM cells t JOIN lc2 c ON t.cid = c.b) WHERE rn = 1)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -365,10 +423,13 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       // cache key carries the TRAINING RECIPE alongside the corpus
       // fingerprint — a future k/iters change must miss, not silently
-      // serve the old geometry
+      // serve the old geometry, and KMeans.recipeVersion covers changes
+      // to the pinned arithmetic itself (init rule, rounding, tiebreaks)
+      // that k/iters alone cannot see
       val (k16, it2) = (16, 2)
       val dir = graft.sources.ZOrder.ensureStagedDir(
-        s"graft_ivf_idx_k${k16}i$it2", d, s"$d/embeddings.parquet") { target =>
+        s"graft_ivf_idx_v${graft.ann.KMeans.recipeVersion}_k${k16}i$it2",
+        d, s"$d/embeddings.parquet") { target =>
         import s.implicits._
         graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = k16, iters = it2)
           .toDF("cid", "cent").coalesce(1).write.mode("overwrite").parquet(target)
@@ -559,6 +620,101 @@ object AnnQueries {
         m = 8, k = 16, iters = 2)
       graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cents, cb, k = 3, probes = 12, r = 30, residual = true)
+    },
+
+    // The tree-quantizer IVF search — the k ∝ N production path the 10×
+    // recall ladder endorses (nlist = 64 via 8 branches × 8 leaves),
+    // promoted from probe-only to the oracle-checked inventory: routing
+    // costs k1 + branchProbes·k2 = 32 cosines per query instead of the
+    // flat quantizer's 64, and corpus assignment pays k1 + k2 = 16
+    // instead of 64 — the arithmetic that keeps assignment off the
+    // critical path once cell count grows with the corpus. The oracle
+    // replays BOTH training levels (the shared Lloyd CTE at k1=8, then
+    // the per-branch leaf training), the branch-then-leaf probe routing
+    // (best 3 branches, then the 12 best cells among their leaves —
+    // scan fraction 12/64 ≈ 0.19), and the cell-join search.
+    // KMeansSpec gates recall@10 ≥ 0.9 at scan fraction ≤ 0.25 on the
+    // planted clustered corpus for this exact routing.
+    QueryDef("q138_ann_ivf_tree", Seq("J12", "A5"),
+      s"""WITH $treeCellsCte,
+         qb AS (
+           SELECT query_id, qv, b FROM (
+             SELECT t.vec_id AS query_id, t.v AS qv, c.cid AS b,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 3),
+         qcells AS (
+           SELECT query_id, qv, cell FROM (
+             SELECT q.query_id, q.qv, q.b * 8 + c.l AS cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cent), 6) DESC, q.b * 8 + c.l) AS rn
+             FROM qb q JOIN lc2 c ON q.b = c.b) WHERE rn <= 12)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, e.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(p.qv, e.v), 6) DESC, e.vec_id) AS rnk
+           FROM qcells p JOIN tcells e USING (cell)
+           WHERE e.vec_id <> p.query_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
+        k1 = 8, k2 = 8, iters = 2)
+      graft.ann.Knn.ivfTopKTree(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", tq, k = 3, probes = 12, branchProbes = 3)
+    },
+
+    // q129 at the FAISS-shaped settings the 10× recall ladder endorses —
+    // nlist = 64 (cell count ∝ corpus) and 8-BIT codebooks (256 codewords
+    // per subspace, the FAISS default): the config that scores 0.958 on
+    // the planted decade corpus where q129's nlist=16/4-bit rung
+    // collapses to 0.118. Same residual arithmetic (codes quantize
+    // x − centroid(cell), ADC reconstructs centroid + codeword concat),
+    // same two-stage search; probes=16 keeps the scan fraction at 0.25
+    // and r = 10·k bounds the exact-rerank refetch. The oracle replays
+    // the 64-cell coarse training, the 8×256 residual codebook training,
+    // the probe routing, the ADC shortlist, and the rerank end to end.
+    QueryDef("q139_ann_ivfpq_faiss", Seq("J12", "A5"),
+      s"""WITH ${trainedCellsCte(k = 64)},
+         probes AS (
+           SELECT vec_id AS query_id, v AS qv, cid FROM (
+             SELECT t.vec_id, t.v, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 16),
+         res AS (
+           SELECT e.vec_id, e.cid,
+             list_transform(list_zip(e.v, cc.cent), s -> s[1] - s[2]) AS rv
+           FROM cells e JOIN c2 cc USING (cid)),
+         ${pqTrainingCte("res", "rv", k = 256)},
+         recon AS (
+           SELECT r.vec_id, e.cid,
+             list_transform(list_zip(cc.cent, r.prv), s -> s[1] + s[2]) AS rv
+           FROM precon r
+           JOIN cells e ON e.vec_id = r.vec_id
+           JOIN c2 cc ON cc.cid = e.cid),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(p.qv, e.rv), 6) DESC, e.vec_id) AS rn
+             FROM probes p JOIN recon e USING (cid)
+             WHERE e.vec_id <> p.query_id) WHERE rn <= 30)
+         SELECT query_id, rnk, neighbor_id, cosine FROM (
+           SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, s.neighbor_id) AS rnk
+           FROM short s
+           JOIN v q ON q.vec_id = s.query_id
+           JOIN v c ON c.vec_id = s.neighbor_id)
+         WHERE rnk <= 3""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 64, iters = 2)
+      val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
+        m = 8, k = 256, iters = 2)
+      graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
   )
 }

@@ -48,6 +48,18 @@ class KMeansSpec extends SparkSpec {
       k = 10, probes = 4, branchProbes = 2)
     val rTree = Knn.recall(exact, tree)
     assert(rTree >= 0.9, s"tree IVF probe-4/$nCells clustered recall@10 = $rTree")
+
+    // q138's shipped config — the nlist ∝ N production cell count (8×8 =
+    // 64 cells) at q138's exact routing budget (12 probes through the 3
+    // best branches, scan fraction 12/64 ≈ 0.19 ≤ 0.25): the inventory
+    // query's recall gate, not just the probe sweep's.
+    val tq64 = KMeans.fitTree(emb, "vec_id", "embedding", k1 = 8, k2 = 8, iters = 2)
+    val n64 = tq64.leaves.map(_.size).sum
+    val tree64 = Knn.ivfTopKTree(emb, queries, "vec_id", "embedding", tq64,
+      k = 10, probes = 12, branchProbes = 3)
+    val rTree64 = Knn.recall(exact, tree64)
+    assert(12.0 / n64 <= 0.25, s"scan fraction ${12.0 / n64} above the gate's 0.25")
+    assert(rTree64 >= 0.9, s"tree IVF probe-12/$n64 clustered recall@10 = $rTree64")
   }
 
   test("tree search matches flat search when the tree degenerates to one branch") {
