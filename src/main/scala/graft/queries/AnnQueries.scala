@@ -716,5 +716,32 @@ object AnnQueries {
       graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
+
+    // q106's semantic dedup at the k ∝ N cell-count rule — the config
+    // that removes the admitted quadratic bend from the checked surface:
+    // cells come from the TREE quantizer with side = round(sqrt(N/8))
+    // (target cell occupancy ~8, so the within-cell pairwise term is
+    // constant per cell while the cell count absorbs corpus growth, and
+    // assignment pays 2·side cosines per row instead of side²). At the
+    // oracle's sf0.01 corpus (N=500) the rule resolves to the 8×8 tree
+    // — the same two-level training q138's CTE replays — so the oracle
+    // is exact, while the Spark side derives the side from the corpus
+    // (sf0.1 bench → 16×16; the 10× decade probe → 50×50).
+    QueryDef("q140_semdedup_tree", Seq("J12", "A10"),
+      s"""WITH $treeCellsCte,
+         dups AS (
+           SELECT DISTINCT b.vec_id
+           FROM tcells a JOIN tcells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+         SELECT vec_id, cell AS cid FROM tcells
+         WHERE vec_id NOT IN (SELECT vec_id FROM dups)""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val side = math.max(2, math.round(math.sqrt(emb.count() / 8.0)).toInt)
+      val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
+        k1 = side, k2 = side, iters = 2)
+      val cells = graft.dedup.SemDedup.assignCellsTree(emb, "vec_id", "embedding", tq)
+        .localCheckpoint(false)
+      graft.dedup.SemDedup.semanticDedupOnCells(cells, tau = 0.3)
+    },
   )
 }

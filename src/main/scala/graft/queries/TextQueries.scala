@@ -28,23 +28,62 @@ object TextQueries {
     .select(col("token"),
       posexplode(array((0 until CmsDepth).map(r => cmsBucket(r, col("token"))): _*))
         .as(Seq("r", "b")))
-  /** q124's estimate stage over a built cell table: candidates ride a
-    * broadcast of the ≤ depth×width cells; total insertions are read
-    * off row 0 (every CMS row sums all insertions); no aggregate has
-    * vocabulary-sized state. */
+  /** q124's estimate stage over a built cell table — the sketch-only
+    * DECISION path: the ≤ depth×width cells collect to the driver (32 KB)
+    * and enter the second scan as plan literals, so each occurrence's
+    * estimate (min over its depth cells) and the heavy test are ROW-LOCAL
+    * — no join, no vocabulary-sized aggregate anywhere. The only distinct
+    * runs over occurrences that already passed the sketch's own est ≥
+    * total/200 test, so its state is the SURVIVOR set (≈ the output — at
+    * most ~200 true hitters plus the d-way collision stragglers), not the
+    * vocabulary: the candidate channel is bounded by the decision itself,
+    * replacing the earlier leading-token heuristic whose DISTINCT grew
+    * with the corpus (and could miss a hitter never seen in a doc head).
+    * Total insertions are read off row 0 (every CMS row sums all
+    * insertions), so no second pass over the counts is needed. */
   private def cmsEstimate(s: org.apache.spark.sql.SparkSession, d: String,
       cms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tot = cms.filter(col("r") === 0).agg(sum("c").as("total"))
-    val cand = Tables.documents(s, d)
-      .select(explode(slice(split(trim(col("text")), """\s+"""), 1, 3)).as("token"))
-      .distinct()
-    cmsCells(cand)
-      .join(broadcast(cms), Seq("r", "b"))
-      .groupBy("token").agg(min("c").as("n_est"))
-      .crossJoin(broadcast(tot))
-      .filter(col("n_est") >= col("total") / 200.0)
+    val cells = Array.fill(CmsDepth * CmsWidth)(0L)
+    cms.collect().foreach { r =>
+      cells(r.getInt(0) * CmsWidth + r.getLong(1).toInt) = r.getLong(2)
+    }
+    val total = cells.take(CmsWidth).sum
+    val est = least((0 until CmsDepth).map(r =>
+      element_at(typedlit(cells.toSeq),
+        (cmsBucket(r, col("token")) + (r * CmsWidth + 1)).cast("int"))): _*)
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), """\s+""")).as("token"))
+      .withColumn("n_est", est)
+      .filter(col("n_est") >= lit(total) / 200.0)
       .select("token", "n_est")
+      .distinct()
   }
+  // The sketch-only heavy-hitter oracle, shared VERBATIM by q124 (batch
+  // build) and q132 (streaming build) — the sketch arithmetic and the
+  // decision threshold must stay bit-identical between them. The replay
+  // affords a vocabulary-wide candidate set (DuckDB is the measuring
+  // stick, not the production shape); Spark's occurrence-filtered
+  // distinct emits the same survivor set because n_est is a function of
+  // the token alone.
+  private def cmsSketchOnlySql =
+    s"""WITH tok AS (SELECT unnest($wsToks) AS token FROM documents),
+        rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+        cms AS (
+          SELECT r.r,
+            ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT % 1024 AS b,
+            count(*) AS c
+          FROM tok t CROSS JOIN rows_ r GROUP BY r.r, b),
+        tot AS (SELECT sum(c) AS total FROM cms WHERE r = 0),
+        cand AS (SELECT DISTINCT token FROM tok),
+        est AS (
+          SELECT k.token, min(m.c) AS n_est
+          FROM cand k CROSS JOIN rows_ r
+          JOIN cms m ON m.r = r.r
+            AND m.b = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || k.token), 1, 8))::BIGINT % 1024
+          GROUP BY k.token)
+        SELECT token, CAST(n_est AS BIGINT) AS n_est
+        FROM est, tot WHERE n_est >= total / 200.0"""
+
   private def stopHits(stops: Seq[String]) =
     s"""len(list_filter($wsToks, t -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], lower(t))))"""
 
@@ -511,35 +550,15 @@ object TextQueries {
     // Sketch-ONLY heavy hitters — the decision path q121 demonstrates
     // the guarantee for. q121 carries the exact vocabulary-sized
     // groupBy(token) in-plan as the oracle's measuring stick; this
-    // sibling is the shape a 100 TB streaming pass actually runs: the
-    // corpus feeds ONLY (a) the CMS build, whose agg keyspace is FIXED
-    // at d×w = 4×1024 cells regardless of vocabulary, and (b) a BOUNDED
-    // candidate channel — each document contributes its first 3 tokens,
-    // then dedup (the CMS+heap idiom's candidate stream; chosen
-    // data-derived rather than per-partition-heap so the oracle can
-    // replay it — per-partition content is not SQL-visible). Estimates
-    // ride the 4,096-cell broadcast; the heavy-hitter threshold's total
-    // is read off CMS row 0 (every row of the sketch sums ALL
-    // insertions), so NO aggregate in the plan has vocabulary-sized
-    // state, and the output is the sketch's own estimate alone.
+    // sibling is the shape a 100 TB pass actually runs: the corpus feeds
+    // ONLY (a) the CMS build, whose agg keyspace is FIXED at d×w =
+    // 4×1024 cells regardless of vocabulary, and (b) a second scan that
+    // tests every occurrence against the sketch ROW-LOCALLY (the cells
+    // are plan literals) and dedups just the survivors — candidate state
+    // = the output set itself, bounded by the decision threshold, with
+    // no vocabulary-sized aggregate anywhere (see cmsEstimate).
     QueryDef("q124_cms_sketch_only", Seq("A11", "U6"),
-      s"""WITH tok AS (SELECT unnest($wsToks) AS token FROM documents),
-          rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
-          cms AS (
-            SELECT r.r,
-              ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT % 1024 AS b,
-              count(*) AS c
-            FROM tok t CROSS JOIN rows_ r GROUP BY r.r, b),
-          tot AS (SELECT sum(c) AS total FROM cms WHERE r = 0),
-          cand AS (SELECT DISTINCT unnest(($wsToks)[1:3]) AS token FROM documents),
-          est AS (
-            SELECT k.token, min(m.c) AS n_est
-            FROM cand k CROSS JOIN rows_ r
-            JOIN cms m ON m.r = r.r
-              AND m.b = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || k.token), 1, 8))::BIGINT % 1024
-            GROUP BY k.token)
-          SELECT token, CAST(n_est AS BIGINT) AS n_est
-          FROM est, tot WHERE n_est >= total / 200.0""") { (s, d) =>
+      cmsSketchOnlySql) { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), """\s+""")).as("token"))
       val cms = cmsCells(toks).groupBy("r", "b").agg(count(lit(1)).as("c"))
@@ -555,26 +574,11 @@ object TextQueries {
     // additive and strictly increasing across batches, so the
     // update-mode drain reconstructs the final sketch with max() per
     // cell (the q118 recipe), and the estimate stage is q124's
-    // verbatim: candidates ride a broadcast of the 4,096-cell table,
+    // verbatim: the reconstructed cells enter the second scan as plan
+    // literals, the only distinct runs over the decision's survivors —
     // no vocabulary-sized aggregate anywhere.
     QueryDef("q132_stream_cms", Seq("A11", "U6"),
-      s"""WITH tok AS (SELECT unnest($wsToks) AS token FROM documents),
-          rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
-          cms AS (
-            SELECT r.r,
-              ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 8))::BIGINT % 1024 AS b,
-              count(*) AS c
-            FROM tok t CROSS JOIN rows_ r GROUP BY r.r, b),
-          tot AS (SELECT sum(c) AS total FROM cms WHERE r = 0),
-          cand AS (SELECT DISTINCT unnest(($wsToks)[1:3]) AS token FROM documents),
-          est AS (
-            SELECT k.token, min(m.c) AS n_est
-            FROM cand k CROSS JOIN rows_ r
-            JOIN cms m ON m.r = r.r
-              AND m.b = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || k.token), 1, 8))::BIGINT % 1024
-            GROUP BY k.token)
-          SELECT token, CAST(n_est AS BIGINT) AS n_est
-          FROM est, tot WHERE n_est >= total / 200.0""") { (s0, d) =>
+      cmsSketchOnlySql) { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
       val batchDocs = Tables.documents(s0, d)
       val schema = batchDocs.schema

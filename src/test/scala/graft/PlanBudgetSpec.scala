@@ -300,28 +300,29 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles(cms) <= 4)
   }
 
-  test("sketch-only heavy hitters: no vocabulary-sized aggregate, sketch and total broadcast") {
-    // q124 is the decision path: the corpus meets only the fixed
-    // 4×1024-cell CMS build and the first-3-tokens candidate channel —
-    // the q121 demo's exact groupBy(token) over the FULL token stream
-    // must not appear. Structurally: every corpus-wide aggregate groups
-    // by (r, b) [≤4096 keys]; the only token-keyed aggregates sit above
-    // the slice()d candidate channel.
+  test("sketch-only heavy hitters: join-free decision path, distinct only over survivors") {
+    // q124 is the decision path: the RETURNED plan is the second scan
+    // alone — the cell build collects at build time and enters this scan
+    // as plan literals, so each occurrence's estimate and the heavy test
+    // are row-local expressions (no join, no broadcast, nothing to
+    // shuffle but the survivor distinct). The q121 measuring-stick
+    // groupBy(token) over the full stream must not appear: the only
+    // token-keyed aggregate dedups rows that already passed the sketch's
+    // own threshold filter, so its state is the output set.
     val so = q("q124_cms_sketch_only")
     val plan = so.queryExecution.executedPlan.toString
-    assert(plan.contains("slice("), s"q124 candidate channel missing:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"q124 cross-products:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"q124 sort-merge-joins:\n$plan")
-    assert(broadcasts(so) >= 2, s"q124 sketch/total not broadcast:\n$plan")
-    assert(shuffles(so) <= 4)
-    // the NEGATIVE check the comment promises: the full-stream token agg
-    // (q121's measuring stick — the state the sketch exists to replace)
-    // is structurally absent. Walked on the plan TREE, not grepped:
-    // every token-keyed aggregate's subtree must generate its tokens
-    // exclusively from the slice()d candidate channel — a token-keyed
-    // agg over an UN-sliced explode is exactly the vocabulary-sized
-    // state this query must never build.
-    import org.apache.spark.sql.execution.GenerateExec
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q124 decision path grew a join:\n$plan")
+    assert(broadcasts(so) == 0, s"q124 should need no broadcast at all:\n$plan")
+    assert(shuffles(so) <= 1, s"q124 should shuffle only the survivor distinct:\n$plan")
+    // Structurally (walked on the plan tree, not grepped): every
+    // token-keyed aggregate's input must flow through the decision
+    // FilterExec — the literal-sketch estimate test, recognizable by the
+    // element_at cell lookups Catalyst inlines when it pushes the filter
+    // below the projection. A token-keyed agg without that filter under
+    // it is exactly the vocabulary-sized state this query must never
+    // build.
+    import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     // AdaptiveSparkPlanExec holds its plan in a field, not in children —
@@ -334,25 +335,13 @@ class PlanBudgetSpec extends SparkSpec {
       case h: HashAggregateExec
         if h.groupingExpressions.exists(_.name.startsWith("token")) => h
     }
-    assert(tokenAggs.nonEmpty, s"q124 lost its candidate dedup:\n$plan")
+    assert(tokenAggs.nonEmpty, s"q124 lost its survivor dedup:\n$plan")
     tokenAggs.foreach { h =>
-      // trace the aggregate's OWN grouping attribute (by exprId) to the
-      // generator that produces it: the estimate join's subtree also
-      // contains the cell build's full-stream explode, but that one
-      // feeds a DIFFERENT token attribute that dies inside the
-      // 4096-cell aggregate — only the attribute this agg groups on
-      // must come from the slice()d candidate channel
-      val keyIds = h.groupingExpressions.collect {
-        case a: org.apache.spark.sql.catalyst.expressions.Attribute
-          if a.name.startsWith("token") => a.exprId
-      }.toSet
-      val tokenGens = h.collect {
-        case g: GenerateExec
-          if g.generatorOutput.exists(o => keyIds.contains(o.exprId)) => g
+      val decisionFilters = h.collect {
+        case f: FilterExec if f.condition.toString.contains("element_at") => f
       }
-      assert(tokenGens.nonEmpty &&
-          tokenGens.forall(_.generator.toString.contains("slice(")),
-        s"q124 token-keyed aggregate fed by an un-sliced token stream:\n$h")
+      assert(decisionFilters.nonEmpty,
+        s"q124 token-keyed aggregate not fed by the sketch's decision filter:\n$h")
     }
   }
 
