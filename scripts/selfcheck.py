@@ -77,6 +77,10 @@ def main():
         for line in r.stdout.splitlines():
             if "[verify]" in line:
                 print(line)
+    # with --no-run the OUT dir may not exist yet — say so cleanly
+    # instead of tracebacking on the first path read
+    if not OUT.exists():
+        sys.exit(f"output dir {OUT} does not exist; run without --no-run first")
     oracles = json.loads((OUT / "oracle_sql.json").read_text())
     if ONLY:
         # a typo'd name must not produce a vacuous ALL GREEN

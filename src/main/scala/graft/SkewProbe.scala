@@ -86,8 +86,12 @@ object SkewProbe {
         // nodes and the skew evidence would read as absent
         df.collect() // one global-agg row
         val sec = (System.nanoTime() - t0) / 1e9
-        if (sec < best) best = sec
-        plan = df.queryExecution.executedPlan.toString
+        if (sec < best) {
+          best = sec
+          // keep the plan FROM THE ITERATION THAT PRODUCED best, so the
+          // reported time and its skewed_reads evidence are one run
+          plan = df.queryExecution.executedPlan.toString
+        }
       }
       (best, plan)
     }

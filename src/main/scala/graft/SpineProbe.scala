@@ -76,39 +76,50 @@ object SpineProbe {
     // full list — staging below is gated on what the list actually reads
     val decade = factor >= 4
 
-    val probes =
-      if (decade) Seq( // the decade probe: the spine + sketch + ANN families
-        ("q94_cva_end_to_end", "orders"),
-        ("q106_semdedup", "embeddings"),
-        ("q112_flagging_end_to_end", "orders"),
-        ("q114_dup_spans", "documents_sfx"),
-        ("q119_kmv_distinct", "lineitem"),
-        ("q121_cms_heavy_hitters", "documents"),
-        ("q122_quantile_sample", "lineitem"),
-        ("q126_ann_pq", "embeddings"),
-        ("q127_ann_ivfpq", "embeddings"),
-        ("q128_hll_distinct", "lineitem"))
+    // every orders-spine query also reads the nation dimension, so its
+    // footprint names BOTH tables — staging is the union over selections
+    val ordersSpine = Set("orders", "nation")
+    val probes: Seq[(String, Set[String])] =
+      if (decade) Seq( // decade probe: spine + sketch + ANN + streaming
+        ("q94_cva_end_to_end", ordersSpine),
+        ("q106_semdedup", Set("embeddings")),
+        ("q112_flagging_end_to_end", ordersSpine),
+        ("q114_dup_spans", Set("documents_sfx")),
+        ("q119_kmv_distinct", Set("lineitem")),
+        ("q121_cms_heavy_hitters", Set("documents")),
+        ("q122_quantile_sample", Set("lineitem")),
+        ("q126_ann_pq", Set("embeddings")),
+        ("q127_ann_ivfpq", Set("embeddings")),
+        ("q128_hll_distinct", Set("lineitem")),
+        ("q140_semdedup_tree", Set("embeddings")),
+        ("q130_stream_interval_join", Set("events")),
+        ("q131_stream_session", Set("events")),
+        ("q132_stream_cms", Set("documents")),
+        ("q133_stream_cdc_tws", Set("events")),
+        ("q135_stream_interval_outer", Set("events")),
+        ("q137_stream_join_window", Set("events")))
       else Seq(
-        ("q94_cva_end_to_end", "orders"),
-        ("q104_pack_materialize", "documents"),
-        ("q113_token_budget", "documents"),
-        ("q115_bm25", "documents"),
-        ("q114_dup_spans", "documents_sfx"),
-        ("q116_batched_inference", "orders"),
-        ("q117_staged_spine_join", "orders"),
-        ("q118_stream_incremental_neardup", "documents"),
-        ("q119_kmv_distinct", "lineitem"),
-        ("q121_cms_heavy_hitters", "documents"),
-        ("q122_quantile_sample", "lineitem"),
-        ("q123_zorder_scan", "lineitem"),
-        ("q126_ann_pq", "embeddings"),
-        ("q127_ann_ivfpq", "embeddings"),
-        ("q130_stream_interval_join", "events"),
-        ("q131_stream_session", "events"),
-        ("q132_stream_cms", "documents"),
-        ("q133_stream_cdc_tws", "events"),
-        ("q135_stream_interval_outer", "events"),
-        ("q137_stream_join_window", "events"))
+        ("q94_cva_end_to_end", ordersSpine),
+        ("q104_pack_materialize", Set("documents")),
+        ("q113_token_budget", Set("documents")),
+        ("q115_bm25", Set("documents")),
+        ("q114_dup_spans", Set("documents_sfx")),
+        ("q116_batched_inference", ordersSpine),
+        ("q117_staged_spine_join", ordersSpine),
+        ("q118_stream_incremental_neardup", Set("documents")),
+        ("q119_kmv_distinct", Set("lineitem")),
+        ("q121_cms_heavy_hitters", Set("documents")),
+        ("q122_quantile_sample", Set("lineitem")),
+        ("q123_zorder_scan", Set("lineitem")),
+        ("q126_ann_pq", Set("embeddings")),
+        ("q127_ann_ivfpq", Set("embeddings")),
+        ("q140_semdedup_tree", Set("embeddings")),
+        ("q130_stream_interval_join", Set("events")),
+        ("q131_stream_session", Set("events")),
+        ("q132_stream_cms", Set("documents")),
+        ("q133_stream_cdc_tws", Set("events")),
+        ("q135_stream_interval_outer", Set("events")),
+        ("q137_stream_join_window", Set("events")))
     // optional third arg: comma-separated query filter (dev iteration);
     // staging is gated on the SELECTED queries' tables, so a one-query
     // drill-down doesn't pay the full multi-table 2.5× materialization
@@ -118,7 +129,7 @@ object SpineProbe {
       require(unknown.isEmpty, s"unknown probe queries: ${unknown.mkString(", ")}")
     }
     val selected = probes.filter { case (q, _) => onlyQ.forall(_.contains(q)) }
-    val needed = selected.map(_._2).toSet
+    val needed = selected.flatMap(_._2).toSet
 
     def stage(name: String, df: => DataFrame): Unit =
       if (needed(name))
@@ -150,7 +161,7 @@ object SpineProbe {
         else df.withColumn("embedding",
           expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
       }))
-    if (needed("orders")) // every orders-spine query also reads nation
+    if (needed("nation")) // dimension: copied 1×, never scaled
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.mode("overwrite").parquet(s"$scaled/nation.parquet")
     // events (q130/q131 sweep): full copies shift user_id past max, so
@@ -168,7 +179,14 @@ object SpineProbe {
       val ev = graft.sources.Tables.events(spark, sfDir)
       val userOff = // > max(user_id) at ANY sf, asserted not assumed
         ev.agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
-      scaleUnion(ev, "event_id", 3000000L,
+      // event_id offset likewise DERIVED, not hardcoded: the next
+      // multiple of lcm(500, 300) = 1500 past max(event_id), so copies
+      // never collide in key space at any sf while q81/q97/q120/q133's
+      // derived-entity structure (event_id % 500 / % 300) still
+      // replicates per copy
+      val eidOff = (ev.agg(max(col("event_id")).cast("long")).head().getLong(0)
+        / 1500L + 1L) * 1500L
+      scaleUnion(ev, "event_id", eidOff,
         (df, c) => df.withColumn("user_id", col("user_id") + c * userOff))
     })
 
@@ -214,10 +232,45 @@ object SpineProbe {
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
       "q135_stream_interval_outer", "q137_stream_join_window")
-    for ((q, tbl) <- selected) {
-      val big = if (tbl == "documents_sfx") scaledSfx else scaled
+    // sink name per streaming query — the StreamMetrics key its drain
+    // records under, read back to gate state bounds at N×
+    val streamSinks = Map(
+      "q130_stream_interval_join" -> "graft_stream_interval_join",
+      "q131_stream_session" -> "graft_stream_session",
+      "q132_stream_cms" -> "graft_stream_cms",
+      "q133_stream_cdc_tws" -> "graft_stream_cdc_tws",
+      "q135_stream_interval_outer" -> "graft_stream_interval_outer",
+      "q137_stream_join_window" -> "graft_stream_join_window")
+    for ((q, tbls) <- selected) {
+      val big = if (tbls("documents_sfx")) scaledSfx else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
+      val state1 = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
       time(s"${q}_$tag", SparkEntry.queries(q)(spark, big))
+      val stateN = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
+      // The decade re-runs StreamingStateSpec's claim ON THE SCALED
+      // TABLE: state rows per key-horizon, not wall time, is what the
+      // streaming family promises. The events scaling grows USERS N×
+      // at constant per-user depth, so horizon-bounded state (join
+      // buffers, open sessions) may grow ~N× and no more; the CMS is
+      // flat at its 4,096 cells BY CONSTRUCTION; the CDC entity space
+      // (event_id % 300, offsets ≡ 0 mod 1500) replicates per copy, so
+      // its live-entity state must stay EXACTLY flat while the stream
+      // deepens N×.
+      if (decade) (state1, stateN) match {
+        case (Some(a), Some(b)) =>
+          val ok = q match {
+            case "q132_stream_cms" =>
+              a.maxRowsTotal <= 4096L && b.maxRowsTotal == a.maxRowsTotal
+            case "q133_stream_cdc_tws" =>
+              b.maxRowsTotal == a.maxRowsTotal && b.maxRowsTotal <= 300L
+            case _ =>
+              b.removed > 0 &&
+                b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64
+          }
+          println(s"""{"gate":"${q}_state_bound_$tag","ok":$ok,"detail":"peak_1x=${a.maxRowsTotal} peak_$tag=${b.maxRowsTotal} removed_$tag=${b.removed} operators=${b.operators}"}""")
+        case _ =>
+          println(s"""{"gate":"${q}_state_bound_$tag","ok":false,"detail":"no StreamMetrics snapshot recorded"}""")
+      }
       if (drainsInBuild(q))
         println(s"""{"probe":"${q}_plan_$tag","skipped":"drain executes inside build; sink-side plan is not the pipeline"}""")
       else {
@@ -336,6 +389,31 @@ object SpineProbe {
         probes = 16, r = 100, res = true)
       gate(s"q127_ivfpq_residual_recall_planted_$tag", rProd >= 0.9,
         f"nlist64/8-bit-residual/r100 recall@10=$rProd%.4f (ladder: raw 1x-config $rRaw%.4f, residual-under-coarse-router $rResCoarse%.4f)")
+
+      // q140: the k ∝ N cell-count rule must hold the within-cell
+      // pairwise term flat PER ROW — Σ|cell|·(|cell|−1)/2 divided by N
+      // stays within 3× across the decade (the cell count absorbs the
+      // corpus growth; a fixed-k quantizer would grow this ~10×, the
+      // quadratic bend q106's fixed 16 cells admit).
+      if (needed("embeddings")) {
+        def pairsPerRow(dir: String): Double = {
+          val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          val n = emb.count()
+          val side = math.max(2, math.round(math.sqrt(n / 8.0)).toInt)
+          val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
+            k1 = side, k2 = side, iters = 2)
+          val pairs = graft.dedup.SemDedup
+            .assignCellsTree(emb, "vec_id", "embedding", tq)
+            .groupBy("cid").count()
+            .agg(sum(col("count") * (col("count") - 1) / 2).as("p"))
+            .head().getLong(0)
+          pairs.toDouble / n
+        }
+        val pp1 = pairsPerRow(sfDir)
+        val ppN = pairsPerRow(scaled)
+        gate(s"q140_pairs_per_row_flat_$tag", ppN <= 3.0 * pp1,
+          f"pairs_per_row_1x=$pp1%.2f ${tag}=$ppN%.2f ratio=${ppN / pp1}%.2f")
+      }
     }
     spark.stop()
   }

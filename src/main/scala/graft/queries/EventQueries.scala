@@ -487,6 +487,7 @@ object EventQueries {
       val q = ops.toDF().writeStream.format("memory").queryName(sinkName)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
       dropStaged(in)
       cdcSinkReduce(s.table(sinkName))
     },
@@ -527,6 +528,7 @@ object EventQueries {
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
       dropStaged(in)
       s.table(sinkName).groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -566,11 +568,21 @@ object EventQueries {
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
       addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
       val joined = intervalJoinPair(s, schema, in, "leftOuter")
-      val q = joined.writeStream.format("memory").queryName(sinkName)
+      // PARQUET sink, not memory: append mode + checkpoint is the
+      // durable production drain (the memory sink is explicitly not
+      // checkpoint-recoverable — CheckpointRestartSpec documents why),
+      // and the read-back proves the emitted rows round-trip a real
+      // file sink. The sink dir must outlive this call (the returned
+      // frame reads it lazily), so it is NOT dropped with the staging.
+      val out = java.nio.file.Files.createTempDirectory("graft_ssjo_out_").toString
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/cp")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
       dropStaged(in)
-      s.table(sinkName).filter(col("c_user") >= 0)
+      s.read.parquet(s"$out/rows").filter(col("c_user") >= 0)
         .groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_rows"),
           count(col("p_id")).as("n_matched"),
@@ -620,6 +632,7 @@ object EventQueries {
       val q = stream.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
       dropStaged(in)
       s.table(sinkName).select("hour_epoch", "n_pairs", "attributed")
     },
@@ -673,11 +686,18 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
         .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
           col("n_events"), col("session_value"))
-      val q = stream.writeStream.format("memory").queryName(sinkName)
+      // parquet sink + checkpoint (see q135): session windows are
+      // append-only by API, so the file sink holds each session exactly
+      // once and the read-back is a plain projection over real files.
+      val out = java.nio.file.Files.createTempDirectory("graft_sess_out_").toString
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/cp")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
       dropStaged(in)
-      s.table(sinkName).filter(col("user_id") >= 0)
+      s.read.parquet(s"$out/rows").filter(col("user_id") >= 0)
         .select("user_id", "session_start", "n_events", "session_value")
     },
   )

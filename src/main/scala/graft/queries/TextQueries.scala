@@ -595,6 +595,7 @@ object TextQueries {
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
       EventQueries.dropStaged(in)
       val cms = s.table(sinkName).groupBy("r", "b").agg(max("c").as("c"))
       cmsEstimate(s, d, cms)

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Post-drain state-store metrics for the inventory's streaming queries.
+  *
+  * The drains run INSIDE each query's build function and return only the
+  * sink read, so the `StreamingQueryProgress` evidence (how much state
+  * the store held, whether the watermark actually evicted) would die
+  * with the local `StreamingQuery` reference. Each drain records a
+  * snapshot here, keyed by its sink name, and the scale probes read it
+  * back to gate the BOUNDED-STATE claims at N× — state rows per
+  * key-horizon, not wall time, is what the streaming family promises
+  * (StreamingStateSpec pins the same invariants on synthetic batches;
+  * this registry lets SpineProbe re-assert them on the scaled tables).
+  */
+object StreamMetrics {
+
+  /** `maxRowsTotal` = the PEAK across micro-batches of the sum over all
+    * state operators' `numRowsTotal` (the store's high-water mark);
+    * `removed` = total watermark evictions over the drain; `operators` =
+    * state operators in the query (2 for the chained q137). */
+  final case class Snapshot(maxRowsTotal: Long, removed: Long, operators: Int)
+
+  private val snaps = scala.collection.concurrent.TrieMap.empty[String, Snapshot]
+
+  def record(name: String, q: StreamingQuery): Unit = {
+    val progress = q.recentProgress.toSeq
+    val perBatch = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+    snaps(name) = Snapshot(
+      if (perBatch.isEmpty) 0L else perBatch.max,
+      progress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum,
+      progress.map(_.stateOperators.length).foldLeft(0)(_ max _))
+  }
+
+  def get(name: String): Option[Snapshot] = snaps.get(name)
+}
