@@ -256,7 +256,7 @@ object SpineProbe {
       // (event_id % 300, offsets ≡ 0 mod 1500) replicates per copy, so
       // its live-entity state must stay EXACTLY flat while the stream
       // deepens N×.
-      if (decade) (state1, stateN) match {
+      if (decade && streamSinks.contains(q)) (state1, stateN) match {
         case (Some(a), Some(b)) =>
           val ok = q match {
             case "q132_stream_cms" =>
@@ -297,6 +297,9 @@ object SpineProbe {
         println(s"""{"gate":"$name","ok":$ok,"detail":"$detail"}""")
 
       val kSketch = 256
+      // each gate family reads its own scaled table, so a --only filter
+      // that never staged it must skip the gate, not crash the probe
+      if (needed("lineitem")) {
       val kmvEst = SparkEntry.queries("q119_kmv_distinct")(spark, scaled)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       val kmvExact = spark.read.parquet(s"$scaled/lineitem.parquet")
@@ -307,6 +310,18 @@ object SpineProbe {
       gate(s"q119_kmv_within_3oversqrtk_$tag",
         kmvWorst <= 3.0 / math.sqrt(kSketch), f"max_rel_err=$kmvWorst%.4f")
 
+      // q128: the HLL bound re-asserted on the 10× distinct universe
+      // (l_partkey shifts per copy, so exact cardinality really grows
+      // 10× — deep inside the raw harmonic-mean branch)
+      val hllEst = SparkEntry.queries("q128_hll_distinct")(spark, scaled)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val hllWorst = kmvExact.map { case (g, n) =>
+        math.abs(hllEst(g) - n) / n.toDouble }.max
+      gate(s"q128_hll_within_3sigma_$tag",
+        hllWorst <= 3.0 * 1.04 / math.sqrt(256.0), f"max_rel_err=$hllWorst%.4f")
+      }
+
+      if (needed("documents")) {
       // q121: the CMS hard guarantee (est ≥ exact) must hold on every
       // emitted heavy hitter; the measured worst overestimate is
       // reported in units of N/w (the sketch's error scale) so drift
@@ -321,7 +336,9 @@ object SpineProbe {
         else hh.map { case (_, exact, est) => (est - exact) / overUnit }.max
       gate(s"q121_cms_est_ge_exact_$tag", allGe && hh.nonEmpty,
         f"hitters=${hh.length} worst_overestimate=${worstOver}%.3f N_over_w_units")
+      }
 
+      if (needed("lineitem")) {
       // q122: exact CDF at each estimate within 3·√(p(1-p)/k) of p
       val qs = SparkEntry.queries("q122_quantile_sample")(spark, scaled)
         .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
@@ -337,17 +354,9 @@ object SpineProbe {
       }.max
       gate(s"q122_rank_error_in_bound_$tag", qWorst <= 1.0,
         f"worst_error_over_bound=$qWorst%.3f")
+      }
 
-      // q128: the HLL bound re-asserted on the 10× distinct universe
-      // (l_partkey shifts per copy, so exact cardinality really grows
-      // 10× — deep inside the raw harmonic-mean branch)
-      val hllEst = SparkEntry.queries("q128_hll_distinct")(spark, scaled)
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val hllWorst = kmvExact.map { case (g, n) =>
-        math.abs(hllEst(g) - n) / n.toDouble }.max
-      gate(s"q128_hll_within_3sigma_$tag",
-        hllWorst <= 3.0 * 1.04 / math.sqrt(256.0), f"max_rel_err=$hllWorst%.4f")
-
+      if (needed("embeddings")) {
       // ANN recall at 10×: the composed IVFADC stack re-gated on a
       // planted-cluster blend of the SCALED corpus (20k vectors, 32
       // clusters of ~625 — every cluster 10× as populous as the 1×
@@ -395,24 +404,27 @@ object SpineProbe {
       // stays within 3× across the decade (the cell count absorbs the
       // corpus growth; a fixed-k quantizer would grow this ~10×, the
       // quadratic bend q106's fixed 16 cells admit).
-      if (needed("embeddings")) {
+      locally {
         def pairsPerRow(dir: String): Double = {
           val emb = spark.read.parquet(s"$dir/embeddings.parquet")
           val n = emb.count()
           val side = math.max(2, math.round(math.sqrt(n / 8.0)).toInt)
           val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
             k1 = side, k2 = side, iters = 2)
+          // Column `/` is double division; the product is even so the
+          // double sum is exact at these magnitudes
           val pairs = graft.dedup.SemDedup
             .assignCellsTree(emb, "vec_id", "embedding", tq)
             .groupBy("cid").count()
             .agg(sum(col("count") * (col("count") - 1) / 2).as("p"))
-            .head().getLong(0)
-          pairs.toDouble / n
+            .head().getDouble(0)
+          pairs / n
         }
         val pp1 = pairsPerRow(sfDir)
         val ppN = pairsPerRow(scaled)
         gate(s"q140_pairs_per_row_flat_$tag", ppN <= 3.0 * pp1,
           f"pairs_per_row_1x=$pp1%.2f ${tag}=$ppN%.2f ratio=${ppN / pp1}%.2f")
+      }
       }
     }
     spark.stop()
