@@ -30,14 +30,17 @@ object KMeans {
     * serving geometry trained under the old rules. */
   val recipeVersion = 1
 
-  /** Nearest-centroid id as a row-local expression (argmax by
-    * (rounded cosine, -cid) over an inline struct array). */
+  /** Nearest-centroid id as a row-local expression: argmax by
+    * (rounded cosine, -cid), evaluated by the native
+    * [[graft.functions.VectorKernels.argmaxCosine]] kernel (one fused
+    * loop per row; identical arithmetic to the composed
+    * array_max-over-structs form it replaced — VectorFnsSpec pins the
+    * equivalence). Centroid ids must be their positions 0..k-1, which
+    * every trainer/loader in this package guarantees. */
   def nearestCentroid(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-    val entries = cents.map { case (cid, c) =>
-      struct(round(VectorFns.cosine(vec, typedlit(c)), 6).as("sim"),
-        lit(-cid).as("mcid"))
-    }
-    (-array_max(array(entries: _*)).getField("mcid")).cast("int")
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be 0..k-1 in order")
+    graft.functions.VectorKernels.argmaxCosine(vec, cents.map(_._2))
   }
 
   /** The query-side router: the `probes` nearest centroid ids, best
@@ -103,20 +106,16 @@ object KMeans {
   final case class TreeQuantizer(
       branches: Seq[(Int, Seq[Double])], leaves: Seq[Seq[Seq[Double]]], k2: Int)
 
-  /** Nearest leaf WITHIN a known branch: the branch's leaf list comes off
-    * a plan-literal array-of-arrays via element_at, so each row scores
-    * only its own branch's ≤k2 leaves — assignment is k1 + k2 cosines per
-    * row instead of the flat quantizer's k1·k2. Same argmax/tiebreak
-    * arithmetic as [[nearestCentroid]] (sim desc, leaf index asc).
-    * Column expressions cannot let-bind, so compute the branch into its
-    * own column first and pass THAT — inlining nearestCentroid here would
-    * re-evaluate its k1 cosines a second time per row. */
-  def leafInBranch(vec: Column, branch: Column, tq: TreeQuantizer): Column = {
-    val scored = transform(element_at(typedlit(tq.leaves), (branch + 1).cast("int")),
-      (c, i) => struct(round(VectorFns.cosine(vec, c), 6).as("sim"),
-        (-i).as("mlid")))
-    (-array_max(scored).getField("mlid")).cast("int")
-  }
+  /** Nearest leaf WITHIN a known branch: the native argmax kernel scores
+    * only the row's own branch's ≤k2 leaves — assignment is k1 + k2
+    * cosines per row instead of the flat quantizer's k1·k2. Same
+    * argmax/tiebreak arithmetic as [[nearestCentroid]] (sim desc, leaf
+    * index asc). Column expressions cannot let-bind, so compute the
+    * branch into its own column first and pass THAT — inlining
+    * nearestCentroid here would re-evaluate its k1 cosines a second time
+    * per row. */
+  def leafInBranch(vec: Column, branch: Column, tq: TreeQuantizer): Column =
+    graft.functions.VectorKernels.argmaxCosineBy(vec, branch, tq.leaves)
 
   /** Train the two-level tree: level 1 = [[fit]] with k1; level 2 runs
     * the same deterministic Lloyd recipe for ALL branches at once (init =

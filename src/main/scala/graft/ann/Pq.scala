@@ -43,17 +43,14 @@ object Pq {
   /** Nearest codeword id within subspace `mi` (a plan-time constant):
     * [[KMeans.nearestCentroid]]'s argmax over that subspace's book. */
   private def nearestCode(subvec: Column, book: Seq[Seq[Double]]): Column =
-    KMeans.nearestCentroid(subvec, book.zipWithIndex.map { case (c, i) => (i, c) })
+    graft.functions.VectorKernels.argmaxCosine(subvec, book)
 
   /** Nearest codeword id with the subspace carried in a COLUMN — the
-    * fused-training form: the row's book comes off a plan-literal
-    * array-of-books via element_at (the [[KMeans.leafInBranch]] idiom),
-    * so one expression assigns every subspace's rows in a single pass. */
-  private def nearestCodeBy(subvec: Column, mi: Column, books: Seq[Seq[Seq[Double]]]): Column = {
-    val scored = transform(element_at(typedlit(books), (mi + 1).cast("int")),
-      (c, i) => struct(round(VectorFns.cosine(subvec, c), 6).as("sim"), (-i).as("mcid")))
-    (-array_max(scored).getField("mcid")).cast("int")
-  }
+    * fused-training form: the row's book is selected per row inside the
+    * native argmax kernel (the [[KMeans.leafInBranch]] idiom), so one
+    * expression assigns every subspace's rows in a single pass. */
+  private def nearestCodeBy(subvec: Column, mi: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.VectorKernels.argmaxCosineBy(subvec, mi, books)
 
   /** One row per (vector, subspace): the fused training relation. */
   private def subRows(v: DataFrame, m: Int, subDim: Int): DataFrame =

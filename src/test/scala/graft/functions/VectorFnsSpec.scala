@@ -72,6 +72,53 @@ class VectorFnsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  // The composed argmax the ArgmaxCosine kernel replaced — array_max
+  // over struct(round(cosine, 6), -idx): the arithmetic every ANN/PQ
+  // oracle replays, so the kernel must match it bit-for-bit.
+  private def argmaxRef(vec: Column, book: Seq[Seq[Double]]): Column = {
+    val entries = book.zipWithIndex.map { case (c, i) =>
+      struct(round(VectorFns.cosine(vec, typedlit(c)), 6).as("sim"),
+        lit(-i).as("mcid"))
+    }
+    (-array_max(array(entries: _*)).getField("mcid")).cast("int")
+  }
+
+  test("argmax-cosine kernel matches the composed struct-max form, float and double input") {
+    val rnd = new scala.util.Random(23L)
+    val book = Seq.fill(17)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val rows = Seq.fill(300)(Tuple1(Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = spark.createDataFrame(rows).toDF("v")
+    val bad = df.select(
+      VectorKernels.argmaxCosine(col("v"), book).as("native"),
+      argmaxRef(col("v"), book).as("ref"))
+      .filter(not(col("native") <=> col("ref"))).count()
+    assert(bad == 0)
+    val dd = df.select(transform(col("v"), x => x.cast("double")).as("v"))
+    val bad2 = dd.select(VectorKernels.argmaxCosine(col("v"), book).as("n"),
+      argmaxRef(col("v"), book).as("r"))
+      .filter(not(col("n") <=> col("r"))).count()
+    assert(bad2 == 0)
+  }
+
+  test("argmax-cosine: exact ties keep the lowest index; by-column books select per row") {
+    // duplicate the winning codeword at a later index — the tie must
+    // resolve to the EARLIER one, the -idx struct-max tiebreak
+    val v = Seq(1.0, 2.0, 3.0, 4.0)
+    val book = Seq(Seq(4.0, 3.0, 2.0, 1.0), v, Seq(0.5, 0.5, 0.5, 0.5), v)
+    val df = spark.createDataFrame(Seq(Tuple1(v))).toDF("v")
+    val idx = df.select(VectorKernels.argmaxCosine(col("v"), book)).head.getInt(0)
+    assert(idx == 1, s"tie resolved to $idx, expected the earlier duplicate")
+    // per-row book selection, variable book sizes (the tree-leaf shape)
+    val books = Seq(
+      Seq(Seq(1.0, 0.0, 0.0, 0.0)),                 // book 0: one codeword
+      Seq(Seq(0.0, 1.0, 0.0, 0.0), v, Seq(9.0, 9.0, 9.0, 9.0))) // book 1
+    val rows = spark.createDataFrame(Seq((v, 0), (v, 1))).toDF("v", "b")
+    val got = rows.select(col("b"),
+        VectorKernels.argmaxCosineBy(col("v"), col("b"), books).as("i"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(0 -> 0, 1 -> 1), s"by-column selection wrong: $got")
+  }
+
   test("zero-norm input: native yields NaN (DuckDB semantics); composed form throws under ANSI") {
     // deliberate improvement over the composed form, whose 0/0 raises
     // DIVIDE_BY_ZERO with spark.sql.ansi.enabled=true — DuckDB (and any
