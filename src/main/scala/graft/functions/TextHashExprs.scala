@@ -267,7 +267,46 @@ object TextHash {
     sig
   }
 
+  /** The depth md5-salted CMS buckets of a token in ONE pass: bucket r =
+    * value of the first 8 hex digits of md5("r:" + token) mod width —
+    * identical to `conv(substring(md5(concat('r:', t)), 1, 8), 16, 10)
+    * % width`, without the per-row hex-string round-trips the composed
+    * form pays depth times. */
+  def cmsBuckets(t: UTF8String, depth: Int, width: Int): GenericArrayData = {
+    val s = t.toString
+    val out = new Array[Long](depth)
+    var r = 0
+    while (r < depth) {
+      out(r) = hexPrefix(md5(r.toString + ":" + s), 8) % width
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** CMS point estimate against a LITERAL cell table (row-major,
+    * cells(r·width + b)): min over rows of the token's cell — the
+    * `least` of depth element_at lookups as one kernel, sharing the
+    * bucket arithmetic above. */
+  def cmsEstimate(t: UTF8String, cells: Array[Long], depth: Int, width: Int): Long = {
+    val s = t.toString
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val b = (hexPrefix(md5(r.toString + ":" + s), 8) % width).toInt
+      val c = cells(r * width + b)
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
   // ---- Column constructors ----
+
+  def cms_buckets(c: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(CmsBucketsExpr(GraftColumnBridge.expression(c), depth, width))
+
+  def cms_estimate(c: Column, cells: Array[Long], depth: Int, width: Int): Column =
+    GraftColumnBridge.column(CmsEstimateExpr(GraftColumnBridge.expression(c), cells, depth, width))
 
   def min_gram_md5(c: Column, k: Int): Column =
     GraftColumnBridge.column(MinGramMd5Hex(GraftColumnBridge.expression(c), k))
@@ -360,6 +399,42 @@ case class SimHashMd5(child: Expression, bits: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash$$.MODULE$$.simHash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The depth CMS bucket ids of a token, one md5 pass each, no hex-string
+  * round-trips — posexplode this where the composed form built an
+  * `array(conv(substring(md5(...))...) % width, ...)`. */
+case class CmsBucketsExpr(child: Expression, depth: Int, width: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(depth >= 1 && width >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.cmsBuckets(input.asInstanceOf[UTF8String], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.cmsBuckets($c, $depth, $width)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** CMS point estimate of a token against a literal cell table — the
+  * sketch-only decision path's per-occurrence test (q124/q132) as one
+  * kernel: depth salted md5 buckets + min over the literal cells. */
+case class CmsEstimateExpr(child: Expression, cells: Array[Long], depth: Int, width: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(depth >= 1 && width >= 1 && cells.length == depth * width)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.cmsEstimate(input.asInstanceOf[UTF8String], cells, depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("cells", cells, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.cmsEstimate($c, $cellsRef, $depth, $width)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -21,12 +21,12 @@ object TextQueries {
   // so it lives in exactly one place.
   private val CmsDepth = 4
   private val CmsWidth = 1024
-  private def cmsBucket(r: Int, c: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
-      .cast("long") % CmsWidth
+  // the native one-pass bucket kernel (TextHash.cms_buckets) computes
+  // the same conv(substring(md5("r:" || t), 1, 8), 16, 10) % width
+  // values the oracle replays — TextHashParitySpec pins the equivalence
   private def cmsCells(tokens: org.apache.spark.sql.DataFrame) = tokens
     .select(col("token"),
-      posexplode(array((0 until CmsDepth).map(r => cmsBucket(r, col("token"))): _*))
+      posexplode(graft.functions.TextHash.cms_buckets(col("token"), CmsDepth, CmsWidth))
         .as(Seq("r", "b")))
   /** q124's estimate stage over a built cell table — the sketch-only
     * DECISION path: the ≤ depth×width cells collect to the driver (32 KB)
@@ -48,9 +48,8 @@ object TextQueries {
       cells(r.getInt(0) * CmsWidth + r.getLong(1).toInt) = r.getLong(2)
     }
     val total = cells.take(CmsWidth).sum
-    val est = least((0 until CmsDepth).map(r =>
-      element_at(typedlit(cells.toSeq),
-        (cmsBucket(r, col("token")) + (r * CmsWidth + 1)).cast("int"))): _*)
+    val est = graft.functions.TextHash.cms_estimate(
+      col("token"), cells, CmsDepth, CmsWidth)
     Tables.documents(s, d)
       .select(explode(split(trim(col("text")), """\s+""")).as("token"))
       .withColumn("n_est", est)
@@ -523,23 +522,15 @@ object TextQueries {
           tot AS (SELECT sum(n_exact) AS total FROM counts)
           SELECT token, n_exact, CAST(n_est AS BIGINT) AS n_est
           FROM est, tot WHERE n_est >= total / 200.0""") { (s, d) =>
-      val depth = 4
-      val width = 1024
-      def bucket(r: Int, c: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10)
-          .cast("long") % width
       val toks = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), """\s+""")).as("token"))
-      val banded = toks.select(col("token"),
-        posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
-          .as(Seq("r", "b")))
-      val cms = banded.groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val cms = cmsCells(toks).groupBy("r", "b").agg(count(lit(1)).as("c"))
       val counts = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
       val tot = counts.agg(sum("n_exact").as("total"))
       counts
         .select(col("token"), col("n_exact"),
-          posexplode(array((0 until depth).map(r => bucket(r, col("token"))): _*))
-            .as(Seq("r", "b")))
+          posexplode(graft.functions.TextHash.cms_buckets(
+            col("token"), CmsDepth, CmsWidth)).as(Seq("r", "b")))
         .join(broadcast(cms), Seq("r", "b"))
         .groupBy("token", "n_exact").agg(min("c").as("n_est"))
         .crossJoin(broadcast(tot))

@@ -318,7 +318,7 @@ class PlanBudgetSpec extends SparkSpec {
     // Structurally (walked on the plan tree, not grepped): every
     // token-keyed aggregate's input must flow through the decision
     // FilterExec — the literal-sketch estimate test, recognizable by the
-    // element_at cell lookups Catalyst inlines when it pushes the filter
+    // cmsestimateexpr kernel Catalyst inlines when it pushes the filter
     // below the projection. A token-keyed agg without that filter under
     // it is exactly the vocabulary-sized state this query must never
     // build.
@@ -338,7 +338,8 @@ class PlanBudgetSpec extends SparkSpec {
     assert(tokenAggs.nonEmpty, s"q124 lost its survivor dedup:\n$plan")
     tokenAggs.foreach { h =>
       val decisionFilters = h.collect {
-        case f: FilterExec if f.condition.toString.contains("element_at") => f
+        case f: FilterExec
+          if f.condition.toString.toLowerCase.contains("cmsestimate") => f
       }
       assert(decisionFilters.nonEmpty,
         s"q124 token-keyed aggregate not fed by the sketch's decision filter:\n$h")

@@ -113,4 +113,29 @@ class TextHashParitySpec extends SparkSpec {
         TextHash.simhash_md5(_, bits), simHashRef(_, bits))
     }
   }
+
+  // ---- CMS bucket/estimate kernels (q121/q124/q132) ----
+
+  private def cmsBucketRef(r: Int, c: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r:"), c)), 1, 8), 16, 10).cast("long") % width
+
+  test("cms_buckets matches the composed conv(substring(md5)) % width per row") {
+    for ((depth, width) <- Seq((4, 1024), (4, 16), (2, 7))) {
+      check(edgeTexts ++ randomTexts(40L + depth * width, 150),
+        TextHash.cms_buckets(_, depth, width),
+        c => array((0 until depth).map(r => cmsBucketRef(r, c, width)): _*))
+    }
+  }
+
+  test("cms_estimate matches least(element_at(cells, r*width + bucket + 1))") {
+    val depth = 4
+    val width = 16
+    val rnd = new scala.util.Random(99L)
+    val cells = Array.fill(depth * width)(rnd.nextInt(1000).toLong)
+    check(edgeTexts ++ randomTexts(55L, 150),
+      TextHash.cms_estimate(_, cells, depth, width),
+      c => least((0 until depth).map(r =>
+        element_at(typedlit(cells.toSeq),
+          (cmsBucketRef(r, c, width) + (r * width + 1)).cast("int"))): _*))
+  }
 }
