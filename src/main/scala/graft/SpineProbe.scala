@@ -408,7 +408,9 @@ object SpineProbe {
         def pairsPerRow(dir: String): Double = {
           val emb = spark.read.parquet(s"$dir/embeddings.parquet")
           val n = emb.count()
-          val side = math.max(2, math.round(math.sqrt(n / 8.0)).toInt)
+          // the SHARED rule — the gate must measure the quantizer the
+          // shipped q140 actually trains
+          val side = graft.dedup.SemDedup.cellSide(n)
           val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
             k1 = side, k2 = side, iters = 2)
           // Column `/` is double division; the product is even so the

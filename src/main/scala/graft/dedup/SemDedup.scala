@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** The k ∝ N cell-count rule (q140, and the decade gate that
+    * certifies it): tree-quantizer side = round(√(N / targetOccupancy)),
+    * so side² cells hold ~targetOccupancy vectors each and the
+    * within-cell pairwise term stays constant per row as the corpus
+    * grows. ONE definition — the shipped query and the probe gate must
+    * measure the same quantizer. */
+  def cellSide(n: Long, targetOccupancy: Int = 8): Int =
+    math.max(2, math.round(math.sqrt(n.toDouble / targetOccupancy)).toInt)
+
   /** The corpus with its trained cell: rows (vec_id, cid, __v). This IS
     * the IVF index — at corpus scale you materialize it once (persist or
     * write bucketed by cid) rather than re-deriving the O(k)-per-row

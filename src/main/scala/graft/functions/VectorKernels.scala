@@ -49,7 +49,11 @@ case class ArgmaxCosine(
   override def left: Expression = vec
   override def right: Expression = bookIdx
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = true
+  // Null semantics mirror the composed form exactly: a null BOOK index
+  // made element_at yield a null array and the whole argmax null, but a
+  // null VECTOR only nulled every cosine, degenerating the struct-max
+  // to its -idx tiebreak — index 0 (same as an array of null elements).
+  override def nullable: Boolean = bookIdx.nullable
 
   private def vecIsDouble: Boolean = vec.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -76,17 +80,35 @@ case class ArgmaxCosine(
   @transient private lazy val norms: Array[Array[Double]] =
     VectorKernels.selfDots(books)
 
-  override def nullSafeEval(v: Any, b: Any): Any =
-    VectorKernels.argmaxCosine(v.asInstanceOf[ArrayData],
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = bookIdx.eval(input)
+    if (b == null) return null
+    val v = vec.eval(input)
+    if (v == null) 0
+    else VectorKernels.argmaxCosine(v.asInstanceOf[ArrayData],
       b.asInstanceOf[Int], books, norms, vecIsDouble)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
     val normsRef = ctx.addReferenceObj("norms", norms, "double[][]")
-    nullSafeCodeGen(ctx, ev, (v, b) => s"""
-      ${ev.value} = graft.functions.VectorKernels$$.MODULE$$.argmaxCosine(
-        $v, $b, $booksRef, $normsRef, $vecIsDouble);
-    """)
+    val vEv = vec.genCode(ctx)
+    val bEv = bookIdx.genCode(ctx)
+    val nullCheck =
+      if (bookIdx.nullable) code"boolean ${ev.isNull} = ${bEv.isNull};"
+      else code"boolean ${ev.isNull} = false;"
+    ev.copy(code = code"""
+      ${bEv.code}
+      $nullCheck
+      int ${ev.value} = 0;
+      if (!${ev.isNull}) {
+        ${vEv.code}
+        if (!${vEv.isNull}) {
+          ${ev.value} = graft.functions.VectorKernels$$.MODULE$$.argmaxCosine(
+            ${vEv.value}, ${bEv.value}, $booksRef, $normsRef, $vecIsDouble);
+        }
+      }""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -736,7 +736,7 @@ object AnnQueries {
          SELECT vec_id, cell AS cid FROM tcells
          WHERE vec_id NOT IN (SELECT vec_id FROM dups)""") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val side = math.max(2, math.round(math.sqrt(emb.count() / 8.0)).toInt)
+      val side = graft.dedup.SemDedup.cellSide(emb.count())
       val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
         k1 = side, k2 = side, iters = 2)
       val cells = graft.dedup.SemDedup.assignCellsTree(emb, "vec_id", "embedding", tq)

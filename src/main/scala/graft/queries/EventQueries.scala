@@ -113,6 +113,29 @@ object EventQueries {
     stampDrainOrder(in)
   }
 
+  /** Parquet-sink output dirs (q131/q135) must OUTLIVE the build — the
+    * returned frame reads their committed files lazily — so they cannot
+    * be dropped with the staged inputs. Register them for deletion at
+    * JVM exit instead: the leak is bounded to one process lifetime
+    * (probes invoke each query ~12 times; without this, repeated
+    * bench/probe runs accumulate row-data + checkpoint dirs in tmp
+    * until the disk fills). */
+  private val sinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val sinkDirHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      sinkDirs.forEach(d => rm(new java.io.File(d)))
+    }))
+    ()
+  }
+  private[queries] def registerSinkDir(dir: String): String = {
+    sinkDirHook
+    sinkDirs.add(dir)
+    dir
+  }
+
   /** One side of a typed stream-stream interval join: the event_type-
     * filtered, prefix-renamed, watermarked feed. */
   private def intervalJoinSide(s: org.apache.spark.sql.SparkSession,
@@ -573,8 +596,10 @@ object EventQueries {
       // checkpoint-recoverable — CheckpointRestartSpec documents why),
       // and the read-back proves the emitted rows round-trip a real
       // file sink. The sink dir must outlive this call (the returned
-      // frame reads it lazily), so it is NOT dropped with the staging.
-      val out = java.nio.file.Files.createTempDirectory("graft_ssjo_out_").toString
+      // frame reads it lazily), so it is NOT dropped with the staging —
+      // it is registered for JVM-exit cleanup instead.
+      val out = registerSinkDir(
+        java.nio.file.Files.createTempDirectory("graft_ssjo_out_").toString)
       val q = joined.writeStream.format("parquet")
         .option("path", s"$out/rows")
         .option("checkpointLocation", s"$out/cp")
@@ -689,7 +714,8 @@ object EventQueries {
       // parquet sink + checkpoint (see q135): session windows are
       // append-only by API, so the file sink holds each session exactly
       // once and the read-back is a plain projection over real files.
-      val out = java.nio.file.Files.createTempDirectory("graft_sess_out_").toString
+      val out = registerSinkDir(
+        java.nio.file.Files.createTempDirectory("graft_sess_out_").toString)
       val q = stream.writeStream.format("parquet")
         .option("path", s"$out/rows")
         .option("checkpointLocation", s"$out/cp")

@@ -100,6 +100,28 @@ class VectorFnsSpec extends SparkSpec {
     assert(bad2 == 0)
   }
 
+  test("argmax-cosine null semantics mirror the composed form: null vector -> 0, null book -> null") {
+    // composed form: a null vector nulls every cosine, degenerating the
+    // struct-max to the -idx tiebreak (index 0); a null book index made
+    // element_at (and so the whole argmax) null
+    val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = spark.createDataFrame(Seq(
+        (Some(Seq(0.0, 2.0)), Some(0)),
+        (None: Option[Seq[Double]], Some(0)),
+        (Some(Seq(0.0, 2.0)), None: Option[Int])))
+      .toDF("v", "b")
+    val got = df.select(
+        argmaxRef(col("v"), book).as("ref"),
+        VectorKernels.argmaxCosineBy(col("v"), col("b"), Seq(book)).as("byNull"),
+        VectorKernels.argmaxCosine(col("v"), book).as("fixedBook"))
+      .collect()
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 1)
+    // null vector: composed ref gives 0, both kernel forms must too
+    assert(got(1).getInt(0) == 0 && got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
+    // null book index: kernel null (fixed-book form never sees one)
+    assert(got(2).isNullAt(1) && got(2).getInt(2) == 1)
+  }
+
   test("argmax-cosine: exact ties keep the lowest index; by-column books select per row") {
     // duplicate the winning codeword at a later index — the tie must
     // resolve to the EARLIER one, the -idx struct-max tiebreak
