@@ -121,17 +121,37 @@ object SemDedup {
     * reshuffles; only batch-bounded frames cross exchanges. */
   def incrementalSemanticDedup(
       history: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
-    val h = assignCells(history, idCol, vecCol, cents)
-      .select(col("cid"), col("__v").as("__vh"))
-    // The batch assignment feeds FOUR plan legs (both pair-join probes,
-    // the within-batch self-join's second side, and the output spine).
-    // Left lazy, Catalyst re-derives and re-optimizes the k·dim-literal
-    // assignment tree per leg — at the documented k ∝ N rule that turned
-    // 2.5× data into 22× wall (ScaleProbe, k=156). The batch side is
-    // increment-sized by contract, so cut it once (q77/q89 pattern);
-    // history stays a single lazy leg and still never materializes.
-    val b = assignCells(batch, idCol, vecCol, cents).localCheckpoint(false)
+      cents: Seq[(Int, Seq[Double])], tau: Double): DataFrame =
+    incrementalFlagsOnCells(
+      assignCells(history, idCol, vecCol, cents),
+      // The batch assignment feeds FOUR plan legs (both pair-join
+      // probes, the within-batch self-join's second side, and the
+      // output spine). Left lazy, Catalyst re-derives and re-optimizes
+      // the k·dim-literal assignment tree per leg — at the documented
+      // k ∝ N rule that turned 2.5× data into 22× wall (ScaleProbe,
+      // k=156). The batch side is increment-sized by contract, so cut
+      // it once (q77/q89 pattern); history stays a single lazy leg and
+      // still never materializes.
+      assignCells(batch, idCol, vecCol, cents).localCheckpoint(false), tau)
+
+  /** [[incrementalSemanticDedup]] under the TREE quantizer — the
+    * production pairing once cell count ∝ N: the tree (trained on
+    * history alone) assigns both sides at 2√k cosines per row, and the
+    * flag logic downstream is identical. */
+  def incrementalSemanticDedupTree(
+      history: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      tq: graft.ann.KMeans.TreeQuantizer, tau: Double): DataFrame =
+    incrementalFlagsOnCells(
+      assignCellsTree(history, idCol, vecCol, tq),
+      assignCellsTree(batch, idCol, vecCol, tq).localCheckpoint(false), tau)
+
+  /** The shared flag logic: `h0` = assigned history (lazy — it streams
+    * map-side into broadcast joins and never reshuffles), `b0` = the
+    * assigned batch, already cut once (it feeds four plan legs). */
+  private def incrementalFlagsOnCells(
+      h0: DataFrame, b0: DataFrame, tau: Double): DataFrame = {
+    val h = h0.select(col("cid"), col("__v").as("__vh"))
+    val b = b0
     val bCand = b.select(col("cid"), col("vec_id").as("__bid"), col("__v").as("__vb"))
     val dupsH = h.join(broadcast(bCand), Seq("cid"))
       .filter(round(VectorFns.cosine(col("__vh"), col("__vb")), 6) >= tau)

@@ -142,17 +142,20 @@ object AnnQueries {
   // level-1 training at k1=8 (whose `cells` IS the branch assignment:
   // fitTree assigns branches off the final level-1 centroids, exactly
   // what `cells` holds). Level 2 runs the same pinned Lloyd recipe
-  // per branch: init = each branch's 8 lowest-id vectors (an empty
-  // branch keeps its branch centroid as a single leaf), assignment =
-  // argmax of round(cosine, 6) with lowest-leaf tiebreak, means rounded
-  // to 6, an emptied leaf keeps its previous centroid. Ends at `tcells`
-  // = every vector's global cell id (branch·8 + leaf).
-  private def treeCellsCte =
-    s"""${trainedCellsCte(k = 8)},
+  // per branch: init = each branch's 8 lowest-id TRAINING vectors (an
+  // empty branch keeps its branch centroid as a single leaf),
+  // assignment = argmax of round(cosine, 6) with lowest-leaf tiebreak,
+  // means rounded to 6, an emptied leaf keeps its previous centroid.
+  // `trainPred` restricts BOTH training levels (q142 trains on history
+  // alone); assignment (`cells`, `tcells`) always covers every vector.
+  // Ends at `tcells` = every vector's global cell id (branch·8 + leaf).
+  private def treeCellsCte(trainPred: String = "true") =
+    s"""${trainedCellsCte(trainPred, k = 8)},
+       ct AS (SELECT c.* FROM cells c JOIN vt USING (vec_id)),
        linit AS (
          SELECT cid AS b, rn - 1 AS l, v AS cent FROM (
            SELECT cid, v, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
-           FROM cells) WHERE rn <= 8),
+           FROM ct) WHERE rn <= 8),
        l0 AS (
          SELECT b, l, cent FROM linit
          UNION ALL
@@ -163,7 +166,7 @@ object AnnQueries {
            SELECT t.vec_id, t.cid AS b, t.v, c.l,
              row_number() OVER (PARTITION BY t.vec_id
                ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.l) AS rn
-           FROM cells t JOIN l0 c ON t.cid = c.b) WHERE rn = 1),
+           FROM ct t JOIN l0 c ON t.cid = c.b) WHERE rn = 1),
        lm1 AS (
          SELECT b, l, d.d AS dim, round(avg(v[d.d]), 6) AS mu
          FROM la1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
@@ -178,7 +181,7 @@ object AnnQueries {
            SELECT t.vec_id, t.cid AS b, t.v, c.l,
              row_number() OVER (PARTITION BY t.vec_id
                ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.l) AS rn
-           FROM cells t JOIN lc1 c ON t.cid = c.b) WHERE rn = 1),
+           FROM ct t JOIN lc1 c ON t.cid = c.b) WHERE rn = 1),
        lm2 AS (
          SELECT b, l, d.d AS dim, round(avg(v[d.d]), 6) AS mu
          FROM la2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
@@ -749,7 +752,7 @@ object AnnQueries {
     // is exact, while the Spark side derives the side from the corpus
     // (sf0.1 bench → 16×16; the 10× decade probe → 50×50).
     QueryDef("q140_semdedup_tree", Seq("J12", "A10"),
-      s"""WITH $treeCellsCte,
+      s"""WITH ${treeCellsCte()},
          dups AS (
            SELECT DISTINCT b.vec_id
            FROM tcells a JOIN tcells b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -764,6 +767,43 @@ object AnnQueries {
         .localCheckpoint(false)
       graft.dedup.SemDedup.semanticDedupOnCells(cells, tau = 0.3)
     },
+
+    // q109's incremental semantic dedup on the PRODUCTION quantizer:
+    // the tree trains on HISTORY alone (arriving batches assign against
+    // the standing index, never retrain it) at the k ∝ N cell rule —
+    // side = cellSide(|history|), which resolves to the oracle's 8×8
+    // tree at sf0.01 (|history| = 450 ⇒ round(√56.25) = 8) and grows
+    // with the corpus at bench/probe scales. Both sides assign
+    // row-locally at 2·side cosines per row; every pair check is
+    // within-cell; history joins a BROADCAST of the batch side, so the
+    // corpus-sized history never reshuffles. The oracle replays the
+    // history-restricted two-level training (treeCellsCte's trainPred)
+    // and both flag joins on the tree cells.
+    QueryDef("q142_semdedup_incremental_tree", Seq("J12", "A10", "J11"),
+      s"""WITH ${treeCellsCte("vec_id % 10 <> 0")},
+         dupsH AS (
+           SELECT DISTINCT b.vec_id
+           FROM tcells h JOIN tcells b ON h.cell = b.cell
+           WHERE h.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+             AND round(list_cosine_similarity(h.v, b.v), 6) >= 0.3),
+         dupsB AS (
+           SELECT DISTINCT b.vec_id
+           FROM tcells a JOIN tcells b ON a.cell = b.cell
+           WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+             AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+         SELECT c.vec_id, c.cell AS cid,
+           c.vec_id IN (SELECT vec_id FROM dupsH) AS dup_in_history,
+           c.vec_id IN (SELECT vec_id FROM dupsB) AS dup_in_batch
+         FROM tcells c WHERE c.vec_id % 10 = 0""") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val history = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val side = graft.dedup.SemDedup.cellSide(history.count())
+      val tq = graft.ann.KMeans.fitTree(history, "vec_id", "embedding",
+        k1 = side, k2 = side, iters = 2)
+      graft.dedup.SemDedup.incrementalSemanticDedupTree(
+        history, batch, "vec_id", "embedding", tq, tau = 0.3)
+    },
   )
 
   // The tree-quantizer probe+search oracle, shared VERBATIM by q138
@@ -771,7 +811,7 @@ object AnnQueries {
   // an oracle fix cannot reach one and miss the other (the q96/q134
   // contract applied to the production quantizer).
   private def treeIvfSearchSql =
-    s"""WITH $treeCellsCte,
+    s"""WITH ${treeCellsCte()},
        qb AS (
          SELECT query_id, qv, b FROM (
            SELECT t.vec_id AS query_id, t.v AS qv, c.cid AS b,
