@@ -92,6 +92,7 @@ object SpineProbe {
         ("q127_ann_ivfpq", Set("embeddings")),
         ("q128_hll_distinct", Set("lineitem")),
         ("q140_semdedup_tree", Set("embeddings")),
+        ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -114,6 +115,7 @@ object SpineProbe {
         ("q126_ann_pq", Set("embeddings")),
         ("q127_ann_ivfpq", Set("embeddings")),
         ("q140_semdedup_tree", Set("embeddings")),
+        ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
