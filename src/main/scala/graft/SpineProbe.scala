@@ -93,6 +93,7 @@ object SpineProbe {
         ("q128_hll_distinct", Set("lineitem")),
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
+        ("q143_stream_semdedup", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -116,6 +117,7 @@ object SpineProbe {
         ("q127_ann_ivfpq", Set("embeddings")),
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
+        ("q143_stream_semdedup", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -231,6 +233,7 @@ object SpineProbe {
     // streaming pipeline. Their plan shape is pinned by PlanBudgetSpec /
     // StreamingStateSpec instead; the probe reports wall + rows only.
     val drainsInBuild = Set("q118_stream_incremental_neardup",
+      "q143_stream_semdedup", // stateless stream-static join: no state gate
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
       "q135_stream_interval_outer", "q137_stream_join_window")

@@ -804,6 +804,61 @@ object AnnQueries {
       graft.dedup.SemDedup.incrementalSemanticDedupTree(
         history, batch, "vec_id", "embedding", tq, tau = 0.3)
     },
+
+    // STREAMING semantic dedup — the q118 stream-vs-standing-index shape
+    // composed with the vector family: arriving vectors assign their
+    // tree cell ROW-LOCALLY (the quantizer is plan literals, trained on
+    // history alone), then LEFT-OUTER join the static history index on
+    // (cell, cosine ≥ τ) — a stream-static join, STATELESS by
+    // construction (no watermark, no state store: the standing index is
+    // the state, localCheckpointed once so micro-batches don't re-derive
+    // the assignment). Append mode emits each (vector, match) pair
+    // exactly once — unmatched vectors once with a null match — so the
+    // sink read is a plain bool_or per vector. At 100 TB/day this is the
+    // ingest-gate shape: the history index is a maintained artifact
+    // (q141), each arriving micro-batch pays its own assignment plus a
+    // broadcast-sized probe, and nothing about the stream's length
+    // accumulates anywhere.
+    QueryDef("q143_stream_semdedup", Seq("J12", "A10"),
+      s"""WITH ${treeCellsCte("vec_id % 10 <> 0")}
+         SELECT c.vec_id, c.cell AS cid,
+           EXISTS(SELECT 1 FROM tcells h
+                  WHERE h.vec_id % 10 <> 0 AND h.cell = c.cell
+                    AND round(list_cosine_similarity(h.v, c.v), 6) >= 0.3)
+             AS dup_in_history
+         FROM tcells c WHERE c.vec_id % 10 = 0""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = Tables.embeddings(s0, d)
+      val history = emb.filter(col("vec_id") % 10 =!= 0)
+      val batchSrc = emb.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      val side = graft.dedup.SemDedup.cellSide(history.count())
+      val tq = graft.ann.KMeans.fitTree(history, "vec_id", "embedding",
+        k1 = side, k2 = side, iters = 2)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_semdedup"
+      val hIdx = graft.dedup.SemDedup
+        .assignCellsTree(Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", tq)
+        .select(col("cid").as("hcid"), col("__v").as("__vh"))
+        .localCheckpoint(false) // static side re-evaluates per micro-batch otherwise
+      val in = EventQueries.stageRangedDrain(batchSrc, 4, "vec_id", "graft_ssem_")
+      val stream = graft.dedup.SemDedup.assignCellsTree(
+          s.readStream.schema(batchSrc.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
+          "vec_id", "embedding", tq)
+        .join(hIdx,
+          col("cid") === col("hcid") &&
+            round(graft.functions.VectorFns.cosine(col("__v"), col("__vh")), 6) >= 0.3,
+          "left_outer")
+        .select(col("vec_id"), col("cid"), col("hcid").isNotNull.as("matched"))
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      EventQueries.dropStaged(in)
+      s.table(sinkName).groupBy("vec_id", "cid")
+        .agg(max(col("matched")).as("dup_in_history"))
+    },
   )
 
   // The tree-quantizer probe+search oracle, shared VERBATIM by q138
