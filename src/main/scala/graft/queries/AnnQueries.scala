@@ -699,40 +699,7 @@ object AnnQueries {
     // the 64-cell coarse training, the 8×256 residual codebook training,
     // the probe routing, the ADC shortlist, and the rerank end to end.
     QueryDef("q139_ann_ivfpq_faiss", Seq("J12", "A5"),
-      s"""WITH ${trainedCellsCte(k = 64)},
-         probes AS (
-           SELECT vec_id AS query_id, v AS qv, cid FROM (
-             SELECT t.vec_id, t.v, c.cid,
-               row_number() OVER (PARTITION BY t.vec_id
-                 ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
-             FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 16),
-         res AS (
-           SELECT e.vec_id, e.cid,
-             list_transform(list_zip(e.v, cc.cent), s -> s[1] - s[2]) AS rv
-           FROM cells e JOIN c2 cc USING (cid)),
-         ${pqTrainingCte("res", "rv", k = 256)},
-         recon AS (
-           SELECT r.vec_id, e.cid,
-             list_transform(list_zip(cc.cent, r.prv), s -> s[1] + s[2]) AS rv
-           FROM precon r
-           JOIN cells e ON e.vec_id = r.vec_id
-           JOIN c2 cc ON cc.cid = e.cid),
-         short AS (
-           SELECT query_id, neighbor_id FROM (
-             SELECT p.query_id, e.vec_id AS neighbor_id,
-               row_number() OVER (PARTITION BY p.query_id
-                 ORDER BY round(list_cosine_similarity(p.qv, e.rv), 6) DESC, e.vec_id) AS rn
-             FROM probes p JOIN recon e USING (cid)
-             WHERE e.vec_id <> p.query_id) WHERE rn <= 30)
-         SELECT query_id, rnk, neighbor_id, cosine FROM (
-           SELECT s.query_id, s.neighbor_id,
-             round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
-             row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, s.neighbor_id) AS rnk
-           FROM short s
-           JOIN v q ON q.vec_id = s.query_id
-           JOIN v c ON c.vec_id = s.neighbor_id)
-         WHERE rnk <= 3""") { (s, d) =>
+      faissIvfPqSearchSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 64, iters = 2)
       val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
@@ -740,6 +707,47 @@ object AnnQueries {
       graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
+
+    // The persisted twin of q139 — the LAST index family to get the
+    // train-once/search-many idiom (flat IVF has q134, the tree q141):
+    // the complete FAISS-shaped index state (64 coarse centroids + the
+    // 8x256 residual codebooks) staged beside the corpus, keyed on
+    // corpus fingerprint + index shape + KMeans.recipeVersion. The
+    // deterministic recipes make the loaded index equal the freshly
+    // trained one, so this shares q139's oracle VERBATIM while the
+    // bench measures what persistence buys: the search path pays only
+    // the row-local encode + cell join + bounded top-k, with BOTH
+    // trainings amortized away.
+    QueryDef("q144_ann_ivfpq_persisted", Seq("J12", "A5"),
+      faissIvfPqSearchSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (nlist, m8, k256, it) = (64, 8, 256, 2)
+      val dir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_v${graft.ann.KMeans.recipeVersion}_n${nlist}m${m8}k${k256}i$it",
+        d, s"$d/embeddings.parquet") { target =>
+        import s.implicits._
+        val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", nlist, it)
+        val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
+          m8, k256, it)
+        // kind 0 = coarse centroid (cid), kind 1 = codeword (m, cid)
+        val rows = cents.map { case (cid, c) => (0, 0, cid, c) } ++
+          cb.books.zipWithIndex.flatMap { case (book, mi) =>
+            book.zipWithIndex.map { case (cw, cid) => (1, mi, cid, cw) } }
+        rows.toDF("kind", "m", "cid", "cent").coalesce(1)
+          .write.mode("overwrite").parquet(target)
+      }
+      val loaded = s.read.parquet(dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toSeq))
+      val cents = loaded.filter(_._1 == 0).sortBy(_._3)
+        .map { case (_, _, cid, c) => (cid, c) }.toSeq
+      val books = (0 until m8).map { mi =>
+        loaded.filter(x => x._1 == 1 && x._2 == mi).sortBy(_._3).map(_._4).toSeq
+      }
+      val cb = graft.ann.Pq.Codebooks(subDim = 64 / m8, books)
+      graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
+
 
     // q106's semantic dedup at the k ∝ N cell-count rule — the config
     // that removes the admitted quadratic bend from the checked surface:
@@ -865,6 +873,46 @@ object AnnQueries {
   // (train in-query) and q141 (load the persisted tree) — one text, so
   // an oracle fix cannot reach one and miss the other (the q96/q134
   // contract applied to the production quantizer).
+  // The FAISS-shaped residual IVFPQ oracle (64-cell coarse training,
+  // 8×256 residual codebooks, probe-16 routing, ADC shortlist-30, exact
+  // rerank), shared VERBATIM by q139 (train in-query) and q144 (load
+  // the persisted index) — one text, the q96/q134 contract.
+  private def faissIvfPqSearchSql =
+    s"""WITH ${trainedCellsCte(k = 64)},
+       probes AS (
+         SELECT vec_id AS query_id, v AS qv, cid FROM (
+           SELECT t.vec_id, t.v, c.cid,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.cid) AS rn
+           FROM v t CROSS JOIN c2 c WHERE t.vec_id < 10) WHERE rn <= 16),
+       res AS (
+         SELECT e.vec_id, e.cid,
+           list_transform(list_zip(e.v, cc.cent), s -> s[1] - s[2]) AS rv
+         FROM cells e JOIN c2 cc USING (cid)),
+       ${pqTrainingCte("res", "rv", k = 256)},
+       recon AS (
+         SELECT r.vec_id, e.cid,
+           list_transform(list_zip(cc.cent, r.prv), s -> s[1] + s[2]) AS rv
+         FROM precon r
+         JOIN cells e ON e.vec_id = r.vec_id
+         JOIN c2 cc ON cc.cid = e.cid),
+       short AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(p.qv, e.rv), 6) DESC, e.vec_id) AS rn
+           FROM probes p JOIN recon e USING (cid)
+           WHERE e.vec_id <> p.query_id) WHERE rn <= 30)
+       SELECT query_id, rnk, neighbor_id, cosine FROM (
+         SELECT s.query_id, s.neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+           row_number() OVER (PARTITION BY s.query_id
+             ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, s.neighbor_id) AS rnk
+         FROM short s
+         JOIN v q ON q.vec_id = s.query_id
+         JOIN v c ON c.vec_id = s.neighbor_id)
+       WHERE rnk <= 3"""
+
   private def treeIvfSearchSql =
     s"""WITH ${treeCellsCte()},
        qb AS (
