@@ -73,13 +73,17 @@ object EventQueries {
     * has materialized into its sink — the memory sink never re-reads
     * the files, and leaving them accumulates a full table copy per
     * query invocation (probes invoke each query several times). */
-  private[queries] def dropStaged(inDir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(inDir).getParentFile)
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
   }
+
+  private[queries] def dropStaged(inDir: String): Unit =
+    rm(new java.io.File(inDir).getParentFile)
+
+  /** Delete ONE directory tree (not its parent) — for drains whose temp
+    * parent also holds state the returned frame still reads (q97). */
+  private[queries] def dropDir(dir: String): Unit = rm(new java.io.File(dir))
 
   /** Append the two-wave far-future sentinel files to a staged drain
     * dir (q131/q135): wave A (max+3 h) only advances the watermark for
@@ -404,11 +408,16 @@ object EventQueries {
       // BIGINT), so the stream declares the normalized schema
       val schema = Tables.events(s0, d).schema
       val s = streamSession(s0)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+      // the state dir must outlive this call (the returned frame reads
+      // it) — parent registered for JVM-exit cleanup, the consumed
+      // input dropped eagerly (it is a full events copy per invocation)
+      val tmp = registerSinkDir(
+        java.nio.file.Files.createTempDirectory("graft_cdc_").toString)
       Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
       val ops = cdcOpsProjection(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"))
       graft.streaming.EventPipeline.cdcApply(ops, s"$tmp/state").awaitTermination()
+      dropDir(s"$tmp/in")
       graft.streaming.EventPipeline.cdcState(s, s"$tmp/state")
         .filter(col("m.op") =!= "D")
         .select(col("entity"), col("m.sec").as("last_sec"),
