@@ -80,6 +80,83 @@ class CheckpointRestartSpec extends SparkSpec {
     // y unchanged in run 2 ⇒ update mode must not re-emit it
     assert(!latest.contains("y"), s"unchanged group re-emitted: $latest")
   }
+
+  test("parquet file sink restarts from checkpoint: windows append exactly once, input not re-read") {
+    // the q131/q135 drain shape made durable: an append-mode windowed
+    // aggregation into a PARQUET sink with a checkpoint, killed after
+    // one drain and restarted on new input. The restart must re-read
+    // nothing, and a window finalized in run 1 must appear in the sink
+    // exactly once afterwards — the file sink's commit log is what
+    // makes the appends exactly-once across restarts.
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", DoubleType)))
+    val root = java.nio.file.Files.createTempDirectory("graft_fsink_").toString
+    val in = s"$root/in"; val cp = s"$root/cp"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+
+    var mtime = 1000000L
+    def writeFile(name: String, rows: Seq[(java.sql.Timestamp, Double)]): Unit = {
+      val tmp = s"$root/stage_$name"
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+      rows.foreach(r => l.add(org.apache.spark.sql.Row(r._1, r._2)))
+      spark.createDataFrame(l, schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head.toPath
+      val dest = java.nio.file.Paths.get(s"$in/$name.parquet")
+      java.nio.file.Files.copy(part, dest)
+      // the file source drains by mtime — pin the intended order
+      mtime += 60000L
+      dest.toFile.setLastModified(mtime)
+      ()
+    }
+
+    def drain() = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), sum("v").as("total"))
+        .select((col("w.start").cast("long") / 3600).cast("long").as("hour"),
+          col("n"), col("total"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q
+    }
+
+    // run 1: three files — hour-0 data, then two event-time jumps so
+    // the watermark provably passes hour 0's end (it lags one batch:
+    // the batch ingesting file c runs with b's advanced watermark)
+    writeFile("a", Seq((ts(5), 1.0), (ts(25), 2.0)))
+    writeFile("b", Seq((ts(360), 10.0)))
+    writeFile("c", Seq((ts(600), 20.0)))
+    val q1 = drain()
+    val run1 = spark.read.parquet(out).select("hour", "n", "total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val hour0 = t0 / 3600000L
+    assert(run1.count(_._1 == hour0) == 1 && run1.contains((hour0, 2L, 3.0)),
+      s"run 1 did not finalize hour 0 exactly once: $run1")
+    assert(q1.recentProgress.map(_.numInputRows).sum == 4L)
+
+    // run 2 (the restart): one new far-future file. Only IT may be
+    // read, the +6h window must finalize now, and hour 0 must not be
+    // re-appended.
+    writeFile("d", Seq((ts(2880), 0.0)))
+    val q2 = drain()
+    assert(q2.recentProgress.map(_.numInputRows).sum == 1L,
+      "restart re-read committed input")
+    val run2 = spark.read.parquet(out).select("hour", "n", "total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run2.count(_._1 == hour0) == 1,
+      s"hour-0 window duplicated across restart: $run2")
+    assert(run2.contains((hour0 + 6, 1L, 10.0)),
+      s"restart did not finalize the +6h window: $run2")
+  }
 }
 
 object CheckpointRestartSpec {
