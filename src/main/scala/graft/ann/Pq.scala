@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Version of the pinned PQ training recipe (init slicing, rounding,
+    * tiebreaks, empty-code handling) — the [[KMeans.recipeVersion]]
+    * contract for THIS trainer. Bump on any change to the arithmetic;
+    * persisted-index cache keys that embed codebooks (q144) include it,
+    * so a recipe change invalidates staged codebooks instead of
+    * silently serving geometry trained under the old rules. */
+  val recipeVersion = 1
+
   /** `books(mi)(code)` = codeword for subspace mi — m × k × subDim. */
   final case class Codebooks(subDim: Int, books: Seq[Seq[Seq[Double]]]) {
     def m: Int = books.size

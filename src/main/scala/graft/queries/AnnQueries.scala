@@ -722,8 +722,12 @@ object AnnQueries {
       faissIvfPqSearchSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val (nlist, m8, k256, it) = (64, 8, 256, 2)
+      // BOTH trainers' recipe versions: the coarse centroids come from
+      // KMeans, the residual codebooks from Pq — a change to either
+      // arithmetic must miss this cache
       val dir = graft.sources.ZOrder.ensureStagedDir(
-        s"graft_ivfpq_v${graft.ann.KMeans.recipeVersion}_n${nlist}m${m8}k${k256}i$it",
+        s"graft_ivfpq_v${graft.ann.KMeans.recipeVersion}" +
+          s"p${graft.ann.Pq.recipeVersion}_n${nlist}m${m8}k${k256}i$it",
         d, s"$d/embeddings.parquet") { target =>
         import s.implicits._
         val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", nlist, it)
@@ -743,7 +747,9 @@ object AnnQueries {
       val books = (0 until m8).map { mi =>
         loaded.filter(x => x._1 == 1 && x._2 == mi).sortBy(_._3).map(_._4).toSeq
       }
-      val cb = graft.ann.Pq.Codebooks(subDim = 64 / m8, books)
+      // subDim derived FROM the persisted codewords — it can never
+      // disagree with whatever dimension the training actually saw
+      val cb = graft.ann.Pq.Codebooks(subDim = books.head.head.size, books)
       graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },

@@ -69,15 +69,19 @@ object EventQueries {
     s"$tmp/in"
   }
 
-  /** Delete a staged drain dir (its whole temp parent) once the drain
-    * has materialized into its sink — the memory sink never re-reads
-    * the files, and leaving them accumulates a full table copy per
-    * query invocation (probes invoke each query several times). */
+  /** Recursive delete of exactly the tree given. */
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))
     f.delete(); ()
   }
 
+  /** Delete a staged drain dir AND ITS WHOLE TEMP PARENT once the drain
+    * has materialized into its sink — the memory sink never re-reads
+    * the files, and leaving them accumulates a full table copy per
+    * query invocation (probes invoke each query several times). Only
+    * safe when nothing else lives beside `inDir`: a drain whose parent
+    * also holds state the returned frame reads must use [[dropDir]] on
+    * the input alone — the q97 hazard. */
   private[queries] def dropStaged(inDir: String): Unit =
     rm(new java.io.File(inDir).getParentFile)
 
@@ -126,12 +130,8 @@ object EventQueries {
     * until the disk fills). */
   private val sinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val sinkDirHook: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      sinkDirs.forEach(d => rm(new java.io.File(d)))
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sinkDirs.forEach(d => rm(new java.io.File(d)))))
     ()
   }
   private[queries] def registerSinkDir(dir: String): String = {

@@ -23,21 +23,34 @@ class CheckpointRestartSpec extends SparkSpec {
   private val schema = StructType(Seq(
     StructField("k", StringType), StructField("v", LongType)))
 
+  /** Stage `rows` as ONE parquet part file under `in` — coalesce(1) so
+    * the single `part-` pick below can never grab an empty shard (the
+    * documented sentinel-loss pitfall), with an optional pinned mtime
+    * for drains whose batch order matters. */
+  private def stageFile(root: String, in: String, name: String,
+      sch: StructType, rows: Seq[org.apache.spark.sql.Row],
+      mtime: Option[Long]): Unit = {
+    val tmp = s"$root/stage_$name"
+    val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+    rows.foreach(l.add)
+    spark.createDataFrame(l, sch)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).head.toPath
+    val dest = java.nio.file.Paths.get(s"$in/$name.parquet")
+    java.nio.file.Files.copy(part, dest)
+    mtime.foreach(dest.toFile.setLastModified(_))
+    ()
+  }
+
   test("stateful agg restarts from checkpoint: state carried, input not re-read") {
     val root = java.nio.file.Files.createTempDirectory("graft_restart_").toString
     val in = s"$root/in"; val cp = s"$root/cp"
     new java.io.File(in).mkdirs()
 
-    def writeFile(name: String, rows: Seq[(String, Long)]): Unit = {
-      val tmp = s"$root/stage_$name"
-      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
-      rows.foreach(r => l.add(org.apache.spark.sql.Row(r._1, r._2)))
-      spark.createDataFrame(l, schema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.startsWith("part-")).head.toPath
-      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$in/$name.parquet"))
-    }
+    def writeFile(name: String, rows: Seq[(String, Long)]): Unit =
+      stageFile(root, in, name, schema, rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)), mtime = None)
 
     def drain() = {
       CheckpointRestartSpec.emitted.clear()
@@ -99,19 +112,10 @@ class CheckpointRestartSpec extends SparkSpec {
 
     var mtime = 1000000L
     def writeFile(name: String, rows: Seq[(java.sql.Timestamp, Double)]): Unit = {
-      val tmp = s"$root/stage_$name"
-      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
-      rows.foreach(r => l.add(org.apache.spark.sql.Row(r._1, r._2)))
-      spark.createDataFrame(l, schema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.startsWith("part-")).head.toPath
-      val dest = java.nio.file.Paths.get(s"$in/$name.parquet")
-      java.nio.file.Files.copy(part, dest)
       // the file source drains by mtime — pin the intended order
       mtime += 60000L
-      dest.toFile.setLastModified(mtime)
-      ()
+      stageFile(root, in, name, schema, rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)), mtime = Some(mtime))
     }
 
     def drain() = {
