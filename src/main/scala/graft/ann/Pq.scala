@@ -214,7 +214,6 @@ object Pq {
       idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
       k: Int, probes: Int, r: Int, residual: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // residual = true is the FAISS by_residual path: codes (trained via
     // fitResidual) quantize x − centroid(cell), and the ADC
     // reconstruction is centroid + codeword concat — still row-local,
@@ -230,6 +229,57 @@ object Pq {
       else
         withCell.withColumn("__rv", reconstruct(codes(col("__v"), cb), cb)))
       .select("neighbor_id", "__cell", "__rv")
+    searchReconstructed(c, corpus, queries, idCol, vecCol, cents, k, probes, r)
+  }
+
+  /** The at-rest index table: one row per vector carrying EXACTLY the
+    * persisted state — (vec_id, cell, codes), 4 + m bytes of content.
+    * Materialize this once beside the corpus (q145's staging) and
+    * search with [[ivfPqTopKFromIndex]]; encoding is row-local. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], cb: Codebooks,
+      residual: Boolean = false): DataFrame = {
+    val withCell = corpus.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("cell", KMeans.nearestCentroid(col("__v"), cents))
+    (if (residual)
+        withCell.withColumn("codes",
+          codes(residualOf(col("__v"), col("cell"), cents), cb))
+      else withCell.withColumn("codes", codes(col("__v"), cb)))
+      .select("vec_id", "cell", "codes")
+  }
+
+  /** [[ivfPqTopK]] over a MATERIALIZED index: `index` carries
+    * (vec_id, cell, codes) — [[encode]]'s at-rest rows, loaded from
+    * wherever they were staged — so the search pays NO assignment and
+    * NO encoding: reconstruction off the literal codebooks, the cell
+    * equi-join, and the bounded top-k stages; the exact rerank still
+    * refetches only the broadcast Q·r shortlist from the full-width
+    * corpus. This is the complete FAISS serving shape: codebooks +
+    * coded corpus are artifacts, queries are the only thing computed. */
+  def ivfPqTopKFromIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], cb: Codebooks,
+      k: Int, probes: Int, r: Int, residual: Boolean = false): DataFrame = {
+    val base = index.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("__cell"), col("codes").as("__codes"))
+    val c = (if (residual)
+        base.withColumn("__rv",
+          zip_with(centAt(col("__cell"), cents),
+            reconstruct(col("__codes"), cb), (a, b) => a + b))
+      else base.withColumn("__rv", reconstruct(col("__codes"), cb)))
+      .select("neighbor_id", "__cell", "__rv")
+    searchReconstructed(c, corpus, queries, idCol, vecCol, cents, k, probes, r)
+  }
+
+  /** The shared two-stage search over a reconstructed corpus side
+    * (neighbor_id, __cell, __rv): probe routing, ADC shortlist of `r`,
+    * exact rerank of the broadcast shortlist — one definition so the
+    * in-query and from-index paths cannot diverge. */
+  private def searchReconstructed(c: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], k: Int, probes: Int, r: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("__qvec"))
       .withColumn("__cell", explode(KMeans.probeCells(col("__qvec"), cents, probes)))

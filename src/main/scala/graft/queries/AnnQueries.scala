@@ -721,36 +721,33 @@ object AnnQueries {
     QueryDef("q144_ann_ivfpq_persisted", Seq("J12", "A5"),
       faissIvfPqSearchSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val (nlist, m8, k256, it) = (64, 8, 256, 2)
-      // BOTH trainers' recipe versions: the coarse centroids come from
-      // KMeans, the residual codebooks from Pq — a change to either
-      // arithmetic must miss this cache
-      val dir = graft.sources.ZOrder.ensureStagedDir(
-        s"graft_ivfpq_v${graft.ann.KMeans.recipeVersion}" +
-          s"p${graft.ann.Pq.recipeVersion}_n${nlist}m${m8}k${k256}i$it",
-        d, s"$d/embeddings.parquet") { target =>
-        import s.implicits._
-        val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", nlist, it)
-        val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
-          m8, k256, it)
-        // kind 0 = coarse centroid (cid), kind 1 = codeword (m, cid)
-        val rows = cents.map { case (cid, c) => (0, 0, cid, c) } ++
-          cb.books.zipWithIndex.flatMap { case (book, mi) =>
-            book.zipWithIndex.map { case (cw, cid) => (1, mi, cid, cw) } }
-        rows.toDF("kind", "m", "cid", "cent").coalesce(1)
-          .write.mode("overwrite").parquet(target)
-      }
-      val loaded = s.read.parquet(dir).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toSeq))
-      val cents = loaded.filter(_._1 == 0).sortBy(_._3)
-        .map { case (_, _, cid, c) => (cid, c) }.toSeq
-      val books = (0 until m8).map { mi =>
-        loaded.filter(x => x._1 == 1 && x._2 == mi).sortBy(_._3).map(_._4).toSeq
-      }
-      // subDim derived FROM the persisted codewords — it can never
-      // disagree with whatever dimension the training actually saw
-      val cb = graft.ann.Pq.Codebooks(subDim = books.head.head.size, books)
+      val (cents, cb) = persistedFaissIndex(s, d)
       graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
+
+    // The COMPLETE at-rest serving shape: q144 persists the codebooks
+    // but still re-encodes the corpus per query; q145 also persists the
+    // per-vector (cell, codes) table — the literal 4 + m bytes per
+    // vector FAISS keeps — and searches from it via ivfPqTopKFromIndex:
+    // no assignment, no encoding, just reconstruction off the literal
+    // codebooks, the cell join, and the bounded top-k stages (the exact
+    // rerank still refetches only the broadcast Q·r shortlist at full
+    // width). Shares q139's oracle verbatim — the deterministic recipes
+    // make staged state equal freshly-derived state at every layer.
+    QueryDef("q145_ann_ivfpq_coded", Seq("J12", "A5"),
+      faissIvfPqSearchSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, cb) = persistedFaissIndex(s, d)
+      val codesDir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_codes_v${graft.ann.KMeans.recipeVersion}" +
+          s"p${graft.ann.Pq.recipeVersion}_n64m8k256i2",
+        d, s"$d/embeddings.parquet") { target =>
+        graft.ann.Pq.encode(emb, "vec_id", "embedding", cents, cb,
+          residual = true).write.mode("overwrite").parquet(target)
+      }
+      graft.ann.Pq.ivfPqTopKFromIndex(s.read.parquet(codesDir),
+        emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
 
@@ -879,6 +876,42 @@ object AnnQueries {
   // (train in-query) and q141 (load the persisted tree) — one text, so
   // an oracle fix cannot reach one and miss the other (the q96/q134
   // contract applied to the production quantizer).
+  /** Load-or-train the persisted FAISS-shaped index state (q144/q145):
+    * 64 coarse centroids + the 8×256 residual codebooks, keyed on the
+    * corpus fingerprint, the index shape, and BOTH trainers' recipe
+    * versions (the coarse centroids come from KMeans, the residual
+    * codebooks from Pq — a change to either arithmetic must miss the
+    * cache). subDim is derived FROM the persisted codewords so it can
+    * never disagree with whatever dimension the training actually saw. */
+  private def persistedFaissIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], graft.ann.Pq.Codebooks) = {
+    val emb = Tables.embeddings(s, d)
+    val (nlist, m8, k256, it) = (64, 8, 256, 2)
+    val dir = graft.sources.ZOrder.ensureStagedDir(
+      s"graft_ivfpq_v${graft.ann.KMeans.recipeVersion}" +
+        s"p${graft.ann.Pq.recipeVersion}_n${nlist}m${m8}k${k256}i$it",
+      d, s"$d/embeddings.parquet") { target =>
+      import s.implicits._
+      val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", nlist, it)
+      val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
+        m8, k256, it)
+      // kind 0 = coarse centroid (cid), kind 1 = codeword (m, cid)
+      val rows = cents.map { case (cid, c) => (0, 0, cid, c) } ++
+        cb.books.zipWithIndex.flatMap { case (book, mi) =>
+          book.zipWithIndex.map { case (cw, cid) => (1, mi, cid, cw) } }
+      rows.toDF("kind", "m", "cid", "cent").coalesce(1)
+        .write.mode("overwrite").parquet(target)
+    }
+    val loaded = s.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toSeq))
+    val cents = loaded.filter(_._1 == 0).sortBy(_._3)
+      .map { case (_, _, cid, c) => (cid, c) }.toSeq
+    val books = (0 until m8).map { mi =>
+      loaded.filter(x => x._1 == 1 && x._2 == mi).sortBy(_._3).map(_._4).toSeq
+    }
+    (cents, graft.ann.Pq.Codebooks(subDim = books.head.head.size, books))
+  }
+
   // The FAISS-shaped residual IVFPQ oracle (64-cell coarse training,
   // 8×256 residual codebooks, probe-16 routing, ADC shortlist-30, exact
   // rerank), shared VERBATIM by q139 (train in-query) and q144 (load

@@ -428,7 +428,8 @@ class PlanBudgetSpec extends SparkSpec {
     for (name <- Seq("q37_ann_bruteforce", "q38_ann_lsh", "q53_ann_ivf",
         "q96_ann_ivf_trained", "q126_ann_pq", "q127_ann_ivfpq",
         "q129_ann_ivfpq_residual", "q138_ann_ivf_tree", "q139_ann_ivfpq_faiss",
-        "q141_ann_tree_persisted", "q144_ann_ivfpq_persisted")) {
+        "q141_ann_tree_persisted", "q144_ann_ivfpq_persisted",
+        "q145_ann_ivfpq_coded")) {
       val plan = q(name).queryExecution.executedPlan.toString
       assert(plan.contains("bounded_top_k"), s"$name kept the window plan:\n$plan")
       assert(!plan.contains("WindowExec"), s"$name still sorts a window:\n$plan")
