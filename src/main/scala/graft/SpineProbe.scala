@@ -94,6 +94,7 @@ object SpineProbe {
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
+        ("q145_ann_ivfpq_coded", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -118,6 +119,7 @@ object SpineProbe {
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
+        ("q145_ann_ivfpq_coded", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
