@@ -300,7 +300,17 @@ object TextHash {
     best
   }
 
+  /** First `hexChars` hex digits of md5(t) as an unsigned long — the
+    * `conv(substring(md5(c), 1, n), 16, 10).cast("long")` idiom behind
+    * the KMV/quantile sample hashes, without the hex-string round-trip
+    * (n ≤ 15 so the value fits a long). */
+  def md5Prefix(t: UTF8String, hexChars: Int): Long =
+    hexPrefix(md5(t.toString), hexChars)
+
   // ---- Column constructors ----
+
+  def md5_prefix_long(c: Column, hexChars: Int): Column =
+    GraftColumnBridge.column(Md5PrefixLong(GraftColumnBridge.expression(c), hexChars))
 
   def cms_buckets(c: Column, depth: Int, width: Int): Column =
     GraftColumnBridge.column(CmsBucketsExpr(GraftColumnBridge.expression(c), depth, width))
@@ -435,6 +445,23 @@ case class CmsEstimateExpr(child: Expression, cells: Array[Long], depth: Int, wi
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextHash$$.MODULE$$.cmsEstimate($c, $cellsRef, $depth, $width)")
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** First `hexChars` hex digits of an md5 as an unsigned long — one
+  * digest, no hex string, no conv parse; the row-hash kernel behind the
+  * KMV (q119) and sampled-quantile (q122) sketches' uniform hashes. */
+case class Md5PrefixLong(child: Expression, hexChars: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(hexChars >= 1 && hexChars <= 15, "value must fit an unsigned long")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.md5Prefix(input.asInstanceOf[UTF8String], hexChars)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.md5Prefix($c, $hexChars)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -348,7 +348,7 @@ object WindowQueries {
       val k = 256
       val hashed = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"),
-          (conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+          (graft.functions.TextHash.md5_prefix_long(col("l_partkey").cast("string"), 12)
             .cast("double") / lit(281474976710656.0)).as("u"))
         .distinct()
       hashed
@@ -465,10 +465,10 @@ object WindowQueries {
       // payload and runs on BoundedTopKDoubles' primitive heap.
       val li = Tables.lineitem(s, d).select(
         col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
-        conv(substring(md5(concat_ws(":",
+        graft.functions.TextHash.md5_prefix_long(concat_ws(":",
             col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
-            col("l_partkey").cast("string"), col("l_suppkey").cast("string"))), 1, 12), 16, 10)
-          .cast("long").as("h"))
+            col("l_partkey").cast("string"), col("l_suppkey").cast("string")), 12)
+          .as("h"))
       val keys = li.select(col("grp"),
           (col("h").cast("double") / lit(281474976710656.0)).as("u"))
         .withColumn("rn", row_number().over(

@@ -127,6 +127,14 @@ class TextHashParitySpec extends SparkSpec {
     }
   }
 
+  test("md5_prefix_long matches conv(substring(md5(c), 1, n), 16, 10).cast(long)") {
+    for (n <- Seq(1, 8, 12, 15)) {
+      check(edgeTexts ++ randomTexts(70L + n, 150),
+        TextHash.md5_prefix_long(_, n),
+        c => conv(substring(md5(c), 1, n), 16, 10).cast("long"))
+    }
+  }
+
   test("cms_estimate matches least(element_at(cells, r*width + bucket + 1))") {
     val depth = 4
     val width = 16
