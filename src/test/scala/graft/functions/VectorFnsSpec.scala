@@ -100,6 +100,24 @@ class VectorFnsSpec extends SparkSpec {
     assert(bad2 == 0)
   }
 
+  test("argmax-cosine generates compilable code (no silent interpreted fallback)") {
+    // the custom doGenCode declares ev.isNull/ev.value itself; two calls
+    // in one codegen scope plus the CMS kernels must still compile —
+    // with fallback disabled a janino error is a hard failure here
+    // instead of a silent (and slow) interpreted plan in production
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+      val r = spark.range(1).select(
+        VectorKernels.argmaxCosine(array(lit(0.1), lit(2.0)), book).as("a"),
+        VectorKernels.argmaxCosine(array(lit(2.0), lit(0.1)), book).as("b"),
+        TextHash.md5_prefix_long(lit("x"), 8).as("h"),
+        TextHash.cms_estimate(lit("x"), Array.fill(8)(1L), 2, 4).as("e")).head
+      assert(r.getInt(0) == 1 && r.getInt(1) == 0 && r.getLong(3) == 1L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("argmax-cosine null semantics mirror the composed form: null vector -> 0, null book -> null") {
     // composed form: a null vector nulls every cosine, degenerating the
     // struct-max to the -idx tiebreak (index 0); a null book index made
