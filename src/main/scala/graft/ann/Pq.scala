@@ -213,24 +213,16 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
-      k: Int, probes: Int, r: Int, residual: Boolean = false): DataFrame = {
+      k: Int, probes: Int, r: Int, residual: Boolean = false): DataFrame =
     // residual = true is the FAISS by_residual path: codes (trained via
     // fitResidual) quantize x − centroid(cell), and the ADC
     // reconstruction is centroid + codeword concat — still row-local,
-    // still m codes per vector at rest (the cell id was already stored)
-    val withCell = corpus.select(col(idCol).as("neighbor_id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .withColumn("__cell", KMeans.nearestCentroid(col("__v"), cents))
-    val c = (if (residual)
-        withCell.withColumn("__rv",
-          zip_with(centAt(col("__cell"), cents),
-            reconstruct(codes(residualOf(col("__v"), col("__cell"), cents), cb), cb),
-            (a, b) => a + b))
-      else
-        withCell.withColumn("__rv", reconstruct(codes(col("__v"), cb), cb)))
-      .select("neighbor_id", "__cell", "__rv")
-    searchReconstructed(c, corpus, queries, idCol, vecCol, cents, k, probes, r)
-  }
+    // still m codes per vector at rest. The in-query path IS the
+    // from-index path over an unmaterialized [[encode]] — one
+    // assignment/encode/reconstruction definition, so the two can
+    // never diverge (PqSpec pins the round-trip through parquet too).
+    ivfPqTopKFromIndex(encode(corpus, idCol, vecCol, cents, cb, residual),
+      corpus, queries, idCol, vecCol, cents, cb, k, probes, r, residual)
 
   /** The at-rest index table: one row per vector carrying EXACTLY the
     * persisted state — (vec_id, cell, codes), 4 + m bytes of content.

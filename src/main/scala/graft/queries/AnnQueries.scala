@@ -740,8 +740,7 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val (cents, cb) = persistedFaissIndex(s, d)
       val codesDir = graft.sources.ZOrder.ensureStagedDir(
-        s"graft_ivfpq_codes_v${graft.ann.KMeans.recipeVersion}" +
-          s"p${graft.ann.Pq.recipeVersion}_n64m8k256i2",
+        s"graft_ivfpq_codes_$faissKeySuffix",
         d, s"$d/embeddings.parquet") { target =>
         graft.ann.Pq.encode(emb, "vec_id", "embedding", cents, cb,
           residual = true).write.mode("overwrite").parquet(target)
@@ -883,13 +882,21 @@ object AnnQueries {
     * codebooks from Pq — a change to either arithmetic must miss the
     * cache). subDim is derived FROM the persisted codewords so it can
     * never disagree with whatever dimension the training actually saw. */
+  // ONE shape + versioned-key definition for every staged artifact of
+  // the FAISS index (codebooks AND the coded corpus): a shape or recipe
+  // change must invalidate every layer, not just the one whose key a
+  // developer remembered to touch.
+  private val faissShape @ (faissNlist, faissM, faissK, faissIters) = (64, 8, 256, 2)
+  private def faissKeySuffix =
+    s"v${graft.ann.KMeans.recipeVersion}p${graft.ann.Pq.recipeVersion}" +
+      s"_n${faissNlist}m${faissM}k${faissK}i$faissIters"
+
   private def persistedFaissIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : (Seq[(Int, Seq[Double])], graft.ann.Pq.Codebooks) = {
     val emb = Tables.embeddings(s, d)
-    val (nlist, m8, k256, it) = (64, 8, 256, 2)
+    val (nlist, m8, k256, it) = faissShape
     val dir = graft.sources.ZOrder.ensureStagedDir(
-      s"graft_ivfpq_v${graft.ann.KMeans.recipeVersion}" +
-        s"p${graft.ann.Pq.recipeVersion}_n${nlist}m${m8}k${k256}i$it",
+      s"graft_ivfpq_$faissKeySuffix",
       d, s"$d/embeddings.parquet") { target =>
       import s.implicits._
       val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", nlist, it)

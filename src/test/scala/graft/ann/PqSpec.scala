@@ -98,4 +98,25 @@ class PqSpec extends SparkSpec {
       f"residual ADC must beat collapsed raw codes: residual $res%.4f vs raw $raw%.4f")
     assert(res >= 0.5, f"residual ADC shortlist quality degenerate: $res%.4f")
   }
+
+  test("encode -> parquet round-trip -> ivfPqTopKFromIndex equals the in-query search") {
+    // the materialized-index path (q145) must stay exactly the in-query
+    // path after the codes table passes through a real parquet write —
+    // cell/codes types, column order, and the reconstruction arithmetic
+    // all round-trip; a cold-cache oracle run is NOT the first place
+    // this should surface
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 20)
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val cb = Pq.fitResidual(emb, "vec_id", "embedding", cents, m = 8, k = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_codes_").toString
+    Pq.encode(emb, "vec_id", "embedding", cents, cb, residual = true)
+      .write.mode("overwrite").parquet(dir)
+    val fromIndex = Pq.ivfPqTopKFromIndex(spark.read.parquet(dir),
+      emb, queries, "vec_id", "embedding", cents, cb,
+      k = 5, probes = 6, r = 20, residual = true)
+    val inQuery = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      cents, cb, k = 5, probes = 6, r = 20, residual = true)
+    assert(fromIndex.collect().map(_.toSeq).toSet == inQuery.collect().map(_.toSeq).toSet)
+  }
 }
