@@ -29,4 +29,25 @@ class KnnSpec extends SparkSpec {
     val ids = out.map(_.getLong(2)).toSet
     assert(ids == Set(1L, 4L)) // same-bucket candidates only
   }
+
+  test("IVF search at full scan budget is EXACT — flat and tree both reduce to brute force") {
+    // probes = every cell (branchProbes = every branch) means the
+    // cell routing cannot drop a candidate: both index searches must
+    // return exactly the brute-force result — the recall=1 endpoint of
+    // the probes dial, pinned so the routing can never lose rows it
+    // claims only to reorder
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 15)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val flat = Knn.ivfTopK(emb, queries, "vec_id", "embedding", cents,
+      k = 5, probes = 8).collect().map(_.toSeq).toSet
+    assert(flat == exact, "flat IVF at probes=k diverged from brute force")
+    val tq = KMeans.fitTree(emb, "vec_id", "embedding", k1 = 4, k2 = 4, iters = 2)
+    val nCells = tq.leaves.map(_.size).sum
+    val tree = Knn.ivfTopKTree(emb, queries, "vec_id", "embedding", tq,
+      k = 5, probes = nCells, branchProbes = 4).collect().map(_.toSeq).toSet
+    assert(tree == exact, "tree IVF at full scan diverged from brute force")
+  }
 }
