@@ -95,6 +95,7 @@ object SpineProbe {
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
         ("q145_ann_ivfpq_coded", Set("embeddings")),
+        ("q146_stream_semdedup_pairs", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -120,6 +121,7 @@ object SpineProbe {
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
         ("q145_ann_ivfpq_coded", Set("embeddings")),
+        ("q146_stream_semdedup_pairs", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -236,6 +238,7 @@ object SpineProbe {
     // StreamingStateSpec instead; the probe reports wall + rows only.
     val drainsInBuild = Set("q118_stream_incremental_neardup",
       "q143_stream_semdedup", // stateless stream-static join: no state gate
+      "q146_stream_semdedup_pairs",
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
       "q135_stream_interval_outer", "q137_stream_join_window")
@@ -247,7 +250,8 @@ object SpineProbe {
       "q132_stream_cms" -> "graft_stream_cms",
       "q133_stream_cdc_tws" -> "graft_stream_cdc_tws",
       "q135_stream_interval_outer" -> "graft_stream_interval_outer",
-      "q137_stream_join_window" -> "graft_stream_join_window")
+      "q137_stream_join_window" -> "graft_stream_join_window",
+      "q146_stream_semdedup_pairs" -> "graft_stream_semdedup_pairs")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))

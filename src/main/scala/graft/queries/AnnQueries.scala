@@ -726,6 +726,62 @@ object AnnQueries {
         "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
 
+    // WITHIN-STREAM semantic near-dup — the composition q143 leaves
+    // open (q143 gates arrivals against the STANDING corpus; this finds
+    // near-dups BETWEEN arrivals): a stream-stream SELF interval join
+    // on the tree cell. Both sides are the same arriving vector stream,
+    // cells assigned row-locally off the literal quantizer; a pair
+    // (a, b) emits iff same cell, b within 10 minutes AFTER a (event
+    // time derived deterministically from vec_id, so the oracle replays
+    // the interval as an id-range), and cosine ≥ τ. Append-mode inner
+    // join emits each pair exactly once; state = both sides' vectors
+    // inside watermark + interval PER CELL — bounded by the horizon,
+    // not the stream, exactly q130's contract with the quantizer as the
+    // join key. At 100 TB/day this is the dedup-at-ingest shape for
+    // the stream itself, beside q143's gate against history.
+    QueryDef("q146_stream_semdedup_pairs", Seq("J12", "A10"),
+      s"""WITH ${treeCellsCte()}
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         FROM tcells a JOIN tcells b ON a.cell = b.cell
+           AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 600
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3""") { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = Tables.embeddings(s0, d)
+      val side = graft.dedup.SemDedup.cellSide(emb.count())
+      val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
+        k1 = side, k2 = side, iters = 2)
+      val src = emb.select("vec_id", "embedding")
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_semdedup_pairs"
+      val in = EventQueries.stageRangedDrain(src, 4, "vec_id", "graft_ssp_")
+      def sideStream(p: String) =
+        graft.dedup.SemDedup.assignCellsTree(
+            s.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in),
+            "vec_id", "embedding", tq)
+          .select(col("cid").as(s"${p}_cid"), col("vec_id").as(s"${p}_id"),
+            col("__v").as(s"__v$p"),
+            // +1 day: the watermark clamps at epoch 0, and join state
+            // with event time EXACTLY 0 is evicted non-strictly against
+            // that floor — vec 0's cross-batch pairs silently vanished
+            // until the timeline moved off the origin
+            timestamp_seconds(col("vec_id") + lit(86400)).as(s"${p}_ts"))
+          .withWatermark(s"${p}_ts", "1 hour")
+      val joined = sideStream("a").join(sideStream("b"),
+          expr("a_cid = b_cid AND b_id > a_id" +
+            " AND b_ts >= a_ts AND b_ts <= a_ts + interval 10 minutes"))
+        .filter(round(graft.functions.VectorFns.cosine(col("__va"), col("__vb")), 6) >= 0.3)
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+          round(graft.functions.VectorFns.cosine(col("__va"), col("__vb")), 6).as("cosine"))
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      s.table(sinkName).select("id_a", "id_b", "cosine")
+    },
+
     // The COMPLETE at-rest serving shape: q144 persists the codebooks
     // but still re-encodes the corpus per query; q145 also persists the
     // per-vector (cell, codes) table — the literal 4 + m bytes per
