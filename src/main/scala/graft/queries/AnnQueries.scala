@@ -744,7 +744,7 @@ object AnnQueries {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
          FROM tcells a JOIN tcells b ON a.cell = b.cell
-           AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 600
+           AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 60
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3""") { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
       val emb = Tables.embeddings(s0, d)
@@ -762,18 +762,23 @@ object AnnQueries {
             "vec_id", "embedding", tq)
           .select(col("cid").as(s"${p}_cid"), col("vec_id").as(s"${p}_id"),
             col("__v").as(s"__v$p"),
-            // +1 day: the watermark clamps at epoch 0, and join state
-            // with event time EXACTLY 0 is evicted non-strictly against
-            // that floor — vec 0's cross-batch pairs silently vanished
-            // until the timeline moved off the origin
-            timestamp_seconds(col("vec_id") + lit(86400)).as(s"${p}_ts"))
+            // ×10: the oracle corpus spans 500 ids, so at 10 s per id
+            // the 10-minute interval BINDS there (pairs ≤ 60 ids apart)
+            // and a wrong bound/unit/direction is oracle-caught, not
+            // vacuously passed. +1 day: the watermark clamps at epoch
+            // 0, and join state with event time EXACTLY 0 is evicted
+            // non-strictly against that floor — vec 0's cross-batch
+            // pairs silently vanished until the timeline moved off the
+            // origin
+            timestamp_seconds(col("vec_id") * 10 + lit(86400)).as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "1 hour")
       val joined = sideStream("a").join(sideStream("b"),
           expr("a_cid = b_cid AND b_id > a_id" +
             " AND b_ts >= a_ts AND b_ts <= a_ts + interval 10 minutes"))
-        .filter(round(graft.functions.VectorFns.cosine(col("__va"), col("__vb")), 6) >= 0.3)
-        .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
-          round(graft.functions.VectorFns.cosine(col("__va"), col("__vb")), 6).as("cosine"))
+        .withColumn("cosine", // once — Filter and Project don't share CSE
+          round(graft.functions.VectorFns.cosine(col("__va"), col("__vb")), 6))
+        .filter(col("cosine") >= 0.3)
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cosine"))
       val q = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
