@@ -268,6 +268,12 @@ object SpineProbe {
       // its live-entity state must stay EXACTLY flat while the stream
       // deepens N×.
       if (decade && streamSinks.contains(q)) (state1, stateN) match {
+        // a degenerate 1× snapshot (peak 0 — e.g. progress missed the
+        // peak entirely) would collapse the multiplicative bound to ~64
+        // and make the gate fail or pass on NOISE instead of the real
+        // invariant — report it as its own failure mode, never gate on it
+        case (Some(a), Some(_)) if a.maxRowsTotal <= 0 =>
+          println(s"""{"gate":"${q}_state_bound_$tag","ok":false,"detail":"no 1x baseline: peak_1x=${a.maxRowsTotal}"}""")
         case (Some(a), Some(b)) =>
           val ok = q match {
             case "q132_stream_cms" =>

@@ -75,6 +75,23 @@ case class ArgmaxCosine(
     else TypeCheckResult.TypeCheckSuccess
   }
 
+  // The case-class equals/hashCode would compare the Array field by
+  // REFERENCE, so two structurally identical instances (e.g. the same
+  // codebook literal appearing in two plan legs) would never be equal —
+  // canonicalization/semanticEquals and common-subexpression
+  // elimination would silently miss and each leg would pay the full
+  // kernel. Compare the codebook by CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgmaxCosine =>
+      vec == a.vec && bookIdx == a.bookIdx &&
+        java.util.Arrays.deepEquals(
+          books.asInstanceOf[Array[AnyRef]], a.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(vec, bookIdx,
+      Integer.valueOf(java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])))
+
   // Codeword self-dots, accumulated left-to-right exactly like the fused
   // cosine's nb term — recomputed once per executor after deserialization.
   @transient private lazy val norms: Array[Array[Double]] =
@@ -126,8 +143,10 @@ object VectorKernels {
     })
 
   /** Spark's round(x, 6) for doubles: BigDecimal HALF_UP on the
-    * canonical decimal representation, NaN/∞ passed through. */
-  @inline private def round6(d: Double): Double =
+    * canonical decimal representation, NaN/∞ passed through. Shared with
+    * the streaming SemPairs processor, whose JVM-side cosine decision
+    * must round exactly like the plan-side round(cosine, 6). */
+  @inline private[graft] def round6(d: Double): Double =
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
     else java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

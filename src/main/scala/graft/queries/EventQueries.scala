@@ -43,6 +43,14 @@ object EventQueries {
       math.min(statePartitions,
         s0.conf.get("spark.sql.shuffle.partitions", "32").toInt))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // StreamMetrics reads q.recentProgress after the drain — a ring
+    // buffer capped at this setting (default 100). A drain with more
+    // micro-batches than the cap would silently drop its EARLY progress
+    // entries, understating the peak-state and eviction totals the
+    // SpineProbe decade gates read. Every drain in the inventory runs
+    // through this session factory, so the cap is raised in one place
+    // to far beyond any drain's batch count.
+    s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     s
   }
 

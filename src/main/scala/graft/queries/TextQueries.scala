@@ -44,9 +44,14 @@ object TextQueries {
   private def cmsEstimate(s: org.apache.spark.sql.SparkSession, d: String,
       cms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cells = Array.fill(CmsDepth * CmsWidth)(0L)
-    cms.collect().foreach { r =>
-      cells(r.getInt(0) * CmsWidth + r.getLong(1).toInt) = r.getLong(2)
-    }
+    // select by NAME with explicit casts before collecting — a caller
+    // passing a cms frame with reordered columns or an int-typed bucket
+    // would otherwise fail positionally with an opaque cast error (or
+    // worse, read the wrong column)
+    cms.select(col("r").cast("int"), col("b").cast("long"), col("c").cast("long"))
+      .collect().foreach { r =>
+        cells(r.getInt(0) * CmsWidth + r.getLong(1).toInt) = r.getLong(2)
+      }
     val total = cells.take(CmsWidth).sum
     val est = graft.functions.TextHash.cms_estimate(
       col("token"), cells, CmsDepth, CmsWidth)

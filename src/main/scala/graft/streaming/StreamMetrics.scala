@@ -24,6 +24,11 @@ object StreamMetrics {
 
   private val snaps = scala.collection.concurrent.TrieMap.empty[String, Snapshot]
 
+  /** Reads `q.recentProgress` — a ring buffer capped at
+    * spark.sql.streaming.numRecentProgressUpdates, which
+    * EventQueries.streamSession raises to 10,000 so no drain in the
+    * inventory can outrun it and silently drop early batches from the
+    * peak/removed figures. */
   def record(name: String, q: StreamingQuery): Unit = {
     val progress = q.recentProgress.toSeq
     val perBatch = progress.map(_.stateOperators.map(_.numRowsTotal).sum)

@@ -159,6 +159,24 @@ class VectorFnsSpec extends SparkSpec {
     assert(got == Map(0 -> 0, 1 -> 1), s"by-column selection wrong: $got")
   }
 
+  test("argmax-cosine: structurally identical instances are equal (CSE/canonicalization can dedup)") {
+    // the codebook field is an Array, whose default equals is
+    // referential — without the content-based override two plan legs
+    // carrying the same literal codebook would never canonicalize
+    // together and each would pay the full kernel
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    def mk(b: Seq[Seq[Double]]) = ArgmaxCosine(
+      Literal.create(Seq(0.1, 2.0), ArrayType(DoubleType)), Literal(0),
+      Array(b.map(_.toArray).toArray))
+    val (a, b) = (mk(book), mk(book))
+    assert(a == b, "structurally identical ArgmaxCosine instances must be equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    assert(a != mk(book.reverse), "different codebooks must not compare equal")
+  }
+
   test("zero-norm input: native yields NaN (DuckDB semantics); composed form throws under ANSI") {
     // deliberate improvement over the composed form, whose 0/0 raises
     // DIVIDE_BY_ZERO with spark.sql.ansi.enabled=true — DuckDB (and any
