@@ -95,7 +95,7 @@ object SpineProbe {
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
         ("q145_ann_ivfpq_coded", Set("embeddings")),
-        ("q146_stream_semdedup_pairs", Set("embeddings")),
+        ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -121,7 +121,7 @@ object SpineProbe {
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
         ("q145_ann_ivfpq_coded", Set("embeddings")),
-        ("q146_stream_semdedup_pairs", Set("embeddings")),
+        ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -183,20 +183,41 @@ object SpineProbe {
     // derived-entity dup structure would also replicate per copy.
     // Staged from Tables.events so ts is the normalized nanos BIGINT
     // either way.
-    stage("events", {
-      val ev = graft.sources.Tables.events(spark, sfDir)
-      val userOff = // > max(user_id) at ANY sf, asserted not assumed
-        ev.agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
-      // event_id offset likewise DERIVED, not hardcoded: the next
-      // multiple of lcm(500, 300) = 1500 past max(event_id), so copies
-      // never collide in key space at any sf while q81/q97/q120/q133's
-      // derived-entity structure (event_id % 500 / % 300) still
-      // replicates per copy
-      val eidOff = (ev.agg(max(col("event_id")).cast("long")).head().getLong(0)
-        / 1500L + 1L) * 1500L
-      scaleUnion(ev, "event_id", eidOff,
-        (df, c) => df.withColumn("user_id", col("user_id") + c * userOff))
-    })
+    // the events scaling, shared by the "events" staging and q146's
+    // matched-offset "embeddings_ev" dir below
+    lazy val ev = graft.sources.Tables.events(spark, sfDir)
+    lazy val userOff = // > max(user_id) at ANY sf, asserted not assumed
+      ev.agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
+    // event_id offset likewise DERIVED, not hardcoded: the next
+    // multiple of lcm(500, 300) = 1500 past max(event_id), so copies
+    // never collide in key space at any sf while q81/q97/q120/q133's
+    // derived-entity structure (event_id % 500 / % 300) still
+    // replicates per copy
+    lazy val eidOff = (ev.agg(max(col("event_id")).cast("long")).head().getLong(0)
+      / 1500L + 1L) * 1500L
+    def scaledEvents = scaleUnion(ev, "event_id", eidOff,
+      (df, c) => df.withColumn("user_id", col("user_id") + c * userOff))
+    stage("events", scaledEvents)
+    // q146 joins vec_id = event_id for its REAL ingest timestamps, so
+    // its scaled embeddings must share the EVENTS key offset (the
+    // standard embeddings staging uses docsOff, which would leave every
+    // copy's vectors without a matching event). Copies reuse the base
+    // timeline's timestamps — the scaled stream is the same ~30-day
+    // window at N× the arrival rate, which is exactly the growth a
+    // horizon-bounded stream state should be charged for. Same
+    // dimension rotation as the standard embeddings staging.
+    val scaledEv = s"${System.getProperty("java.io.tmpdir")}/graft_spine_probe_ev_$tag"
+    if (needed("embeddings_ev")) {
+      scaledEvents.write.mode("overwrite").parquet(s"$scaledEv/events.parquet")
+      scaleUnion(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", eidOff,
+        (df, c) => {
+          val r = (7 * c) % 64
+          if (r == 0) df
+          else df.withColumn("embedding",
+            expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
+        }).write.mode("overwrite").parquet(s"$scaledEv/embeddings.parquet")
+    }
 
     // q114 (cross-doc span dedup) needs a SECOND documents scaling: the
     // plain copy above duplicates every text verbatim, which flips the
@@ -231,7 +252,7 @@ object SpineProbe {
     }
 
     // Streaming queries run their whole drain INSIDE build() and return
-    // only a tiny aggregate over the memory sink — a plan compare on the
+    // only a tiny aggregate over the drained sink — a plan compare on the
     // returned frame would inspect that trivial sink-side plan (and pay
     // two more full drains to get it), asserting nothing about the
     // streaming pipeline. Their plan shape is pinned by PlanBudgetSpec /
@@ -253,7 +274,9 @@ object SpineProbe {
       "q137_stream_join_window" -> "graft_stream_join_window",
       "q146_stream_semdedup_pairs" -> "graft_stream_semdedup_pairs")
     for ((q, tbls) <- selected) {
-      val big = if (tbls("documents_sfx")) scaledSfx else scaled
+      val big = if (tbls("documents_sfx")) scaledSfx
+        else if (tbls("embeddings_ev")) scaledEv
+        else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       val state1 = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
       time(s"${q}_$tag", SparkEntry.queries(q)(spark, big))

@@ -35,12 +35,24 @@ object StreamProbe {
             .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("tv"))
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        // update mode, matching the production drain q74/q81 now use
-        val q = stream.writeStream.format("memory").queryName(s"sp_${tag}_$i")
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        // update mode through the foreachBatch parquet drain — the same
+        // recipe the inventory's update-mode queries run, so the probe
+        // prices the drain the production path actually pays
+        val out = java.nio.file.Files.createTempDirectory(s"sp_${tag}_$i").toString
+        val q = stream.writeStream.queryName(s"sp_${tag}_$i")
+          .option("checkpointLocation", s"$out/cp")
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$out/rows")
+          }
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val batches = q.recentProgress.length
         val secs = (System.nanoTime() - t0) / 1e9
+        def rmr(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+        }
+        rmr(new java.io.File(out))
         println(f"[sprobe] $tag parts=$parts run$i ${secs}%.3f s batches=$batches")
       }
     }

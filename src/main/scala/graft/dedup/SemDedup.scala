@@ -59,9 +59,12 @@ object SemDedup {
     * it for N·2√k with the dedup logic downstream unchanged. */
   def assignCellsTree(
       corpus: DataFrame, idCol: String, vecCol: String,
-      tq: KMeans.TreeQuantizer): DataFrame =
+      tq: KMeans.TreeQuantizer,
+      /** extra columns to carry through unchanged (e.g. q146's ingest
+        * timestamp) — assignment is row-local either way */
+      keep: Seq[String] = Nil): DataFrame =
     corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .select(Seq(col(idCol).as("vec_id"), col(vecCol).as("__v")) ++ keep.map(col): _*)
       .withColumn("__b", KMeans.nearestCentroid(col("__v"), tq.branches))
       .withColumn("cid",
         (col("__b") * tq.k2 + KMeans.leafInBranch(col("__v"), col("__b"), tq)).cast("long"))

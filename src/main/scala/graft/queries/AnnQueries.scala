@@ -731,60 +731,70 @@ object AnnQueries {
     // near-dups BETWEEN arrivals): a stream-stream SELF interval join
     // on the tree cell. Both sides are the same arriving vector stream,
     // cells assigned row-locally off the literal quantizer; a pair
-    // (a, b) emits iff same cell, b within 10 minutes AFTER a (event
-    // time derived deterministically from vec_id, so the oracle replays
-    // the interval as an id-range), and cosine ≥ τ. Append-mode inner
-    // join emits each pair exactly once; state = both sides' vectors
-    // inside watermark + interval PER CELL — bounded by the horizon,
-    // not the stream, exactly q130's contract with the quantizer as the
-    // join key. At 100 TB/day this is the dedup-at-ingest shape for
-    // the stream itself, beside q143's gate against history.
+    // (a, b) emits iff same cell, b within 2 hours AFTER a, and
+    // cosine ≥ τ. Event time is REAL: vector k ingests at the events
+    // table's event-k timestamp, attached once at the batch staging
+    // step — the stream carries an honest timestamp column, not
+    // id-derived time. Event ts is strictly increasing over the corpus
+    // id range (asserted in the fixtures: min consecutive delta > 0 at
+    // every SF), so id order IS arrival order — the a-before-b
+    // direction loses no pairs — and the oracle replays the interval
+    // through the same deterministic id→ts mapping (the `ing` CTE). At
+    // sf0.01 the corpus timeline spans ~34 h, so the 2 h interval
+    // BINDS there (14 pairs emitted, 138 same-cell over-threshold
+    // pairs excluded): a wrong bound/unit/direction is oracle-caught,
+    // not vacuously passed. Append-mode inner join emits each pair
+    // exactly once; state = both sides' vectors inside watermark +
+    // interval PER CELL — bounded by the horizon, not the stream,
+    // exactly q130's contract with the quantizer as the join key. At
+    // 100 TB/day this is the dedup-at-ingest shape for the stream
+    // itself, beside q143's gate against history.
     QueryDef("q146_stream_semdedup_pairs", Seq("J12", "A10"),
-      s"""WITH ${treeCellsCte()}
+      s"""WITH ${treeCellsCte()},
+         ing AS (SELECT event_id AS vec_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         tc AS (SELECT t.vec_id, t.v, t.cell, i.sec
+                FROM tcells t JOIN ing i USING (vec_id))
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-         FROM tcells a JOIN tcells b ON a.cell = b.cell
-           AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 60
+         FROM tc a JOIN tc b ON a.cell = b.cell
+           AND b.vec_id > a.vec_id AND b.sec >= a.sec AND b.sec <= a.sec + 7200
          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3""") { (s0, d) =>
-      import org.apache.spark.sql.streaming.Trigger
       val emb = Tables.embeddings(s0, d)
       val side = graft.dedup.SemDedup.cellSide(emb.count())
       val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
         k1 = side, k2 = side, iters = 2)
-      val src = emb.select("vec_id", "embedding")
+      // the id→ts map: one batch-side join at staging, so the staged
+      // stream carries the real ingest second per vector
+      val ingest = Tables.events(s0, d)
+        .select(col("event_id").as("vec_id"),
+          expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ingest_sec"))
+      val src = emb.select("vec_id", "embedding").join(ingest, "vec_id")
       val s = EventQueries.streamSession(s0)
       val sinkName = "graft_stream_semdedup_pairs"
+      // ranged on vec_id = ranged on ingest time (ts monotone in id
+      // over the corpus range), so the drain replays arrival order and
+      // no row lands out-of-horizon late
       val in = EventQueries.stageRangedDrain(src, 4, "vec_id", "graft_ssp_")
       def sideStream(p: String) =
         graft.dedup.SemDedup.assignCellsTree(
             s.readStream.schema(src.schema)
               .option("maxFilesPerTrigger", 1).parquet(in),
-            "vec_id", "embedding", tq)
+            "vec_id", "embedding", tq, keep = Seq("ingest_sec"))
           .select(col("cid").as(s"${p}_cid"), col("vec_id").as(s"${p}_id"),
             col("__v").as(s"__v$p"),
-            // ×10: the oracle corpus spans 500 ids, so at 10 s per id
-            // the 10-minute interval BINDS there (pairs ≤ 60 ids apart)
-            // and a wrong bound/unit/direction is oracle-caught, not
-            // vacuously passed. +1 day: the watermark clamps at epoch
-            // 0, and join state with event time EXACTLY 0 is evicted
-            // non-strictly against that floor — vec 0's cross-batch
-            // pairs silently vanished until the timeline moved off the
-            // origin
-            timestamp_seconds(col("vec_id") * 10 + lit(86400)).as(s"${p}_ts"))
+            timestamp_seconds(col("ingest_sec")).as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "1 hour")
       val joined = sideStream("a").join(sideStream("b"),
           expr("a_cid = b_cid AND b_id > a_id" +
-            " AND b_ts >= a_ts AND b_ts <= a_ts + interval 10 minutes"))
+            " AND b_ts >= a_ts AND b_ts <= a_ts + interval 2 hours"))
         .withColumn("cosine", // once — Filter and Project don't share CSE
           round(graft.functions.VectorFns.cosine(col("__va"), col("__vb")), 6))
         .filter(col("cosine") >= 0.3)
         .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cosine"))
-      val q = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamMetrics.record(sinkName, q)
+      val sink = EventQueries.drainToParquet(joined, sinkName)
       EventQueries.dropStaged(in)
-      s.table(sinkName).select("id_a", "id_b", "cosine")
+      sink.select("id_a", "id_b", "cosine")
     },
 
     // The COMPLETE at-rest serving shape: q144 persists the codebooks
@@ -923,11 +933,9 @@ object AnnQueries {
             round(graft.functions.VectorFns.cosine(col("__v"), col("__vh")), 6) >= 0.3,
           "left_outer")
         .select(col("vec_id"), col("cid"), col("hcid").isNotNull.as("matched"))
-      val q = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val sink = EventQueries.drainToParquet(stream, sinkName)
       EventQueries.dropStaged(in)
-      s.table(sinkName).groupBy("vec_id", "cid")
+      sink.groupBy("vec_id", "cid")
         .agg(max(col("matched")).as("dup_in_history"))
     },
   )

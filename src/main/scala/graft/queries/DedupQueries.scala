@@ -305,11 +305,8 @@ object DedupQueries {
         .withColumn("arrival", timestamp_seconds(col("doc_id")))
       val verdicts = graft.streaming.NearDupStream.verdicts(
         stream, index, shingle = 8, bands = 4)
-      val q = verdicts.writeStream.format("memory").queryName(sinkName)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val hits = s.table(sinkName).groupBy("doc_id")
-        .agg(max("hit_bands").as("hit_bands"))
+      val hits = EventQueries.drainToParquet(verdicts, sinkName, update = true)
+        .groupBy("doc_id").agg(max("hit_bands").as("hit_bands"))
       Tables.documents(s, d).filter(col("doc_id") % 11 === 0).select("doc_id")
         .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),

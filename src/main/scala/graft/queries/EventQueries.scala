@@ -84,7 +84,7 @@ object EventQueries {
   }
 
   /** Delete a staged drain dir AND ITS WHOLE TEMP PARENT once the drain
-    * has materialized into its sink — the memory sink never re-reads
+    * has materialized into its sink — no drain re-reads
     * the files, and leaving them accumulates a full table copy per
     * query invocation (probes invoke each query several times). Only
     * safe when nothing else lives beside `inDir`: a drain whose parent
@@ -146,6 +146,50 @@ object EventQueries {
     sinkDirHook
     sinkDirs.add(dir)
     dir
+  }
+
+  /** Drain a streaming frame to a DURABLE parquet sink and return the
+    * sink read — the production drain shape for every streaming query in
+    * the inventory (the memory sink holds emitted rows in the driver's
+    * block manager: fine for small outputs, driver-bound at 100× output,
+    * and explicitly not checkpoint-recoverable — CheckpointRestartSpec).
+    *
+    * Append-mode queries use the real file sink (each row committed
+    * exactly once, checkpoint beside it). Update-mode queries — which
+    * the file sink API rejects — run the same recipe through
+    * `foreachBatch`, appending each micro-batch's re-emissions as new
+    * files; the caller then applies its query's own max-reduce
+    * reconstruction over the read-back, exactly as it did over the
+    * memory table (re-emissions across batches are the update-mode
+    * contract either way — only the storage moved off the driver).
+    *
+    * The sink dir must OUTLIVE this call (the returned frame reads its
+    * files lazily), so it is registered for JVM-exit cleanup, never
+    * dropped with the staged input. */
+  private[queries] def drainToParquet(frame: org.apache.spark.sql.DataFrame,
+      sinkName: String, update: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val s = frame.sparkSession
+    val out = registerSinkDir(
+      java.nio.file.Files.createTempDirectory(s"${sinkName}_out_").toString)
+    val q =
+      if (update)
+        frame.writeStream.queryName(sinkName)
+          .option("checkpointLocation", s"$out/cp")
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$out/rows")
+          }
+          .trigger(Trigger.AvailableNow()).start()
+      else
+        frame.writeStream.queryName(sinkName)
+          .format("parquet")
+          .option("path", s"$out/rows")
+          .option("checkpointLocation", s"$out/cp")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.streaming.StreamMetrics.record(sinkName, q)
+    s.read.parquet(s"$out/rows")
   }
 
   /** One side of a typed stream-stream interval join: the event_type-
@@ -305,7 +349,7 @@ object EventQueries {
 
     // Structured Streaming under the ORACLE gate: the same hourly-window
     // aggregation as q43, but executed as a real streaming query —
-    // file source → watermark → windowed agg → memory sink, drained with
+    // file source → watermark → windowed agg → parquet drain, run with
     // Trigger.AvailableNow (deterministic: processes everything, then
     // stops). UPDATE output mode: each micro-batch emits only the groups
     // it changed — sink and state both stay bounded by LIVE windows
@@ -346,10 +390,8 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
         .select(unix_timestamp(col("window.start")).as("hour_epoch"),
           col("event_type"), col("n"), col("total_value"))
-      val q = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sinkName).groupBy("hour_epoch", "event_type")
+      drainToParquet(stream, sinkName, update = true)
+        .groupBy("hour_epoch", "event_type")
         .agg(max(struct(col("n"), col("total_value"))).as("m"))
         .select(col("hour_epoch"), col("event_type"),
           col("m.n").as("n"), col("m.total_value").as("total_value"))
@@ -386,10 +428,8 @@ object EventQueries {
         .dropDuplicatesWithinWatermark("event_type", "dup_key")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_surviving"))
-      val q = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sinkName).groupBy("event_type")
+      drainToParquet(stream, sinkName, update = true)
+        .groupBy("event_type")
         .agg(max("n_surviving").as("n_surviving"))
     },
 
@@ -471,11 +511,9 @@ object EventQueries {
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"))
         .groupBy("entity")
         .agg(max(struct(col("sec"), col("event_id"), col("op"), col("value"))).as("m"))
-      val q = state.writeStream.format("memory").queryName(sinkName)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      dropStaged(s"$tmp/in") // memory sink holds the rows; the staged copy is dead weight
-      cdcSinkReduce(s.table(sinkName)
+      val sink = drainToParquet(state, sinkName, update = true)
+      dropStaged(s"$tmp/in") // the file sink holds the rows; the staged copy is dead weight
+      cdcSinkReduce(sink
         .select(col("entity"), col("m.sec").as("sec"), col("m.event_id").as("event_id"),
           col("m.op").as("op"), col("m.value").as("value")))
     },
@@ -524,12 +562,9 @@ object EventQueries {
         .groupByKey(_.entity)
         .transformWithState(new TwsCdc.LastWriterWins,
           TimeMode.None(), OutputMode.Update())
-      val q = ops.toDF().writeStream.format("memory").queryName(sinkName)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamMetrics.record(sinkName, q)
+      val sink = drainToParquet(ops.toDF(), sinkName, update = true)
       dropStaged(in)
-      cdcSinkReduce(s.table(sinkName))
+      cdcSinkReduce(sink)
     },
 
     // Stream-STREAM interval join — the last major Structured Streaming
@@ -565,12 +600,9 @@ object EventQueries {
       // replay the lateness=0 contract needs — see stampDrainOrder)
       val in = stageRangedDrain(Tables.events(s, d), 4, "ts", "graft_ssj_")
       val joined = intervalJoinPair(s, schema, in)
-      val q = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamMetrics.record(sinkName, q)
+      val sink = drainToParquet(joined, sinkName)
       dropStaged(in)
-      s.table(sinkName).groupBy(col("c_user").as("user_id"))
+      sink.groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           round(sum("p_value"), 4).as("attributed"))
     },
@@ -608,23 +640,9 @@ object EventQueries {
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
       addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
       val joined = intervalJoinPair(s, schema, in, "leftOuter")
-      // PARQUET sink, not memory: append mode + checkpoint is the
-      // durable production drain (the memory sink is explicitly not
-      // checkpoint-recoverable — CheckpointRestartSpec documents why),
-      // and the read-back proves the emitted rows round-trip a real
-      // file sink. The sink dir must outlive this call (the returned
-      // frame reads it lazily), so it is NOT dropped with the staging —
-      // it is registered for JVM-exit cleanup instead.
-      val out = registerSinkDir(
-        java.nio.file.Files.createTempDirectory("graft_ssjo_out_").toString)
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$out/rows")
-        .option("checkpointLocation", s"$out/cp")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamMetrics.record(sinkName, q)
+      val sink = drainToParquet(joined, sinkName)
       dropStaged(in)
-      s.read.parquet(s"$out/rows").filter(col("c_user") >= 0)
+      sink.filter(col("c_user") >= 0)
         .groupBy(col("c_user").as("user_id"))
         .agg(count(lit(1)).as("n_rows"),
           count(col("p_id")).as("n_matched"),
@@ -671,12 +689,9 @@ object EventQueries {
         .agg(count(lit(1)).as("n_pairs"), round(sum("p_value"), 4).as("attributed"))
         .select(unix_timestamp(col("w.start")).as("hour_epoch"),
           col("n_pairs"), col("attributed"))
-      val q = stream.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamMetrics.record(sinkName, q)
+      val sink = drainToParquet(stream, sinkName)
       dropStaged(in)
-      s.table(sinkName).select("hour_epoch", "n_pairs", "attributed")
+      sink.select("hour_epoch", "n_pairs", "attributed")
     },
 
     // Streaming SESSION-window aggregation — q69's gap-merge sessionizer
@@ -728,19 +743,12 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
         .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
           col("n_events"), col("session_value"))
-      // parquet sink + checkpoint (see q135): session windows are
-      // append-only by API, so the file sink holds each session exactly
-      // once and the read-back is a plain projection over real files.
-      val out = registerSinkDir(
-        java.nio.file.Files.createTempDirectory("graft_sess_out_").toString)
-      val q = stream.writeStream.format("parquet")
-        .option("path", s"$out/rows")
-        .option("checkpointLocation", s"$out/cp")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamMetrics.record(sinkName, q)
+      // session windows are append-only by API, so the file sink holds
+      // each session exactly once and the read-back is a plain
+      // projection over real files.
+      val sink = drainToParquet(stream, sinkName)
       dropStaged(in)
-      s.read.parquet(s"$out/rows").filter(col("user_id") >= 0)
+      sink.filter(col("user_id") >= 0)
         .select("user_id", "session_start", "n_events", "session_value")
     },
   )

@@ -586,14 +586,11 @@ object TextQueries {
       val cmsStream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .select(explode(split(trim(col("text")), """\s+""")).as("token"))
-      val q = cmsCells(cmsStream)
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      graft.streaming.StreamMetrics.record(sinkName, q)
+      val sink = EventQueries.drainToParquet(
+        cmsCells(cmsStream).groupBy("r", "b").agg(count(lit(1)).as("c")),
+        sinkName, update = true)
       EventQueries.dropStaged(in)
-      val cms = s.table(sinkName).groupBy("r", "b").agg(max("c").as("c"))
+      val cms = sink.groupBy("r", "b").agg(max("c").as("c"))
       cmsEstimate(s, d, cms)
     },
   )
