@@ -91,11 +91,19 @@ object SpineProbe {
         ("q126_ann_pq", Set("embeddings")),
         ("q127_ann_ivfpq", Set("embeddings")),
         ("q128_hll_distinct", Set("lineitem")),
+        // the index-family SEARCH queries: every persisted/train-in-query
+        // rung gets a measured 10x wall-time row, not just q145
+        ("q138_ann_ivf_tree", Set("embeddings")),
+        ("q139_ann_ivfpq_faiss", Set("embeddings")),
+        ("q141_ann_tree_persisted", Set("embeddings")),
+        ("q144_ann_ivfpq_persisted", Set("embeddings")),
+        ("q148_ann_ivfpq_append", Set("embeddings")),
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
         ("q145_ann_ivfpq_coded", Set("embeddings")),
         ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
+        ("q147_stream_semdedup_unified", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -122,6 +130,7 @@ object SpineProbe {
         ("q143_stream_semdedup", Set("embeddings")),
         ("q145_ann_ivfpq_coded", Set("embeddings")),
         ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
+        ("q147_stream_semdedup_unified", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -260,6 +269,7 @@ object SpineProbe {
     val drainsInBuild = Set("q118_stream_incremental_neardup",
       "q143_stream_semdedup", // stateless stream-static join: no state gate
       "q146_stream_semdedup_pairs",
+      "q147_stream_semdedup_unified",
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
       "q135_stream_interval_outer", "q137_stream_join_window")
@@ -272,7 +282,8 @@ object SpineProbe {
       "q133_stream_cdc_tws" -> "graft_stream_cdc_tws",
       "q135_stream_interval_outer" -> "graft_stream_interval_outer",
       "q137_stream_join_window" -> "graft_stream_join_window",
-      "q146_stream_semdedup_pairs" -> "graft_stream_semdedup_pairs")
+      "q146_stream_semdedup_pairs" -> "graft_stream_semdedup_pairs",
+      "q147_stream_semdedup_unified" -> "graft_stream_semdedup_unified")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("embeddings_ev")) scaledEv
@@ -303,6 +314,13 @@ object SpineProbe {
               a.maxRowsTotal <= 4096L && b.maxRowsTotal == a.maxRowsTotal
             case "q133_stream_cdc_tws" =>
               b.maxRowsTotal == a.maxRowsTotal && b.maxRowsTotal <= 300L
+            case "q147_stream_semdedup_unified" =>
+              // state = one ListState row per arrival EVER within the
+              // TTL horizon; the drain's TTL is off, so nothing is
+              // removed in-drain (the TTL is the production eviction
+              // lever, spec-driven) — gate only that state tracks
+              // arrivals ∝ N, never worse
+              b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64
             case _ =>
               b.removed > 0 &&
                 b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64

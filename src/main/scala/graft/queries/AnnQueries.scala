@@ -86,22 +86,27 @@ object AnnQueries {
   // emptied code keeps its previous codeword. ONE definition so a recipe
   // fix cannot silently diverge between the three oracles. `srcRel` must
   // expose (vec_id, `vecCol` DOUBLE[64]) — q129 points it at the
-  // residual relation. Ends at `pcodes` (every vector's code per
-  // subspace) and `precon` (`prv` = the codeword concat in m order).
-  private def pqTrainingCte(srcRel: String, vecCol: String, k: Int = 16) =
+  // residual relation. `trainPred` restricts which rows TRAIN the
+  // codebooks (psubt — q148 trains on history alone); `pcodes`/`precon`
+  // always encode every srcRel row against the final books. Ends at
+  // `pcodes` (every vector's code per subspace) and `precon` (`prv` =
+  // the codeword concat in m order).
+  private def pqTrainingCte(srcRel: String, vecCol: String, k: Int = 16,
+      trainPred: String = "true") =
     s"""psub AS (
            SELECT vec_id, m.m AS m, $vecCol[(m.m*8+1):(m.m*8+8)] AS sv
            FROM $srcRel CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) m),
+         psubt AS (SELECT * FROM psub WHERE $trainPred),
          pinit AS (
            SELECT m, rn - 1 AS cid, sv AS cent FROM (
              SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-             FROM psub) WHERE rn <= $k),
+             FROM psubt) WHERE rn <= $k),
          pa1 AS (
            SELECT vec_id, m, sv, cid FROM (
              SELECT s.vec_id, s.m, s.sv, c.cid,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                  ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pinit c ON s.m = c.m) WHERE rn = 1),
+             FROM psubt s JOIN pinit c ON s.m = c.m) WHERE rn = 1),
          pm1 AS (
            SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
            FROM pa1 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
@@ -116,7 +121,7 @@ object AnnQueries {
              SELECT s.vec_id, s.m, s.sv, c.cid,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                  ORDER BY round(list_cosine_similarity(s.sv, c.cent), 6) DESC, c.cid) AS rn
-             FROM psub s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
+             FROM psubt s JOIN pc1 c ON s.m = c.m) WHERE rn = 1),
          pm2 AS (
            SELECT m, cid, d.d AS dim, round(avg(sv[d.d]), 6) AS mu
            FROM pa2 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
@@ -699,7 +704,7 @@ object AnnQueries {
     // the 64-cell coarse training, the 8×256 residual codebook training,
     // the probe routing, the ADC shortlist, and the rerank end to end.
     QueryDef("q139_ann_ivfpq_faiss", Seq("J12", "A5"),
-      faissIvfPqSearchSql) { (s, d) =>
+      faissIvfPqSearchSql()) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", k = 64, iters = 2)
       val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
@@ -719,7 +724,7 @@ object AnnQueries {
     // the row-local encode + cell join + bounded top-k, with BOTH
     // trainings amortized away.
     QueryDef("q144_ann_ivfpq_persisted", Seq("J12", "A5"),
-      faissIvfPqSearchSql) { (s, d) =>
+      faissIvfPqSearchSql()) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val (cents, cb) = persistedFaissIndex(s, d)
       graft.ann.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
@@ -807,7 +812,7 @@ object AnnQueries {
     // width). Shares q139's oracle verbatim — the deterministic recipes
     // make staged state equal freshly-derived state at every layer.
     QueryDef("q145_ann_ivfpq_coded", Seq("J12", "A5"),
-      faissIvfPqSearchSql) { (s, d) =>
+      faissIvfPqSearchSql()) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val (cents, cb) = persistedFaissIndex(s, d)
       val codesDir = graft.sources.ZOrder.ensureStagedDir(
@@ -861,21 +866,7 @@ object AnnQueries {
     // history-restricted two-level training (treeCellsCte's trainPred)
     // and both flag joins on the tree cells.
     QueryDef("q142_semdedup_incremental_tree", Seq("J12", "A10", "J11"),
-      s"""WITH ${treeCellsCte("vec_id % 10 <> 0")},
-         dupsH AS (
-           SELECT DISTINCT b.vec_id
-           FROM tcells h JOIN tcells b ON h.cell = b.cell
-           WHERE h.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
-             AND round(list_cosine_similarity(h.v, b.v), 6) >= 0.3),
-         dupsB AS (
-           SELECT DISTINCT b.vec_id
-           FROM tcells a JOIN tcells b ON a.cell = b.cell
-           WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
-             AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
-         SELECT c.vec_id, c.cell AS cid,
-           c.vec_id IN (SELECT vec_id FROM dupsH) AS dup_in_history,
-           c.vec_id IN (SELECT vec_id FROM dupsB) AS dup_in_batch
-         FROM tcells c WHERE c.vec_id % 10 = 0""") { (s, d) =>
+      treeIncrementalFlagsSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val history = emb.filter(col("vec_id") % 10 =!= 0)
       val batch = emb.filter(col("vec_id") % 10 === 0)
@@ -938,7 +929,171 @@ object AnnQueries {
       sink.groupBy("vec_id", "cid")
         .agg(max(col("matched")).as("dup_in_history"))
     },
+
+    // UNIFIED streaming semantic dedup — the complete dedup-at-ingest
+    // operator, composing in ONE streaming query the two halves the
+    // inventory previously split: each arriving vector (a) gates
+    // against the STANDING history index (q143's stateless
+    // stream-static join) AND (b) pairs against every PRIOR arrival in
+    // its cell via per-cell `transformWithState` ListState with TTL
+    // (graft.streaming.SemPairs — the q133 machinery carrying vectors).
+    // This closes the composition gap q143+q146 left: a near-dup pair
+    // whose members BOTH arrive post-history and further apart than
+    // q146's join interval is caught here, because "prior" is the
+    // cell's whole retained state, not an event-time interval. State =
+    // one row per arrival within the TTL horizon PER CELL — the
+    // production bound is arrival rate × TTL, the lever only the
+    // arbitrary-state API exposes (the drain's TTL is far beyond its
+    // wall time, so nothing expires mid-drain and the flags replay the
+    // batch rule exactly — which is why this shares q142's oracle
+    // VERBATIM: the streaming composition provably computes the batch
+    // semantics). Processing order is pinned to vec_id (batch rows
+    // sorted, staged ranges ascending), so dup_in_batch = "exists
+    // lower-id same-cell arrival with round(cosine,6) ≥ τ" — q142's
+    // order-free one-pass rule. The history side joins AFTER the
+    // stateful operator (stateless stream-static, index
+    // localCheckpointed once), so the corpus never enters the state
+    // store; the sink aggregate collapses the gate join's per-match
+    // rows idempotently.
+    QueryDef("q147_stream_semdedup_unified", Seq("J12", "A10", "J11"),
+      treeIncrementalFlagsSql) { (s0, d) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import graft.streaming.SemPairs
+      val emb = Tables.embeddings(s0, d)
+      val history = emb.filter(col("vec_id") % 10 =!= 0)
+      val batchSrc = emb.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      val side = graft.dedup.SemDedup.cellSide(history.count())
+      val tq = graft.ann.KMeans.fitTree(history, "vec_id", "embedding",
+        k1 = side, k2 = side, iters = 2)
+      val s = EventQueries.streamSession(s0)
+      // transformWithState requires the RocksDB state store provider
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sinkName = "graft_stream_semdedup_unified"
+      val hIdx = graft.dedup.SemDedup
+        .assignCellsTree(Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", tq)
+        .select(col("cid").as("hcid"), col("__v").as("__vh"))
+        .localCheckpoint(false) // static side re-evaluates per micro-batch otherwise
+      val in = EventQueries.stageRangedDrain(batchSrc, 4, "vec_id", "graft_ssu_")
+      implicit val arrEnc: org.apache.spark.sql.Encoder[SemPairs.Arrival] =
+        org.apache.spark.sql.Encoders.product[SemPairs.Arrival]
+      implicit val verEnc: org.apache.spark.sql.Encoder[SemPairs.Verdict] =
+        org.apache.spark.sql.Encoders.product[SemPairs.Verdict]
+      implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      val paired = graft.dedup.SemDedup.assignCellsTree(
+          s.readStream.schema(batchSrc.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
+          "vec_id", "embedding", tq)
+        .select(col("cid"), col("vec_id"),
+          transform(col("__v"), x => x.cast("double")).as("v"))
+        .as[SemPairs.Arrival]
+        .groupByKey(_.cid)
+        // TimeMode.None + no TTL for the drain: nothing may expire
+        // mid-drain anyway (the oracle replays the full pair set), and
+        // a TTL's ProcessingTime mode never terminates under
+        // AvailableNow (see CellPairs' Scaladoc) — the live-stream
+        // configuration (ProcessingTime + TTL) is spec-driven instead
+        .transformWithState(
+          new SemPairs.CellPairs(0.3, ttl = None),
+          TimeMode.None(), OutputMode.Update())
+      val flagged = paired.toDF()
+        .join(hIdx,
+          col("cid") === col("hcid") &&
+            round(graft.functions.VectorFns.cosine(col("v"), col("__vh")), 6) >= 0.3,
+          "left_outer")
+        .select(col("vec_id"), col("cid"), col("dup_in_batch"),
+          col("hcid").isNotNull.as("matched"))
+      val sink = EventQueries.drainToParquet(flagged, sinkName, update = true)
+      EventQueries.dropStaged(in)
+      sink.groupBy("vec_id", "cid", "dup_in_batch")
+        .agg(max(col("matched")).as("dup_in_history"))
+        .select("vec_id", "cid", "dup_in_history", "dup_in_batch")
+    },
+
+    // INCREMENTAL INDEX APPEND — the FAISS add() analogue, the serving
+    // operation a daily-refresh pipeline (the reference's own cadence,
+    // GUIDE.md:458) runs between retrains: the q144/q145 index state is
+    // trained and frozen on HISTORY (vec_id % 10 <> 0); an arriving
+    // delta is encoded against the FROZEN codebooks — row-local, delta-
+    // sized work, no retraining, no re-encoding of the standing corpus —
+    // and appended as its own coded segment beside the history segment;
+    // search runs over the segment union. Without this, q141/q144/q145's
+    // whole-corpus cache keys make ANY append a full retrain+re-encode —
+    // the one remaining scale-killer in the serving story. A RECALL
+    // DRIFT GATE guards the freeze: the searched result is scored
+    // against the exact brute-force truth for the query set each run,
+    // and if recall falls below 0.7 the query falls back to a full
+    // retrain (PqAppendSpec plants a drifted delta to prove the gate
+    // trips and the retrain restores recall; on this corpus the append
+    // path measures ≥0.9 and is the path the oracle checks). The oracle
+    // is the shared FAISS text with BOTH trainings restricted to
+    // history — encoding/search still cover every vector, so it replays
+    // exactly the frozen-codebooks-over-union semantics.
+    QueryDef("q148_ann_ivfpq_append", Seq("J12", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val history = emb.filter(col("vec_id") % 10 =!= 0)
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      val (cents, cb) = persistedFaissIndex(s, d, histOnly = true)
+      // the standing coded segment: encoded once when the index was built
+      val histCodesDir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_codes_hist_$faissKeySuffix",
+        d, s"$d/embeddings.parquet") { target =>
+        graft.ann.Pq.encode(history, "vec_id", "embedding", cents, cb,
+          residual = true).write.mode("overwrite").parquet(target)
+      }
+      // add(): ONLY the delta is encoded — against the frozen books —
+      // and staged as its own segment
+      val deltaCodesDir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_codes_delta_$faissKeySuffix",
+        d, s"$d/embeddings.parquet") { target =>
+        graft.ann.Pq.encode(delta, "vec_id", "embedding", cents, cb,
+          residual = true).write.mode("overwrite").parquet(target)
+      }
+      val index = s.read.parquet(histCodesDir)
+        .unionByName(s.read.parquet(deltaCodesDir))
+      val queries = emb.filter(col("vec_id") < 10)
+      val approx = graft.ann.Pq.ivfPqTopKFromIndex(index, emb, queries,
+        "vec_id", "embedding", cents, cb, k = 3, probes = 16, r = 30,
+        residual = true)
+      // drift gate: exact truth is Q·N cosines over the broadcast query
+      // side — trivial beside the search, and the measurement that makes
+      // "the frozen index still serves this corpus" a checked claim
+      val exact = graft.ann.Knn.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", 3)
+      if (graft.ann.Knn.recall(exact, approx) < 0.7) {
+        val (cFull, cbFull) = persistedFaissIndex(s, d)
+        graft.ann.Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+          cFull, cbFull, k = 3, probes = 16, r = 30, residual = true)
+      } else approx
+    },
   )
+
+  // The history-trained tree incremental dup-flags oracle (history gate
+  // + lower-id pair flags on the tree cells), shared VERBATIM by q142
+  // (batch increment) and q147 (the arrivals as a STREAM through
+  // per-cell transformWithState state) — one text, so an oracle fix
+  // cannot reach one and miss the other, and so the streaming
+  // composition provably computes the batch rule.
+  private def treeIncrementalFlagsSql =
+    s"""WITH ${treeCellsCte("vec_id % 10 <> 0")},
+       dupsH AS (
+         SELECT DISTINCT b.vec_id
+         FROM tcells h JOIN tcells b ON h.cell = b.cell
+         WHERE h.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+           AND round(list_cosine_similarity(h.v, b.v), 6) >= 0.3),
+       dupsB AS (
+         SELECT DISTINCT b.vec_id
+         FROM tcells a JOIN tcells b ON a.cell = b.cell
+         WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+           AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+       SELECT c.vec_id, c.cell AS cid,
+         c.vec_id IN (SELECT vec_id FROM dupsH) AS dup_in_history,
+         c.vec_id IN (SELECT vec_id FROM dupsB) AS dup_in_batch
+       FROM tcells c WHERE c.vec_id % 10 = 0"""
 
   // The tree-quantizer probe+search oracle, shared VERBATIM by q138
   // (train in-query) and q141 (load the persisted tree) — one text, so
@@ -960,16 +1115,20 @@ object AnnQueries {
     s"v${graft.ann.KMeans.recipeVersion}p${graft.ann.Pq.recipeVersion}" +
       s"_n${faissNlist}m${faissM}k${faissK}i$faissIters"
 
-  private def persistedFaissIndex(s: org.apache.spark.sql.SparkSession, d: String)
+  private def persistedFaissIndex(s: org.apache.spark.sql.SparkSession, d: String,
+      /** true → train BOTH quantizers on history alone (vec_id % 10 <> 0)
+        * under a distinct cache tag — q148's frozen-index contract */
+      histOnly: Boolean = false)
       : (Seq[(Int, Seq[Double])], graft.ann.Pq.Codebooks) = {
     val emb = Tables.embeddings(s, d)
+    val trainSrc = if (histOnly) emb.filter(col("vec_id") % 10 =!= 0) else emb
     val (nlist, m8, k256, it) = faissShape
     val dir = graft.sources.ZOrder.ensureStagedDir(
-      s"graft_ivfpq_$faissKeySuffix",
+      s"graft_ivfpq_${if (histOnly) "hist_" else ""}$faissKeySuffix",
       d, s"$d/embeddings.parquet") { target =>
       import s.implicits._
-      val cents = graft.ann.KMeans.fit(emb, "vec_id", "embedding", nlist, it)
-      val cb = graft.ann.Pq.fitResidual(emb, "vec_id", "embedding", cents,
+      val cents = graft.ann.KMeans.fit(trainSrc, "vec_id", "embedding", nlist, it)
+      val cb = graft.ann.Pq.fitResidual(trainSrc, "vec_id", "embedding", cents,
         m8, k256, it)
       // kind 0 = coarse centroid (cid), kind 1 = codeword (m, cid)
       val rows = cents.map { case (cid, c) => (0, 0, cid, c) } ++
@@ -991,9 +1150,12 @@ object AnnQueries {
   // The FAISS-shaped residual IVFPQ oracle (64-cell coarse training,
   // 8×256 residual codebooks, probe-16 routing, ADC shortlist-30, exact
   // rerank), shared VERBATIM by q139 (train in-query) and q144 (load
-  // the persisted index) — one text, the q96/q134 contract.
-  private def faissIvfPqSearchSql =
-    s"""WITH ${trainedCellsCte(k = 64)},
+  // the persisted index) — one text, the q96/q134 contract. `trainPred`
+  // restricts BOTH trainings (q148 trains on history alone — the
+  // frozen-index append semantics); assignment, encoding, and search
+  // always cover every vector.
+  private def faissIvfPqSearchSql(trainPred: String = "true") =
+    s"""WITH ${trainedCellsCte(trainPred, k = 64)},
        probes AS (
          SELECT vec_id AS query_id, v AS qv, cid FROM (
            SELECT t.vec_id, t.v, c.cid,
@@ -1004,7 +1166,7 @@ object AnnQueries {
          SELECT e.vec_id, e.cid,
            list_transform(list_zip(e.v, cc.cent), s -> s[1] - s[2]) AS rv
          FROM cells e JOIN c2 cc USING (cid)),
-       ${pqTrainingCte("res", "rv", k = 256)},
+       ${pqTrainingCte("res", "rv", k = 256, trainPred = trainPred)},
        recon AS (
          SELECT r.vec_id, e.cid,
            list_transform(list_zip(cc.cent, r.prv), s -> s[1] + s[2]) AS rv

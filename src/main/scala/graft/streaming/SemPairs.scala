@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** Per-cell arrival memory for UNIFIED streaming semantic dedup (q147):
+  * each arriving vector is checked against every PRIOR arrival in its
+  * quantizer cell — with no interval limit, closing the gap the
+  * stream-stream interval join (q146) leaves open (a near-dup pair
+  * whose members arrive further apart than the join interval) — and
+  * then enters the cell's state itself, under a TTL.
+  *
+  * This is the `transformWithState` member of the semantic-dedup family
+  * the way [[TwsCdc]] is for CDC: explicit typed state (a ListState of
+  * arrivals per cell) where the join operators hold implicit buffers.
+  * What the arbitrary-state API buys here is exactly the two things the
+  * interval join cannot express: (1) "prior" means ALL prior arrivals
+  * still inside the retention horizon, not a fixed event-time interval;
+  * (2) the retention horizon is a per-element TTL — the production
+  * lever that bounds state per cell at (arrival rate within TTL), not
+  * stream length. During an oracle drain the TTL is OFF (see
+  * [[CellPairs]]' Scaladoc for why it must be), so nothing expires and
+  * the emitted flags replay exactly as the batch rule (q142's oracle);
+  * SemPairsStateSpec drives a short-TTL live stream to show expiry
+  * actually trims the list.
+  *
+  * Determinism: "prior" is pinned to vec_id order, not arrival
+  * nondeterminism — each batch's rows are processed in ascending
+  * vec_id, and the staged drain delivers batches in ascending vec_id
+  * ranges, so `dup` = "exists a LOWER-ID same-cell arrival with
+  * round(cosine, 6) ≥ τ" — the exact one-pass rule
+  * [[graft.dedup.SemDedup]] applies in batch (checked against all
+  * lower-id arrivals, accepted or not, which keeps the rule order-free
+  * and SQL-replayable). Requires the RocksDB state store provider;
+  * TimeMode.ProcessingTime (the TTL clock) only when a TTL is set.
+  */
+object SemPairs {
+
+  /** One arriving vector with its row-locally assigned cell. */
+  case class Arrival(cid: Long, vec_id: Long, v: Seq[Double])
+
+  /** The verdict, emitted exactly once per arrival; carries the vector
+    * so the downstream history gate can score it without a refetch. */
+  case class Verdict(vec_id: Long, cid: Long, dup_in_batch: Boolean, v: Seq[Double])
+
+  /** The same arithmetic as the plan-side cosine kernel
+    * ([[graft.functions.CosineSim]]): dot and both norms accumulate
+    * left-to-right in double, combined as dot / (√na · √nb) — so a
+    * JVM-side decision here is bit-identical to the oracle's
+    * list_cosine_similarity (SemPairsStateSpec pins the parity). */
+  private[streaming] def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** `ttl = None` disables expiry (pair with TimeMode.None — the
+    * oracle-drain configuration: a TTL needs TimeMode.ProcessingTime,
+    * under which a transformWithState query keeps scheduling
+    * TTL-maintenance micro-batches and Trigger.AvailableNow NEVER
+    * TERMINATES — observed: 3,000+ empty batches before the drain was
+    * killed. A live production stream runs ProcessingTime + Some(ttl);
+    * SemPairsStateSpec drives that configuration with an explicit
+    * stop). */
+  class CellPairs(tau: Double, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Arrival, Verdict] {
+    @transient private var seen: ListState[Arrival] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Arrival]("seen",
+        Encoders.product[Arrival], ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[Arrival],
+        timerValues: TimerValues): Iterator[Verdict] = {
+      // prior = the cell's surviving state (lower-id by the drain-order
+      // contract) plus this batch's rows already processed below
+      val prior = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val it = seen.get()
+      while (it.hasNext) prior += it.next().v.toArray
+      val out = Seq.newBuilder[Verdict]
+      rows.toSeq.sortBy(_.vec_id).foreach { a =>
+        val av = a.v.toArray
+        val dup = prior.exists(p =>
+          graft.functions.VectorKernels.round6(cosine(p, av)) >= tau)
+        out += Verdict(a.vec_id, key, dup, a.v)
+        seen.appendValue(a) // every arrival enters state — the one-pass rule
+        prior += av
+      }
+      out.result().iterator
+    }
+  }
+}

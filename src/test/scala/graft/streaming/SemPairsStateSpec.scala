@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, TimeMode}
+
+/** The q147 stateful processor's three contracts, driven on synthetic
+  * batches: (1) a near-dup pair is caught ACROSS micro-batches with no
+  * interval bound — the gap q146's stream-stream interval join cannot
+  * close; (2) "prior" is pinned to vec_id order regardless of
+  * within-batch arrival order; (3) the live-stream TTL configuration
+  * (ProcessingTime + Some(ttl)) actually expires arrivals out of the
+  * cell list, changing later verdicts — the production state bound.
+  * Plus the JVM-side cosine's bit-parity with the plan-side kernel.
+  */
+class SemPairsStateSpec extends SparkSpec {
+
+  private def stateProgress(q: StreamingQuery) =
+    q.recentProgress.toSeq.flatMap(_.stateOperators)
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("cell pairs (q147 shape): cross-batch dup caught with no interval bound; vec_id order pins verdicts") {
+    withRocksDb {
+      val sqlc = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[SemPairs.Arrival](spark)
+      val q = input.toDS().groupByKey(_.cid)
+        .transformWithState(new SemPairs.CellPairs(0.9, ttl = None),
+          TimeMode.None(), OutputMode.Update())
+        .toDF().writeStream.format("memory").queryName("sempairs_state")
+        .outputMode("update").start()
+      try {
+        // batch 0: one seed arrival per cell
+        input.addData(
+          SemPairs.Arrival(0L, 0L, Seq(1.0, 0.0)),
+          SemPairs.Arrival(1L, 1L, Seq(0.0, 1.0)))
+        q.processAllAvailable()
+        // batch 1 — an arbitrary number of batches later, NO event-time
+        // interval in sight: vec 10 near-dups cell 0's seed, vec 11
+        // lands in cell 1 but far from its seed. Also a same-batch pair
+        // in cell 2, fed in REVERSE id order: processing must sort by
+        // vec_id, so 20 is clean and 21 is the dup.
+        input.addData(
+          SemPairs.Arrival(2L, 21L, Seq(0.6, 0.8)),
+          SemPairs.Arrival(2L, 20L, Seq(0.6, 0.8)),
+          SemPairs.Arrival(0L, 10L, Seq(1.0, 0.001)),
+          SemPairs.Arrival(1L, 11L, Seq(1.0, 0.0)))
+        q.processAllAvailable()
+
+        val got = spark.table("sempairs_state")
+          .select(col("vec_id"), col("dup_in_batch"))
+          .as[(Long, Boolean)].collect().toMap
+        assert(got == Map(0L -> false, 1L -> false, 10L -> true,
+          11L -> false, 20L -> false, 21L -> true),
+          s"verdicts wrong: $got")
+        // state: one row per arrival ever (TTL off) — never more
+        val peak = stateProgress(q).map(_.numRowsTotal).max
+        assert(peak <= 6L, s"state exceeded one row per arrival: $peak")
+      } finally q.stop()
+    }
+  }
+
+  test("cell pairs TTL (live configuration): expired arrivals leave the list and stop matching") {
+    withRocksDb {
+      val sqlc = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[SemPairs.Arrival](spark)
+      val q = input.toDS().groupByKey(_.cid)
+        .transformWithState(
+          new SemPairs.CellPairs(0.9, ttl = Some(java.time.Duration.ofMillis(300))),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF().writeStream.format("memory").queryName("sempairs_ttl")
+        .outputMode("update").start()
+      try {
+        // NOTE: under ProcessingTime + TTL the query schedules
+        // continuous maintenance batches, so processAllAvailable never
+        // settles (the same pathology that rules this mode out for the
+        // q147 AvailableNow drain) — poll the sink for each verdict
+        // instead of waiting for quiescence.
+        def awaitVerdict(vecId: Long): Map[Long, Boolean] = {
+          val deadline = System.currentTimeMillis + 60000
+          while (System.currentTimeMillis < deadline &&
+              spark.table("sempairs_ttl").filter(col("vec_id") === vecId).isEmpty)
+            Thread.sleep(100)
+          spark.table("sempairs_ttl")
+            .select(col("vec_id"), col("dup_in_batch"))
+            .as[(Long, Boolean)].collect().toMap
+        }
+        input.addData(SemPairs.Arrival(0L, 0L, Seq(1.0, 0.0)))
+        assert(awaitVerdict(0L).contains(0L), "seed arrival never processed")
+        Thread.sleep(1000) // let the 300 ms TTL pass
+        // identical vector, same cell: with the seed expired this is NOT
+        // a dup — the retention horizon, not stream history, decides
+        input.addData(SemPairs.Arrival(0L, 10L, Seq(1.0, 0.0)))
+        val got = awaitVerdict(10L)
+        assert(got.get(10L) == Some(false),
+          s"expired arrival still matched: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("JVM-side cosine decision is bit-identical to the plan-side kernel") {
+    val vecs = Seq(
+      Seq(1.0, 2.0, 3.0, 4.0), Seq(-0.5, 0.25, 0.125, 8.0),
+      Seq(0.1234567, -9.87654, 3.14159, 2.71828),
+      Seq(1e-8, 1e8, -1e-8, -1e8))
+    val pairs = for (a <- vecs; b <- vecs) yield (a, b)
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+    val planSide = df
+      .select(round(graft.functions.VectorFns.cosine(col("a"), col("b")), 6))
+      .collect().map(_.getDouble(0))
+    val jvmSide = pairs.map { case (a, b) =>
+      graft.functions.VectorKernels.round6(SemPairs.cosine(a.toArray, b.toArray))
+    }
+    planSide.zip(jvmSide).zip(pairs).foreach { case ((p, j), pr) =>
+      assert(java.lang.Double.compare(p, j) == 0, s"cosine mismatch on $pr: $p vs $j")
+    }
+  }
+}
