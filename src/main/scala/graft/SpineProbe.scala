@@ -217,7 +217,14 @@ object SpineProbe {
     // dimension rotation as the standard embeddings staging.
     val scaledEv = s"${System.getProperty("java.io.tmpdir")}/graft_spine_probe_ev_$tag"
     if (needed("embeddings_ev")) {
-      scaledEvents.write.mode("overwrite").parquet(s"$scaledEv/events.parquet")
+      // reuse the already-staged scaled events when the standard dir has
+      // them (both lists stage both) instead of re-running the biggest
+      // scaleUnion and paying a second full write of its output
+      if (needed("events"))
+        spark.read.parquet(s"$scaled/events.parquet")
+          .write.mode("overwrite").parquet(s"$scaledEv/events.parquet")
+      else
+        scaledEvents.write.mode("overwrite").parquet(s"$scaledEv/events.parquet")
       scaleUnion(
         spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", eidOff,
         (df, c) => {
@@ -318,9 +325,11 @@ object SpineProbe {
               // state = one ListState row per arrival EVER within the
               // TTL horizon; the drain's TTL is off, so nothing is
               // removed in-drain (the TTL is the production eviction
-              // lever, spec-driven) — gate only that state tracks
-              // arrivals ∝ N, never worse
-              b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64
+              // lever, spec-driven) — gate that state tracks arrivals
+              // ∝ N, never worse; the lower bound keeps a degenerate
+              // zero/shrunk Nx snapshot from passing vacuously
+              b.maxRowsTotal >= a.maxRowsTotal &&
+                b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64
             case _ =>
               b.removed > 0 &&
                 b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64

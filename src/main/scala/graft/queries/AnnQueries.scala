@@ -773,14 +773,19 @@ object AnnQueries {
       // stream carries the real ingest second per vector
       val ingest = Tables.events(s0, d)
         .select(col("event_id").as("vec_id"),
-          expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ingest_sec"))
+          EventQueries.nsToSec("ts").as("ingest_sec"))
       val src = emb.select("vec_id", "embedding").join(ingest, "vec_id")
       val s = EventQueries.streamSession(s0)
       val sinkName = "graft_stream_semdedup_pairs"
-      // ranged on vec_id = ranged on ingest time (ts monotone in id
-      // over the corpus range), so the drain replays arrival order and
-      // no row lands out-of-horizon late
-      val in = EventQueries.stageRangedDrain(src, 4, "vec_id", "graft_ssp_")
+      // ranged on INGEST TIME, not vec_id: at 1× the two orders
+      // coincide (ts monotone in id over the corpus range), but the
+      // scale probe's copies reuse the base timeline under offset ids —
+      // ranging on vec_id there would drain whole copies sequentially,
+      // park the watermark at the window's end after the first batch,
+      // and silently drop every later copy as late (a ~3/4-of-input
+      // discard the state gate then measures as a vacuously small
+      // peak). Time-ranged staging replays arrival order at ANY scale.
+      val in = EventQueries.stageRangedDrain(src, 4, "ingest_sec", "graft_ssp_")
       def sideStream(p: String) =
         graft.dedup.SemDedup.assignCellsTree(
             s.readStream.schema(src.schema)

@@ -23,8 +23,10 @@ object EventQueries {
   import org.apache.spark.sql.Column
 
   /** floor-to-second from a nanos-since-epoch long column. Integer DIV —
-    * going through double would corrupt values above 2^53 nanos. */
-  private def nsToSec(colName: String): Column =
+    * going through double would corrupt values above 2^53 nanos. Shared
+    * with q146's ingest-timestamp mapping (AnnQueries) — one definition
+    * of the floor rule. */
+  private[queries] def nsToSec(colName: String): Column =
     expr(s"CAST($colName DIV 1000000000 AS BIGINT)")
 
   /** Child session for the streaming queries. A stateful query's
@@ -189,7 +191,12 @@ object EventQueries {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     graft.streaming.StreamMetrics.record(sinkName, q)
-    s.read.parquet(s"$out/rows")
+    // foreachBatch creates rows/ only when a batch actually fires — a
+    // zero-file staged input completes without one, and the read would
+    // throw where the old memory sink yielded an empty table
+    if (update && !new java.io.File(s"$out/rows").exists())
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], frame.schema)
+    else s.read.parquet(s"$out/rows")
   }
 
   /** One side of a typed stream-stream interval join: the event_type-
