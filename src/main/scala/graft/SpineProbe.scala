@@ -98,6 +98,7 @@ object SpineProbe {
         ("q141_ann_tree_persisted", Set("embeddings")),
         ("q144_ann_ivfpq_persisted", Set("embeddings")),
         ("q148_ann_ivfpq_append", Set("embeddings")),
+        ("q149_ann_segment_compact", Set("embeddings")),
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),

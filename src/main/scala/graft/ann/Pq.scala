@@ -241,6 +241,25 @@ object Pq {
       .select("vec_id", "cell", "codes")
   }
 
+  /** Rewrite any number of coded segments (each [[encode]]'s at-rest
+    * rows — e.g. the standing segment plus appended deltas, q148's
+    * shape) into ONE cell-clustered segment: repartitioned on the cell
+    * and sorted by (cell, vec_id) within partitions, so every parquet
+    * row group spans a narrow cell range and a cell-predicate scan
+    * prunes row groups the probes never touch (the same footer-stats
+    * mechanism q123's Z-order staging measures). Pure layout — the row
+    * SET is the segments' union, so search results are identical by
+    * construction (PqAppendSpec pins it); this is the LSM-style
+    * maintenance step that keeps a daily-append index from decaying
+    * into thousands of unclustered small files. `buckets` sizes the
+    * output files: at corpus scale set it so each bucket is a few
+    * hundred MB (cells ≫ buckets — each file then holds a contiguous
+    * run of cells). */
+  def compactIndex(segments: Seq[DataFrame], buckets: Int = 4): DataFrame =
+    segments.reduce(_ unionByName _)
+      .repartition(buckets, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+
   /** [[ivfPqTopK]] over a MATERIALIZED index: `index` carries
     * (vec_id, cell, codes) — [[encode]]'s at-rest rows, loaded from
     * wherever they were staged — so the search pays NO assignment and
@@ -248,12 +267,32 @@ object Pq {
     * equi-join, and the bounded top-k stages; the exact rerank still
     * refetches only the broadcast Q·r shortlist from the full-width
     * corpus. This is the complete FAISS serving shape: codebooks +
-    * coded corpus are artifacts, queries are the only thing computed. */
+    * coded corpus are artifacts, queries are the only thing computed.
+    *
+    * `prefilterCells = true` additionally computes the query set's
+    * distinct probed cells ON THE DRIVER (bounded by Q × probes — the
+    * query side is small by contract) and pushes `cell IN (...)` into
+    * the index scan before the join. Results are identical (the join
+    * already restricts to probed cells); what it buys is SCAN pruning:
+    * over a [[compactIndex]]-clustered segment the predicate reaches
+    * the parquet reader and row groups outside the probed cells are
+    * skipped from the footer stats — the serving profile where the
+    * at-rest index is read, not streamed. */
   def ivfPqTopKFromIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], cb: Codebooks,
-      k: Int, probes: Int, r: Int, residual: Boolean = false): DataFrame = {
-    val base = index.select(col("vec_id").as("neighbor_id"),
+      k: Int, probes: Int, r: Int, residual: Boolean = false,
+      prefilterCells: Boolean = false): DataFrame = {
+    val pre =
+      if (!prefilterCells) index
+      else {
+        val probed = queries
+          .select(explode(KMeans.probeCells(
+            transform(col(vecCol), x => x.cast("double")), cents, probes)).as("__c"))
+          .distinct().collect().map(_.getInt(0))
+        index.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      }
+    val base = pre.select(col("vec_id").as("neighbor_id"),
       col("cell").as("__cell"), col("codes").as("__codes"))
     val c = (if (residual)
         base.withColumn("__rv",

@@ -1040,24 +1040,8 @@ object AnnQueries {
     QueryDef("q148_ann_ivfpq_append", Seq("J12", "A5"),
       faissIvfPqSearchSql("vec_id % 10 <> 0")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val history = emb.filter(col("vec_id") % 10 =!= 0)
-      val delta = emb.filter(col("vec_id") % 10 === 0)
       val (cents, cb) = persistedFaissIndex(s, d, histOnly = true)
-      // the standing coded segment: encoded once when the index was built
-      val histCodesDir = graft.sources.ZOrder.ensureStagedDir(
-        s"graft_ivfpq_codes_hist_$faissKeySuffix",
-        d, s"$d/embeddings.parquet") { target =>
-        graft.ann.Pq.encode(history, "vec_id", "embedding", cents, cb,
-          residual = true).write.mode("overwrite").parquet(target)
-      }
-      // add(): ONLY the delta is encoded — against the frozen books —
-      // and staged as its own segment
-      val deltaCodesDir = graft.sources.ZOrder.ensureStagedDir(
-        s"graft_ivfpq_codes_delta_$faissKeySuffix",
-        d, s"$d/embeddings.parquet") { target =>
-        graft.ann.Pq.encode(delta, "vec_id", "embedding", cents, cb,
-          residual = true).write.mode("overwrite").parquet(target)
-      }
+      val (histCodesDir, deltaCodesDir) = appendedFaissSegments(s, d, cents, cb)
       val index = s.read.parquet(histCodesDir)
         .unionByName(s.read.parquet(deltaCodesDir))
       val queries = emb.filter(col("vec_id") < 10)
@@ -1074,6 +1058,37 @@ object AnnQueries {
         graft.ann.Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
           cFull, cbFull, k = 3, probes = 16, r = 30, residual = true)
       } else approx
+    },
+
+    // SEGMENT COMPACTION — the maintenance step q148's append implies:
+    // repeated daily appends leave the index as a pile of small coded
+    // segments; compaction rewrites their union into ONE cell-clustered
+    // segment (repartitioned on cell, sorted by (cell, vec_id) within
+    // partitions — Pq.compactIndex), the LSM-style rewrite that keeps
+    // the at-rest layout scannable. Pure layout, identical row set, so
+    // this shares q148's oracle VERBATIM — the q96/q134 contract
+    // applied to index maintenance. The search additionally pushes the
+    // query set's probed cells into the index scan (prefilterCells):
+    // over the clustered layout the cell predicate reaches the parquet
+    // reader and row groups outside the probed 16-of-64 cells are
+    // skipped from footer stats — the read profile a 100 TB serving
+    // index actually has (PlanBudgetSpec asserts the pushed filter;
+    // PqAppendSpec pins compacted == segmented results).
+    QueryDef("q149_ann_segment_compact", Seq("J12", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, cb) = persistedFaissIndex(s, d, histOnly = true)
+      val (histCodesDir, deltaCodesDir) = appendedFaissSegments(s, d, cents, cb)
+      val compactDir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_codes_compact_$faissKeySuffix",
+        d, s"$d/embeddings.parquet") { target =>
+        graft.ann.Pq.compactIndex(
+            Seq(s.read.parquet(histCodesDir), s.read.parquet(deltaCodesDir)))
+          .write.mode("overwrite").parquet(target)
+      }
+      graft.ann.Pq.ivfPqTopKFromIndex(s.read.parquet(compactDir), emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents, cb,
+        k = 3, probes = 16, r = 30, residual = true, prefilterCells = true)
     },
   )
 
@@ -1150,6 +1165,32 @@ object AnnQueries {
       loaded.filter(x => x._1 == 1 && x._2 == mi).sortBy(_._3).map(_._4).toSeq
     }
     (cents, graft.ann.Pq.Codebooks(subDim = books.head.head.size, books))
+  }
+
+  /** The appended-index segment pair (q148/q149): the standing coded
+    * HISTORY segment — encoded once when the frozen index was built —
+    * and the delta segment, encoded row-locally against the same frozen
+    * codebooks (the add()). Both staged under the shared versioned key
+    * so a recipe/shape change invalidates every layer together. */
+  private def appendedFaissSegments(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: Seq[(Int, Seq[Double])], cb: graft.ann.Pq.Codebooks)
+      : (String, String) = {
+    val emb = Tables.embeddings(s, d)
+    val histCodesDir = graft.sources.ZOrder.ensureStagedDir(
+      s"graft_ivfpq_codes_hist_$faissKeySuffix",
+      d, s"$d/embeddings.parquet") { target =>
+      graft.ann.Pq.encode(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", cents, cb, residual = true)
+        .write.mode("overwrite").parquet(target)
+    }
+    val deltaCodesDir = graft.sources.ZOrder.ensureStagedDir(
+      s"graft_ivfpq_codes_delta_$faissKeySuffix",
+      d, s"$d/embeddings.parquet") { target =>
+      graft.ann.Pq.encode(emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", cents, cb, residual = true)
+        .write.mode("overwrite").parquet(target)
+    }
+    (histCodesDir, deltaCodesDir)
   }
 
   // The FAISS-shaped residual IVFPQ oracle (64-cell coarse training,

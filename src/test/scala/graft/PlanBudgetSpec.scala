@@ -429,11 +429,21 @@ class PlanBudgetSpec extends SparkSpec {
         "q96_ann_ivf_trained", "q126_ann_pq", "q127_ann_ivfpq",
         "q129_ann_ivfpq_residual", "q138_ann_ivf_tree", "q139_ann_ivfpq_faiss",
         "q141_ann_tree_persisted", "q144_ann_ivfpq_persisted",
-        "q145_ann_ivfpq_coded")) {
+        "q145_ann_ivfpq_coded", "q148_ann_ivfpq_append",
+        "q149_ann_segment_compact")) {
       val plan = q(name).queryExecution.executedPlan.toString
       assert(plan.contains("bounded_top_k"), s"$name kept the window plan:\n$plan")
       assert(!plan.contains("WindowExec"), s"$name still sorts a window:\n$plan")
     }
+    // q149's probed-cell prefilter must REACH THE PARQUET READER of the
+    // compacted segment: the cell IN-list shows up as a pushed filter,
+    // which is what lets footer stats skip row groups the probes never
+    // touch on the cell-clustered layout
+    val compactPlan = q("q149_ann_segment_compact")
+      .queryExecution.executedPlan.toString
+    assert(compactPlan.contains("In(cell"),
+      s"q149's cell prefilter never reached the scan:\n$compactPlan")
+
     // PQ two-stage: both the Q·r shortlist and the query vectors reach
     // the corpus as broadcasts — the full-width vector column never
     // crosses an exchange on the corpus side

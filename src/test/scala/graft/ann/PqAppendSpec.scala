@@ -33,12 +33,24 @@ class PqAppendSpec extends SparkSpec {
     assert(appended.exceptAll(whole).isEmpty && whole.exceptAll(appended).isEmpty,
       "appended segments differ from the whole-corpus encode")
     val queries = emb.filter(col("vec_id") < 20)
-    def search(idx: org.apache.spark.sql.DataFrame) =
+    def search(idx: org.apache.spark.sql.DataFrame, pre: Boolean = false) =
       Pq.ivfPqTopKFromIndex(idx, emb, queries, "vec_id", "embedding",
-          cents, cb, k = 5, probes = 8, r = 30, residual = true)
+          cents, cb, k = 5, probes = 8, r = 30, residual = true,
+          prefilterCells = pre)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(search(appended) == search(whole),
       "search over appended segments diverges from the whole-corpus index")
+    // compaction is pure layout: same row set, same search — with and
+    // without the probed-cell scan prefilter (q149's serving shape)
+    val compacted = Pq.compactIndex(Seq(
+      Pq.encode(history, "vec_id", "embedding", cents, cb, residual = true),
+      Pq.encode(delta, "vec_id", "embedding", cents, cb, residual = true)))
+      .localCheckpoint()
+    assert(compacted.exceptAll(whole).isEmpty && whole.exceptAll(compacted).isEmpty,
+      "compaction changed the row set")
+    assert(search(compacted) == search(whole) &&
+        search(compacted, pre = true) == search(whole),
+      "compacted/prefiltered search diverges")
   }
 
   test("drift gate: a shifted delta collapses frozen-index recall below the gate; retrain restores it") {
