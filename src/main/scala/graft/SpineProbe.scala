@@ -105,6 +105,7 @@ object SpineProbe {
         ("q145_ann_ivfpq_coded", Set("embeddings")),
         ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
         ("q147_stream_semdedup_unified", Set("embeddings")),
+        ("q150_stream_drift_monitor", Set("embeddings_ev")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -132,6 +133,7 @@ object SpineProbe {
         ("q145_ann_ivfpq_coded", Set("embeddings")),
         ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
         ("q147_stream_semdedup_unified", Set("embeddings")),
+        ("q150_stream_drift_monitor", Set("embeddings_ev")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -278,6 +280,7 @@ object SpineProbe {
       "q143_stream_semdedup", // stateless stream-static join: no state gate
       "q146_stream_semdedup_pairs",
       "q147_stream_semdedup_unified",
+      "q150_stream_drift_monitor",
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
       "q135_stream_interval_outer", "q137_stream_join_window")
@@ -291,7 +294,8 @@ object SpineProbe {
       "q135_stream_interval_outer" -> "graft_stream_interval_outer",
       "q137_stream_join_window" -> "graft_stream_join_window",
       "q146_stream_semdedup_pairs" -> "graft_stream_semdedup_pairs",
-      "q147_stream_semdedup_unified" -> "graft_stream_semdedup_unified")
+      "q147_stream_semdedup_unified" -> "graft_stream_semdedup_unified",
+      "q150_stream_drift_monitor" -> "graft_stream_drift_monitor")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("embeddings_ev")) scaledEv
@@ -322,6 +326,11 @@ object SpineProbe {
               a.maxRowsTotal <= 4096L && b.maxRowsTotal == a.maxRowsTotal
             case "q133_stream_cdc_tws" =>
               b.maxRowsTotal == a.maxRowsTotal && b.maxRowsTotal <= 300L
+            case "q150_stream_drift_monitor" =>
+              // state = LIVE HOURLY WINDOWS inside the watermark — the
+              // monitor's whole point is that arrival rate moves n per
+              // window, never the window count: FLAT at any N×
+              b.maxRowsTotal > 0 && b.maxRowsTotal <= a.maxRowsTotal * 2 + 8
             case "q147_stream_semdedup_unified" =>
               // state = one ListState row per arrival EVER within the
               // TTL horizon; the drain's TTL is off, so nothing is

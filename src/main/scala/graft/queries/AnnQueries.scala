@@ -1090,6 +1090,76 @@ object AnnQueries {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents, cb,
         k = 3, probes = 16, r = 30, residual = true, prefilterCells = true)
     },
+
+    // STREAMING INDEX-DRIFT MONITOR — the observability side of the
+    // q148 drift gate, run where drift actually shows up first: at
+    // ingest. Each arriving vector's ROUTING FIT (its cosine to the
+    // tree cell it was assigned — the quantity whose decay means the
+    // frozen quantizer no longer describes the stream) feeds a
+    // watermarked hourly windowed aggregation on the arrival's REAL
+    // ingest time (q146's events map), emitting per-hour arrival count
+    // and mean fit — the time series a production pipeline alerts on
+    // to schedule the q148 retrain. Update mode: a window re-emits
+    // when its cumulative (n, avg) changes, and n is strictly
+    // increasing, so max(struct(n, avg)) over the sink reconstructs
+    // each window's final row (the q74 recipe). State = live windows
+    // inside the watermark — FLAT in arrival rate (the decade probe
+    // gates it): rate moves n per window, never the window count.
+    // The cell-centroid lookup is a plan literal (≤ k1·k2 × dim
+    // doubles), so the fit is row-local — the monitor adds one
+    // windowed agg to the ingest path and nothing else.
+    QueryDef("q150_stream_drift_monitor", Seq("A5", "A11"),
+      s"""WITH ${treeCellsCte("vec_id % 10 <> 0")},
+         ing AS (SELECT event_id AS vec_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         fit AS (
+           SELECT t.vec_id, i.sec,
+             round(list_cosine_similarity(t.v, c.cent), 6) AS fit
+           FROM tcells t
+           JOIN lc2 c ON (t.cell // 8) = c.b AND (t.cell % 8) = c.l
+           JOIN ing i USING (vec_id)
+           WHERE t.vec_id % 10 = 0)
+         SELECT CAST(sec // 3600 AS BIGINT) * 3600 AS hour_epoch,
+           count(*) AS n, round(avg(fit), 4) AS avg_fit
+         FROM fit GROUP BY hour_epoch""") { (s0, d) =>
+      val emb = Tables.embeddings(s0, d)
+      val history = emb.filter(col("vec_id") % 10 =!= 0)
+      val side = graft.dedup.SemDedup.cellSide(history.count())
+      val tq = graft.ann.KMeans.fitTree(history, "vec_id", "embedding",
+        k1 = side, k2 = side, iters = 2)
+      // flat cell-id → centroid literal (missing leaf slots of an
+      // under-populated branch keep the branch centroid; no row is ever
+      // assigned to them, the filler only keeps ids positional)
+      val cellCents: Seq[Seq[Double]] = tq.branches.zip(tq.leaves).flatMap {
+        case ((_, bc), ls) => ls.padTo(tq.k2, bc)
+      }
+      val ingest = Tables.events(s0, d)
+        .select(col("event_id").as("vec_id"),
+          EventQueries.nsToSec("ts").as("ingest_sec"))
+      val src = emb.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding").join(ingest, "vec_id")
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_drift_monitor"
+      val in = EventQueries.stageRangedDrain(src, 4, "ingest_sec", "graft_sdm_")
+      val fit = round(graft.functions.VectorFns.cosine(col("__v"),
+        element_at(typedlit(cellCents), (col("cid") + 1).cast("int"))), 6)
+      val stream = graft.dedup.SemDedup.assignCellsTree(
+          s.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
+          "vec_id", "embedding", tq, keep = Seq("ingest_sec"))
+        .select(fit.as("fit"),
+          timestamp_seconds(col("ingest_sec")).as("tsec"))
+        .withWatermark("tsec", "1 hour")
+        .groupBy(window(col("tsec"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), round(avg("fit"), 4).as("avg_fit"))
+        .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+          col("n"), col("avg_fit"))
+      val sink = EventQueries.drainToParquet(stream, sinkName, update = true)
+      EventQueries.dropStaged(in)
+      sink.groupBy("hour_epoch")
+        .agg(max(struct(col("n"), col("avg_fit"))).as("m"))
+        .select(col("hour_epoch"), col("m.n").as("n"), col("m.avg_fit").as("avg_fit"))
+    },
   )
 
   // The history-trained tree incremental dup-flags oracle (history gate
