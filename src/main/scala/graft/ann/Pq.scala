@@ -257,7 +257,7 @@ object Pq {
     * run of cells). */
   def compactIndex(segments: Seq[DataFrame], buckets: Int = 4): DataFrame =
     segments.reduce(_ unionByName _)
-      .repartition(buckets, col("cell"))
+      .repartitionByRange(buckets, col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
 
   /** [[ivfPqTopK]] over a MATERIALIZED index: `index` carries

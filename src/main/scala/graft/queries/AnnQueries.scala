@@ -1053,7 +1053,16 @@ object AnnQueries {
       // "the frozen index still serves this corpus" a checked claim
       val exact = graft.ann.Knn.bruteForceTopK(emb, queries,
         "vec_id", "embedding", 3)
-      if (graft.ann.Knn.recall(exact, approx) < 0.7) {
+      val rec = graft.ann.Knn.recall(exact, approx)
+      if (rec < 0.7) {
+        // Loud, greppable marker: the oracle is pinned to the FROZEN
+        // history-trained index, so a gate trip during an oracle run
+        // would otherwise surface as an opaque hash mismatch. Announce
+        // the trip so the mismatch is attributable to drift, not a
+        // search regression (PqAppendSpec drives the trip deliberately).
+        System.err.println(
+          f"[graft] q148 DRIFT GATE TRIPPED: recall $rec%.3f < 0.7 — " +
+            "falling back to full retrain; oracle comparison WILL diverge")
         val (cFull, cbFull) = persistedFaissIndex(s, d)
         graft.ann.Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
           cFull, cbFull, k = 3, probes = 16, r = 30, residual = true)

@@ -191,10 +191,12 @@ object EventQueries {
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     graft.streaming.StreamMetrics.record(sinkName, q)
-    // foreachBatch creates rows/ only when a batch actually fires — a
-    // zero-file staged input completes without one, and the read would
-    // throw where the old memory sink yielded an empty table
-    if (update && !new java.io.File(s"$out/rows").exists())
+    // rows/ appears only when a batch actually commits — foreachBatch
+    // skips it on a zero-batch run, and the file sink too creates its
+    // path only at first commit — so a zero-file staged input would
+    // make the read throw where the old memory sink yielded an empty
+    // table. Guard BOTH modes.
+    if (!new java.io.File(s"$out/rows").exists())
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], frame.schema)
     else s.read.parquet(s"$out/rows")
   }

@@ -83,10 +83,25 @@ object SemPairs {
       // prior = the cell's surviving state (lower-id by the drain-order
       // contract) plus this batch's rows already processed below
       val prior = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var maxStateId = Long.MinValue
       val it = seen.get()
-      while (it.hasNext) prior += it.next().v.toArray
+      while (it.hasNext) {
+        val a = it.next()
+        if (a.vec_id > maxStateId) maxStateId = a.vec_id
+        prior += a.v.toArray
+      }
       val out = Seq.newBuilder[Verdict]
-      rows.toSeq.sortBy(_.vec_id).foreach { a =>
+      val batch = rows.toSeq.sortBy(_.vec_id)
+      // "dup = lower-id prior arrival" rests on a cross-module contract
+      // (stageRangedDrain's ascending vec_id ranges + file-source mtime
+      // order). Check it here so a violated ordering fails loudly
+      // instead of silently flipping verdicts.
+      batch.headOption.foreach { first =>
+        require(maxStateId < first.vec_id,
+          s"CellPairs drain-order contract violated for cell $key: " +
+            s"state holds vec_id $maxStateId >= batch min ${first.vec_id}")
+      }
+      batch.foreach { a =>
         val av = a.v.toArray
         val dup = prior.exists(p =>
           graft.functions.VectorKernels.round6(cosine(p, av)) >= tau)
