@@ -99,6 +99,7 @@ object SpineProbe {
         ("q144_ann_ivfpq_persisted", Set("embeddings")),
         ("q148_ann_ivfpq_append", Set("embeddings")),
         ("q149_ann_segment_compact", Set("embeddings")),
+        ("q151_ann_tombstone_delete", Set("embeddings")),
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
@@ -106,6 +107,7 @@ object SpineProbe {
         ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
         ("q147_stream_semdedup_unified", Set("embeddings")),
         ("q150_stream_drift_monitor", Set("embeddings_ev")),
+        ("q152_stream_index_append", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -134,6 +136,7 @@ object SpineProbe {
         ("q146_stream_semdedup_pairs", Set("embeddings_ev")),
         ("q147_stream_semdedup_unified", Set("embeddings")),
         ("q150_stream_drift_monitor", Set("embeddings_ev")),
+        ("q152_stream_index_append", Set("embeddings")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -281,6 +284,7 @@ object SpineProbe {
       "q146_stream_semdedup_pairs",
       "q147_stream_semdedup_unified",
       "q150_stream_drift_monitor",
+      "q152_stream_index_append",
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
       "q135_stream_interval_outer", "q137_stream_join_window")
@@ -302,8 +306,22 @@ object SpineProbe {
         else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       val state1 = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
+      val segs1 = graft.streaming.StreamMetrics.segments("graft_stream_index_append")
       time(s"${q}_$tag", SparkEntry.queries(q)(spark, big))
       val stateN = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
+      val segsN = graft.streaming.StreamMetrics.segments("graft_stream_index_append")
+      // q152 has no state operators to meter (foreachBatch encode) — its
+      // scaling claim lives in the SEGMENT LEDGER: segment count tracks
+      // trigger cadence (flat — 4 staged ranges at every SF; rate moves
+      // rows per segment, never segment count, and the q149 compaction
+      // cadence stays an operational knob), total coded rows ∝ N.
+      if (decade && q == "q152_stream_index_append") {
+        val (n1, nN) = (segs1.count(_._2 > 0), segsN.count(_._2 > 0))
+        val (r1, rN) = (segs1.map(_._2).sum, segsN.map(_._2).sum)
+        val ok = n1 > 0 && nN <= n1 + 1 &&
+          rN >= r1 * fullCopies && rN <= r1 * (fullCopies + 2)
+        println(s"""{"gate":"${q}_segment_ledger_$tag","ok":$ok,"detail":"segments_1x=$n1 segments_$tag=$nN rows_1x=$r1 rows_$tag=$rN"}""")
+      }
       // The decade re-runs StreamingStateSpec's claim ON THE SCALED
       // TABLE: state rows per key-horizon, not wall time, is what the
       // streaming family promises. The events scaling grows USERS N×

@@ -254,11 +254,41 @@ object Pq {
     * into thousands of unclustered small files. `buckets` sizes the
     * output files: at corpus scale set it so each bucket is a few
     * hundred MB (cells ≫ buckets — each file then holds a contiguous
-    * run of cells). */
-  def compactIndex(segments: Seq[DataFrame], buckets: Int = 4): DataFrame =
-    segments.reduce(_ unionByName _)
+    * run of cells, except that the range boundaries are (cell, vec_id)
+    * pairs, so the ONE cell at each bucket boundary may straddle two
+    * files; footer min/max stats still prune correctly, a probe of the
+    * straddling cell just reads both files). Note repartitionByRange
+    * samples the input to pick boundaries, so the union is computed
+    * twice (once for sampling, once for the shuffle) — at scale,
+    * localCheckpoint or cache the union first if the segments are
+    * expensive to recompute (here they are parquet scans, so the extra
+    * read is cheaper than a materialization). */
+  def compactIndex(segments: Seq[DataFrame], buckets: Int = 4,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val union = segments.reduce(_ unionByName _)
+    tombstones.fold(union)(withoutTombstones(union, _))
       .repartitionByRange(buckets, col("cell"), col("vec_id"))
       .sortWithinPartitions("cell", "vec_id")
+  }
+
+  /** The index minus a TOMBSTONE set — the delete half of the LSM story
+    * [[compactIndex]] completes: a coded index is append-only (q148), so
+    * a vector deleted from the corpus (a dedup drop-list, a takedown, a
+    * retention expiry) is recorded as a tombstone row and SERVING
+    * anti-joins it out until the next compaction physically drops it
+    * (pass the same set as [[compactIndex]]'s `tombstones`). The
+    * tombstone side is BY DEFINITION small relative to the index — it is
+    * the data being deleted — so it broadcasts and the coded corpus
+    * never shuffles; the anti-join is a bloom-filter-shaped probe inside
+    * whole-stage codegen. `tombstones`' single column is taken as the
+    * vec_id whatever its name. At 100 TB the delete set between
+    * compactions is bounded by delete rate × compaction cadence — the
+    * operational knob; a delete set too big to broadcast is the signal
+    * to run compaction, not to shuffle the index. */
+  def withoutTombstones(index: DataFrame, tombstones: DataFrame): DataFrame =
+    index.join(
+      broadcast(tombstones.select(col(tombstones.columns.head).as("vec_id"))),
+      Seq("vec_id"), "left_anti")
 
   /** [[ivfPqTopK]] over a MATERIALIZED index: `index` carries
     * (vec_id, cell, codes) — [[encode]]'s at-rest rows, loaded from

@@ -1169,6 +1169,108 @@ object AnnQueries {
         .agg(max(struct(col("n"), col("avg_fit"))).as("m"))
         .select(col("hour_epoch"), col("m.n").as("n"), col("m.avg_fit").as("avg_fit"))
     },
+
+    // INDEX DELETES VIA TOMBSTONES — the missing LSM half of the
+    // q148/q149 append+compact lifecycle: the coded index is
+    // append-only, so when dedup produces a drop-list (q106/q140/q147)
+    // or a takedown/retention delete lands, the deleted vec_ids are
+    // recorded as a TOMBSTONE SEGMENT and serving anti-joins it out —
+    // without this, a deleted vector stays searchable until the next
+    // full retrain (the reference's own daily refresh cadence,
+    // GUIDE.md:458, hits this on day two). The tombstone side is by
+    // definition small (it IS the data being deleted, bounded by delete
+    // rate × compaction cadence), so it BROADCASTS and the coded corpus
+    // never shuffles; the next q149-style compaction passes the same
+    // set to Pq.compactIndex, which physically drops the rows
+    // (PqTombstoneSpec pins post-compact == pre-compact-minus-
+    // tombstones, zero tombstoned rows at rest, and anti-join serving
+    // == compacted serving). The fixture's drop-list is
+    // predicate-defined (vec_id % 7 = 3) so the oracle can replay it,
+    // but it reaches the engine as DATA — a one-column DataFrame of
+    // ids, exactly what the dedup family emits. The oracle is the
+    // shared FAISS text with the serve-side predicate excluding the
+    // dropped set: codes for deleted rows still exist at rest (the
+    // oracle's CTEs replay them) but can never be returned.
+    QueryDef("q151_ann_tombstone_delete", Seq("J12", "F4", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0", servePred = "e.vec_id % 7 <> 3")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, cb) = persistedFaissIndex(s, d, histOnly = true)
+      val (histCodesDir, deltaCodesDir) = appendedFaissSegments(s, d, cents, cb)
+      val index = s.read.parquet(histCodesDir)
+        .unionByName(s.read.parquet(deltaCodesDir))
+      // the drop-list as data: one column of vec_ids, the dedup-family
+      // output shape (q140's drop-list is exactly this frame)
+      val tombstones = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+      graft.ann.Pq.ivfPqTopKFromIndex(
+        graft.ann.Pq.withoutTombstones(index, tombstones),
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
+
+    // STREAMING INGEST → INDEX APPEND — the composition q148 and q150
+    // each did half of: q150 WATCHES the arrival stream for drift, q148
+    // appends a BATCH delta; this query makes an arriving vector
+    // SEARCHABLE AT INGEST. A `foreachBatch` segment writer encodes
+    // each micro-batch against the FROZEN history-trained codebooks
+    // (Pq.encode — row-local, plan-literal codebooks, so each batch
+    // costs exactly its own rows and the standing corpus is never
+    // touched) and lands it as its own coded micro-segment; search
+    // serves history ∪ all landed micro-segments through the one
+    // ivfPqTopKFromIndex definition. This is the streaming half of the
+    // LSM lifecycle: micro-segments accumulate at trigger cadence
+    // (NOT data volume — rate moves rows per segment, never segment
+    // count), q149's compaction periodically folds them into one
+    // clustered segment, q151's tombstones delete from them. Each
+    // landed segment's (batchId, rows) is recorded in StreamMetrics'
+    // segment ledger — the scaling evidence for a query whose
+    // foreachBatch sink has no state operators to meter. Encoding is
+    // deterministic and row-local, so the served row SET is identical
+    // however the files split into batches — which is why this shares
+    // q148's oracle VERBATIM: frozen-codebooks-over-union semantics,
+    // independent of arrival batching.
+    QueryDef("q152_stream_index_append", Seq("J12", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0")) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = Tables.embeddings(s0, d)
+      val (cents, cb) = persistedFaissIndex(s0, d, histOnly = true)
+      val (histCodesDir, _) = appendedFaissSegments(s0, d, cents, cb)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_index_append"
+      val batchSrc = emb.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      val in = EventQueries.stageRangedDrain(batchSrc, 4, "vec_id", "graft_sia_")
+      val segRoot = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(batchSrc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$segRoot/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val seg = s"$segRoot/rows/seg-$id"
+          graft.ann.Pq.encode(b, "vec_id", "embedding", cents, cb,
+            residual = true).write.mode("overwrite").parquet(seg)
+          // ledger count from the LANDED files (footer row counts — a
+          // metadata read), so the ledger describes what committed, not
+          // what was attempted
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id,
+            b.sparkSession.read.parquet(seg).count())
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      // rows/ appears only when a batch actually commits (the
+      // drainToParquet empty-drain contract applied to segments)
+      val streamed = if (!new java.io.File(s"$segRoot/rows").exists())
+        s.read.parquet(histCodesDir).limit(0)
+      else s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$segRoot/rows")
+      graft.ann.Pq.ivfPqTopKFromIndex(
+        s.read.parquet(histCodesDir).unionByName(streamed),
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
   )
 
   // The history-trained tree incremental dup-flags oracle (history gate
@@ -1278,8 +1380,12 @@ object AnnQueries {
   // the persisted index) — one text, the q96/q134 contract. `trainPred`
   // restricts BOTH trainings (q148 trains on history alone — the
   // frozen-index append semantics); assignment, encoding, and search
-  // always cover every vector.
-  private def faissIvfPqSearchSql(trainPred: String = "true") =
+  // always cover every vector. `servePred` (over the candidate side's
+  // `e.vec_id`) excludes rows from the SERVED index — q151's tombstone
+  // semantics: a deleted vector keeps its codes in the oracle's CTEs
+  // (the oracle replays the at-rest state) but can never be returned.
+  private def faissIvfPqSearchSql(trainPred: String = "true",
+      servePred: String = "true") =
     s"""WITH ${trainedCellsCte(trainPred, k = 64)},
        probes AS (
          SELECT vec_id AS query_id, v AS qv, cid FROM (
@@ -1304,7 +1410,7 @@ object AnnQueries {
              row_number() OVER (PARTITION BY p.query_id
                ORDER BY round(list_cosine_similarity(p.qv, e.rv), 6) DESC, e.vec_id) AS rn
            FROM probes p JOIN recon e USING (cid)
-           WHERE e.vec_id <> p.query_id) WHERE rn <= 30)
+           WHERE e.vec_id <> p.query_id AND ($servePred)) WHERE rn <= 30)
        SELECT query_id, rnk, neighbor_id, cosine FROM (
          SELECT s.query_id, s.neighbor_id,
            round(list_cosine_similarity(q.v, c.v), 6) AS cosine,

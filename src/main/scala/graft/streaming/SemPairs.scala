@@ -31,7 +31,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * round(cosine, 6) ≥ τ" — the exact one-pass rule
   * [[graft.dedup.SemDedup]] applies in batch (checked against all
   * lower-id arrivals, accepted or not, which keeps the rule order-free
-  * and SQL-replayable). Requires the RocksDB state store provider;
+  * and SQL-replayable). PRODUCTION PRECONDITION for that exactness:
+  * vec_id must be assigned monotonically at ingest (the single-writer
+  * sequence the ingest path hands out); the drain configuration
+  * enforces it hard, the live-TTL configuration only warns (see
+  * handleInputRows). Requires the RocksDB state store provider;
   * TimeMode.ProcessingTime (the TTL clock) only when a TTL is set.
   */
 object SemPairs {
@@ -94,12 +98,25 @@ object SemPairs {
       val batch = rows.toSeq.sortBy(_.vec_id)
       // "dup = lower-id prior arrival" rests on a cross-module contract
       // (stageRangedDrain's ascending vec_id ranges + file-source mtime
-      // order). Check it here so a violated ordering fails loudly
-      // instead of silently flipping verdicts.
+      // order). In the DRAIN configuration (no TTL) that contract is
+      // guaranteed by stageRangedDrain, so a violation is a staging bug:
+      // fail loudly instead of silently flipping verdicts. In the LIVE
+      // configuration (TTL set) no staging contract exists — a replayed
+      // backfill, an at-least-once redelivery (equal vec_id), or a
+      // multi-writer id source can legitimately arrive out of order, and
+      // a throw here would kill the stream UNRECOVERABLY (restart
+      // replays the same batch into the same require) — so warn once
+      // per offending batch and degrade to best-effort ordering: the
+      // verdict for an out-of-order arrival still checks all state held
+      // at processing time, it just may miss pairs against later-id
+      // rows that were processed earlier.
       batch.headOption.foreach { first =>
-        require(maxStateId < first.vec_id,
-          s"CellPairs drain-order contract violated for cell $key: " +
-            s"state holds vec_id $maxStateId >= batch min ${first.vec_id}")
+        if (maxStateId >= first.vec_id) {
+          val msg = s"CellPairs drain-order contract violated for cell $key: " +
+            s"state holds vec_id $maxStateId >= batch min ${first.vec_id}"
+          if (ttl.isEmpty) throw new IllegalArgumentException(msg)
+          else System.err.println(s"[graft] WARN (live-TTL path, continuing): $msg")
+        }
       }
       batch.foreach { a =>
         val av = a.v.toArray

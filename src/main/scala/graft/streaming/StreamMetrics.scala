@@ -39,4 +39,24 @@ object StreamMetrics {
   }
 
   def get(name: String): Option[Snapshot] = snaps.get(name)
+
+  /** Per-drain micro-SEGMENT ledger (q152): each foreachBatch segment
+    * writer records (batchId, rows landed) as it commits, giving the
+    * probes the evidence the state-store metrics can't — a foreachBatch
+    * encode query has NO state operators, so its scaling claim lives in
+    * the ledger instead: segment COUNT tracks the trigger cadence
+    * (flat in arrival RATE — the q149 compaction cadence is an
+    * operational knob, not a consequence of volume) while rows per
+    * segment carry the volume. Reset at drain start: probes invoke
+    * each query several times and the ledger must describe one drain. */
+  private val segs = scala.collection.concurrent.TrieMap.empty[String, Vector[(Long, Long)]]
+
+  def resetSegments(name: String): Unit = { segs.remove(name); () }
+
+  /** Micro-batches commit sequentially within a drain, so the append
+    * needs no cross-thread atomicity beyond the map's. */
+  def recordSegment(name: String, batchId: Long, rows: Long): Unit =
+    segs(name) = segs.getOrElse(name, Vector.empty) :+ ((batchId, rows))
+
+  def segments(name: String): Vector[(Long, Long)] = segs.getOrElse(name, Vector.empty)
 }
