@@ -154,7 +154,7 @@ object AnnQueries {
   // `trainPred` restricts BOTH training levels (q142 trains on history
   // alone); assignment (`cells`, `tcells`) always covers every vector.
   // Ends at `tcells` = every vector's global cell id (branch·8 + leaf).
-  private def treeCellsCte(trainPred: String = "true") =
+  private[queries] def treeCellsCte(trainPred: String = "true") =
     s"""${trainedCellsCte(trainPred, k = 8)},
        ct AS (SELECT c.* FROM cells c JOIN vt USING (vec_id)),
        linit AS (

@@ -591,5 +591,152 @@ object EndToEndQueries {
         .agg(count(lit(1)).as("n"), round(sum("amountUSD"), 4).as("amount"),
           countDistinct("id").as("n_ids"))
     },
+
+    // THE LLM-CORPUS END-TO-END QUERY — the q94 treatment applied to the
+    // training-data side of the engine: every curation stage the library
+    // provides, composed into ONE lineage over ONE documents scan and
+    // oracle-replayed CTE by CTE. quality gate (q40's score ≥ 0.5) →
+    // exact dedup (q33's canonical fingerprint, min-id survivor) →
+    // near-dup drop (q34's minhash signature as the bucket, min-id
+    // survivor) → SEMANTIC dedup (q140's standing tree quantizer over
+    // the embeddings table, lower-id within-cell cosine ≥ 0.3 drops —
+    // restricted to the lexical survivors, the order a real pipeline
+    // runs: cheap lexical passes shrink the corpus before the vector
+    // pass pays per-row assignment) → decontamination (q70's 3-gram
+    // probe overlap against the held-out doc_id % 97 = 0 eval slice,
+    // which is itself excluded) → token-budget pack (q113's greedy
+    // 15k-token selection by lexical-diversity rank).
+    //
+    // Scale shape: ONE pass over the documents scan computes every
+    // per-doc artifact the six stages read (quality, fingerprint,
+    // minhash, token array) — the derivation is checkpointed and every
+    // stage, including the decontamination probe side, reads the
+    // checkpoint, so the parquet scan happens ONCE (PlanBudgetSpec
+    // asserts the composed plan holds zero documents scans). The two
+    // keep-min stages are single min-struct hash aggregations (sort-
+    // free, partial-aggregatable); the semantic stage assigns cells
+    // row-locally off plan-literal centroids and pairs only within
+    // cells; the probe and contaminated-id sets broadcast (eval
+    // benchmarks are MBs at any corpus size); the final pack runs
+    // through PrefixSum's two-phase scan, not a single-partition
+    // window. No stage reshuffles the corpus on anything but its own
+    // aggregation key.
+    QueryDef("q153_llm_corpus_end_to_end",
+      Seq("F5", "A10", "A11", "J11", "F3", "J12", "A5", "U6"),
+      s"""WITH ${AnnQueries.treeCellsCte()},
+         base AS (
+           SELECT doc_id, text,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         ql AS (
+           SELECT doc_id, text, toks FROM base
+           WHERE (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             round((least(cast(length(text) AS DOUBLE) / 500.0, 1.0)
+               + (1.0 - least(cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE) * 5.0 / length(text), 1.0))
+               + least(cast(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','is'], lower(t)))) AS DOUBLE) * 4.0 / len(toks), 1.0)) / 3.0, 6) END) >= 0.5),
+         ex AS (
+           SELECT doc_id, text, toks FROM (
+             SELECT doc_id, text, toks,
+               row_number() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+             FROM ql) WHERE rn = 1),
+         ndp AS (
+           SELECT doc_id, text, toks FROM (
+             SELECT doc_id, text, toks,
+               row_number() OVER (PARTITION BY list_min([md5(substring(text, g, 8)) FOR g IN generate_series(1, greatest(length(text) - 7, 1))]) ORDER BY doc_id) AS rn
+             FROM ex) WHERE rn = 1),
+         semdups AS (
+           SELECT DISTINCT b.vec_id
+           FROM tcells a JOIN tcells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN ndp na ON na.doc_id = a.vec_id
+           JOIN ndp nb ON nb.doc_id = b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+         sem AS (
+           SELECT * FROM ndp WHERE doc_id NOT IN (SELECT vec_id FROM semdups)),
+         probe AS (
+           SELECT DISTINCT array_to_string(toks[g.g:g.g+2], ' ') AS gram
+           FROM base, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g) g
+           WHERE doc_id % 97 = 0),
+         cont AS (
+           SELECT DISTINCT s.doc_id
+           FROM sem s, LATERAL (SELECT unnest(generate_series(1, greatest(len(s.toks)-2, 0))) AS g) g
+           JOIN probe p ON array_to_string(s.toks[g.g:g.g+2], ' ') = p.gram),
+         dec AS (
+           SELECT * FROM sem
+           WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         scored AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             1000000 - CAST(floor(len(list_distinct(toks)) * 1e6 / len(toks)) AS BIGINT) AS nd_key
+           FROM dec WHERE len(toks) > 0),
+         cum AS (
+           SELECT doc_id, n_tokens, nd_key,
+             coalesce(sum(n_tokens) OVER (ORDER BY nd_key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           FROM scored)
+         SELECT doc_id, nd_key, n_tokens, CAST(start_tok AS BIGINT) AS start_tok
+         FROM cum WHERE start_tok + n_tokens <= 15000""") { (s, d) =>
+      llmCorpusEndToEnd(s, d)
+    },
   )
+
+  /** q153's build, named so PlanBudgetSpec can assert its plan shape. */
+  def llmCorpusEndToEnd(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "is")
+    // ONE documents scan computes every per-doc artifact the pipeline
+    // reads; the checkpoint pins it so all six stages (including the
+    // decontamination probe's second reference) share the materialized
+    // derivation instead of re-scanning the corpus
+    val base = Tables.documents(s, d).select(col("doc_id"),
+        TextFns.qualityScore(col("text"), stops).as("quality"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        graft.functions.TextHash.min_gram_md5(col("text"), 8).as("minhash"),
+        graft.dedup.TextDedup.wordGrams(col("text"), 3).as("grams"),
+        split(trim(col("text")), """\s+""").as("toks"))
+      .localCheckpoint(false)
+    // min-id survivor per group key as ONE min-struct hash aggregation
+    // (doc_id leads the struct; ids are unique so the arrays never
+    // compare) — the q33 recipe generalized to both lexical stages
+    def keepMin(df: DataFrame, key: String): DataFrame = {
+      val rest = df.columns.filterNot(c => c == key || c == "doc_id")
+      df.groupBy(key)
+        .agg(min(struct(col("doc_id") +: rest.map(col): _*)).as("__r"))
+        .select(col("__r.doc_id") +: df.columns.filterNot(_ == "doc_id").map(c =>
+          if (c == key) col(key) else col(s"__r.$c")): _*)
+    }
+    val ql = base.filter(col("quality") >= 0.5)
+    val ex = keepMin(ql, "fp")
+    val ndp = keepMin(ex, "minhash")
+    // standing tree quantizer (q140's): trained on the FULL embeddings
+    // table — the quantizer is a maintained artifact, the dedup applies
+    // to whatever candidate set flows in
+    val emb = Tables.embeddings(s, d)
+    val side = graft.dedup.SemDedup.cellSide(emb.count())
+    val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",
+      k1 = side, k2 = side, iters = 2)
+    val survCells = graft.dedup.SemDedup
+      .assignCellsTree(emb, "vec_id", "embedding", tq)
+      .join(ndp.select(col("doc_id").as("vec_id")), "vec_id")
+      .localCheckpoint(false) // feeds three plan legs (both pair sides + spine)
+    val semIds = graft.dedup.SemDedup.semanticDedupOnCells(survCells, tau = 0.3)
+      .select(col("vec_id").as("doc_id"))
+    val sem = ndp.join(semIds, "doc_id")
+    // decontamination: probe grams from the held-out eval slice of the
+    // SAME checkpointed derivation; contaminated ids resolved per doc
+    val probe = base.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val train = sem.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = train
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(probe), "gram")
+      .select("doc_id").distinct()
+    val dec = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // token-budget pack (q113's recipe, two-phase prefix scan)
+    val scored = dec.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        (lit(1000000L) - floor(size(array_distinct(col("toks"))) * lit(1e6)
+          / size(col("toks"))).cast("long")).as("nd_key"))
+    graft.operators.PrefixSum.exclusive(scored,
+        struct(col("nd_key"), col("doc_id")), col("n_tokens"),
+        expr("CAST(nd_key DIV 10000 AS BIGINT)"), "start_tok")
+      .filter(col("start_tok") + col("n_tokens") <= 15000)
+      .select("doc_id", "nd_key", "n_tokens", "start_tok")
+  }
 }

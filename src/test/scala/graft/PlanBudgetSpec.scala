@@ -499,4 +499,21 @@ class PlanBudgetSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("LLM-corpus spine (q153): documents scanned once — the composed plan reads only the checkpoint") {
+    // the six curation stages (quality → exact dedup → minhash drop →
+    // semdedup → decontaminate → pack) all derive from ONE checkpointed
+    // pass over documents.parquet — including the decontamination
+    // probe's second reference — so the composed plan must contain ZERO
+    // parquet scans of documents: every doc-side leaf is the
+    // checkpointed derivation (ExistingRDD / InMemory scan)
+    val e2e = graft.queries.EndToEndQueries.llmCorpusEndToEnd(spark, sf)
+    val plan = e2e.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "q153's composed plan re-scans documents.parquet instead of the checkpointed derivation")
+    assert(plan.contains("ExistingRDD"), "checkpointed doc derivation missing from the plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the decontamination sides broadcast (probe grams + contaminated ids)
+    assert(broadcasts(e2e) >= 2)
+  }
 }
