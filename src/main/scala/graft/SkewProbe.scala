@@ -103,6 +103,100 @@ object SkewProbe {
     if (sys.env.contains("SKEW_DEBUG")) println(onPlan)
     println(s"""{"probe":"skew_join_off","sec":${math.round(offSec * 100) / 100.0},"skewed_reads":${skewReads(offPlan)}}""")
     println(s"""{"probe":"skew_join_on","sec":${math.round(onSec * 100) / 100.0},"skewed_reads":${skewReads(onPlan)},"speedup":${math.round(offSec / onSec * 100) / 100.0}}""")
+
+    semdedupHotCell(spark, sfDir, hotFrac)
     spark.stop()
+  }
+
+  /** The SEMDEDUP hot-cell probe: k ∝ N bounds the AVERAGE cell, but
+    * embeddings cluster — a clustered corpus drops a large fraction of
+    * vectors into ONE cell, and the within-cell pair join's work is
+    * QUADRATIC in that cell's occupancy, so the hot cid's shuffle
+    * partition becomes the stage: one task does (hotFrac·N)²/2 cosines
+    * while the rest of the cluster idles. Measured here with the cell
+    * assignment CONSTRUCTED directly (hotFrac of rows on cid 0, rest
+    * uniform over 256 cells) — the skew mechanism is quantizer-
+    * independent, and bypassing training isolates the join-side
+    * straggler from training noise.
+    *
+    * Mitigation measured: AQE's OptimizeSkewedJoin, the same mechanism
+    * as the join probe above — the pair join IS an equi-join on cid, so
+    * the oversized partition splits into advisory-sized slices of one
+    * side with the matching partition of the other side replicated per
+    * slice: every within-cell pair is still produced exactly once per
+    * (a-slice, full-b) pairing, the quadratic WORK is unchanged but
+    * spread over slices·tasks instead of one. A manual secondary-hash
+    * cell split would have to replicate one side explicitly to keep
+    * cross-subcell pairs — AQE does that replication at runtime from
+    * observed sizes, which is why it is the documented mitigation
+    * (SCALING.md "Semantic dedup at scale"). Evidence: per-task
+    * duration distribution (max vs p50) from a listener scoped to each
+    * arm, plus the `AQEShuffleRead skewed` nodes in the adaptive plan
+    * of the run that produced the time. */
+  private def semdedupHotCell(spark: SparkSession, sfDir: String, hotFrac: Double): Unit = {
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // ×16 key-offset copies: enough rows that the hot cell's partition
+    // clears the (lowered) skew threshold the way a production hot cell
+    // clears the 256 MB default
+    val cells = (0 until 16).map(c =>
+        embBase.withColumn("vec_id", col("vec_id") + c * 1000000L))
+      .reduce(_ unionByName _)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("__v"),
+        when(pmod(hash(col("vec_id")), lit(1000)) < lit((hotFrac * 1000).toInt), 0L)
+          .otherwise(pmod(hash(col("vec_id") + 7), lit(256)).cast("long") + 1L)
+          .as("cid"))
+      .localCheckpoint() // both pair sides + the anti spine read ONE materialization
+
+    // per-task durations, scoped per arm: the straggler is visible as
+    // max ≫ p50 in the off arm and collapses toward p50 in the on arm
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) { durations.add(te.taskInfo.duration); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def run(skewFix: Boolean): (Double, String, Long, Long) = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewFix.toString)
+      var best = Double.MaxValue
+      var plan = ""
+      var bestTimes: Seq[Long] = Nil
+      for (_ <- 1 to 3) {
+        System.gc()
+        durations.clear()
+        val df = graft.dedup.SemDedup.semanticDedupOnCells(cells, tau = 0.3)
+        val t0 = System.nanoTime()
+        // collect, not count: count() builds its OWN QueryExecution and
+        // df's adaptive plan would stay unexecuted — its toString would
+        // show the initial plan with no skew evidence (the same hazard
+        // as the noop write above); survivors are (vec_id, cid) ids only
+        val n = df.collect().length
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(n > 0, "semdedup probe produced no survivors")
+        if (sec < best) {
+          best = sec
+          plan = df.queryExecution.executedPlan.toString
+          bestTimes = {
+            import scala.jdk.CollectionConverters._
+            durations.asScala.toSeq
+          }
+        }
+      }
+      val sorted = bestTimes.sorted
+      val (p50, mx) = if (sorted.isEmpty) (0L, 0L)
+        else (sorted(sorted.size / 2), sorted.last)
+      (best, plan, p50, mx)
+    }
+
+    try {
+      run(skewFix = false) // warm
+      val (offSec, offPlan, offP50, offMax) = run(skewFix = false)
+      val (onSec, onPlan, onP50, onMax) = run(skewFix = true)
+      def skewReads(p: String) = p.linesIterator.count(_.trim.endsWith("AQEShuffleRead skewed"))
+      if (sys.env.contains("SKEW_DEBUG")) println(onPlan)
+      println(s"""{"probe":"semdedup_hot_cell_off","sec":${math.round(offSec * 100) / 100.0},"task_p50_ms":$offP50,"task_max_ms":$offMax,"skewed_reads":${skewReads(offPlan)}}""")
+      println(s"""{"probe":"semdedup_hot_cell_on","sec":${math.round(onSec * 100) / 100.0},"task_p50_ms":$onP50,"task_max_ms":$onMax,"skewed_reads":${skewReads(onPlan)},"speedup":${math.round(offSec / onSec * 100) / 100.0}}""")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
