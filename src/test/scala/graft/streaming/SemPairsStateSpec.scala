@@ -111,6 +111,83 @@ class SemPairsStateSpec extends SparkSpec {
     }
   }
 
+  test("TTL verdict equality: live verdicts replay as batch SQL over the retained-window subset") {
+    withRocksDb {
+      import spark.implicits._
+      // Two waves of arrivals. Wave 2's vec 10 near-dups wave 1's cell-0
+      // arrivals — the verdict the TTL decides: retained (long TTL) ⇒
+      // dup, expired (short TTL + sleep > TTL between waves) ⇒ clean.
+      // All other verdicts are wave-internal and identical either way.
+      val w1 = Seq(
+        SemPairs.Arrival(0L, 0L, Seq(1.0, 0.0)),
+        SemPairs.Arrival(0L, 1L, Seq(1.0, 0.01)),
+        SemPairs.Arrival(1L, 2L, Seq(0.0, 1.0)))
+      val w2 = Seq(
+        SemPairs.Arrival(0L, 10L, Seq(1.0, 0.02)),
+        SemPairs.Arrival(1L, 11L, Seq(1.0, 0.0)),
+        SemPairs.Arrival(1L, 12L, Seq(1.0, 0.001)))
+
+      /** Drive the LIVE configuration (ProcessingTime + TTL); poll the
+        * sink (processAllAvailable never settles in this mode). */
+      def runLive(ttl: java.time.Duration, name: String, sleepBetween: Long): Map[Long, Boolean] = {
+        val input = MemoryStream[SemPairs.Arrival](spark)
+        val q = input.toDS().groupByKey(_.cid)
+          .transformWithState(new SemPairs.CellPairs(0.9, ttl = Some(ttl)),
+            TimeMode.ProcessingTime(), OutputMode.Update())
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          def awaitCount(n: Long): Unit = {
+            val deadline = System.currentTimeMillis + 60000
+            while (System.currentTimeMillis < deadline &&
+                spark.table(name).select("vec_id").distinct().count() < n)
+              Thread.sleep(100)
+          }
+          input.addData(w1: _*)
+          awaitCount(w1.size.toLong)
+          Thread.sleep(sleepBetween)
+          input.addData(w2: _*)
+          awaitCount((w1.size + w2.size).toLong)
+          spark.table(name).select(col("vec_id"), col("dup_in_batch"))
+            .as[(Long, Boolean)].collect().toMap
+        } finally q.stop()
+      }
+
+      /** The batch-SQL replay over the RETAINED subset: dup(b) = exists
+        * lower-id same-cell arrival a with round(cosine, 6) ≥ τ and a
+        * still inside b's retention window — all arrivals under the
+        * long TTL, same-wave only under the short one (the sleep
+        * between waves exceeds it). Computed as a batch self-join with
+        * the same plan-side cosine the drain oracles use. */
+      def batchReplay(sameWaveOnly: Boolean): Map[Long, Boolean] = {
+        val df = (w1.map((_, 1)) ++ w2.map((_, 2)))
+          .map { case (a, w) => (a.cid, a.vec_id, a.v, w) }
+          .toDF("cid", "vec_id", "v", "wave")
+        val a = df.select(col("cid"), col("vec_id").as("id_a"),
+          col("v").as("va"), col("wave").as("wa"))
+        val b = df.select(col("cid"), col("vec_id").as("id_b"),
+          col("v").as("vb"), col("wave").as("wb"))
+        val retained = if (sameWaveOnly) col("wa") === col("wb") else lit(true)
+        val dups = a.join(b, Seq("cid"))
+          .filter(col("id_a") < col("id_b") && retained &&
+            round(graft.functions.VectorFns.cosine(col("va"), col("vb")), 6) >= 0.9)
+          .select(col("id_b")).distinct().as[Long].collect().toSet
+        df.select("vec_id").as[Long].collect().map(id => id -> dups(id)).toMap
+      }
+
+      val retainedAll = runLive(java.time.Duration.ofSeconds(60), "sempairs_ttl_ret", sleepBetween = 0)
+      assert(retainedAll == batchReplay(sameWaveOnly = false),
+        s"long-TTL verdicts diverge from the all-retained batch replay: $retainedAll")
+      val expired = runLive(java.time.Duration.ofMillis(300), "sempairs_ttl_exp", sleepBetween = 1500)
+      assert(expired == batchReplay(sameWaveOnly = true),
+        s"short-TTL verdicts diverge from the same-wave batch replay: $expired")
+      // the two replays genuinely differ where the TTL decides (vec 10):
+      // equality above is not vacuous
+      assert(retainedAll(10L) && !expired(10L),
+        "fixture failed to make the TTL decide a verdict")
+    }
+  }
+
   test("JVM-side cosine decision is bit-identical to the plan-side kernel") {
     val vecs = Seq(
       Seq(1.0, 2.0, 3.0, 4.0), Seq(-0.5, 0.25, 0.125, 8.0),
