@@ -785,7 +785,7 @@ object AnnQueries {
       // and silently drop every later copy as late (a ~3/4-of-input
       // discard the state gate then measures as a vacuously small
       // peak). Time-ranged staging replays arrival order at ANY scale.
-      val in = EventQueries.stageRangedDrain(src, 4, "ingest_sec", "graft_ssp_")
+      val in = EventQueries.stageRangedDrain(src, 2, "ingest_sec", "graft_ssp_")
       def sideStream(p: String) =
         graft.dedup.SemDedup.assignCellsTree(
             s.readStream.schema(src.schema)
@@ -919,7 +919,7 @@ object AnnQueries {
           "vec_id", "embedding", tq)
         .select(col("cid").as("hcid"), col("__v").as("__vh"))
         .localCheckpoint(false) // static side re-evaluates per micro-batch otherwise
-      val in = EventQueries.stageRangedDrain(batchSrc, 4, "vec_id", "graft_ssem_")
+      val in = EventQueries.stageRangedDrain(batchSrc, 2, "vec_id", "graft_ssem_")
       val stream = graft.dedup.SemDedup.assignCellsTree(
           s.readStream.schema(batchSrc.schema)
             .option("maxFilesPerTrigger", 1).parquet(in),
@@ -981,7 +981,7 @@ object AnnQueries {
           "vec_id", "embedding", tq)
         .select(col("cid").as("hcid"), col("__v").as("__vh"))
         .localCheckpoint(false) // static side re-evaluates per micro-batch otherwise
-      val in = EventQueries.stageRangedDrain(batchSrc, 4, "vec_id", "graft_ssu_")
+      val in = EventQueries.stageRangedDrain(batchSrc, 2, "vec_id", "graft_ssu_")
       implicit val arrEnc: org.apache.spark.sql.Encoder[SemPairs.Arrival] =
         org.apache.spark.sql.Encoders.product[SemPairs.Arrival]
       implicit val verEnc: org.apache.spark.sql.Encoder[SemPairs.Verdict] =
@@ -1149,7 +1149,7 @@ object AnnQueries {
         .select("vec_id", "embedding").join(ingest, "vec_id")
       val s = EventQueries.streamSession(s0)
       val sinkName = "graft_stream_drift_monitor"
-      val in = EventQueries.stageRangedDrain(src, 4, "ingest_sec", "graft_sdm_")
+      val in = EventQueries.stageRangedDrain(src, 2, "ingest_sec", "graft_sdm_")
       val fit = round(graft.functions.VectorFns.cosine(col("__v"),
         element_at(typedlit(cellCents), (col("cid") + 1).cast("int"))), 6)
       val stream = graft.dedup.SemDedup.assignCellsTree(

@@ -69,7 +69,19 @@ object EventQueries {
       .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
 
   /** Stage `df` as `parts` event-time ranges under a fresh temp dir and
-    * stamp the drain order; returns the input dir for `readStream`. */
+    * stamp the drain order; returns the input dir for `readStream`.
+    *
+    * Sizing `parts`: each micro-batch pays a fixed state-store
+    * load+commit round per state partition, so the drain's wall time is
+    * dominated by BATCH COUNT, not rows (measured on q130: 4 files
+    * 6.1 s → 2 files 5.0 s at sf0.1). TWO ranges is the floor that
+    * still proves the cross-batch machinery: one file boundary forces
+    * rows to meet earlier-batch state (join buffers, dedup lists,
+    * window accumulators) and the watermark to advance mid-stream —
+    * everything 4 ranges proved, at half the fixed overhead. A single
+    * range would collapse the stream to batch-in-one-commit and is
+    * reserved for drains whose operator is stateless or whose state
+    * story lives elsewhere (q74/q81/q118 read their source unsplit). */
   private[queries] def stageRangedDrain(df: org.apache.spark.sql.DataFrame,
       parts: Int, rangeCol: String, prefix: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
@@ -444,7 +456,7 @@ object EventQueries {
 
     // Streaming CDC apply under the oracle: the q87 argmax-agg as a
     // foreachBatch merge (EventPipeline.cdcApply). Events are staged
-    // into 4 files and drained one file per micro-batch, so the
+    // into 2 files and drained one file per micro-batch, so the
     // cross-batch merge path genuinely runs; the merge is an
     // associative max, so the final state equals the batch result
     // regardless of batch boundaries — which is exactly what the shared
@@ -470,7 +482,7 @@ object EventQueries {
       // input dropped eagerly (it is a full events copy per invocation)
       val tmp = registerSinkDir(
         java.nio.file.Files.createTempDirectory("graft_cdc_").toString)
-      Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      Tables.events(s, d).repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
       val ops = cdcOpsProjection(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"))
       graft.streaming.EventPipeline.cdcApply(ops, s"$tmp/state").awaitTermination()
@@ -515,7 +527,7 @@ object EventQueries {
       val s = streamSession(s0)
       val sinkName = "graft_stream_cdc_native"
       val tmp = java.nio.file.Files.createTempDirectory("graft_cdcn_").toString
-      Tables.events(s, d).repartition(4).write.mode("overwrite").parquet(s"$tmp/in")
+      Tables.events(s, d).repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
       val state = cdcOpsProjection(s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in"))
         .groupBy("entity")
@@ -560,7 +572,7 @@ object EventQueries {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val sinkName = "graft_stream_cdc_tws"
-      val in = stageRangedDrain(Tables.events(s, d), 4, "ts", "graft_tws_")
+      val in = stageRangedDrain(Tables.events(s, d), 2, "ts", "graft_tws_")
       implicit val opEnc: org.apache.spark.sql.Encoder[TwsCdc.Op] =
         org.apache.spark.sql.Encoders.product[TwsCdc.Op]
       implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
@@ -607,7 +619,7 @@ object EventQueries {
       val sinkName = "graft_stream_interval_join"
       // ascending-time file ranges drained in RANGE order (the ordered
       // replay the lateness=0 contract needs — see stampDrainOrder)
-      val in = stageRangedDrain(Tables.events(s, d), 4, "ts", "graft_ssj_")
+      val in = stageRangedDrain(Tables.events(s, d), 2, "ts", "graft_ssj_")
       val joined = intervalJoinPair(s, schema, in)
       val sink = drainToParquet(joined, sinkName)
       dropStaged(in)
@@ -645,7 +657,7 @@ object EventQueries {
       val schema = batch.schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_interval_outer"
-      val in = stageRangedDrain(batch, 4, "ts", "graft_ssjo_")
+      val in = stageRangedDrain(batch, 2, "ts", "graft_ssjo_")
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
       addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
       val joined = intervalJoinPair(s, schema, in, "leftOuter")
@@ -689,7 +701,7 @@ object EventQueries {
       val schema = batch.schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_join_window"
-      val in = stageRangedDrain(batch, 4, "ts", "graft_ssjw_")
+      val in = stageRangedDrain(batch, 2, "ts", "graft_ssjw_")
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
       addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
       val stream = intervalJoinPair(s, schema, in)
@@ -737,7 +749,7 @@ object EventQueries {
       val schema = batch.schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_session"
-      val in = stageRangedDrain(batch, 4, "ts", "graft_sess_")
+      val in = stageRangedDrain(batch, 2, "ts", "graft_sess_")
       // Two sentinel waves push the watermark past every real session's
       // end + 30 min gap (observed without them: the last two sessions
       // dropped at sf0.001) — see addSentinelWaves for the mechanics.

@@ -582,7 +582,7 @@ object TextQueries {
       val sinkName = "graft_stream_cms"
       // arrival order is irrelevant here (cell counts commute), but the
       // stamped drain keeps the multi-batch replay deterministic anyway
-      val in = EventQueries.stageRangedDrain(batchDocs, 4, "doc_id", "graft_scms_")
+      val in = EventQueries.stageRangedDrain(batchDocs, 2, "doc_id", "graft_scms_")
       val cmsStream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .select(explode(split(trim(col("text")), """\s+""")).as("token"))
