@@ -174,6 +174,21 @@ object SkewProbe {
         val n = df.collect().length
         val sec = (System.nanoTime() - t0) / 1e9
         require(n > 0, "semdedup probe produced no survivors")
+        // task-end events ride the async listener bus and collect()
+        // returns on job completion, racing their delivery — and the
+        // straggler (the whole point of the off arm) is by construction
+        // the LAST task to end, so snapshotting immediately would most
+        // likely drop exactly the task_max evidence. Poll until the
+        // queue is quiet (also fences the next iteration's clear()
+        // against this job's stragglers).
+        var lastSize = -1
+        var quiet = 0
+        var waited = 0
+        while (quiet < 2 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val s = durations.size()
+          if (s == lastSize) quiet += 1 else { quiet = 0; lastSize = s }
+        }
         if (sec < best) {
           best = sec
           plan = df.queryExecution.executedPlan.toString

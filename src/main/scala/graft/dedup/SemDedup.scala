@@ -88,15 +88,25 @@ object SemDedup {
     * corpus-side exchange deterministically. */
   def semanticDedupOnCells(cells: DataFrame, tau: Double,
       broadcastDups: Boolean = true): DataFrame = {
+    val dups = dupIdsOnCells(cells, tau)
+    cells.select("vec_id", "cid")
+      .join(if (broadcastDups) broadcast(dups) else dups, Seq("vec_id"), "left_anti")
+  }
+
+  /** Just the drop set: higher-id rows with a lower-id within-cell
+    * neighbor at cosine ≥ tau — one (vec_id) row per dup. Callers that
+    * dedup a corpus WIDER than the embedded subset (q153: not every
+    * surviving document has an embedding row) anti-join THIS against the
+    * full corpus, NOT-IN style, so unembedded rows survive rather than
+    * being silently inner-joined away. */
+  def dupIdsOnCells(cells: DataFrame, tau: Double): DataFrame = {
     val a = cells.select(col("cid"), col("vec_id").as("id_a"), col("__v").as("__va"))
     val b = cells.select(col("cid"), col("vec_id").as("id_b"), col("__v").as("__vb"))
-    val dups = a.join(b, Seq("cid"))
+    a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(VectorFns.cosine(col("__va"), col("__vb")), 6) >= tau)
       .select(col("id_b").as("vec_id"))
       .distinct()
-    cells.select("vec_id", "cid")
-      .join(if (broadcastDups) broadcast(dups) else dups, Seq("vec_id"), "left_anti")
   }
 
   /** One-shot convenience: assign + dedup. The assignment feeds THREE

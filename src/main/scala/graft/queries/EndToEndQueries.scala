@@ -715,9 +715,13 @@ object EndToEndQueries {
       .assignCellsTree(emb, "vec_id", "embedding", tq)
       .join(ndp.select(col("doc_id").as("vec_id")), "vec_id")
       .localCheckpoint(false) // feeds three plan legs (both pair sides + spine)
-    val semIds = graft.dedup.SemDedup.semanticDedupOnCells(survCells, tau = 0.3)
+    // NOT-IN semantics (match the oracle's `doc_id NOT IN semdups`): drop
+    // only the flagged dup ids — a survivor with no embedding row never
+    // enters survCells and must SURVIVE, so an inner join on the kept set
+    // would silently discard every unembedded document
+    val semDups = graft.dedup.SemDedup.dupIdsOnCells(survCells, tau = 0.3)
       .select(col("vec_id").as("doc_id"))
-    val sem = ndp.join(semIds, "doc_id")
+    val sem = ndp.join(broadcast(semDups), Seq("doc_id"), "left_anti")
     // decontamination: probe grams from the held-out eval slice of the
     // SAME checkpointed derivation; contaminated ids resolved per doc
     val probe = base.filter(col("doc_id") % 97 === 0)

@@ -84,15 +84,23 @@ object SemPairs {
 
     override def handleInputRows(key: Long, rows: Iterator[Arrival],
         timerValues: TimerValues): Iterator[Verdict] = {
-      // prior = the cell's surviving state (lower-id by the drain-order
-      // contract) plus this batch's rows already processed below
-      val prior = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      // prior = the cell's surviving state plus this batch's rows already
+      // processed below — ids kept alongside the vectors so the dup rule
+      // can be enforced as stated (strictly LOWER id), not inferred from
+      // arrival order: under the drain contract state ids are always
+      // lower anyway, but in the live-TTL path an out-of-order or
+      // redelivered arrival would otherwise (a) match its own prior copy
+      // at cosine 1.0 — a false POSITIVE, not just a missed pair — or
+      // (b) be flagged against a higher-id row that arrived earlier
+      val priorIds = scala.collection.mutable.HashSet.empty[Long]
+      val prior = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
       var maxStateId = Long.MinValue
       val it = seen.get()
       while (it.hasNext) {
         val a = it.next()
         if (a.vec_id > maxStateId) maxStateId = a.vec_id
-        prior += a.v.toArray
+        priorIds += a.vec_id
+        prior += ((a.vec_id, a.v.toArray))
       }
       val out = Seq.newBuilder[Verdict]
       val batch = rows.toSeq.sortBy(_.vec_id)
@@ -106,10 +114,11 @@ object SemPairs {
       // multi-writer id source can legitimately arrive out of order, and
       // a throw here would kill the stream UNRECOVERABLY (restart
       // replays the same batch into the same require) — so warn once
-      // per offending batch and degrade to best-effort ordering: the
-      // verdict for an out-of-order arrival still checks all state held
-      // at processing time, it just may miss pairs against later-id
-      // rows that were processed earlier.
+      // per offending batch and degrade ONE-SIDEDLY: the strictly-lower-
+      // id comparison below still holds (no self-match on redelivery, no
+      // flag against a higher-id row), redelivered ids are not re-added
+      // to state, and the only degradation is missed pairs against
+      // later-id rows not yet seen at processing time.
       batch.headOption.foreach { first =>
         if (maxStateId >= first.vec_id) {
           val msg = s"CellPairs drain-order contract violated for cell $key: " +
@@ -121,10 +130,14 @@ object SemPairs {
       batch.foreach { a =>
         val av = a.v.toArray
         val dup = prior.exists(p =>
-          graft.functions.VectorKernels.round6(cosine(p, av)) >= tau)
+          p._1 < a.vec_id &&
+            graft.functions.VectorKernels.round6(cosine(p._2, av)) >= tau)
         out += Verdict(a.vec_id, key, dup, a.v)
-        seen.appendValue(a) // every arrival enters state — the one-pass rule
-        prior += av
+        if (!priorIds.contains(a.vec_id)) {
+          seen.appendValue(a) // every NEW arrival enters state — the one-
+          priorIds += a.vec_id // pass rule, idempotent under redelivery
+          prior += ((a.vec_id, av))
+        }
       }
       out.result().iterator
     }

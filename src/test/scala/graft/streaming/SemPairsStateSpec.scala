@@ -188,6 +188,50 @@ class SemPairsStateSpec extends SparkSpec {
     }
   }
 
+  test("live-TTL degraded path is one-sided: redelivery never self-matches, no dup flag against higher-id state") {
+    withRocksDb {
+      import spark.implicits._
+      val input = MemoryStream[SemPairs.Arrival](spark)
+      val q = input.toDS().groupByKey(_.cid)
+        .transformWithState(
+          new SemPairs.CellPairs(0.9, ttl = Some(java.time.Duration.ofSeconds(60))),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF().writeStream.format("memory").queryName("sempairs_redeliver")
+        .outputMode("update").start()
+      try {
+        def awaitRows(n: Long): Unit = {
+          val deadline = System.currentTimeMillis + 60000
+          while (System.currentTimeMillis < deadline &&
+              spark.table("sempairs_redeliver").count() < n)
+            Thread.sleep(100)
+        }
+        // batch 1: seeds — vec 10 in cell 0, vec 20 in cell 1
+        input.addData(
+          SemPairs.Arrival(0L, 10L, Seq(1.0, 0.0)),
+          SemPairs.Arrival(1L, 20L, Seq(0.0, 1.0)))
+        awaitRows(2)
+        // batch 2, both arrivals violating the drain-order contract (the
+        // live path warns and continues): an at-least-once REDELIVERY of
+        // vec 10 — identical vector, must NOT match its own prior copy —
+        // and an out-of-order vec 15 near-identical to cell 1's seed 20:
+        // 20 has the HIGHER id, so the strictly-lower-id rule says clean
+        input.addData(
+          SemPairs.Arrival(0L, 10L, Seq(1.0, 0.0)),
+          SemPairs.Arrival(1L, 15L, Seq(0.001, 1.0)))
+        awaitRows(4)
+        val rows = spark.table("sempairs_redeliver")
+          .select(col("vec_id"), col("dup_in_batch"))
+          .as[(Long, Boolean)].collect()
+        assert(rows.length == 4, s"expected 4 verdict emissions, got ${rows.toSeq}")
+        assert(rows.forall(!_._2),
+          s"degraded path produced a false positive: ${rows.toSeq}")
+        // redelivery did not re-enter state: one row per UNIQUE arrival
+        val peak = stateProgress(q).map(_.numRowsTotal).max
+        assert(peak <= 3L, s"redelivered arrival doubled state: $peak")
+      } finally q.stop()
+    }
+  }
+
   test("JVM-side cosine decision is bit-identical to the plan-side kernel") {
     val vecs = Seq(
       Seq(1.0, 2.0, 3.0, 4.0), Seq(-0.5, 0.25, 0.125, 8.0),
