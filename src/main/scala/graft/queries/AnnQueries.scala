@@ -1233,7 +1233,7 @@ object AnnQueries {
       import org.apache.spark.sql.streaming.Trigger
       val emb = Tables.embeddings(s0, d)
       val (cents, cb) = persistedFaissIndex(s0, d, histOnly = true)
-      val (histCodesDir, _) = appendedFaissSegments(s0, d, cents, cb)
+      val histCodesDir = historyFaissSegment(s0, d, cents, cb)
       val s = EventQueries.streamSession(s0)
       val sinkName = "graft_stream_index_append"
       val batchSrc = emb.filter(col("vec_id") % 10 === 0)
@@ -1270,6 +1270,44 @@ object AnnQueries {
         s.read.parquet(histCodesDir).unionByName(streamed),
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
+
+    // LIFECYCLE DAY-N: DELETES PHYSICALLY APPLIED AT COMPACTION — the
+    // composition the q148-q152 pieces build toward, as one serving
+    // state: history segment ∪ appended delta, MINUS the tombstone set,
+    // folded by Pq.compactIndex into one cell-clustered segment, served
+    // with the probed-cell predicate pushed into the scan. q151 is the
+    // LOGICAL delete (serving anti-joins the tombstones out of the
+    // at-rest union — the state between compactions); this is the
+    // PHYSICAL delete (the maintenance rewrite drops the rows, after
+    // which serving pays no anti-join at all). Same served row set by
+    // construction, so both share ONE oracle text (the q96/q134
+    // contract applied to the delete path — an oracle fix cannot reach
+    // one and miss the other), and PqTombstoneSpec pins the equality at
+    // the API level. At 100 TB this is the steady-state read profile:
+    // deletes cost nothing at query time once compaction has run, and
+    // the clustered layout keeps row groups outside the probed 16-of-64
+    // cells pruned from footer stats.
+    QueryDef("q154_ann_lifecycle_compacted_delete", Seq("J12", "F4", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0", servePred = "e.vec_id % 7 <> 3")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, cb) = persistedFaissIndex(s, d, histOnly = true)
+      val (histCodesDir, deltaCodesDir) = appendedFaissSegments(s, d, cents, cb)
+      // the same drop-list shape q151 serves around — here it is
+      // APPLIED, not worked around: compaction's output holds zero
+      // tombstoned rows at rest
+      val tombstones = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+      val compactDir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_codes_compactdel_$faissKeySuffix",
+        d, s"$d/embeddings.parquet") { target =>
+        graft.ann.Pq.compactIndex(
+            Seq(s.read.parquet(histCodesDir), s.read.parquet(deltaCodesDir)),
+            tombstones = Some(tombstones))
+          .write.mode("overwrite").parquet(target)
+      }
+      graft.ann.Pq.ivfPqTopKFromIndex(s.read.parquet(compactDir), emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents, cb,
+        k = 3, probes = 16, r = 30, residual = true, prefilterCells = true)
     },
   )
 
@@ -1355,24 +1393,28 @@ object AnnQueries {
     * so a recipe/shape change invalidates every layer together. */
   private def appendedFaissSegments(s: org.apache.spark.sql.SparkSession,
       d: String, cents: Seq[(Int, Seq[Double])], cb: graft.ann.Pq.Codebooks)
-      : (String, String) = {
-    val emb = Tables.embeddings(s, d)
-    val histCodesDir = graft.sources.ZOrder.ensureStagedDir(
-      s"graft_ivfpq_codes_hist_$faissKeySuffix",
+      : (String, String) =
+    (historyFaissSegment(s, d, cents, cb),
+     stagedFaissSegment(s, d, cents, cb, "delta", col("vec_id") % 10 === 0))
+
+  /** Just the frozen-history segment — q152 encodes its OWN delta
+    * through the stream, so staging the batch delta here too would pay
+    * a full Pq.encode + parquet write the query never reads whenever
+    * the cache is cold (fresh tmpdir, changed key, q152-only probe). */
+  private def historyFaissSegment(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: Seq[(Int, Seq[Double])], cb: graft.ann.Pq.Codebooks): String =
+    stagedFaissSegment(s, d, cents, cb, "hist", col("vec_id") % 10 =!= 0)
+
+  private def stagedFaissSegment(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: Seq[(Int, Seq[Double])], cb: graft.ann.Pq.Codebooks,
+      name: String, pred: org.apache.spark.sql.Column): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      s"graft_ivfpq_codes_${name}_$faissKeySuffix",
       d, s"$d/embeddings.parquet") { target =>
-      graft.ann.Pq.encode(emb.filter(col("vec_id") % 10 =!= 0),
+      graft.ann.Pq.encode(Tables.embeddings(s, d).filter(pred),
         "vec_id", "embedding", cents, cb, residual = true)
         .write.mode("overwrite").parquet(target)
     }
-    val deltaCodesDir = graft.sources.ZOrder.ensureStagedDir(
-      s"graft_ivfpq_codes_delta_$faissKeySuffix",
-      d, s"$d/embeddings.parquet") { target =>
-      graft.ann.Pq.encode(emb.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", cents, cb, residual = true)
-        .write.mode("overwrite").parquet(target)
-    }
-    (histCodesDir, deltaCodesDir)
-  }
 
   // The FAISS-shaped residual IVFPQ oracle (64-cell coarse training,
   // 8×256 residual codebooks, probe-16 routing, ADC shortlist-30, exact
