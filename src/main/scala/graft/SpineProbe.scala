@@ -100,6 +100,7 @@ object SpineProbe {
         ("q148_ann_ivfpq_append", Set("embeddings")),
         ("q149_ann_segment_compact", Set("embeddings")),
         ("q151_ann_tombstone_delete", Set("embeddings")),
+        ("q154_ann_lifecycle_compacted_delete", Set("embeddings")),
         ("q140_semdedup_tree", Set("embeddings")),
         ("q142_semdedup_incremental_tree", Set("embeddings")),
         ("q143_stream_semdedup", Set("embeddings")),
