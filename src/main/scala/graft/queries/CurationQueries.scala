@@ -365,6 +365,47 @@ object CurationQueries {
              'documents_nchars_consistent', bad_nchars) AS (dq_check, violations)"""))
         .select(col("dq_check"), col("violations").cast("long").as("violations"),
           (col("violations") === 0).as("pass"))
+    },
+
+    // REFERENTIAL COVERAGE AUDIT — the corpus↔embedding coverage facts
+    // a multi-representation pipeline must treat as first-class: which
+    // documents have an embedding row (and so are VISIBLE to the
+    // semantic stages — q106/q140/q153), which don't (they flow through
+    // lexical passes only; a semantic stage that inner-joins them away
+    // silently shrinks the corpus — the exact q153 bug class, made a
+    // monitored number here the way q136 monitors constraints), and
+    // which embeddings are ORPHANS with no backing document (stale index
+    // entries — q151 tombstone candidates). Scale shape: both sides are
+    // corpus-sized, so neither broadcasts — each is PROJECTED TO ITS KEY
+    // before one co-partitioned full-outer shuffle join, counts
+    // partial-aggregate per class, and the share window runs over the
+    // 3-row result (driver-trivial). At 100 TB: two key-column scans +
+    // one keyed shuffle, nothing else.
+    QueryDef("q155_embedding_coverage_audit", Seq("A11", "F4"),
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+         e AS (SELECT vec_id AS id FROM embeddings),
+         j AS (
+           SELECT CASE
+               WHEN d.id IS NOT NULL AND e.id IS NOT NULL THEN 'both'
+               WHEN d.id IS NOT NULL THEN 'document_only'
+               ELSE 'embedding_only' END AS coverage_class
+           FROM d FULL OUTER JOIN e ON d.id = e.id),
+         g AS (SELECT coverage_class, count(*) AS n FROM j GROUP BY 1)
+         SELECT coverage_class, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (), 6) AS share
+         FROM g""") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
+        .withColumn("has_doc", lit(true))
+      val embs = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+        .withColumn("has_emb", lit(true))
+      val cls = when(col("has_doc").isNotNull && col("has_emb").isNotNull, "both")
+        .when(col("has_doc").isNotNull, "document_only")
+        .otherwise("embedding_only")
+      val g = docs.join(embs, Seq("id"), "full_outer")
+        .groupBy(cls.as("coverage_class")).agg(count(lit(1)).as("n"))
+      g.withColumn("share",
+        round(col("n") / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
     }
   )
 }
