@@ -85,6 +85,7 @@ object SpineProbe {
         ("q106_semdedup", Set("embeddings")),
         ("q112_flagging_end_to_end", ordersSpine),
         ("q114_dup_spans", Set("documents_sfx")),
+        ("q153_llm_corpus_end_to_end", Set("documents_q153")),
         ("q119_kmv_distinct", Set("lineitem")),
         ("q121_cms_heavy_hitters", Set("documents")),
         ("q122_quantile_sample", Set("lineitem")),
@@ -123,6 +124,7 @@ object SpineProbe {
         ("q114_dup_spans", Set("documents_sfx")),
         ("q116_batched_inference", ordersSpine),
         ("q117_staged_spine_join", ordersSpine),
+        ("q153_llm_corpus_end_to_end", Set("documents_q153")),
         ("q118_stream_incremental_neardup", Set("documents")),
         ("q119_kmv_distinct", Set("lineitem")),
         ("q121_cms_heavy_hitters", Set("documents")),
@@ -177,14 +179,15 @@ object SpineProbe {
     // per-group shape: the vector-space analogue of the token-suffix
     // trick below. The 7-dim rotation also straddles PQ's 8-dim
     // subspace boundaries, so copies land on fresh code combinations.
-    stage("embeddings", scaleUnion(
-      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", docsOff,
+    def rotatedEmbeddings(off: Long) = scaleUnion(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", off,
       (df, c) => {
         val r = (7 * c) % 64
         if (r == 0) df
         else df.withColumn("embedding",
           expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
-      }))
+      })
+    stage("embeddings", rotatedEmbeddings(docsOff))
     if (needed("nation")) // dimension: copied 1×, never scaled
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.mode("overwrite").parquet(s"$scaled/nation.parquet")
@@ -232,14 +235,8 @@ object SpineProbe {
           .write.mode("overwrite").parquet(s"$scaledEv/events.parquet")
       else
         scaledEvents.write.mode("overwrite").parquet(s"$scaledEv/events.parquet")
-      scaleUnion(
-        spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", eidOff,
-        (df, c) => {
-          val r = (7 * c) % 64
-          if (r == 0) df
-          else df.withColumn("embedding",
-            expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
-        }).write.mode("overwrite").parquet(s"$scaledEv/embeddings.parquet")
+      rotatedEmbeddings(eidOff)
+        .write.mode("overwrite").parquet(s"$scaledEv/embeddings.parquet")
     }
 
     // q114 (cross-doc span dedup) needs a SECOND documents scaling: the
@@ -259,6 +256,35 @@ object SpineProbe {
         (df, c) => df.withColumn("text", array_join(
           transform(split(trim(col("text")), """\s+"""), t => concat(t, lit(s"_$c"))), " ")))
         .write.mode("overwrite").parquet(s"$scaledSfx/documents.parquet")
+
+    // q153 (the LLM-corpus spine) needs a corpus that SURVIVES its own
+    // dedup stages at N×: verbatim copies collapse at the exact-dedup
+    // fingerprint, and whole-token suffixing (the q114 trick) collapses
+    // the QUALITY stage instead — suffixed stopwords stop matching and
+    // the stopword arm of the score zeroes out. Suffix only NON-stopword
+    // tokens: the quality score's three arms are ~unchanged (stopword
+    // and token counts identical, punctuation untouched, length slightly
+    // longer), while the fingerprint and most 8-char shingles change per
+    // copy — so the exact and minhash stages see a same-shape corpus
+    // growing N×, not one they erase back to 1×. Embeddings ride beside
+    // the documents in the same dir: the shared docsOff offset keeps the
+    // doc_id↔vec_id correspondence per copy, and the rotation
+    // decorrelates cross-copy cosines so semdedup cells grow N× at
+    // constant per-cell shape.
+    val scaledQ153 = s"${System.getProperty("java.io.tmpdir")}/graft_spine_probe_q153_$tag"
+    if (needed("documents_q153")) {
+      // = TextFns.qualityScore's stopword list (q40/q153)
+      val stops = Seq("the", "a", "and", "of", "to", "is")
+      scaleUnion(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", docsOff,
+        (df, c) => df.withColumn("text", array_join(
+          transform(split(trim(col("text")), """\s+"""),
+            t => when(lower(t).isin(stops: _*), t)
+              .otherwise(concat(t, lit(s"_$c")))), " ")))
+        .write.mode("overwrite").parquet(s"$scaledQ153/documents.parquet")
+      rotatedEmbeddings(docsOff)
+        .write.mode("overwrite").parquet(s"$scaledQ153/embeddings.parquet")
+    }
 
     def time(name: String, fn: => DataFrame): Unit = {
       var best = Double.MaxValue
@@ -303,6 +329,7 @@ object SpineProbe {
       "q150_stream_drift_monitor" -> "graft_stream_drift_monitor")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
+        else if (tbls("documents_q153")) scaledQ153
         else if (tbls("embeddings_ev")) scaledEv
         else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
