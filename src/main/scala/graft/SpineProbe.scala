@@ -110,6 +110,9 @@ object SpineProbe {
         ("q147_stream_semdedup_unified", Set("embeddings")),
         ("q150_stream_drift_monitor", Set("embeddings_ev")),
         ("q152_stream_index_append", Set("embeddings")),
+        ("q157_index_asof_snapshot", Set("embeddings")),
+        ("q156_agg_incremental_refresh", Set("events")),
+        ("q158_stream_agg_refresh", Set("events")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -140,6 +143,9 @@ object SpineProbe {
         ("q147_stream_semdedup_unified", Set("embeddings")),
         ("q150_stream_drift_monitor", Set("embeddings_ev")),
         ("q152_stream_index_append", Set("embeddings")),
+        ("q157_index_asof_snapshot", Set("embeddings")),
+        ("q156_agg_incremental_refresh", Set("events")),
+        ("q158_stream_agg_refresh", Set("events")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -327,6 +333,11 @@ object SpineProbe {
       "q146_stream_semdedup_pairs" -> "graft_stream_semdedup_pairs",
       "q147_stream_semdedup_unified" -> "graft_stream_semdedup_unified",
       "q150_stream_drift_monitor" -> "graft_stream_drift_monitor")
+    // foreachBatch queries meter no state operators — their scaling
+    // evidence is the per-batch SEGMENT LEDGER each one records
+    val ledgerSinks = Map(
+      "q152_stream_index_append" -> "graft_stream_index_append",
+      "q158_stream_agg_refresh" -> "graft_stream_agg_refresh")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153
@@ -334,10 +345,12 @@ object SpineProbe {
         else scaled
       time(s"${q}_1x", SparkEntry.queries(q)(spark, sfDir))
       val state1 = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
-      val segs1 = graft.streaming.StreamMetrics.segments("graft_stream_index_append")
+      val segs1 = ledgerSinks.get(q).map(graft.streaming.StreamMetrics.segments)
+        .getOrElse(Vector.empty)
       time(s"${q}_$tag", SparkEntry.queries(q)(spark, big))
       val stateN = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
-      val segsN = graft.streaming.StreamMetrics.segments("graft_stream_index_append")
+      val segsN = ledgerSinks.get(q).map(graft.streaming.StreamMetrics.segments)
+        .getOrElse(Vector.empty)
       // q152 has no state operators to meter (foreachBatch encode) — its
       // scaling claim lives in the SEGMENT LEDGER: segment count tracks
       // trigger cadence (flat — 4 staged ranges at every SF; rate moves
@@ -349,6 +362,17 @@ object SpineProbe {
         val ok = n1 > 0 && nN <= n1 + 1 &&
           rN >= r1 * fullCopies && rN <= r1 * (fullCopies + 2)
         println(s"""{"gate":"${q}_segment_ledger_$tag","ok":$ok,"detail":"segments_1x=$n1 segments_$tag=$nN rows_1x=$r1 rows_$tag=$rN"}""")
+      }
+      // q158's ledger rows are the maintained VIEW's size after each
+      // merge — |(event_type, day)| keys. The events scaling offsets
+      // event_id only (timestamps and types replicate per copy), so the
+      // key set — and therefore the view — must stay EXACTLY flat while
+      // the stream folding into it deepens N×: the whole point of
+      // maintaining partials instead of rows.
+      if (decade && q == "q158_stream_agg_refresh") {
+        val ok = segs1.nonEmpty && segsN.nonEmpty &&
+          segsN.last._2 == segs1.last._2 && segsN.size <= segs1.size + 1
+        println(s"""{"gate":"${q}_view_rows_$tag","ok":$ok,"detail":"view_rows_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} view_rows_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)} batches_1x=${segs1.size} batches_$tag=${segsN.size}"}""")
       }
       // The decade re-runs StreamingStateSpec's claim ON THE SCALED
       // TABLE: state rows per key-horizon, not wall time, is what the

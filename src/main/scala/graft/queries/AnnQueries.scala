@@ -1309,6 +1309,44 @@ object AnnQueries {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents, cb,
         k = 3, probes = 16, r = 30, residual = true, prefilterCells = true)
     },
+
+    // AS-OF SNAPSHOT SERVING — time travel over the appended index,
+    // the read-side twin of q152's ingest: delta codes land PARTITIONED
+    // BY GENERATION (ingest day — here the deterministic gen =
+    // (vec_id / 10) % 4, cycling the delta through all four days, so
+    // the oracle can replay it), and "search the index as
+    // of generation g" is a PARTITION FILTER: `gen <= 1` prunes the
+    // later generations' directories at FILE level — the scan never
+    // opens them (PlanBudgetSpec asserts the PartitionFilters and the
+    // 2-of-4 partition count). No rewind rewrite, no segment copy: a
+    // snapshot is a predicate over at-rest layout, which is what makes
+    // reproducing yesterday's search results — the audit ask behind
+    // every training-data lineage question — O(served data) instead of
+    // O(restore). History rides unpartitioned beside it (generation
+    // "day 0"). Oracle: the shared FAISS text with the serve predicate
+    // restricted to history ∪ generations ≤ 1 — codes for later
+    // generations exist at rest but can never be returned, q151's
+    // tombstone contract with the sign flipped.
+    QueryDef("q157_index_asof_snapshot", Seq("J12", "F1", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0",
+        servePred = "(e.vec_id % 10 <> 0) OR ((e.vec_id // 10) % 4 <= 1)")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, cb) = persistedFaissIndex(s, d, histOnly = true)
+      val histCodesDir = historyFaissSegment(s, d, cents, cb)
+      val genDir = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_codes_asof_g4d10_$faissKeySuffix",
+        d, s"$d/embeddings.parquet") { target =>
+        graft.ann.Pq.encode(emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", cents, cb, residual = true)
+          .withColumn("gen", expr("CAST((vec_id DIV 10) % 4 AS INT)"))
+          .write.mode("overwrite").partitionBy("gen").parquet(target)
+      }
+      val asOf = s.read.parquet(genDir).filter(col("gen") <= 1).drop("gen")
+      graft.ann.Pq.ivfPqTopKFromIndex(
+        s.read.parquet(histCodesDir).unionByName(asOf),
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
   )
 
   // The history-trained tree incremental dup-flags oracle (history gate

@@ -772,5 +772,131 @@ object EventQueries {
       sink.filter(col("user_id") >= 0)
         .select("user_id", "session_start", "n_events", "session_value")
     },
+
+    // INCREMENTAL AGGREGATE MAINTENANCE — the daily-refresh shape the
+    // reference actually runs: FTS updates daily and the pipeline
+    // re-pulls the current year and recomputes its aggregates from
+    // scratch (code/01_fts_get_flows.R:6, GUIDE.md:458). At 100 TB the
+    // full recompute is the bug: the standing rollup over history never
+    // changes, so the refresh should fold ONLY the day's delta into the
+    // materialized partials. The materialized state carries MERGEABLE
+    // partials — (n, sum) per key, never the rounded avg: avg-of-avgs
+    // is wrong under uneven group sizes, so derived measures are
+    // computed once, at serve time, from the merged sums
+    // (IncrementalAggSpec pins merge == recompute and the avg-of-avgs
+    // trap). The refresh plan reads the materialized rollup (rows =
+    // |keys|, independent of history depth) plus the delta landing
+    // file — the base table is NEVER rescanned (PlanBudgetSpec asserts
+    // zero events.parquet scans in the warm serving plan). Oracle: the
+    // full recompute over the whole table — incremental must equal
+    // from-scratch, the view-maintenance contract.
+    QueryDef("q156_agg_incremental_refresh", Seq("A5", "R4"),
+      dailyRollupSql) { (s, d) =>
+      val events = Tables.events(s, d)
+      // yesterday's standing state: the history rollup, materialized
+      // once per corpus (ensureStagedDir caches on the fingerprint)
+      val matDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_incr_agg_base", d, s"$d/events.parquet") { target =>
+        dailyPartial(events.filter(col("event_id") % 10 =!= 0))
+          .write.mode("overwrite").parquet(target)
+      }
+      // today's landing file: the delta rows as their own staged table
+      val deltaDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_incr_agg_delta", d, s"$d/events.parquet") { target =>
+        events.filter(col("event_id") % 10 === 0)
+          .write.mode("overwrite").parquet(target)
+      }
+      finishDaily(mergeDailyRaw(s.read.parquet(matDir),
+        dailyPartial(s.read.parquet(deltaDir))))
+    },
+
+    // STREAMING VIEW MAINTENANCE — q156's refresh as a continuously
+    // maintained materialized view: each micro-batch's partial rollup
+    // is merged into the standing view inside `foreachBatch` (read
+    // current generation, union, re-reduce, write generation batchId —
+    // the MERGE-INTO upsert shape, emulated with generation dirs since
+    // the plain parquet sink has no upsert). The view IS the state:
+    // no watermark, no state store — per batch the work is the batch's
+    // own rows plus a |keys|-row merge, and the view's row count stays
+    // |keys| however deep the stream gets (the segment ledger records
+    // it per batch; the decade probe gates it flat at 10x). Shares
+    // q156's oracle VERBATIM: a maintained view must equal the
+    // from-scratch aggregate over everything that arrived, however the
+    // arrivals were batched.
+    QueryDef("q158_stream_agg_refresh", Seq("A5", "R4"),
+      dailyRollupSql) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s0, d)
+      val s = streamSession(s0)
+      val sinkName = "graft_stream_agg_refresh"
+      val in = stageRangedDrain(batch, 2, "ts", "graft_sar_")
+      val root = registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      @volatile var latest: Option[String] = None
+      val q = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val part = dailyPartial(b)
+          val merged = latest match {
+            case None       => part
+            case Some(prev) => mergeDailyRaw(b.sparkSession.read.parquet(prev), part)
+          }
+          val next = s"$root/gen-$id"
+          merged.write.mode("overwrite").parquet(next)
+          latest = Some(next)
+          // ledger row = the maintained view's size after this merge —
+          // the claim "state = |keys|, flat in stream depth" as data
+          // (footer row counts: a metadata read)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id,
+            b.sparkSession.read.parquet(next).count())
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      dropStaged(in)
+      latest match {
+        case None      => finishDaily(dailyPartial(batch.limit(0)))
+        case Some(dir) => finishDaily(s.read.parquet(dir))
+      }
+    },
   )
+
+  /** The daily rollup's MERGEABLE partial per (event_type, day): count
+    * and raw sum only — everything derived (avg, rounding) waits for
+    * [[finishDaily]], because partials must re-aggregate losslessly
+    * (q156 merges history + delta; q158 merges batch after batch). */
+  private[queries] def dailyPartial(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("sec", nsToSec("ts"))
+    .withColumn("day_num", expr("CAST(sec DIV 86400 AS BIGINT)"))
+    .groupBy("event_type", "day_num")
+    .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Merge any number of [[dailyPartial]] frames: union, re-reduce by
+    * key, sums-of-sums — the associative half of view maintenance. */
+  private[queries] def mergeDailyRaw(
+      parts: org.apache.spark.sql.DataFrame*): org.apache.spark.sql.DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy("event_type", "day_num")
+      .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
+
+  /** Serve-time finisher: rounding and the derived avg, computed from
+    * the MERGED sums (avg-of-partial-avgs would weight batches, not
+    * rows — the classic maintenance bug IncrementalAggSpec pins). */
+  private[queries] def finishDaily(partial: org.apache.spark.sql.DataFrame) =
+    partial.select(col("event_type"), col("day_num"), col("n"),
+      round(col("sum_value"), 4).as("total_value"),
+      round(col("sum_value") / col("n"), 6).as("avg_value"))
+
+  /** Full-recompute oracle shared VERBATIM by q156 (batch merge) and
+    * q158 (streaming merge): incremental maintenance must equal the
+    * from-scratch aggregate — one text, so an oracle fix cannot reach
+    * one path and miss the other. */
+  private def dailyRollupSql =
+    """SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+         count(*) AS n, round(sum(value), 4) AS total_value,
+         round(sum(value) / count(*), 6) AS avg_value
+       FROM events GROUP BY event_type, day_num"""
 }

@@ -516,4 +516,38 @@ class PlanBudgetSpec extends SparkSpec {
     // the decontamination sides broadcast (probe grams + contaminated ids)
     assert(broadcasts(e2e) >= 2)
   }
+
+  test("incremental refresh (q156): the serving plan never rescans the base table") {
+    // the refresh reads the materialized rollup (|keys| rows) plus the
+    // delta landing file; history depth is paid ONLY at staging time —
+    // a plan that still scans events.parquet is a full recompute in
+    // disguise
+    val q = SparkEntry.queries("q156_agg_incremental_refresh")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      "q156's serving plan rescans events.parquet instead of the materialized partials")
+  }
+
+  test("as-of snapshot (q157): generation filter prunes partitions at file level") {
+    val q = SparkEntry.queries("q157_index_asof_snapshot")(spark, sf)
+    // AdaptiveSparkPlanExec is a leaf to collect() — unwrap to its
+    // current physical plan before walking for scan nodes
+    val phys = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("codes_asof")) => f
+    }
+    assert(scans.nonEmpty, "gen-partitioned delta scan missing from the q157 plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("gen")),
+        s"gen filter not pushed to partition pruning: ${f.partitionFilters}")
+      // 4 generations at rest, snapshot serves gen <= 1 → exactly 2 read
+      assert(f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size == 2,
+        "as-of scan opened generations beyond the snapshot")
+    }
+  }
 }

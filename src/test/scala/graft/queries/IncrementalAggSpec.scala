@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The q156/q158 view-maintenance contract, pinned without the oracle:
+  * (1) merging any batching of the input's partials and finishing once
+  * equals the from-scratch rollup — the maintenance invariant;
+  * (2) partials must carry (n, sum), never the derived avg: averaging
+  * partial averages weights BATCHES instead of rows and diverges
+  * whenever group sizes differ across batches — the trap that makes
+  * "store the finished row, merge by re-averaging" silently wrong;
+  * (3) re-merging is idempotent in shape: the view's row count is the
+  * key count, independent of how many batches folded into it. */
+class IncrementalAggSpec extends SparkSpec {
+
+  private def events: DataFrame = Tables.events(spark, sf)
+
+  private def asSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def recompute: DataFrame =
+    EventQueries.finishDaily(EventQueries.dailyPartial(events))
+
+  test("merge(base, delta) then finish == from-scratch rollup") {
+    val base = EventQueries.dailyPartial(events.filter(col("event_id") % 10 =!= 0))
+    val delta = EventQueries.dailyPartial(events.filter(col("event_id") % 10 === 0))
+    val merged = EventQueries.finishDaily(EventQueries.mergeDailyRaw(base, delta))
+    assert(asSet(merged) == asSet(recompute))
+  }
+
+  test("batching independence: any split of the input merges to the same view") {
+    val parts = (0 to 2).map(i =>
+      EventQueries.dailyPartial(events.filter(col("event_id") % 3 === i)))
+    val merged = EventQueries.finishDaily(EventQueries.mergeDailyRaw(parts: _*))
+    assert(asSet(merged) == asSet(recompute))
+  }
+
+  test("avg-of-partial-avgs diverges where group sizes differ — sums don't") {
+    import spark.implicits._
+    // one key, uneven batches: batch A = {2.0}, batch B = {4.0, 4.0, 4.0}
+    // row-weighted avg = 3.5; batch-weighted avg-of-avgs = 3.0
+    def mkBatch(vals: Seq[Double]): DataFrame =
+      vals.map(v => ("click", 1L, v)).toDF("event_type", "day_num", "value")
+        .groupBy("event_type", "day_num")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val a = mkBatch(Seq(2.0))
+    val b = mkBatch(Seq(4.0, 4.0, 4.0))
+    val merged = EventQueries.finishDaily(EventQueries.mergeDailyRaw(a, b))
+    val mergedAvg = merged.select("avg_value").head.getDouble(0)
+    assert(mergedAvg == 3.5, s"merged sums must give the row-weighted avg, got $mergedAvg")
+    val avgOfAvgs = (2.0 / 1 + 12.0 / 3) / 2
+    assert(avgOfAvgs == 3.0 && mergedAvg != avgOfAvgs,
+      "the divergence this test exists to demonstrate vanished — fixture degenerate")
+  }
+
+  test("view size is |keys| however many batches fold in") {
+    val p = EventQueries.dailyPartial(events)
+    val keys = p.count()
+    val folded = EventQueries.mergeDailyRaw(
+      EventQueries.mergeDailyRaw(p, p.limit(0)), p)
+    assert(folded.count() == keys)
+    // and the double-fold doubled every partial, not the key set
+    val doubled = EventQueries.finishDaily(folded)
+      .join(recompute.withColumnRenamed("n", "n1")
+        .select("event_type", "day_num", "n1"), Seq("event_type", "day_num"))
+    assert(doubled.filter(col("n") =!= col("n1") * 2).isEmpty)
+  }
+}
