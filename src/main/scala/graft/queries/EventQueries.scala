@@ -833,31 +833,22 @@ object EventQueries {
       val root = registerSinkDir(
         java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
       graft.streaming.StreamMetrics.resetSegments(sinkName)
-      @volatile var latest: Option[String] = None
       val q = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .writeStream.queryName(sinkName)
         .option("checkpointLocation", s"$root/cp")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          val part = dailyPartial(b)
-          val merged = latest match {
-            case None       => part
-            case Some(prev) => mergeDailyRaw(b.sparkSession.read.parquet(prev), part)
-          }
-          val next = s"$root/gen-$id"
-          merged.write.mode("overwrite").parquet(next)
-          latest = Some(next)
+          val rows = viewMergeStep(root, b, id)
           // ledger row = the maintained view's size after this merge —
           // the claim "state = |keys|, flat in stream depth" as data
           // (footer row counts: a metadata read)
-          graft.streaming.StreamMetrics.recordSegment(sinkName, id,
-            b.sparkSession.read.parquet(next).count())
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       graft.streaming.StreamMetrics.record(sinkName, q)
       dropStaged(in)
-      latest match {
+      latestViewGen(root) match {
         case None      => finishDaily(dailyPartial(batch.limit(0)))
         case Some(dir) => finishDaily(s.read.parquet(dir))
       }
@@ -881,6 +872,41 @@ object EventQueries {
     parts.reduce(_ unionByName _)
       .groupBy("event_type", "day_num")
       .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
+
+  /** One q158 maintenance step: fold micro-batch `b` (id `id`) into the
+    * maintained view under `root`, landing the merged partials as
+    * `gen-<id>`. The PREVIOUS state is recovered from the COMMITTED
+    * generation dirs on disk (max gen strictly below `id`), never from
+    * driver memory — foreachBatch's restart contract is that a batch id
+    * may REPLAY after a crash, so the step must be idempotent: a replay
+    * re-reads the same predecessor (its own half-written `gen-<id>` has
+    * no _SUCCESS, or is overwritten whole), re-merges the same rows, and
+    * the view converges to the same state (StreamingStateSpec pins both
+    * the replay and the recovery). Returns the view's row count. */
+  private[queries] def viewMergeStep(root: String,
+      b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+    val part = dailyPartial(b)
+    val merged = latestViewGen(root, below = Some(id)) match {
+      case None       => part
+      case Some(prev) => mergeDailyRaw(b.sparkSession.read.parquet(prev), part)
+    }
+    val next = s"$root/gen-$id"
+    merged.write.mode("overwrite").parquet(next)
+    b.sparkSession.read.parquet(next).count()
+  }
+
+  /** Latest COMMITTED view generation under `root` (optionally only
+    * those strictly below `below`) — the recovery read: a dir without
+    * parquet's _SUCCESS marker is a torn write and never a merge base. */
+  private[queries] def latestViewGen(root: String,
+      below: Option[Long] = None): Option[String] = {
+    def gen(f: java.io.File) = f.getName.stripPrefix("gen-").toLong
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("gen-") &&
+        new java.io.File(f, "_SUCCESS").exists() &&
+        below.forall(gen(f) < _))
+      .sortBy(gen).lastOption.map(_.getPath)
+  }
 
   /** Serve-time finisher: rounding and the derived avg, computed from
     * the MERGED sums (avg-of-partial-avgs would weight batches, not

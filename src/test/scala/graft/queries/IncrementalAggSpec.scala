@@ -56,6 +56,30 @@ class IncrementalAggSpec extends SparkSpec {
       "the divergence this test exists to demonstrate vanished — fixture degenerate")
   }
 
+  test("q158 merge step: replayed batch ids converge, recovery skips torn writes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_view_merge_spec_").toString
+    val b0 = events.filter(col("event_id") % 2 === 0)
+    val b1 = events.filter(col("event_id") % 2 =!= 0)
+    EventQueries.viewMergeStep(root, b0, 0L)
+    EventQueries.viewMergeStep(root, b1, 1L)
+    def served: Set[String] = asSet(EventQueries.finishDaily(
+      spark.read.parquet(EventQueries.latestViewGen(root).get)))
+    val after = served
+    assert(after == asSet(recompute), "two-batch maintenance != recompute")
+    // foreachBatch's restart contract: after a crash the LAST batch id
+    // replays — the step must re-base on the committed predecessor and
+    // converge to the identical view, not double-count the batch
+    EventQueries.viewMergeStep(root, b1, 1L)
+    assert(served == after, "batch-1 replay changed the view — step not idempotent")
+    // a torn write (no _SUCCESS) is never a merge base or a serve state
+    val torn = new java.io.File(root, "gen-2")
+    torn.mkdirs()
+    assert(EventQueries.latestViewGen(root).exists(_.endsWith("gen-1")),
+      "recovery picked a generation without a commit marker")
+    assert(EventQueries.latestViewGen(root, below = Some(1L))
+      .exists(_.endsWith("gen-0")))
+  }
+
   test("view size is |keys| however many batches fold in") {
     val p = EventQueries.dailyPartial(events)
     val keys = p.count()
