@@ -113,6 +113,7 @@ object SpineProbe {
         ("q157_index_asof_snapshot", Set("embeddings")),
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
+        ("q159_stream_decontam", Set("documents")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -146,6 +147,7 @@ object SpineProbe {
         ("q157_index_asof_snapshot", Set("embeddings")),
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
+        ("q159_stream_decontam", Set("documents")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -373,6 +375,17 @@ object SpineProbe {
         val ok = segs1.nonEmpty && segsN.nonEmpty &&
           segsN.last._2 == segs1.last._2 && segsN.size <= segs1.size + 1
         println(s"""{"gate":"${q}_view_rows_$tag","ok":$ok,"detail":"view_rows_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} view_rows_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)} batches_1x=${segs1.size} batches_$tag=${segsN.size}"}""")
+      }
+      // q159's whole claim is STATELESSNESS: the gate against the probe
+      // set is row-local (plan-literal Bloom + broadcast confirm), so
+      // the state store must hold ZERO rows at any arrival rate — the
+      // opposite pole from q143's standing-corpus gate. (Not in
+      // streamSinks: the generic bound treats peak 0 as a degenerate
+      // baseline, here it IS the invariant.)
+      if (decade && q == "q159_stream_decontam") {
+        val snap = graft.streaming.StreamMetrics.get("graft_stream_decontam")
+        val ok = snap.exists(s => s.maxRowsTotal == 0 && s.operators == 0)
+        println(s"""{"gate":"${q}_stateless_$tag","ok":$ok,"detail":"peak_rows=${snap.map(_.maxRowsTotal).getOrElse(-1L)} operators=${snap.map(_.operators).getOrElse(-1)}"}""")
       }
       // The decade re-runs StreamingStateSpec's claim ON THE SCALED
       // TABLE: state rows per key-horizon, not wall time, is what the

@@ -29,6 +29,52 @@ object PipelineQueries {
   private val wsToks =
     """string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')"""
 
+  /** Whitespace-normalized exact fingerprint (the decontamination key). */
+  private def fpOf(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), """\s+""", " "))
+
+  /** The planted-leak decontamination fixture shared by q85 (batch) and
+    * q159 (streaming): probe = docs ≡ 0 mod 97; the corpus re-plants the
+    * probe set half verbatim / half perturbed under source 'leak'.
+    * Returns (arrivals with doc_id/source/text, probe with doc_id/text). */
+  private def decontamFixture(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = Tables.documents(s, d)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("source"), col("text"))
+    val probe = base.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val planted = probe.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      lit("leak").as("source"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" extra"))).as("text"))
+    (base.filter(col("doc_id") % 97 =!= 0).unionByName(planted), probe)
+  }
+
+  /** Kept-per-source oracle shared VERBATIM by q85 (batch sweep) and
+    * q159 (the same rule applied to each arriving micro-batch): the
+    * keep/drop verdict is row-local given the probe set, so the kept
+    * corpus is batching-independent — one text for both paths. */
+  private def bloomDecontamSql =
+    """WITH base AS (
+         SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
+       probe AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
+       corpus AS (
+         SELECT doc_id, source, text FROM base WHERE doc_id % 97 <> 0
+         UNION ALL
+         SELECT doc_id + 100000, 'leak',
+           CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' extra' END
+         FROM probe),
+       fp AS (
+         SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM corpus),
+       pfp AS (
+         SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM probe)
+       SELECT f.source, count(*) - count(p.fp) AS n_kept
+       FROM fp f LEFT JOIN pfp p ON f.fp = p.fp
+       GROUP BY f.source"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Sequence packing (concat-and-chunk): lay the corpus token stream
@@ -195,38 +241,9 @@ object PipelineQueries {
     // correctness. At 100 TB the probe (real benchmarks are MBs) still
     // builds a KB-scale filter; the corpus never shuffles.
     QueryDef("q85_bloom_decontam", Seq("F3", "A10", "J11"),
-      """WITH base AS (
-           SELECT doc_id, source, text FROM documents WHERE trim(text) <> ''),
-         probe AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
-         corpus AS (
-           SELECT doc_id, source, text FROM base WHERE doc_id % 97 <> 0
-           UNION ALL
-           SELECT doc_id + 100000, 'leak',
-             CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' extra' END
-           FROM probe),
-         fp AS (
-           SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-           FROM corpus),
-         pfp AS (
-           SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-           FROM probe)
-         SELECT f.source, count(*) - count(p.fp) AS n_kept
-         FROM fp f LEFT JOIN pfp p ON f.fp = p.fp
-         GROUP BY f.source""") { (s, d) =>
-      def fpOf(c: Column): Column =
-        md5(regexp_replace(lower(trim(c)), """\s+""", " "))
-      val base = Tables.documents(s, d)
-        .filter(trim(col("text")) =!= "")
-        .select(col("doc_id"), col("source"), col("text"))
-      val probe = base.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
-      val planted = probe.select(
-        (col("doc_id") + 100000L).as("doc_id"),
-        lit("leak").as("source"),
-        when(col("doc_id") % 2 === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" extra"))).as("text"))
-      val corpus = base.filter(col("doc_id") % 97 =!= 0)
-        .unionByName(planted)
-        .select(col("source"), fpOf(col("text")).as("fp"))
+      bloomDecontamSql) { (s, d) =>
+      val (arrivals, probe) = decontamFixture(s, d)
+      val corpus = arrivals.select(col("source"), fpOf(col("text")).as("fp"))
       // pinned: read three times (bloom build, confirm join, broadcast)
       val probeFp = probe.select(fpOf(col("text")).as("fp")).distinct()
         .localCheckpoint(false)
@@ -499,6 +516,42 @@ object PipelineQueries {
           expr("(2 * s + n_24h) div (2 * n_24h)")
             .cast("double").divide(lit(10000.0)).as("avg_24h"),
           col("n_24h"))
+    },
+
+    // DECONTAMINATION AT INGEST — q85's benchmark gate applied to each
+    // arriving micro-batch, the training-pipeline front door: the probe
+    // fingerprint set is a PLAN-LITERAL Bloom filter plus a broadcast
+    // exact-confirm side (both built once — the static side is
+    // localCheckpointed, the q118/q143 rule), and every arriving
+    // document is gated row-locally: fail the Bloom → kept without any
+    // join; pass it → confirmed against the broadcast set (stream-static
+    // left-anti). ZERO state store — unlike the semdedup gate (q143)
+    // the verdict needs no cross-arrival memory, so state is flat at
+    // zero at ANY rate (the decade probe gates maxRowsTotal == 0), and
+    // the drained sink IS the product: the decontaminated corpus,
+    // written as it arrives. Shares q85's oracle VERBATIM: the verdict
+    // is row-local given the probe set, so the kept corpus cannot
+    // depend on how arrivals were batched.
+    QueryDef("q159_stream_decontam", Seq("F3", "A10", "J11"),
+      bloomDecontamSql) { (s0, d) =>
+      val (arrivals, probe) = decontamFixture(s0, d)
+      val probeFp = probe.select(fpOf(col("text")).as("fp")).distinct()
+        .localCheckpoint(false)
+      val might = graft.functions.BloomFns.mightContain(probeFp, "fp", col("fp"))
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_decontam"
+      val in = EventQueries.stageRangedDrain(arrivals, 2, "doc_id", "graft_sdc_")
+      val gated = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .select(col("source"), fpOf(col("text")).as("fp"))
+        .withColumn("__maybe", might)
+      val kept = gated.filter(!col("__maybe")).drop("__maybe")
+        .unionByName(gated.filter(col("__maybe")).drop("__maybe")
+          .join(broadcast(probeFp), Seq("fp"), "left_anti"))
+        .select("source")
+      val sink = EventQueries.drainToParquet(kept, sinkName)
+      EventQueries.dropStaged(in)
+      sink.groupBy("source").agg(count(lit(1)).as("n_kept"))
     },
   )
 }
