@@ -881,32 +881,48 @@ object EventQueries {
     * may REPLAY after a crash, so the step must be idempotent: a replay
     * re-reads the same predecessor (its own half-written `gen-<id>` has
     * no _SUCCESS, or is overwritten whole), re-merges the same rows, and
-    * the view converges to the same state (StreamingStateSpec pins both
-    * the replay and the recovery). Returns the view's row count. */
+    * the view converges to the same state (IncrementalAggSpec pins both
+    * the replay and the recovery).
+    *
+    * The step then VACUUMS generations older than its merge base: each
+    * new generation carries the whole view, so everything below the
+    * base is superseded — without the vacuum a long-running stream
+    * accrues one |keys|-row copy per trigger (O(batches × keys) disk
+    * that has nothing to do with data volume). Keeping base + next is
+    * exactly the restart window: a replay of `id` re-bases on the kept
+    * predecessor; committed batches before that can never replay.
+    * Returns the view's row count. */
   private[queries] def viewMergeStep(root: String,
       b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+    val base = latestViewGen(root, below = Some(id))
     val part = dailyPartial(b)
-    val merged = latestViewGen(root, below = Some(id)) match {
+    val merged = base match {
       case None       => part
       case Some(prev) => mergeDailyRaw(b.sparkSession.read.parquet(prev), part)
     }
     val next = s"$root/gen-$id"
     merged.write.mode("overwrite").parquet(next)
+    val baseGen = base.map(p => genNumOf(new java.io.File(p)))
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("gen-") &&
+        baseGen.exists(genNumOf(f) < _))
+      .foreach(rm)
     b.sparkSession.read.parquet(next).count()
   }
+
+  private def genNumOf(f: java.io.File): Long =
+    f.getName.stripPrefix("gen-").toLong
 
   /** Latest COMMITTED view generation under `root` (optionally only
     * those strictly below `below`) — the recovery read: a dir without
     * parquet's _SUCCESS marker is a torn write and never a merge base. */
   private[queries] def latestViewGen(root: String,
-      below: Option[Long] = None): Option[String] = {
-    def gen(f: java.io.File) = f.getName.stripPrefix("gen-").toLong
+      below: Option[Long] = None): Option[String] =
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.getName.startsWith("gen-") &&
         new java.io.File(f, "_SUCCESS").exists() &&
-        below.forall(gen(f) < _))
-      .sortBy(gen).lastOption.map(_.getPath)
-  }
+        below.forall(genNumOf(f) < _))
+      .sortBy(genNumOf).lastOption.map(_.getPath)
 
   /** Serve-time finisher: rounding and the derived avg, computed from
     * the MERGED sums (avg-of-partial-avgs would weight batches, not

@@ -72,12 +72,20 @@ class IncrementalAggSpec extends SparkSpec {
     EventQueries.viewMergeStep(root, b1, 1L)
     assert(served == after, "batch-1 replay changed the view — step not idempotent")
     // a torn write (no _SUCCESS) is never a merge base or a serve state
-    val torn = new java.io.File(root, "gen-2")
+    val torn = new java.io.File(root, "gen-5")
     torn.mkdirs()
     assert(EventQueries.latestViewGen(root).exists(_.endsWith("gen-1")),
       "recovery picked a generation without a commit marker")
     assert(EventQueries.latestViewGen(root, below = Some(1L))
       .exists(_.endsWith("gen-0")))
+    torn.delete()
+    // the in-step vacuum: a third merge (base gen-1) supersedes gen-0 —
+    // disk stays O(keys), not O(batches × keys) — while the replay
+    // window (base + next) survives
+    EventQueries.viewMergeStep(root, b1.limit(0), 2L)
+    val gens = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(gens.toSeq == Seq("gen-1", "gen-2"), s"vacuum kept: ${gens.mkString(",")}")
+    assert(served == after, "vacuumed view diverged from the maintained state")
   }
 
   test("view size is |keys| however many batches fold in") {
