@@ -114,6 +114,7 @@ object SpineProbe {
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
+        ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -148,6 +149,7 @@ object SpineProbe {
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
+        ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -199,6 +201,9 @@ object SpineProbe {
     if (needed("nation")) // dimension: copied 1×, never scaled
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.mode("overwrite").parquet(s"$scaled/nation.parquet")
+    if (needed("customer")) // dimension: copied 1× (o_custkey is unscaled)
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .write.mode("overwrite").parquet(s"$scaled/customer.parquet")
     // events (q130/q131 sweep): full copies shift user_id past max, so
     // USERS grow with scale at constant per-user depth — streaming
     // state per watermark horizon grows N×, exactly what the probe

@@ -865,13 +865,12 @@ object EventQueries {
     .groupBy("event_type", "day_num")
     .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
-  /** Merge any number of [[dailyPartial]] frames: union, re-reduce by
-    * key, sums-of-sums — the associative half of view maintenance. */
+  /** Merge any number of [[dailyPartial]] frames — the shared
+    * mergeable-partial reduce, keyed for this view. */
   private[queries] def mergeDailyRaw(
       parts: org.apache.spark.sql.DataFrame*): org.apache.spark.sql.DataFrame =
-    parts.reduce(_ unionByName _)
-      .groupBy("event_type", "day_num")
-      .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
+    graft.operators.IncrementalView.mergePartials(
+      Seq("event_type", "day_num"), parts: _*)
 
   /** One q158 maintenance step: fold micro-batch `b` (id `id`) into the
     * maintained view under `root`, landing the merged partials as

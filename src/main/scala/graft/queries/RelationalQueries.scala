@@ -254,5 +254,47 @@ object RelationalQueries {
         .intersect(
           Tables.customer(s, d).filter(col("c_acctbal") > 8000).select("c_nationkey"))
     },
+
+    // INCREMENTAL MAINTENANCE OF A JOIN-BEARING VIEW — q156's refresh
+    // where the fact delta must be ENRICHED before it folds: the
+    // (nation, year) revenue rollup joins orders through customer to
+    // nation, and the refresh pays those joins ONLY for the delta —
+    // both dims broadcast (they are dimensions; the fact side never
+    // shuffles pre-agg), history stays folded in the materialized
+    // partials and is never re-joined. This is sound exactly because
+    // the dims are STATIC between refreshes; a dim that itself changes
+    // is the SCD2 problem (q86's interval build is the at-rest shape
+    // that keeps old facts joinable to the dim version they saw).
+    // Partials via the shared IncrementalView reduce (n + raw sum,
+    // derived/rounded at serve time); oracle = the full three-table
+    // recompute, the view-maintenance contract.
+    QueryDef("q160_join_incremental_refresh", Seq("A5", "J1", "R4"),
+      """SELECT n_name, year(o_orderdate) AS o_year, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, o_year""") { (s, d) =>
+      def partial(orders: org.apache.spark.sql.DataFrame) = orders
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_value"))
+      val matDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_incr_join_base", d, s"$d/orders.parquet") { target =>
+        partial(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+          .write.mode("overwrite").parquet(target)
+      }
+      val deltaDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_incr_join_delta", d, s"$d/orders.parquet") { target =>
+        Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+          .write.mode("overwrite").parquet(target)
+      }
+      graft.operators.IncrementalView.mergePartials(Seq("n_name", "o_year"),
+          s.read.parquet(matDir), partial(s.read.parquet(deltaDir)))
+        .select(col("n_name"), col("o_year"), col("n"),
+          round(col("sum_value"), 4).as("total_price"))
+    },
   )
 }

@@ -528,6 +528,16 @@ class PlanBudgetSpec extends SparkSpec {
       "q156's serving plan rescans events.parquet instead of the materialized partials")
   }
 
+  test("join-view refresh (q160): delta-only enrichment, dims broadcast, base never rescanned") {
+    val q = SparkEntry.queries("q160_join_incremental_refresh")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("orders.parquet"),
+      "q160's serving plan rescans orders.parquet instead of the materialized partials")
+    // both dimension joins broadcast — the delta side never shuffles pre-agg
+    assert(broadcasts(q) == 2)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("as-of snapshot (q157): generation filter prunes partitions at file level") {
     val q = SparkEntry.queries("q157_index_asof_snapshot")(spark, sf)
     // AdaptiveSparkPlanExec is a leaf to collect() — unwrap to its
