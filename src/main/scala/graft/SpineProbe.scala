@@ -325,6 +325,8 @@ object SpineProbe {
       "q147_stream_semdedup_unified",
       "q150_stream_drift_monitor",
       "q152_stream_index_append",
+      "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
+      "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
       "q132_stream_cms", "q133_stream_cdc_tws",
       "q135_stream_interval_outer", "q137_stream_join_window")

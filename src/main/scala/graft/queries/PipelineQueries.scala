@@ -545,13 +545,22 @@ object PipelineQueries {
         .option("maxFilesPerTrigger", 1).parquet(in)
         .select(col("source"), fpOf(col("text")).as("fp"))
         .withColumn("__maybe", might)
-      val kept = gated.filter(!col("__maybe")).drop("__maybe")
-        .unionByName(gated.filter(col("__maybe")).drop("__maybe")
-          .join(broadcast(probeFp), Seq("fp"), "left_anti"))
-        .select("source")
-      val sink = EventQueries.drainToParquet(kept, sinkName)
+      // every arrival drains exactly once, VERDICT attached — draining
+      // only survivors would erase a source whose every document is
+      // contaminated, while the oracle emits it with n_kept = 0. The
+      // Bloom still does its job: rows failing it skip the confirm join
+      // entirely (kept by construction); only the maybe-side pays the
+      // broadcast left-outer probe.
+      val marked = probeFp.withColumn("__hit", lit(1))
+      val verdicts = gated.filter(!col("__maybe"))
+        .select(col("source"), lit(1).as("kept"))
+        .unionByName(gated.filter(col("__maybe"))
+          .join(broadcast(marked), Seq("fp"), "left_outer")
+          .select(col("source"),
+            when(col("__hit").isNull, 1).otherwise(0).as("kept")))
+      val sink = EventQueries.drainToParquet(verdicts, sinkName)
       EventQueries.dropStaged(in)
-      sink.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      sink.groupBy("source").agg(sum("kept").cast("long").as("n_kept"))
     },
   )
 }
