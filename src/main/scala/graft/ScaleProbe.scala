@@ -146,6 +146,67 @@ object ScaleProbe {
     time("ann_lsh_top3")(
       Knn.lshTopK(vecs, vecs.filter(col("vec_id") < 20), "vec_id", "embedding", 3, 8).count())
 
+    // The pair-stage FLOP cut in isolation: 200 queries × nVecs
+    // candidates × 64 dims with the per-pair cosine as the ONLY work —
+    // fused kernel (dot + both norms per pair) vs norms factored per
+    // side (one dot per pair). Results are bit-equal (VectorFnsSpec),
+    // so the sums must match exactly; the time ratio is the cut the
+    // Knn/Pq/SemDedup pair stages inherit where pairs dominate.
+    {
+      import graft.functions.VectorFns
+      val pq = vecs.filter(col("vec_id") < 200)
+        .select((col("vec_id") % 2).cast("int").as("__k"),
+          col("embedding").as("__qvec"))
+      time("pair_stage_fused") {
+        vecs.select((col("vec_id") % 2).cast("int").as("__k"),
+            col("embedding").as("__cvec"))
+          .join(broadcast(pq), Seq("__k"))
+          .select(sum(round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6)).as("s"))
+          .head.getDouble(0).round
+      }
+      time("pair_stage_factored") {
+        vecs.select((col("vec_id") % 2).cast("int").as("__k"),
+            col("embedding").as("__cvec"))
+          .withColumn("__cn", VectorFns.normN(col("__cvec")))
+          .join(broadcast(pq.withColumn("__qn", VectorFns.normN(col("__qvec")))), Seq("__k"))
+          .select(sum(round(VectorFns.cosineFactored(
+            VectorFns.dotN(col("__qvec"), col("__cvec")),
+            col("__qn"), col("__cn")), 6)).as("s"))
+          .head.getDouble(0).round
+      }
+      // production-width embeddings (512-dim), in the engine's REAL
+      // pair shape: a broadcast HASH equi-join on a cell-like key
+      // inside whole-stage codegen (the ivfTopK/semdedup plan) — NOT a
+      // cross join, whose interpreted BroadcastNestedLoopJoin showed
+      // per-pair expression-eval overhead swallowing the FLOP cut. The
+      // per-pair arithmetic share grows with dim, so the factored
+      // ratio climbs toward the 3× FLOP bound.
+      val wide = spark.range(nVecs / 5)
+        .withColumn("__k", (col("id") % 2).cast("int"))
+        .withColumn("__cvec", array((0 until 512).map(i =>
+          (conv(substring(md5(concat(col("id"), lit(s"d$i"))), 1, 6), 16, 10)
+            .cast("float") / 8388608f) - 1f): _*))
+        .select("__k", "__cvec").cache()
+      wide.count()
+      val wq = wide.limit(400).select(col("__k"), col("__cvec").as("__qvec"))
+        .withColumn("__qn", VectorFns.normN(col("__qvec"))).cache()
+      wq.count()
+      time("pair_stage_fused_512d") {
+        wide.join(broadcast(wq.select("__k", "__qvec")), Seq("__k"))
+          .select(sum(round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6)).as("s"))
+          .head.getDouble(0).round
+      }
+      time("pair_stage_factored_512d") {
+        wide.withColumn("__cn", VectorFns.normN(col("__cvec")))
+          .join(broadcast(wq), Seq("__k"))
+          .select(sum(round(VectorFns.cosineFactored(
+            VectorFns.dotN(col("__qvec"), col("__cvec")),
+            col("__qn"), col("__cn")), 6)).as("s"))
+          .head.getDouble(0).round
+      }
+      wide.unpersist(); wq.unpersist()
+    }
+
     // Shared fixture for the three SemDeDup probes: every 50th vector
     // duplicates its predecessor. Built and cached ONCE so the timers
     // measure dedup work, not three identical fixture builds.

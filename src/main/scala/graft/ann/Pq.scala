@@ -343,11 +343,19 @@ object Pq {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("__qvec"))
+      .withColumn("__qn", VectorFns.normN(col("__qvec")))
       .withColumn("__cell", explode(KMeans.probeCells(col("__qvec"), cents, probes)))
     val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
-    val short = c.join(broadcast(q), Seq("__cell"))
+    // norms factored per side (query: once per query; candidate: once
+    // per reconstructed row), so the probes·candidates ADC stage pays
+    // one dot per pair — bit-equal to the fused cosine (DotProduct
+    // Scaladoc; VectorFnsSpec pins it), so the shared oracle text and
+    // every rank cut are unchanged.
+    val short = c.withColumn("__rvn", VectorFns.normN(col("__rv")))
+      .join(broadcast(q), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__adc", round(VectorFns.cosine(col("__qvec"), col("__rv")), 6))
+      .withColumn("__adc", round(VectorFns.cosineFactored(
+        VectorFns.dotN(col("__qvec"), col("__rv")), col("__qn"), col("__rvn")), 6))
       .withColumn("__rn", row_number().over(wAdc))
       .filter(col("__rn") <= r)
       .select("query_id", "neighbor_id")

@@ -100,11 +100,19 @@ object SemDedup {
     * full corpus, NOT-IN style, so unembedded rows survive rather than
     * being silently inner-joined away. */
   def dupIdsOnCells(cells: DataFrame, tau: Double): DataFrame = {
+    // norms factored per SIDE before the within-cell pair join: the
+    // quadratic stage pays one dot per pair instead of dot+both-norms —
+    // bit-equal to the fused cosine (DotProduct Scaladoc; VectorFnsSpec
+    // pins it), so tau cuts and oracles are unchanged
     val a = cells.select(col("cid"), col("vec_id").as("id_a"), col("__v").as("__va"))
+      .withColumn("__na", VectorFns.normN(col("__va")))
     val b = cells.select(col("cid"), col("vec_id").as("id_b"), col("__v").as("__vb"))
+      .withColumn("__nb", VectorFns.normN(col("__vb")))
     a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(VectorFns.cosine(col("__va"), col("__vb")), 6) >= tau)
+      .filter(round(VectorFns.cosineFactored(
+        VectorFns.dotN(col("__va"), col("__vb")),
+        col("__na"), col("__nb")), 6) >= tau)
       .select(col("id_b").as("vec_id"))
       .distinct()
   }
@@ -163,17 +171,27 @@ object SemDedup {
     * assigned batch, already cut once (it feeds four plan legs). */
   private def incrementalFlagsOnCells(
       h0: DataFrame, b0: DataFrame, tau: Double): DataFrame = {
+    // per-side factored norms (see dupIdsOnCells): the history side's
+    // norm is computed once per streaming row, the batch side's rides
+    // its already-checkpointed frame through every leg
     val h = h0.select(col("cid"), col("__v").as("__vh"))
+      .withColumn("__nh", VectorFns.normN(col("__vh")))
     val b = b0
     val bCand = b.select(col("cid"), col("vec_id").as("__bid"), col("__v").as("__vb"))
+      .withColumn("__nb", VectorFns.normN(col("__vb")))
     val dupsH = h.join(broadcast(bCand), Seq("cid"))
-      .filter(round(VectorFns.cosine(col("__vh"), col("__vb")), 6) >= tau)
+      .filter(round(VectorFns.cosineFactored(
+        VectorFns.dotN(col("__vh"), col("__vb")),
+        col("__nh"), col("__nb")), 6) >= tau)
       .select(col("__bid").as("vec_id")).distinct()
     val dupsB = bCand
-      .select(col("cid"), col("__bid").as("__aid"), col("__vb").as("__va"))
+      .select(col("cid"), col("__bid").as("__aid"),
+        col("__vb").as("__va"), col("__nb").as("__na"))
       .join(broadcast(bCand), Seq("cid"))
       .filter(col("__aid") < col("__bid"))
-      .filter(round(VectorFns.cosine(col("__va"), col("__vb")), 6) >= tau)
+      .filter(round(VectorFns.cosineFactored(
+        VectorFns.dotN(col("__va"), col("__vb")),
+        col("__na"), col("__nb")), 6) >= tau)
       .select(col("__bid").as("vec_id")).distinct()
     b.select("vec_id", "cid")
       .join(broadcast(dupsH.withColumn("__dh", lit(true))), Seq("vec_id"), "left")

@@ -23,6 +23,22 @@ object VectorFns {
 
   def cosine(a: Column, b: Column): Column = CosineSim.cosine_sim(a, b)
 
+  /** Native fused-loop dot product (codegen'd) — see [[DotProduct]]. */
+  def dotN(a: Column, b: Column): Column = DotProduct.dot_product(a, b)
+
+  /** Per-ROW norm for factoring out of N·Q pair stages: √(self-dot),
+    * bit-equal to the √na / √nb inside [[cosine]] (same accumulation
+    * order — VectorFnsSpec pins it). */
+  def normN(a: Column): Column = sqrt(DotProduct.dot_product(a, a))
+
+  /** Pair cosine with per-side PRECOMPUTED norms: bit-equal to
+    * `cosine(a, b)` given `normA = normN(a)`, `normB = normN(b)` in the
+    * same left/right order — the denominator multiplies in the exact
+    * order the fused kernel does. Use in pair stages where each side's
+    * rows meet many partners: the per-pair cost drops to one dot. */
+  def cosineFactored(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
   /** Sign-bit LSH bucket from the first `nBits` dimensions: bit i set iff
     * a[i] > 0. Deterministic, index-only — the cheap router that turns
     * brute-force O(N·Q) scans into per-bucket scans at scale. */

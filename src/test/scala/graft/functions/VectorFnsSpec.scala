@@ -26,6 +26,46 @@ class VectorFnsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("factored pair cosine is bit-identical to the fused kernel") {
+    // the pair-stage refactor (Knn/Pq/SemDedup): norms computed once per
+    // SIDE, pair pays one dot — cosine(a,b) must equal
+    // dotN(a,b)/(normN(a)·normN(b)) on every bit, or the ANN/dedup
+    // oracles' round(...,6) rank cuts could flip at boundaries
+    val rnd = new scala.util.Random(13L)
+    val f = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val d = Seq.fill(100)((
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    def factored(a: Column, b: Column): Column =
+      VectorFns.cosineFactored(VectorFns.dotN(a, b),
+        VectorFns.normN(a), VectorFns.normN(b))
+    for (df <- Seq(spark.createDataFrame(f).toDF("a", "b"),
+                   spark.createDataFrame(d).toDF("a", "b"))) {
+      val bad = df.select(
+        VectorFns.cosine(col("a"), col("b")).as("fused"),
+        factored(col("a"), col("b")).as("factored"))
+        .filter(not(col("fused") <=> col("factored"))).count()
+      assert(bad == 0)
+    }
+    // native dot == composed dot (same left-to-right accumulation)
+    val mixed = spark.createDataFrame(f).toDF("a", "b")
+    val badDot = mixed.select(
+      VectorFns.dotN(col("a"), col("b")).as("native"),
+      VectorFns.dot(col("a"), col("b")).as("composed"))
+      .filter(not(col("native") <=> col("composed"))).count()
+    assert(badDot == 0)
+    // null-poison parity on length mismatch: dotN → null → factored null,
+    // exactly the fused kernel's null
+    import spark.implicits._
+    val mism = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val row = mism.select(
+      VectorFns.cosine(col("a"), col("b")).as("fused"),
+      factored(col("a"), col("b")).as("factored")).head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("mixed float/double sides read with per-side accessors (q39/q53 centroid shape)") {
     val rnd = new scala.util.Random(11L)
     val rows = Seq.fill(100)((
