@@ -66,6 +66,27 @@ object SemPairs {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** √(self-dot), for factoring the norms out of the per-cell pair loop
+    * (a stored vector's norm is computed once per batch, an arrival's
+    * once per arrival — the plan-side DotProduct refactor applied to the
+    * processor): cosine(a, b) == dotOnly(a, b) / (sqrtSelfDot(a) ·
+    * sqrtSelfDot(b)) on every bit, because [[cosine]] keeps the three
+    * accumulators separate and combines in exactly this order
+    * (SemPairsStateSpec pins the equality). */
+  private[streaming] def sqrtSelfDot(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private[streaming] def dotOnly(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    dot
+  }
+
   /** `ttl = None` disables expiry (pair with TimeMode.None — the
     * oracle-drain configuration: a TTL needs TimeMode.ProcessingTime,
     * under which a transformWithState query keeps scheduling
@@ -93,14 +114,17 @@ object SemPairs {
       // at cosine 1.0 — a false POSITIVE, not just a missed pair — or
       // (b) be flagged against a higher-id row that arrived earlier
       val priorIds = scala.collection.mutable.HashSet.empty[Long]
-      val prior = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      // (id, vector, √self-dot): the stored norm rides the buffer so the
+      // pair loop pays one dot per pair (bit-equal — see sqrtSelfDot)
+      val prior = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
       var maxStateId = Long.MinValue
       val it = seen.get()
       while (it.hasNext) {
         val a = it.next()
         if (a.vec_id > maxStateId) maxStateId = a.vec_id
         priorIds += a.vec_id
-        prior += ((a.vec_id, a.v.toArray))
+        val av = a.v.toArray
+        prior += ((a.vec_id, av, sqrtSelfDot(av)))
       }
       val out = Seq.newBuilder[Verdict]
       val batch = rows.toSeq.sortBy(_.vec_id)
@@ -129,14 +153,16 @@ object SemPairs {
       }
       batch.foreach { a =>
         val av = a.v.toArray
+        val an = sqrtSelfDot(av) // once per arrival, not per stored partner
         val dup = prior.exists(p =>
           p._1 < a.vec_id &&
-            graft.functions.VectorKernels.round6(cosine(p._2, av)) >= tau)
+            graft.functions.VectorKernels.round6(
+              dotOnly(p._2, av) / (p._3 * an)) >= tau)
         out += Verdict(a.vec_id, key, dup, a.v)
         if (!priorIds.contains(a.vec_id)) {
           seen.appendValue(a) // every NEW arrival enters state — the one-
           priorIds += a.vec_id // pass rule, idempotent under redelivery
-          prior += ((a.vec_id, av))
+          prior += ((a.vec_id, av, an))
         }
       }
       out.result().iterator

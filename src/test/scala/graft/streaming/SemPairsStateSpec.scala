@@ -248,5 +248,15 @@ class SemPairsStateSpec extends SparkSpec {
     planSide.zip(jvmSide).zip(pairs).foreach { case ((p, j), pr) =>
       assert(java.lang.Double.compare(p, j) == 0, s"cosine mismatch on $pr: $p vs $j")
     }
+    // the processor's factored pair loop (stored norm cached per batch,
+    // arrival norm hoisted per arrival) is bit-identical to the fused
+    // form — same three accumulations, same dot/(√na·√nb) combine order
+    pairs.foreach { case (a, b) =>
+      val fused = SemPairs.cosine(a.toArray, b.toArray)
+      val factored = SemPairs.dotOnly(a.toArray, b.toArray) /
+        (SemPairs.sqrtSelfDot(a.toArray) * SemPairs.sqrtSelfDot(b.toArray))
+      assert(java.lang.Double.compare(fused, factored) == 0,
+        s"factored cosine mismatch on ($a, $b): $fused vs $factored")
+    }
   }
 }
