@@ -114,6 +114,7 @@ object SpineProbe {
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
+        ("q161_partition_backfill", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
@@ -149,6 +150,7 @@ object SpineProbe {
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
+        ("q161_partition_backfill", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),

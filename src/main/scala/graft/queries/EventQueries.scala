@@ -853,7 +853,66 @@ object EventQueries {
         case Some(dir) => finishDaily(s.read.parquet(dir))
       }
     },
+
+    // PARTITION BACKFILL — the correction path the IVM family (q156/
+    // q158/q160) doesn't cover: late or corrected data for ONE day must
+    // repair the at-rest rollup without touching any other day. The
+    // rollup is partitioned by day and the repair is a DYNAMIC
+    // PARTITION OVERWRITE of exactly the recomputed day (see
+    // backfilledRollupDir; BackfillSpec pins that untouched partitions
+    // keep their files byte-for-byte). Oracle: base rows everywhere,
+    // ALL rows on the corpus's first day — the scalar-subquery replay
+    // of "day d got its late file".
+    QueryDef("q161_partition_backfill", Seq("A5", "F1"),
+      """WITH e AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+             value, event_id
+           FROM events)
+         SELECT event_type, day_num, count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           round(sum(value) / count(*), 6) AS avg_value
+         FROM e
+         WHERE event_id % 10 <> 0 OR day_num = (SELECT min(day_num) FROM e)
+         GROUP BY event_type, day_num""") { (s, d) =>
+      val dir = backfilledRollupDir(s, d)
+      // the partition column comes back type-inferred — pin it to the
+      // oracle's BIGINT before the shared finisher
+      finishDaily(s.read.parquet(dir)
+        .withColumn("day_num", col("day_num").cast("long")))
+    },
   )
+
+  /** q161: the at-rest rollup is PARTITIONED BY DAY, and a correction
+    * (late data for one day) is a DYNAMIC PARTITION OVERWRITE — Spark
+    * rewrites exactly the partitions present in the incoming frame and
+    * leaves every other day's files untouched (BackfillSpec pins the
+    * surgical rewrite at file level). This is the write-side sibling of
+    * q157's as-of read: where time travel is a predicate over layout,
+    * a backfill is a partition-scoped rewrite — at 100 TB you repair
+    * one day, never rewrite the table. The late day is the corpus's
+    * FIRST day (min over ts — deterministic, so the oracle replays it
+    * with a scalar subquery); its partition is recomputed from ALL of
+    * that day's rows (base + late) and overwritten in place. */
+  private def backfilledRollupDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_backfill_rollup", d, s"$d/events.parquet") { target =>
+      val events = Tables.events(s, d)
+      dailyPartial(events.filter(col("event_id") % 10 =!= 0))
+        .write.partitionBy("day_num").mode("overwrite").parquet(target)
+      val d0 = events.select(min(nsToSec("ts"))).head.getLong(0) / 86400L
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        dailyPartial(events.filter(
+            expr(s"CAST((ts DIV 1000000000) DIV 86400 AS BIGINT) = ${d0}L"))
+          )
+          .write.partitionBy("day_num").mode("overwrite").parquet(target)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
 
   /** The daily rollup's MERGEABLE partial per (event_type, day): count
     * and raw sum only — everything derived (avg, rounding) waits for
