@@ -115,6 +115,7 @@ object SpineProbe {
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
         ("q161_partition_backfill", Set("events")),
+        ("q162_schema_evolution", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
@@ -151,6 +152,7 @@ object SpineProbe {
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
         ("q161_partition_backfill", Set("events")),
+        ("q162_schema_evolution", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),

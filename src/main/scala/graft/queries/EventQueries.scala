@@ -880,6 +880,53 @@ object EventQueries {
       finishDaily(s.read.parquet(dir)
         .withColumn("day_num", col("day_num").cast("long")))
     },
+
+    // SCHEMA EVOLUTION ON READ — the at-rest table outlives its schema:
+    // the rollup gains a measure (max_value) partway through its life,
+    // so old day-partitions lack the column and new ones carry it. The
+    // serving read unions the partition schemas (`mergeSchema=true` —
+    // parquet footer union, no rewrite of history) and old days surface
+    // the new column as NULL — the contract every long-lived 100 TB
+    // table needs, because rewriting years of partitions to add a
+    // column is the thing you never do. The evolution day is the
+    // corpus's second day (min+1 — deterministic, so the oracle replays
+    // it as a scalar subquery and pins exactly WHICH days must be NULL:
+    // a reader that dropped the column, defaulted it to 0, or
+    // backfilled history would all hash-mismatch).
+    QueryDef("q162_schema_evolution", Seq("A5", "R4"),
+      """WITH e AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+             value
+           FROM events),
+         d1 AS (SELECT min(day_num) + 1 AS d FROM e)
+         SELECT event_type, day_num, count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           CASE WHEN day_num >= (SELECT d FROM d1)
+                THEN round(max(value), 4) ELSE NULL END AS max_value
+         FROM e GROUP BY event_type, day_num""") { (s, d) =>
+      val events = Tables.events(s, d)
+      val dir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_schema_evolution", d, s"$d/events.parquet") { target =>
+        val withDay = events.withColumn("sec", nsToSec("ts"))
+          .withColumn("day_num", expr("CAST(sec DIV 86400 AS BIGINT)"))
+        val d1 = withDay.agg(min("day_num")).head.getLong(0) + 1
+        // the v1 era: written before max_value existed
+        withDay.filter(col("day_num") < d1)
+          .groupBy("event_type", "day_num")
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+          .write.partitionBy("day_num").mode("append").parquet(target)
+        // the v2 era: the measure added, history never rewritten
+        withDay.filter(col("day_num") >= d1)
+          .groupBy("event_type", "day_num")
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+            max("value").as("max_value"))
+          .write.partitionBy("day_num").mode("append").parquet(target)
+      }
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("event_type"), col("day_num").cast("long").as("day_num"),
+          col("n"), round(col("sum_value"), 4).as("total_value"),
+          round(col("max_value"), 4).as("max_value"))
+    },
   )
 
   /** q161: the at-rest rollup is PARTITIONED BY DAY, and a correction
