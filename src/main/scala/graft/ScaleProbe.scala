@@ -146,8 +146,9 @@ object ScaleProbe {
     time("ann_lsh_top3")(
       Knn.lshTopK(vecs, vecs.filter(col("vec_id") < 20), "vec_id", "embedding", 3, 8).count())
 
-    // The pair-stage FLOP cut in isolation: 200 queries × nVecs
-    // candidates × 64 dims with the per-pair cosine as the ONLY work —
+    // The pair-stage FLOP cut in isolation: ~nVecs × 100 pairs at
+    // 64 dims (each candidate meets the ~100 same-parity queries of the
+    // 200 on the __k = id % 2 join key), per-pair cosine the ONLY work —
     // fused kernel (dot + both norms per pair) vs norms factored per
     // side (one dot per pair). Results are bit-equal (VectorFnsSpec),
     // so the sums must match exactly; the time ratio is the cut the

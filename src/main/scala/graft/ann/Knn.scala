@@ -37,7 +37,12 @@ object Knn {
     df.withColumn("__cn", VectorFns.normN(col("__cvec")))
 
   /** Top-k cosine neighbors for each query row. Both frames must have
-    * (idCol, vecCol); query ids are excluded from their own results. */
+    * (idCol, vecCol); query ids are excluded from their own results.
+    * Cross-join caveat: this baseline plans as a BroadcastNestedLoopJoin
+    * (no codegen), where the factored cosine wins at the fixtures'
+    * 64-dim but measured SLOWER at 512-dim (interpreted per-pair
+    * expression overhead — ScaleProbe's BNLJ arm); the equi-join family
+    * below is the serving path at scale. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -907,22 +907,30 @@ object EventQueries {
       val events = Tables.events(s, d)
       val dir = graft.sources.ZOrder.ensureStagedDir(
         "graft_schema_evolution", d, s"$d/events.parquet") { target =>
-        val withDay = events.withColumn("sec", nsToSec("ts"))
-          .withColumn("day_num", expr("CAST(sec DIV 86400 AS BIGINT)"))
-        val d1 = withDay.agg(min("day_num")).head.getLong(0) + 1
-        // the v1 era: written before max_value existed
-        withDay.filter(col("day_num") < d1)
-          .groupBy("event_type", "day_num")
-          .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-          .write.partitionBy("day_num").mode("append").parquet(target)
-        // the v2 era: the measure added, history never rewritten
-        withDay.filter(col("day_num") >= d1)
-          .groupBy("event_type", "day_num")
-          .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
-            max("value").as("max_value"))
-          .write.partitionBy("day_num").mode("append").parquet(target)
+        multiWriteStage(target) { stage =>
+          val withDay = events.withColumn("day_num", dayNumCol)
+          val d1 = withDay.agg(min("day_num")).head.getLong(0) + 1
+          // the v1 era: written before max_value existed
+          withDay.filter(col("day_num") < d1)
+            .groupBy("event_type", "day_num")
+            .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+            .write.partitionBy("day_num").mode("append").parquet(stage)
+          // the v2 era: the measure added, history never rewritten
+          withDay.filter(col("day_num") >= d1)
+            .groupBy("event_type", "day_num")
+            .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+              max("value").as("max_value"))
+            .write.partitionBy("day_num").mode("append").parquet(stage)
+        }
       }
-      s.read.option("mergeSchema", "true").parquet(dir)
+      val atRest = s.read.option("mergeSchema", "true").parquet(dir)
+      // a corpus whose timeline fits ONE day has no v2 era at all — no
+      // file carries the evolved column, so surface it as the all-NULL
+      // column the oracle's CASE produces instead of failing to resolve
+      val withMax =
+        if (atRest.columns.contains("max_value")) atRest
+        else atRest.withColumn("max_value", lit(null).cast("double"))
+      withMax
         .select(col("event_type"), col("day_num").cast("long").as("day_num"),
           col("n"), round(col("sum_value"), 4).as("total_value"),
           round(col("max_value"), 4).as("max_value"))
@@ -944,30 +952,52 @@ object EventQueries {
       d: String): String =
     graft.sources.ZOrder.ensureStagedDir(
       "graft_backfill_rollup", d, s"$d/events.parquet") { target =>
-      val events = Tables.events(s, d)
-      dailyPartial(events.filter(col("event_id") % 10 =!= 0))
-        .write.partitionBy("day_num").mode("overwrite").parquet(target)
-      val d0 = events.select(min(nsToSec("ts"))).head.getLong(0) / 86400L
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        dailyPartial(events.filter(
-            expr(s"CAST((ts DIV 1000000000) DIV 86400 AS BIGINT) = ${d0}L"))
-          )
-          .write.partitionBy("day_num").mode("overwrite").parquet(target)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      multiWriteStage(target) { stage =>
+        val events = Tables.events(s, d)
+        dailyPartial(events.filter(col("event_id") % 10 =!= 0))
+          .write.partitionBy("day_num").mode("overwrite").parquet(stage)
+        val d0 = events.select(min(dayNumCol)).head.getLong(0)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          dailyPartial(events.filter(dayNumCol === d0))
+            .write.partitionBy("day_num").mode("overwrite").parquet(stage)
+        finally prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
     }
+
+  /** THE day derivation for the daily-rollup family — one definition,
+    * so a backfill's partition filter, the partial builder, and the
+    * evolution split can never disagree on which day a row belongs to
+    * (ts is nanos BIGINT after Tables.events). */
+  private[queries] def dayNumCol: Column =
+    expr("CAST((ts DIV 1000000000) DIV 86400 AS BIGINT)")
+
+  /** Run `write` against a staging TEMP sibling of `target` and move it
+    * into place only when every write inside finished — for builders
+    * that write MORE THAN ONCE (q161's base+overwrite, q162's two eras):
+    * their first write already commits a `_SUCCESS`, so a crash between
+    * writes would otherwise leave a half-built dir that ensureStagedDir
+    * treats as complete on every later run. */
+  private def multiWriteStage(target: String)(write: String => Unit): Unit = {
+    val tmp = s"$target.build"
+    rm(new java.io.File(tmp))
+    write(tmp)
+    rm(new java.io.File(target))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(target))
+    ()
+  }
 
   /** The daily rollup's MERGEABLE partial per (event_type, day): count
     * and raw sum only — everything derived (avg, rounding) waits for
     * [[finishDaily]], because partials must re-aggregate losslessly
     * (q156 merges history + delta; q158 merges batch after batch). */
   private[queries] def dailyPartial(df: org.apache.spark.sql.DataFrame) = df
-    .withColumn("sec", nsToSec("ts"))
-    .withColumn("day_num", expr("CAST(sec DIV 86400 AS BIGINT)"))
+    .withColumn("day_num", dayNumCol)
     .groupBy("event_type", "day_num")
     .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 

@@ -527,9 +527,13 @@ object PipelineQueries {
     // join; pass it → confirmed against the broadcast set (stream-static
     // left-anti). ZERO state store — unlike the semdedup gate (q143)
     // the verdict needs no cross-arrival memory, so state is flat at
-    // zero at ANY rate (the decade probe gates maxRowsTotal == 0), and
-    // the drained sink IS the product: the decontaminated corpus,
-    // written as it arrives. Shares q85's oracle VERBATIM: the verdict
+    // zero at ANY rate (the decade probe gates maxRowsTotal == 0). The
+    // drained sink is the per-arrival VERDICT log — every arrival
+    // lands exactly once with its kept flag, so a source whose every
+    // document is contaminated still reports n_kept = 0 (the oracle
+    // emits that row; draining survivors only would erase it), and the
+    // cleaned corpus is the kept=1 subset. Shares q85's oracle
+    // VERBATIM: the verdict
     // is row-local given the probe set, so the kept corpus cannot
     // depend on how arrivals were batched.
     QueryDef("q159_stream_decontam", Seq("F3", "A10", "J11"),
