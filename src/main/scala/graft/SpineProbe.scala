@@ -116,6 +116,7 @@ object SpineProbe {
         ("q159_stream_decontam", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
+        ("q163_cdc_incremental_refresh", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
@@ -153,6 +154,7 @@ object SpineProbe {
         ("q159_stream_decontam", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
+        ("q163_cdc_incremental_refresh", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),

@@ -39,18 +39,21 @@ object Knn {
   /** Top-k cosine neighbors for each query row. Both frames must have
     * (idCol, vecCol); query ids are excluded from their own results.
     * Cross-join caveat: this baseline plans as a BroadcastNestedLoopJoin
-    * (no codegen), where the factored cosine wins at the fixtures'
-    * 64-dim but measured SLOWER at 512-dim (interpreted per-pair
-    * expression overhead — ScaleProbe's BNLJ arm); the equi-join family
-    * below is the serving path at scale. */
+    * (no codegen), where the FUSED cosine wins: the factored form's
+    * extra per-pair interpreted expressions measured SLOWER at 512-dim
+    * (ScaleProbe's BNLJ arm), so the baseline keeps the single fused
+    * kernel and the factored pairCosine stays on the codegen'd equi-join
+    * family below — the serving path at scale. Bit-equal either way
+    * (the DotProduct contract). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = withQn(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec")))
-    val cand = withCn(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", pairCosine)
+      .withColumn("cosine",
+        round(VectorFns.cosine(col("__qvec"), col("__cvec")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -280,15 +280,27 @@ object Pq {
     * tombstone side is BY DEFINITION small relative to the index — it is
     * the data being deleted — so it broadcasts and the coded corpus
     * never shuffles; the anti-join is a bloom-filter-shaped probe inside
-    * whole-stage codegen. `tombstones`' single column is taken as the
-    * vec_id whatever its name. At 100 TB the delete set between
-    * compactions is bounded by delete rate × compaction cadence — the
-    * operational knob; a delete set too big to broadcast is the signal
-    * to run compaction, not to shuffle the index. */
-  def withoutTombstones(index: DataFrame, tombstones: DataFrame): DataFrame =
+    * whole-stage codegen. The tombstone frame must identify its id
+    * column unambiguously: a single column of any name, or a
+    * multi-column frame carrying one named `vec_id` — anything else
+    * fails loudly (silently guessing `columns.head` on a (cid, vec_id)
+    * frame would anti-join on the wrong column and delete the wrong
+    * rows). At 100 TB the delete set between compactions is bounded by
+    * delete rate × compaction cadence — the operational knob; a delete
+    * set too big to broadcast is the signal to run compaction, not to
+    * shuffle the index. */
+  def withoutTombstones(index: DataFrame, tombstones: DataFrame): DataFrame = {
+    val idCol =
+      if (tombstones.columns.length == 1) tombstones.columns.head
+      else if (tombstones.columns.contains("vec_id")) "vec_id"
+      else throw new IllegalArgumentException(
+        s"withoutTombstones: ambiguous tombstone frame (columns " +
+          s"${tombstones.columns.mkString("[", ", ", "]")}) — pass a " +
+          "single-column frame or one with a column named vec_id")
     index.join(
-      broadcast(tombstones.select(col(tombstones.columns.head).as("vec_id"))),
+      broadcast(tombstones.select(col(idCol).as("vec_id")).distinct()),
       Seq("vec_id"), "left_anti")
+  }
 
   /** [[ivfPqTopK]] over a MATERIALIZED index: `index` carries
     * (vec_id, cell, codes) — [[encode]]'s at-rest rows, loaded from

@@ -935,6 +935,78 @@ object EventQueries {
           col("n"), round(col("sum_value"), 4).as("total_value"),
           round(col("max_value"), 4).as("max_value"))
     },
+
+    // RETRACTION-CAPABLE IVM — the gap q156/q158/q160 leave open: those
+    // fold APPEND-ONLY deltas, but the reference's refresh reality is
+    // corrections (the current year is *revised* daily — reference
+    // `code/04_fts_curated_flows.R:46-68`, `GUIDE.md:458`), and the
+    // engine's own CDC family (q87/q120/q133) produces I/U/D deltas
+    // that previously had no path into a maintained view short of
+    // q161's full-partition recompute. Because the view stores (n, sum)
+    // partials — an abelian GROUP, not just a monoid — a delete is a
+    // negative merge and an update is delete+insert fused:
+    // IncrementalView.signedPartials turns the changelog into signed
+    // (dn, dv) partials and the SAME mergePartials reduce absorbs them;
+    // dropEmptied evicts keys whose count reached zero and fails loudly
+    // on negative counts (a delta retracting rows the base never held).
+    // The refresh plan reads the materialized rollup + the CDC landing
+    // file only — history is never rescanned (PlanBudgetSpec asserts
+    // zero events.parquet scans), so a correction costs O(delta+|keys|)
+    // at any history depth. Deterministic CDC script the oracle replays:
+    // inserts = event_id%10==0 (absent from the base state), updates =
+    // %10==7 (value doubles — 2v−v is EXACT in binary FP, so the fold
+    // adds no rounding noise of its own), deletes = %10==3. Oracle =
+    // full recompute over the post-CDC state, the maintenance contract.
+    // The derived avg divides the SERVED (round-4) total, not the raw
+    // sum: the raw sums legitimately differ by ulps between a signed
+    // fold and a from-scratch sum (different addition orders), and one
+    // sf0.01 group landed its avg exactly on a round-6 half boundary —
+    // deriving from the already-agreed rounded total makes the serve
+    // deterministic across engines instead of boundary-lucky.
+    QueryDef("q163_cdc_incremental_refresh", Seq("A5", "R4"),
+      """WITH post AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+             CASE WHEN event_id % 10 = 7 THEN value * 2 ELSE value END AS v
+           FROM events WHERE event_id % 10 <> 3),
+         g AS (
+           SELECT event_type, day_num, count(*) AS n,
+             round(sum(v), 4) AS total_value
+           FROM post GROUP BY event_type, day_num)
+         SELECT event_type, day_num, n, total_value,
+           round(total_value / n, 6) AS avg_value
+         FROM g""") { (s, d) =>
+      val events = Tables.events(s, d)
+      // the SAME materialized base state as q156 (shared staged dir):
+      // one standing view, two delta shapes — append (q156) and CDC (here)
+      val matDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_incr_agg_base", d, s"$d/events.parquet") { target =>
+        dailyPartial(events.filter(col("event_id") % 10 =!= 0))
+          .write.mode("overwrite").parquet(target)
+      }
+      // the CDC landing file: op + old/new values, exactly the shape
+      // q87/q120's changelog apply consumes
+      val deltaDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_cdc_delta", d, s"$d/events.parquet") { target =>
+        val e = events.withColumn("day_num", dayNumCol)
+        val ins = e.filter(col("event_id") % 10 === 0)
+          .select(lit("I").as("op"), col("event_type"), col("day_num"),
+            lit(null).cast("double").as("value_old"), col("value").as("value_new"))
+        val upd = e.filter(col("event_id") % 10 === 7)
+          .select(lit("U").as("op"), col("event_type"), col("day_num"),
+            col("value").as("value_old"), (col("value") * 2).as("value_new"))
+        val del = e.filter(col("event_id") % 10 === 3)
+          .select(lit("D").as("op"), col("event_type"), col("day_num"),
+            col("value").as("value_old"), lit(null).cast("double").as("value_new"))
+        ins.unionByName(upd).unionByName(del).write.mode("overwrite").parquet(target)
+      }
+      val signed = graft.operators.IncrementalView.signedPartials(
+        Seq("event_type", "day_num"), s.read.parquet(deltaDir))
+      graft.operators.IncrementalView.dropEmptied(
+          mergeDailyRaw(s.read.parquet(matDir), signed))
+        .select(col("event_type"), col("day_num"), col("n"),
+          round(col("sum_value"), 4).as("total_value"))
+        .withColumn("avg_value", round(col("total_value") / col("n"), 6))
+    },
   )
 
   /** q161: the at-rest rollup is PARTITIONED BY DAY, and a correction

@@ -98,6 +98,11 @@ object SemPairs {
   class CellPairs(tau: Double, ttl: Option[java.time.Duration])
       extends StatefulProcessor[Long, Arrival, Verdict] {
     @transient private var seen: ListState[Arrival] = _
+    // rate-limits the live-TTL contract warning: handleInputRows runs
+    // once per CELL key, so a misordered batch spanning many cells would
+    // otherwise flood executor stderr with one line per cell — warn once
+    // per processor instance (≈ once per task) and stay silent after
+    @transient private var warnedOrderViolation = false
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getListState[Arrival]("seen",
@@ -138,7 +143,7 @@ object SemPairs {
       // multi-writer id source can legitimately arrive out of order, and
       // a throw here would kill the stream UNRECOVERABLY (restart
       // replays the same batch into the same require) — so warn once
-      // per offending batch and degrade ONE-SIDEDLY: the strictly-lower-
+      // per processor instance and degrade ONE-SIDEDLY: the strictly-lower-
       // id comparison below still holds (no self-match on redelivery, no
       // flag against a higher-id row), redelivered ids are not re-added
       // to state, and the only degradation is missed pairs against
@@ -148,7 +153,10 @@ object SemPairs {
           val msg = s"CellPairs drain-order contract violated for cell $key: " +
             s"state holds vec_id $maxStateId >= batch min ${first.vec_id}"
           if (ttl.isEmpty) throw new IllegalArgumentException(msg)
-          else System.err.println(s"[graft] WARN (live-TTL path, continuing): $msg")
+          else if (!warnedOrderViolation) {
+            warnedOrderViolation = true
+            System.err.println(s"[graft] WARN (live-TTL path, continuing): $msg")
+          }
         }
       }
       batch.foreach { a =>

@@ -53,10 +53,18 @@ object StreamMetrics {
 
   def resetSegments(name: String): Unit = { segs.remove(name); () }
 
-  /** Micro-batches commit sequentially within a drain, so the append
-    * needs no cross-thread atomicity beyond the map's. */
-  def recordSegment(name: String, batchId: Long, rows: Long): Unit =
-    segs(name) = segs.getOrElse(name, Vector.empty) :+ ((batchId, rows))
+  /** Micro-batches commit sequentially WITHIN a drain, but nothing
+    * stops two concurrently running queries from registering the same
+    * sink name — so the append is an atomic read-modify-write
+    * (updateWith) rather than getOrElse+put, which would silently drop
+    * an entry under that race. */
+  def recordSegment(name: String, batchId: Long, rows: Long): Unit = {
+    segs.updateWith(name) {
+      case Some(v) => Some(v :+ ((batchId, rows)))
+      case None    => Some(Vector((batchId, rows)))
+    }
+    ()
+  }
 
   def segments(name: String): Vector[(Long, Long)] = segs.getOrElse(name, Vector.empty)
 }

@@ -528,6 +528,15 @@ class PlanBudgetSpec extends SparkSpec {
       "q156's serving plan rescans events.parquet instead of the materialized partials")
   }
 
+  test("CDC refresh (q163): retractions fold without rescanning history") {
+    // corrections cost O(delta + |keys|): the plan reads the
+    // materialized partials + the CDC landing file, never events.parquet
+    val q = SparkEntry.queries("q163_cdc_incremental_refresh")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      "q163's refresh plan rescans events.parquet instead of folding signed partials")
+  }
+
   test("join-view refresh (q160): delta-only enrichment, dims broadcast, base never rescanned") {
     val q = SparkEntry.queries("q160_join_incremental_refresh")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString

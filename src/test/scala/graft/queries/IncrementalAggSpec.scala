@@ -100,4 +100,63 @@ class IncrementalAggSpec extends SparkSpec {
         .select("event_type", "day_num", "n1"), Seq("event_type", "day_num"))
     assert(doubled.filter(col("n") =!= col("n1") * 2).isEmpty)
   }
+
+  // ——— the q163 retraction contract: (n, sum) is an abelian GROUP ———
+
+  private def toyPartial(df: DataFrame): DataFrame = df
+    .groupBy("event_type", "day_num")
+    .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  test("retraction fold (q163): I/U/D signed partials merge to the post-CDC recompute") {
+    import spark.implicits._
+    import graft.operators.IncrementalView
+    val keys = Seq("event_type", "day_num")
+    val base = Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("a", 1L, 3.0),
+        ("b", 1L, 5.0), ("c", 1L, 7.0))
+      .toDF("event_type", "day_num", "value")
+    // update a's 2.0→9.0, delete a's 3.0, insert 6.0 into b, delete c
+    // WHOLE (the group must leave the view, not linger as (0, ~0.0))
+    val cdc = Seq(
+        ("U", "a", 1L, Some(2.0), Some(9.0)),
+        ("D", "a", 1L, Some(3.0), None),
+        ("I", "b", 1L, None, Some(6.0)),
+        ("D", "c", 1L, Some(7.0), None))
+      .toDF("op", "event_type", "day_num", "value_old", "value_new")
+    val merged = IncrementalView.dropEmptied(IncrementalView.mergePartials(
+      keys, toyPartial(base), IncrementalView.signedPartials(keys, cdc)))
+    val post = Seq(("a", 1L, 1.0), ("a", 1L, 9.0), ("b", 1L, 5.0), ("b", 1L, 6.0))
+      .toDF("event_type", "day_num", "value")
+    assert(asSet(merged) == asSet(toyPartial(post)),
+      "signed fold != from-scratch aggregate over the post-CDC state")
+    assert(!merged.select("event_type").as[String].collect().contains("c"),
+      "fully-deleted group survived the fold")
+  }
+
+  test("retraction fold: deleting rows the base never held fails loudly") {
+    import spark.implicits._
+    import graft.operators.IncrementalView
+    val keys = Seq("event_type", "day_num")
+    val base = Seq(("a", 1L, 1.0)).toDF("event_type", "day_num", "value")
+    val cdc = Seq(("D", "z", 1L, Some(9.0), Option.empty[Double]))
+      .toDF("op", "event_type", "day_num", "value_old", "value_new")
+    val merged = IncrementalView.dropEmptied(IncrementalView.mergePartials(
+      keys, toyPartial(base), IncrementalView.signedPartials(keys, cdc)))
+    val e = intercept[Exception](merged.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("retracted rows")),
+      s"expected the negative-count guard, got: ${e.getMessage}")
+  }
+
+  test("retraction fold: an unknown op poisons the key instead of being ignored") {
+    import spark.implicits._
+    import graft.operators.IncrementalView
+    val keys = Seq("event_type", "day_num")
+    val base = Seq(("a", 1L, 1.0)).toDF("event_type", "day_num", "value")
+    val cdc = Seq(("X", "a", 1L, Some(1.0), Some(2.0)))
+      .toDF("op", "event_type", "day_num", "value_old", "value_new")
+    val merged = IncrementalView.dropEmptied(IncrementalView.mergePartials(
+      keys, toyPartial(base), IncrementalView.signedPartials(keys, cdc)))
+    assertThrows[Exception](merged.collect())
+  }
 }
