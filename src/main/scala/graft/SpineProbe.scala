@@ -111,6 +111,7 @@ object SpineProbe {
         ("q150_stream_drift_monitor", Set("embeddings_ev")),
         ("q152_stream_index_append", Set("embeddings")),
         ("q157_index_asof_snapshot", Set("embeddings")),
+        ("q164_stream_tombstone_delete", Set("embeddings")),
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
@@ -149,6 +150,7 @@ object SpineProbe {
         ("q150_stream_drift_monitor", Set("embeddings_ev")),
         ("q152_stream_index_append", Set("embeddings")),
         ("q157_index_asof_snapshot", Set("embeddings")),
+        ("q164_stream_tombstone_delete", Set("embeddings")),
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
@@ -331,6 +333,7 @@ object SpineProbe {
       "q147_stream_semdedup_unified",
       "q150_stream_drift_monitor",
       "q152_stream_index_append",
+      "q164_stream_tombstone_delete",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -352,6 +355,7 @@ object SpineProbe {
     // evidence is the per-batch SEGMENT LEDGER each one records
     val ledgerSinks = Map(
       "q152_stream_index_append" -> "graft_stream_index_append",
+      "q164_stream_tombstone_delete" -> "graft_stream_tombstone_delete",
       "q158_stream_agg_refresh" -> "graft_stream_agg_refresh")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
@@ -371,7 +375,8 @@ object SpineProbe {
       // trigger cadence (flat — 4 staged ranges at every SF; rate moves
       // rows per segment, never segment count, and the q149 compaction
       // cadence stays an operational knob), total coded rows ∝ N.
-      if (decade && q == "q152_stream_index_append") {
+      if (decade && (q == "q152_stream_index_append" ||
+          q == "q164_stream_tombstone_delete")) {
         val (n1, nN) = (segs1.count(_._2 > 0), segsN.count(_._2 > 0))
         val (r1, rN) = (segs1.map(_._2).sum, segsN.map(_._2).sum)
         val ok = n1 > 0 && nN <= n1 + 1 &&

@@ -1347,6 +1347,87 @@ object AnnQueries {
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
+
+    // STREAMED TOMBSTONES → INDEX — the last unbuilt LSM step: q152
+    // streams APPENDS into the index and q151/q154 apply deletes as a
+    // BATCH frame, but the production shape (a GDPR takedown, a dedup
+    // drop-list emitted by the live pipeline) is a delete arriving IN
+    // THE MICRO-BATCH, and it must make the vector unsearchable at
+    // ingest — not at the next batch job. The stream is a unified
+    // changelog (op ∈ {I, D}): q152's foreachBatch writer routes I rows
+    // through the frozen-codebook encode into coded micro-segments and
+    // D rows into per-segment TOMBSTONE dirs; serving is history ∪
+    // landed segments anti-joined through the one Pq.withoutTombstones
+    // definition. Deletes may target HISTORY rows (ids the stream never
+    // appended) and may arrive BEFORE their vector's append — both are
+    // safe because tombstones apply at serve over the whole union, so
+    // the served row SET is independent of arrival batching, which is
+    // why this shares q151's oracle VERBATIM (trained on history,
+    // vec_id % 7 = 3 served out — the third query on that one text:
+    // logical batch delete, physical compacted delete, and now the
+    // streamed delete can never drift apart). The segment ledger
+    // records appended rows AND tombstone rows per batch; compaction
+    // (q149/q154) later folds segments minus tombstones physically.
+    // CheckpointRestartSpec covers the kill+restart between a delete's
+    // arrival and its compaction: landed tombstone dirs are the durable
+    // state, the checkpoint prevents re-encoding committed batches.
+    QueryDef("q164_stream_tombstone_delete", Seq("J12", "F4", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0", servePred = "e.vec_id % 7 <> 3")) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val emb = Tables.embeddings(s0, d)
+      val (cents, cb) = persistedFaissIndex(s0, d, histOnly = true)
+      val histCodesDir = historyFaissSegment(s0, d, cents, cb)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_tombstone_delete"
+      // the unified changelog: appends carry vectors, deletes carry ids
+      // (embedding NULL) — interleaved by vec_id range across the drain
+      // files, so most micro-batches carry BOTH ops
+      val appends = emb.filter(col("vec_id") % 10 === 0)
+        .select(lit("I").as("op"), col("vec_id"), col("embedding"))
+      val deletes = emb.filter(col("vec_id") % 7 === 3)
+        .select(lit("D").as("op"), col("vec_id"),
+          lit(null).cast(emb.schema("embedding").dataType).as("embedding"))
+      val changelog = appends.unionByName(deletes)
+      val in = EventQueries.stageRangedDrain(changelog, 2, "vec_id", "graft_std_")
+      val segRoot = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$segRoot/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ss = b.sparkSession
+          val seg = s"$segRoot/rows/seg-$id"
+          val tomb = s"$segRoot/tombs/seg-$id"
+          graft.ann.Pq.encode(b.filter(col("op") === "I")
+              .select("vec_id", "embedding"),
+            "vec_id", "embedding", cents, cb, residual = true)
+            .write.mode("overwrite").parquet(seg)
+          b.filter(col("op") === "D").select("vec_id")
+            .write.mode("overwrite").parquet(tomb)
+          // ledger row = appends landed + deletes landed, both from the
+          // committed files' footers — the scaling evidence that segment
+          // COUNT tracks trigger cadence while rows track volume
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id,
+            ss.read.parquet(seg).count() + ss.read.parquet(tomb).count())
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      val hist = s.read.parquet(histCodesDir)
+      val streamed = if (!new java.io.File(s"$segRoot/rows").exists())
+        hist.limit(0)
+      else s.read.option("recursiveFileLookup", "true").parquet(s"$segRoot/rows")
+      val index = hist.unionByName(streamed)
+      val served = if (!new java.io.File(s"$segRoot/tombs").exists()) index
+      else graft.ann.Pq.withoutTombstones(index,
+        s.read.option("recursiveFileLookup", "true").parquet(s"$segRoot/tombs"))
+      graft.ann.Pq.ivfPqTopKFromIndex(served,
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
   )
 
   // The history-trained tree incremental dup-flags oracle (history gate

@@ -161,6 +161,65 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(run2.contains((hour0 + 6, 1L, 10.0)),
       s"restart did not finalize the +6h window: $run2")
   }
+
+  test("streamed tombstones (q164): delete arrives, stream restarts, compaction applies it — exactly once") {
+    // the q164 changelog router made durable: a delete landing in one
+    // run must survive a kill + restart as an at-rest tombstone dir (the
+    // checkpoint prevents re-encoding its batch), keep its vector
+    // unsearchable in the serve-side anti-join, and be physically
+    // dropped by the eventual compaction. The index frames here carry
+    // (vec_id, cell) only — the router and lifecycle are what's under
+    // test, not PQ arithmetic (PqTombstoneSpec owns that).
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tomb_restart_").toString
+    val in = s"$root/in"; val cp = s"$root/cp"; val segRoot = s"$root/segs"
+    new java.io.File(in).mkdirs()
+    val sch = StructType(Seq(StructField("op", StringType),
+      StructField("vec_id", LongType), StructField("cell", LongType)))
+    def writeFile(name: String, rows: Seq[(String, Long, Any)]): Unit =
+      stageFile(root, in, name, sch, rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)), mtime = None)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.filter(col("op") === "I").select("vec_id", "cell")
+            .write.mode("overwrite").parquet(s"$segRoot/rows/seg-$id")
+          b.filter(col("op") === "D").select("vec_id")
+            .write.mode("overwrite").parquet(s"$segRoot/tombs/seg-$id")
+          (): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val hist = Seq((100L, 0L), (101L, 1L)).toDF("vec_id", "cell")
+    // run 1: appends 1..3; deletes of history row 100 AND of this very
+    // batch's own append 2 (the within-batch delete)
+    writeFile("a", Seq(("I", 1L, 0L), ("I", 2L, 1L), ("I", 3L, 0L),
+      ("D", 100L, null), ("D", 2L, null)))
+    drain() // AvailableNow terminates = the kill point, pre-compaction
+    // run 2 (the restart): one more append, plus a delete of run 1's
+    // append — the checkpoint must not re-route file a
+    writeFile("b", Seq(("I", 4L, 1L), ("D", 3L, null)))
+    drain()
+    def segIds = new java.io.File(s"$segRoot/rows").listFiles().map(_.getName).sorted
+    assert(segIds.toSeq == Seq("seg-0", "seg-1"),
+      s"restart re-routed a committed batch: ${segIds.mkString(",")}")
+    val segs = spark.read.option("recursiveFileLookup", "true").parquet(s"$segRoot/rows")
+    val tombs = spark.read.option("recursiveFileLookup", "true").parquet(s"$segRoot/tombs")
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val served = graft.ann.Pq.withoutTombstones(hist.unionByName(segs), tombs)
+    assert(ids(served) == Set(101L, 1L, 4L),
+      s"served set wrong across the restart boundary: ${ids(served)}")
+    // compaction applies the same tombstones PHYSICALLY: identical set,
+    // zero tombstoned rows at rest
+    val compacted = graft.ann.Pq.compactIndex(Seq(hist, segs), tombstones = Some(tombs))
+    assert(ids(compacted) == Set(101L, 1L, 4L))
+    assert(compacted.join(tombs, Seq("vec_id"), "left_semi").isEmpty,
+      "compaction left tombstoned rows at rest")
+  }
 }
 
 object CheckpointRestartSpec {
