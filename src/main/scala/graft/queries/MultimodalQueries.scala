@@ -7,12 +7,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing under the oracle gate: documents stand in
-  * for a media table (content = UTF-8 bytes, JSON metadata sidecar), and
-  * the stub decoder (MediaColumns.fakeDecode: md5-derived features) is
-  * reproducible in ANSI SQL — so the partition-wise decode path, the
-  * binary schema, and the frame-sampling generator are all hash-checked,
-  * not just unit-tested. Swapping the stub for a real codec changes no
-  * plan shape (SURVEY-prompt multimodal contract).
+  * for a media table (content = UTF-8 bytes, JSON metadata sidecar).
+  * Two decode paths, both oracle-checked:
+  *  - IMAGES decode FOR REAL (javax.imageio): q166 synthesizes actual
+  *    PNG bytes whose pixels are a deterministic function of document
+  *    columns, so DuckDB replays the decoded width/height/features in
+  *    SQL without being able to decode PNG itself. Rows typed 'image'
+  *    whose bytes aren't an image surface NULLs (q62 pins that) — the
+  *    stub is unreachable for images.
+  *  - audio/video keep the documented md5 STUB (no codec libs in this
+  *    container), reproducible in ANSI SQL, so the partition-wise
+  *    plumbing stays hash-checked end to end.
   */
 object MultimodalQueries {
 
@@ -33,7 +38,10 @@ object MultimodalQueries {
     // Partition-wise feature extraction over binary media columns
     // (mapPartitions batching — the Scala shape of mapInPandas). f0_byte
     // recovers the first stub-feature's source byte so the decode path is
-    // value-checked end-to-end.
+    // value-checked end-to-end. Image-typed rows carry TEXT bytes — not
+    // a decodable image — so the real-decode dispatch must surface them
+    // as NULL width/height/features (the oracle pins exactly that; the
+    // happy image path is q166's).
     QueryDef("q62_media_features", Seq("S14"),
       """WITH media AS (
            SELECT doc_id AS media_id,
@@ -42,9 +50,11 @@ object MultimodalQueries {
              text, n_chars FROM documents)
          SELECT media_id, media_type,
            CAST(coalesce(strlen(text), 0) AS INT) AS n_bytes,
-           CAST(n_chars % 640 AS INT) AS width,
-           CAST((n_chars * 7) % 480 AS INT) AS height,
-           CASE WHEN coalesce(strlen(text), 0) = 0 THEN NULL
+           CASE WHEN media_type = 'image' THEN NULL
+                ELSE CAST(n_chars % 640 AS INT) END AS width,
+           CASE WHEN media_type = 'image' THEN NULL
+                ELSE CAST((n_chars * 7) % 480 AS INT) END AS height,
+           CASE WHEN media_type = 'image' OR coalesce(strlen(text), 0) = 0 THEN NULL
                 ELSE ('0x' || substring(md5(text), 1, 2))::INT END AS f0_byte
          FROM media""") { (s, d) =>
       MediaColumns.extractFeatures(mediaFrame(s, d), 16)
@@ -78,9 +88,13 @@ object MultimodalQueries {
     // never an all-pairs scan. The feature→order mapping is monotone
     // ((b-128)/128f is exact in float32), so byte comparisons in SQL
     // reproduce the float comparisons bit-for-bit.
+    // Image-typed rows drop out up front: their text bytes don't decode,
+    // so their features are NULL (the real-decode contract) — the oracle
+    // excludes doc_id % 3 = 0 to match.
     QueryDef("q98_media_neardup", Seq("S14", "A10"),
       """WITH media AS (
-           SELECT doc_id AS media_id, text FROM documents WHERE coalesce(strlen(text), 0) > 0),
+           SELECT doc_id AS media_id, text FROM documents
+           WHERE coalesce(strlen(text), 0) > 0 AND CAST(doc_id % 3 AS INT) <> 0),
          bytes AS (
            SELECT media_id, [('0x' || substring(md5(text), 2*j+1, 2))::BIGINT FOR j IN generate_series(0, 15)] AS bs
            FROM media),
@@ -100,6 +114,52 @@ object MultimodalQueries {
       graft.dedup.TextDedup.simHashNearDup(
         feats.select(col("media_id"), dhash.as("dhash")),
         "media_id", "dhash", maxHamming = 3)
+    },
+
+    // REAL IMAGE DECODE UNDER THE ORACLE GATE — the q62 stub boundary
+    // closed: the media table carries ACTUAL PNG bytes (synthesized at
+    // staging time by MediaColumns.solidPng — JDK ImageIO encode — with
+    // pixel dimensions and gray level deterministic functions of
+    // document columns), and the serving side decodes them for real
+    // through javax.imageio: width/height come from the decoded raster,
+    // features are grid-mean luminances of the decoded pixels. DuckDB
+    // cannot decode PNG — and doesn't need to: because the synthesis is
+    // parametric, the oracle replays what the decode MUST recover
+    // (1+n_chars%64 wide, 1+(n_chars*7)%48 tall, every grid cell's mean
+    // = gray/255 on a solid fill — luminance (r+g+b)/3 is exact for
+    // gray pixels, so round(f*255) recovers the integer gray with no
+    // seam). A decoder that read the sidecar, hashed the bytes, or
+    // mis-walked the grid would hash-mismatch. The PNG bytes are built
+    // once per corpus (staged dir); decode is row-local mapPartitions —
+    // blobs never shuffle, only the (id, dims, features) projection
+    // moves.
+    QueryDef("q166_image_decode", Seq("S14"),
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             1 + CAST(n_chars % 64 AS INT) AS width,
+             1 + CAST((n_chars * 7) % 48 AS INT) AS height,
+             CAST(n_chars % 256 AS INT) AS gray
+           FROM documents)
+         SELECT media_id, width, height,
+           16 AS n_features, gray AS f0_gray, gray AS f15_gray
+         FROM m""") { (s, d) =>
+      val dir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_media_png", d, s"$d/documents.parquet") { target =>
+        val png = udf((w: Int, h: Int, g: Int) => MediaColumns.solidPng(w, h, g))
+        Tables.documents(s, d).select(
+            col("doc_id").as("media_id"),
+            lit("image").as("media_type"),
+            png((lit(1) + col("n_chars") % 64).cast("int"),
+              (lit(1) + (col("n_chars") * 7) % 48).cast("int"),
+              (col("n_chars") % 256).cast("int")).as("content"),
+            lit(null).cast("string").as("meta"))
+          .write.mode("overwrite").parquet(target)
+      }
+      MediaColumns.extractFeatures(s.read.parquet(dir), dims = 16)
+        .select(col("media_id"), col("width"), col("height"),
+          size(col("features")).as("n_features"),
+          round(element_at(col("features"), 1) * 255).cast("int").as("f0_gray"),
+          round(element_at(col("features"), 16) * 255).cast("int").as("f15_gray"))
     },
   )
 }

@@ -7,25 +7,65 @@ import org.apache.spark.sql.functions._
 class MediaColumnsSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
+  // image rows carry REAL encoded PNGs (JDK ImageIO round-trip); the
+  // undecodable-image row (id 5) pins the NULL contract — bytes that
+  // aren't an image must never surface stub features
   private def media = spark.createDataFrame(
     Seq(
-      Row(1L, "image", "fake-png-bytes".getBytes("UTF-8"), """{"width": 640, "height": 480}"""),
+      Row(1L, "image", MediaColumns.solidPng(6, 4, 128), """{"width": 640, "height": 480}"""),
       Row(2L, "audio", "fake-wav-bytes".getBytes("UTF-8"), """{"sample_rate": 16000}"""),
       Row(3L, "video", "fake-mp4-bytes-somewhat-longer".getBytes("UTF-8"), null),
-      Row(4L, "image", null, "{}")).asJava,
+      Row(4L, "image", null, "{}"),
+      Row(5L, "image", "not-an-image-at-all".getBytes("UTF-8"), """{"width": 9, "height": 9}""")).asJava,
     MediaColumns.mediaSchema)
 
-  test("extractFeatures: deterministic stub features, metadata parsed, nulls survive") {
+  test("extractFeatures: real image decode, stub for audio, NULLs for undecodable") {
     val out = MediaColumns.extractFeatures(media, dims = 8)
     val byId = out.collect().map(r => r.getLong(0) -> r).toMap
-    assert(byId(1L).getAs[Int]("width") == 640 && byId(1L).getAs[Int]("height") == 480)
-    assert(byId(1L).getAs[scala.collection.Seq[Float]]("features").length == 8)
+    // TRUE dimensions from the decoded raster — the sidecar says 640×480
+    // and must lose to the actual 6×4 pixels
+    assert(byId(1L).getAs[Int]("width") == 6 && byId(1L).getAs[Int]("height") == 4)
+    val feats = byId(1L).getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 8)
+    // solid gray 128 → every grid-cell mean is exactly 128/255
+    assert(feats.forall(_ == (128.0 / 255.0).toFloat), s"features: $feats")
+    // audio: stub features, sidecar width absent → NULL
     assert(byId(2L).getAs[Any]("width") == null)
+    assert(byId(2L).getAs[scala.collection.Seq[Float]]("features").length == 8)
     assert(byId(4L).getAs[Any]("features") == null) // null content → null features
+    // undecodable image bytes: NULL features AND NULL dims (the sidecar
+    // must NOT leak through — there is no real raster behind it)
+    assert(byId(5L).getAs[Any]("features") == null)
+    assert(byId(5L).getAs[Any]("width") == null && byId(5L).getAs[Any]("height") == null)
     // determinism: same bytes → same features
     val again = MediaColumns.extractFeatures(media, dims = 8)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(byId(1L).getAs[scala.collection.Seq[Float]]("features") == again(1L).getAs[scala.collection.Seq[Float]]("features"))
+    assert(feats == again(1L).getAs[scala.collection.Seq[Float]]("features"))
+  }
+
+  test("decodeImage: grid means follow the raster, not the fill") {
+    // 8×8 two-tone: left half gray 40, right half gray 200. dims=4 →
+    // 2×2 grid whose cells align exactly with the halves: features =
+    // [40, 200, 40, 200] / 255, row-major.
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = if (x < 4) 40 else 200
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, feats)) = MediaColumns.decodeImage(bos.toByteArray, dims = 4)
+    assert(w == 8 && h == 8)
+    val want = Seq(40, 200, 40, 200).map(g => (g / 255.0).toFloat)
+    assert(feats.toSeq == want, s"got ${feats.toSeq}, want $want")
+  }
+
+  test("decodeImage: non-square dims walk the grid row-major and stop") {
+    // dims=3 over the same two-tone image: ⌈√3⌉=2 grid, first 3 cells
+    // row-major = left-top, right-top, left-bottom
+    val Some((_, _, feats)) = MediaColumns.decodeImage(
+      MediaColumns.solidPng(5, 3, 77), dims = 3)
+    assert(feats.length == 3 && feats.forall(_ == (77.0 / 255.0).toFloat))
   }
 
   test("sampleFrames: one row per sampled offset, video only") {
