@@ -118,6 +118,7 @@ object SpineProbe {
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
+        ("q165_scd2_join_ivm", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
@@ -157,6 +158,7 @@ object SpineProbe {
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
+        ("q165_scd2_join_ivm", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),

@@ -307,6 +307,90 @@ object PipelineQueries {
           round(col("m.value"), 4).as("last_value"))
     },
 
+    // SCD2 DIM UNDER JOIN-IVM — the composition q160 documents as its
+    // open assumption: q160's refresh is sound only while its dims are
+    // STATIC between refreshes; here the dimension itself changes (q86's
+    // profile-change log), and the maintained view must join each fact
+    // delta to the dim VERSION VALID AT ITS EVENT TIME — an as-of
+    // (equi + half-open interval) join against the SCD2 table — so a
+    // dim update can never silently rewrite the history already folded
+    // into the partials. Three at-rest artifacts: the SCD2 dim (built
+    // once from the change log — q86's lead()-interval shape, versions
+    // half-open [from, to), last version open-ended), the materialized
+    // view partials over base facts, and the delta landing file. The
+    // refresh pays the as-of join ONLY for the delta (dim broadcasts —
+    // a dimension at any corpus size; the fact side never shuffles
+    // pre-agg) and folds through the shared IncrementalView reduce;
+    // events.parquet is never rescanned (PlanBudgetSpec). Facts that
+    // precede their user's first version have no valid dim row and drop
+    // (inner as-of join) — deterministic, so the oracle replays it.
+    // Oracle = the full as-of recompute over ALL facts, the maintenance
+    // contract with a time-varying dimension.
+    QueryDef("q165_scd2_join_ivm", Seq("A5", "W3", "J12"),
+      """WITH v AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+           FROM events WHERE event_type IN ('signup', 'purchase')),
+         dim AS (
+           SELECT user_id, sec AS valid_from,
+             lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
+             value AS attr_raw
+           FROM v),
+         f AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+           FROM events WHERE event_type IN ('click', 'view')),
+         j AS (
+           SELECT CAST(floor(d.attr_raw) AS BIGINT) % 5 AS bucket, f.value
+           FROM f JOIN dim d ON f.user_id = d.user_id
+             AND f.sec >= d.valid_from
+             AND (d.valid_to IS NULL OR f.sec < d.valid_to))
+         SELECT bucket, count(*) AS n, round(sum(value), 4) AS total_value
+         FROM j GROUP BY bucket""") { (s, d) =>
+      val w = Window.partitionBy("d_user_id").orderBy("sec", "event_id")
+      // artifact 1: the SCD2 dim at rest — versioned rows, maintained by
+      // the change log's own cadence, shared by base staging and refresh
+      val dimDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_scd2_dim", d, s"$d/events.parquet") { target =>
+        Tables.events(s, d)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id").as("d_user_id"), nsToSec("ts").as("sec"),
+            col("event_id"), col("value").as("attr_raw"))
+          .select(col("d_user_id"), col("sec").as("valid_from"),
+            lead("sec", 1).over(w).as("valid_to"), col("attr_raw"))
+          .write.mode("overwrite").parquet(target)
+      }
+      def facts(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), nsToSec("ts").as("sec"), col("value"),
+          col("event_id"))
+      // the as-of enrichment + partial agg, paid only for the rows passed in
+      def asOfPartial(f: org.apache.spark.sql.DataFrame,
+          dim: org.apache.spark.sql.DataFrame) = f
+        .join(broadcast(dim),
+          col("user_id") === col("d_user_id") &&
+            col("sec") >= col("valid_from") &&
+            (col("valid_to").isNull || col("sec") < col("valid_to")))
+        .select((floor(col("attr_raw")).cast("long") % 5).as("bucket"), col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      // artifact 2: the materialized partials over base facts
+      val baseDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_scd2_ivm_base", d, s"$d/events.parquet") { target =>
+        asOfPartial(facts(Tables.events(s, d)).filter(col("event_id") % 10 =!= 0),
+            s.read.parquet(dimDir))
+          .write.mode("overwrite").parquet(target)
+      }
+      // artifact 3: the delta landing file (raw fact rows)
+      val deltaDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_scd2_ivm_delta", d, s"$d/events.parquet") { target =>
+        facts(Tables.events(s, d)).filter(col("event_id") % 10 === 0)
+          .write.mode("overwrite").parquet(target)
+      }
+      graft.operators.IncrementalView.mergePartials(Seq("bucket"),
+          s.read.parquet(baseDir),
+          asOfPartial(s.read.parquet(deltaDir), s.read.parquet(dimDir)))
+        .select(col("bucket"), col("n"), round(col("sum_value"), 4).as("total_value"))
+    },
+
     // Range join with no equi key: deterministic "campaign" intervals
     // (derived from the customer key and the event-time bounds) joined
     // to the events whose timestamp they contain. Spark's built-in plan

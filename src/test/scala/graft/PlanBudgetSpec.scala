@@ -537,6 +537,19 @@ class PlanBudgetSpec extends SparkSpec {
       "q163's refresh plan rescans events.parquet instead of folding signed partials")
   }
 
+  test("SCD2 join-IVM (q165): delta-only as-of enrichment, dim broadcast, base never rescanned") {
+    // the refresh reads three at-rest artifacts (dim, partials, delta);
+    // the as-of join is paid only for the delta and the versioned dim
+    // broadcasts — a rescan of events.parquet would be the full
+    // recompute the maintained view exists to avoid
+    val q = SparkEntry.queries("q165_scd2_join_ivm")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      "q165's refresh plan rescans events.parquet")
+    assert(broadcasts(q) == 1)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("join-view refresh (q160): delta-only enrichment, dims broadcast, base never rescanned") {
     val q = SparkEntry.queries("q160_join_incremental_refresh")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
