@@ -42,12 +42,32 @@ object AnnQueries {
          WHERE e.vec_id <> p.query_id)
        WHERE rnk <= 3"""
 
-  private def trainedCellsCte(trainPred: String = "true", k: Int = 16) =
+  private def trainedCellsCte(trainPred: String = "true", k: Int = 16): String =
+    trainedCellsCteExpr(trainPred, k.toString, withSideCte = false)
+
+  /** The k ∝ N rule (SemDedup.cellSide) replayed in SQL: side =
+    * max(2, round(√(|training set| / 8))) — derived from vt's own
+    * count(*), so the tree-family oracle follows the engine's rule at
+    * ANY sf instead of pinning sf0.01's resolved value (the boundary
+    * SCALING.md used to document). round() is half-away-from-zero in
+    * both engines and √(n/8) is exact at the only boundary that can
+    * occur (n/8 = (m+.5)² forces n/8 exactly representable), so the two
+    * sides can never disagree by a rounding seam. */
+  private val sideCteSql =
+    "side AS (SELECT greatest(2, CAST(round(sqrt(count(*) / 8.0)) AS BIGINT)) AS s FROM vt)"
+
+  /** Sub-expression consumers use to decompose a tree cell id
+    * (cell = branch · side + leaf) when the side is dynamic. */
+  private[queries] val treeSideRef = "(SELECT s FROM side)"
+
+  private def trainedCellsCteExpr(trainPred: String, kSql: String,
+      withSideCte: Boolean): String =
     s"""v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
-       vt AS (SELECT vec_id, v FROM v WHERE $trainPred),
+       vt AS (SELECT vec_id, v FROM v WHERE $trainPred),${
+         if (withSideCte) s"\n       $sideCteSql," else ""}
        init AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
-         FROM vt ORDER BY vec_id LIMIT $k),
+         FROM vt ORDER BY vec_id LIMIT $kSql),
        a1 AS (
          SELECT vec_id, v, cid FROM (
            SELECT t.vec_id, t.v, c.cid,
@@ -142,25 +162,34 @@ object AnnQueries {
            FROM pcodes k JOIN pc2 c ON k.m = c.m AND k.cid = c.cid
            GROUP BY k.vec_id)"""
 
-  // Deterministic two-level (8×8) tree-quantizer replay — mirrors
+  // Deterministic two-level (side×side) tree-quantizer replay — mirrors
   // graft.ann.KMeans.fitTree step for step on top of trainedCellsCte's
-  // level-1 training at k1=8 (whose `cells` IS the branch assignment:
+  // level-1 training at k1=side (whose `cells` IS the branch assignment:
   // fitTree assigns branches off the final level-1 centroids, exactly
   // what `cells` holds). Level 2 runs the same pinned Lloyd recipe
-  // per branch: init = each branch's 8 lowest-id TRAINING vectors (an
-  // empty branch keeps its branch centroid as a single leaf),
+  // per branch: init = each branch's `side` lowest-id TRAINING vectors
+  // (an empty branch keeps its branch centroid as a single leaf),
   // assignment = argmax of round(cosine, 6) with lowest-leaf tiebreak,
   // means rounded to 6, an emptied leaf keeps its previous centroid.
   // `trainPred` restricts BOTH training levels (q142 trains on history
   // alone); assignment (`cells`, `tcells`) always covers every vector.
-  // Ends at `tcells` = every vector's global cell id (branch·8 + leaf).
-  private[queries] def treeCellsCte(trainPred: String = "true") =
-    s"""${trainedCellsCte(trainPred, k = 8)},
+  // Ends at `tcells` = every vector's global cell id (branch·side +
+  // leaf). The side is DYNAMIC by default — the `side` CTE replays the
+  // engine's k ∝ N rule from the training set's count, so the family's
+  // oracles hold at any sf; `staticSide` pins it for the fixed-shape
+  // queries (q138/q141 train an 8×8 tree by contract, not by rule).
+  private[queries] def treeCellsCte(trainPred: String = "true",
+      staticSide: Option[Int] = None): String = {
+    val sideRef = staticSide.map(_.toString).getOrElse(treeSideRef)
+    s"""${staticSide match {
+           case Some(k) => trainedCellsCte(trainPred, k)
+           case None => trainedCellsCteExpr(trainPred, sideRef, withSideCte = true)
+         }},
        ct AS (SELECT c.* FROM cells c JOIN vt USING (vec_id)),
        linit AS (
          SELECT cid AS b, rn - 1 AS l, v AS cent FROM (
            SELECT cid, v, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
-           FROM ct) WHERE rn <= 8),
+           FROM ct) WHERE rn <= $sideRef),
        l0 AS (
          SELECT b, l, cent FROM linit
          UNION ALL
@@ -198,10 +227,11 @@ object AnnQueries {
            USING (b, l)),
        tcells AS (
          SELECT vec_id, v, cell FROM (
-           SELECT t.vec_id, t.v, t.cid * 8 + c.l AS cell,
+           SELECT t.vec_id, t.v, t.cid * $sideRef + c.l AS cell,
              row_number() OVER (PARTITION BY t.vec_id
                ORDER BY round(list_cosine_similarity(t.v, c.cent), 6) DESC, c.l) AS rn
            FROM cells t JOIN lc2 c ON t.cid = c.b) WHERE rn = 1)"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -837,11 +867,11 @@ object AnnQueries {
     // cells come from the TREE quantizer with side = round(sqrt(N/8))
     // (target cell occupancy ~8, so the within-cell pairwise term is
     // constant per cell while the cell count absorbs corpus growth, and
-    // assignment pays 2·side cosines per row instead of side²). At the
-    // oracle's sf0.01 corpus (N=500) the rule resolves to the 8×8 tree
-    // — the same two-level training q138's CTE replays — so the oracle
-    // is exact, while the Spark side derives the side from the corpus
-    // (sf0.1 bench → 16×16; the 10× decade probe → 50×50).
+    // assignment pays 2·side cosines per row instead of side²). The
+    // oracle's `side` CTE replays the SAME rule from the corpus count,
+    // so engine and oracle agree at EVERY sf (sf0.01 → 8×8, sf0.1 →
+    // 25×25) — the rule itself is under the hash check, not one
+    // resolved value of it.
     QueryDef("q140_semdedup_tree", Seq("J12", "A10"),
       s"""WITH ${treeCellsCte()},
          dups AS (
@@ -1125,7 +1155,7 @@ object AnnQueries {
            SELECT t.vec_id, i.sec,
              round(list_cosine_similarity(t.v, c.cent), 6) AS fit
            FROM tcells t
-           JOIN lc2 c ON (t.cell // 8) = c.b AND (t.cell % 8) = c.l
+           JOIN lc2 c ON (t.cell // $treeSideRef) = c.b AND (t.cell % $treeSideRef) = c.l
            JOIN ing i USING (vec_id)
            WHERE t.vec_id % 10 = 0)
          SELECT CAST(sec // 3600 AS BIGINT) * 3600 AS hour_epoch,
@@ -1583,7 +1613,7 @@ object AnnQueries {
        WHERE rnk <= 3"""
 
   private def treeIvfSearchSql =
-    s"""WITH ${treeCellsCte()},
+    s"""WITH ${treeCellsCte(staticSide = Some(8))},
        qb AS (
          SELECT query_id, qv, b FROM (
            SELECT t.vec_id AS query_id, t.v AS qv, c.cid AS b,
