@@ -1002,9 +1002,8 @@ object AnnQueries {
       val tq = graft.ann.KMeans.fitTree(history, "vec_id", "embedding",
         k1 = side, k2 = side, iters = 2)
       val s = EventQueries.streamSession(s0)
-      // transformWithState requires the RocksDB state store provider
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // transformWithState requires the RocksDB provider — set for every
+      // drain by streamSession (with changelog checkpointing)
       val sinkName = "graft_stream_semdedup_unified"
       val hIdx = graft.dedup.SemDedup
         .assignCellsTree(Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0),

@@ -588,9 +588,8 @@ object EventQueries {
       import graft.streaming.TwsCdc
       val schema = Tables.events(s0, d).schema
       val s = streamSession(s0)
-      // transformWithState requires the RocksDB state store provider
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // transformWithState requires the RocksDB provider — set for every
+      // drain by streamSession (with changelog checkpointing)
       val sinkName = "graft_stream_cdc_tws"
       val in = stageRangedDrain(Tables.events(s, d), 2, "ts", "graft_tws_")
       implicit val opEnc: org.apache.spark.sql.Encoder[TwsCdc.Op] =
