@@ -119,6 +119,7 @@ object SpineProbe {
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
         ("q165_scd2_join_ivm", Set("events")),
+        ("q167_stream_cdc_view", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
@@ -159,6 +160,7 @@ object SpineProbe {
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
         ("q165_scd2_join_ivm", Set("events")),
+        ("q167_stream_cdc_view", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
@@ -336,6 +338,7 @@ object SpineProbe {
       "q150_stream_drift_monitor",
       "q152_stream_index_append",
       "q164_stream_tombstone_delete",
+      "q167_stream_cdc_view",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -358,7 +361,8 @@ object SpineProbe {
     val ledgerSinks = Map(
       "q152_stream_index_append" -> "graft_stream_index_append",
       "q164_stream_tombstone_delete" -> "graft_stream_tombstone_delete",
-      "q158_stream_agg_refresh" -> "graft_stream_agg_refresh")
+      "q158_stream_agg_refresh" -> "graft_stream_agg_refresh",
+      "q167_stream_cdc_view" -> "graft_stream_cdc_view")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153
@@ -391,7 +395,8 @@ object SpineProbe {
       // key set — and therefore the view — must stay EXACTLY flat while
       // the stream folding into it deepens N×: the whole point of
       // maintaining partials instead of rows.
-      if (decade && q == "q158_stream_agg_refresh") {
+      if (decade && (q == "q158_stream_agg_refresh" ||
+          q == "q167_stream_cdc_view")) {
         val ok = segs1.nonEmpty && segsN.nonEmpty &&
           segsN.last._2 == segs1.last._2 && segsN.size <= segs1.size + 1
         println(s"""{"gate":"${q}_view_rows_$tag","ok":$ok,"detail":"view_rows_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} view_rows_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)} batches_1x=${segs1.size} batches_$tag=${segsN.size}"}""")

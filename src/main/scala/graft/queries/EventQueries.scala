@@ -813,12 +813,8 @@ object EventQueries {
       dailyRollupSql) { (s, d) =>
       val events = Tables.events(s, d)
       // yesterday's standing state: the history rollup, materialized
-      // once per corpus (ensureStagedDir caches on the fingerprint)
-      val matDir = graft.sources.ZOrder.ensureStagedDir(
-        "graft_incr_agg_base", d, s"$d/events.parquet") { target =>
-        dailyPartial(events.filter(col("event_id") % 10 =!= 0))
-          .write.mode("overwrite").parquet(target)
-      }
+      // once per corpus and shared with the CDC folds (incrAggBaseDir)
+      val matDir = incrAggBaseDir(s, d)
       // today's landing file: the delta rows as their own staged table
       val deltaDir = graft.sources.ZOrder.ensureStagedDir(
         "graft_incr_agg_delta", d, s"$d/events.parquet") { target =>
@@ -983,50 +979,153 @@ object EventQueries {
     // deriving from the already-agreed rounded total makes the serve
     // deterministic across engines instead of boundary-lucky.
     QueryDef("q163_cdc_incremental_refresh", Seq("A5", "R4"),
-      """WITH post AS (
-           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
-             CASE WHEN event_id % 10 = 7 THEN value * 2 ELSE value END AS v
-           FROM events WHERE event_id % 10 <> 3),
-         g AS (
-           SELECT event_type, day_num, count(*) AS n,
-             round(sum(v), 4) AS total_value
-           FROM post GROUP BY event_type, day_num)
-         SELECT event_type, day_num, n, total_value,
-           round(total_value / n, 6) AS avg_value
-         FROM g""") { (s, d) =>
-      val events = Tables.events(s, d)
-      // the SAME materialized base state as q156 (shared staged dir):
-      // one standing view, two delta shapes — append (q156) and CDC (here)
-      val matDir = graft.sources.ZOrder.ensureStagedDir(
-        "graft_incr_agg_base", d, s"$d/events.parquet") { target =>
-        dailyPartial(events.filter(col("event_id") % 10 =!= 0))
-          .write.mode("overwrite").parquet(target)
-      }
-      // the CDC landing file: op + old/new values, exactly the shape
-      // q87/q120's changelog apply consumes
-      val deltaDir = graft.sources.ZOrder.ensureStagedDir(
-        "graft_cdc_delta", d, s"$d/events.parquet") { target =>
-        val e = events.withColumn("day_num", dayNumCol)
-        val ins = e.filter(col("event_id") % 10 === 0)
-          .select(lit("I").as("op"), col("event_type"), col("day_num"),
-            lit(null).cast("double").as("value_old"), col("value").as("value_new"))
-        val upd = e.filter(col("event_id") % 10 === 7)
-          .select(lit("U").as("op"), col("event_type"), col("day_num"),
-            col("value").as("value_old"), (col("value") * 2).as("value_new"))
-        val del = e.filter(col("event_id") % 10 === 3)
-          .select(lit("D").as("op"), col("event_type"), col("day_num"),
-            col("value").as("value_old"), lit(null).cast("double").as("value_new"))
-        ins.unionByName(upd).unionByName(del).write.mode("overwrite").parquet(target)
-      }
+      postCdcRollupSql) { (s, d) =>
       val signed = graft.operators.IncrementalView.signedPartials(
-        Seq("event_type", "day_num"), s.read.parquet(deltaDir))
-      graft.operators.IncrementalView.dropEmptied(
-          mergeDailyRaw(s.read.parquet(matDir), signed))
-        .select(col("event_type"), col("day_num"), col("n"),
-          round(col("sum_value"), 4).as("total_value"))
-        .withColumn("avg_value", round(col("total_value") / col("n"), 6))
+        Seq("event_type", "day_num"), s.read.parquet(cdcDeltaDir(s, d)))
+      finishPostCdc(graft.operators.IncrementalView.dropEmptied(
+        mergeDailyRaw(s.read.parquet(incrAggBaseDir(s, d)), signed)))
+    },
+
+    // STREAMING CDC VIEW MAINTENANCE — q158's continuously maintained
+    // view meeting q163's retractions: the changelog ARRIVES AS A
+    // STREAM (I/U/D micro-batches, time-ordered), and each batch folds
+    // into the standing view inside foreachBatch via the SAME signed
+    // partials — the first batch re-bases on the materialized base
+    // state (q156/q163's shared rollup), every later batch on the
+    // committed predecessor generation, so a crash replay re-reads the
+    // same base and converges (cdcViewMergeStep, pinned by
+    // IncrementalAggSpec). Because (n, sum) is an abelian group the
+    // fold is batching-independent: any split of the changelog merges
+    // to the same view, which is why this shares q163's oracle
+    // VERBATIM — the batch fold, the streamed fold, and the
+    // from-scratch recompute are one contract. Keys deleted in full
+    // ride the at-rest view as (0, ~0) partials (a later batch may
+    // re-insert them) and leave at serve time via dropEmptied.
+    QueryDef("q167_stream_cdc_view", Seq("A5", "R4"),
+      postCdcRollupSql) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val matDir = incrAggBaseDir(s0, d)
+      val batch = s0.read.parquet(cdcDeltaDir(s0, d))
+      val s = streamSession(s0)
+      val sinkName = "graft_stream_cdc_view"
+      val in = stageRangedDrain(batch, 2, "ts", "graft_scv_")
+      val root = registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = cdcViewMergeStep(root, matDir, b, id)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      dropStaged(in)
+      val served = latestViewGen(root) match {
+        case None      => s.read.parquet(matDir) // no delta arrived: the view IS the base
+        case Some(dir) => s.read.parquet(dir)
+      }
+      finishPostCdc(graft.operators.IncrementalView.dropEmptied(served))
     },
   )
+
+  /** Full-recompute oracle over the POST-CDC state, shared VERBATIM by
+    * q163 (batch fold) and q167 (streamed fold): whichever way the
+    * changelog is absorbed, the maintained view must equal the
+    * from-scratch aggregate over what the table became. The derived avg
+    * divides the SERVED (round-4) total, not the raw sum: raw sums
+    * legitimately differ by ulps between a signed fold and a
+    * from-scratch sum (different addition orders), and one sf0.01 group
+    * landed its avg exactly on a round-6 half boundary — deriving from
+    * the already-agreed rounded total makes the serve deterministic
+    * across engines instead of boundary-lucky. */
+  private def postCdcRollupSql =
+    """WITH post AS (
+         SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+           CASE WHEN event_id % 10 = 7 THEN value * 2 ELSE value END AS v
+         FROM events WHERE event_id % 10 <> 3),
+       g AS (
+         SELECT event_type, day_num, count(*) AS n,
+           round(sum(v), 4) AS total_value
+         FROM post GROUP BY event_type, day_num)
+       SELECT event_type, day_num, n, total_value,
+         round(total_value / n, 6) AS avg_value
+       FROM g"""
+
+  /** The materialized base state (history partials over event_id % 10
+    * <> 0) shared by q156 (append delta), q163 (batch CDC) and q167
+    * (streamed CDC): ONE standing view, three delta shapes. */
+  private def incrAggBaseDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_incr_agg_base", d, s"$d/events.parquet") { target =>
+      dailyPartial(Tables.events(s, d).filter(col("event_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(target)
+    }
+
+  /** The CDC landing file — op + old/new values, exactly the shape
+    * q87/q120's changelog apply consumes, plus the source ts so a
+    * streamed fold can drain in arrival order. Deterministic script the
+    * oracle replays: I = event_id%10==0 (absent from the base state),
+    * U = %10==7 (value doubles — 2v−v is EXACT in binary FP, so the
+    * fold adds no rounding noise of its own), D = %10==3. */
+  private def cdcDeltaDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_cdc_delta_ts", d, s"$d/events.parquet") { target =>
+      val e = Tables.events(s, d).withColumn("day_num", dayNumCol)
+      val ins = e.filter(col("event_id") % 10 === 0)
+        .select(lit("I").as("op"), col("event_type"), col("day_num"),
+          lit(null).cast("double").as("value_old"), col("value").as("value_new"),
+          col("ts"))
+      val upd = e.filter(col("event_id") % 10 === 7)
+        .select(lit("U").as("op"), col("event_type"), col("day_num"),
+          col("value").as("value_old"), (col("value") * 2).as("value_new"),
+          col("ts"))
+      val del = e.filter(col("event_id") % 10 === 3)
+        .select(lit("D").as("op"), col("event_type"), col("day_num"),
+          col("value").as("value_old"), lit(null).cast("double").as("value_new"),
+          col("ts"))
+      ins.unionByName(upd).unionByName(del).write.mode("overwrite").parquet(target)
+    }
+
+  /** Serve-time finisher for the post-CDC view (see [[postCdcRollupSql]]
+    * for why the avg derives from the rounded total). */
+  private def finishPostCdc(partials: org.apache.spark.sql.DataFrame) =
+    partials
+      .select(col("event_type"), col("day_num"), col("n"),
+        round(col("sum_value"), 4).as("total_value"))
+      .withColumn("avg_value", round(col("total_value") / col("n"), 6))
+
+  /** One q167 maintenance step: fold CDC micro-batch `b` into the view
+    * under `root` as SIGNED partials — q158's generation-dir recovery
+    * and vacuum (committed predecessor, idempotent replay, base + next
+    * kept) with the merge base falling back to the MATERIALIZED base
+    * state when no generation precedes the batch. Returns the view's
+    * at-rest row count (emptied keys included — they leave at serve). */
+  private[queries] def cdcViewMergeStep(root: String, baseDir: String,
+      b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+    val s = b.sparkSession
+    val base = latestViewGen(root, below = Some(id))
+    val prev = base match {
+      case Some(p) => s.read.parquet(p)
+      case None    => s.read.parquet(baseDir)
+    }
+    val merged = mergeDailyRaw(prev,
+      graft.operators.IncrementalView.signedPartials(
+        Seq("event_type", "day_num"), b))
+    val next = s"$root/gen-$id"
+    merged.write.mode("overwrite").parquet(next)
+    val baseGen = base.map(p => genNumOf(new java.io.File(p)))
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("gen-") &&
+        baseGen.exists(genNumOf(f) < _))
+      .foreach(rm)
+    s.read.parquet(next).count()
+  }
 
   /** q161: the at-rest rollup is PARTITIONED BY DAY, and a correction
     * (late data for one day) is a DYNAMIC PARTITION OVERWRITE — Spark

@@ -148,6 +148,40 @@ class IncrementalAggSpec extends SparkSpec {
       s"expected the negative-count guard, got: ${e.getMessage}")
   }
 
+  test("q167 CDC merge step: base fallback, replay convergence, vacuum") {
+    import spark.implicits._
+    import graft.operators.IncrementalView
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_view_spec_").toString
+    val baseDir = s"$root/base"
+    toyPartial(Seq(("a", 1L, 1.0), ("a", 1L, 2.0), ("b", 1L, 5.0))
+      .toDF("event_type", "day_num", "value"))
+      .write.parquet(baseDir)
+    def cdc(rows: (String, String, Long, Option[Double], Option[Double])*) =
+      rows.toSeq.toDF("op", "event_type", "day_num", "value_old", "value_new")
+    // batch 0 (no prior generation): MUST re-base on the materialized
+    // base state, not an empty frame — a delete of a base row proves it
+    EventQueries.cdcViewMergeStep(root, baseDir,
+      cdc(("D", "a", 1L, Some(2.0), None), ("I", "c", 1L, None, Some(9.0))), 0L)
+    // batch 1: update the remaining a-row
+    EventQueries.cdcViewMergeStep(root, baseDir,
+      cdc(("U", "a", 1L, Some(1.0), Some(4.0))), 1L)
+    def served: Set[String] = asSet(IncrementalView.dropEmptied(
+      spark.read.parquet(EventQueries.latestViewGen(root).get)))
+    val post = toyPartial(Seq(("a", 1L, 4.0), ("b", 1L, 5.0), ("c", 1L, 9.0))
+      .toDF("event_type", "day_num", "value"))
+    assert(served == asSet(post), "two-batch CDC maintenance != post-CDC recompute")
+    // replay of batch 1 (foreachBatch's restart contract) converges
+    EventQueries.cdcViewMergeStep(root, baseDir,
+      cdc(("U", "a", 1L, Some(1.0), Some(4.0))), 1L)
+    assert(served == asSet(post), "replayed batch diverged the view")
+    // vacuum: a third (empty) batch supersedes gen-0
+    EventQueries.cdcViewMergeStep(root, baseDir, cdc(), 2L)
+    val gens = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("gen-")).sorted
+    assert(gens.toSeq == Seq("gen-1", "gen-2"), s"vacuum kept: ${gens.mkString(",")}")
+    assert(served == asSet(post))
+  }
+
   test("retraction fold: an unknown op poisons the key instead of being ignored") {
     import spark.implicits._
     import graft.operators.IncrementalView
