@@ -7,15 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * IMAGES DECODE FOR REAL: `media_type = 'image'` routes through
-  * `javax.imageio` (JDK-only, PNG/BMP/GIF/JPEG) — true width/height from
-  * the decoded raster and features = per-cell mean luminance over a
-  * row-major grid. Bytes that don't decode (wrong format, corrupt,
-  * empty) surface as NULL width/height/features — never the stub:
-  * silently hashing undecodable bytes into "features" would poison any
-  * downstream similarity join. The md5 STUB remains only for
-  * audio/video (this container has no audio/video libs); their
-  * width/height come from the JSON sidecar, the documented boundary.
+  * IMAGES AND AUDIO DECODE FOR REAL: `media_type = 'image'` routes
+  * through `javax.imageio` (JDK-only, PNG/BMP/GIF/JPEG) — true
+  * width/height from the decoded raster, features = per-cell mean
+  * luminance over a row-major grid; `media_type = 'audio'` routes
+  * through `javax.sound.sampled` (JDK-only, WAV/PCM16) — sample rate /
+  * frame count as width/height, features = windowed RMS amplitude.
+  * Bytes that don't decode (wrong format, corrupt, empty) surface as
+  * NULL width/height/features — never the stub: silently hashing
+  * undecodable bytes into "features" would poison any downstream
+  * similarity join. The md5 STUB remains only for VIDEO (no JDK video
+  * codec exists); its width/height come from the JSON sidecar, the
+  * documented boundary.
   *
   * Scale notes: `mapPartitions` processes each partition's rows in one
   * JVM pass (the Scala analogue of mapInPandas batching); binary blobs
@@ -39,9 +42,10 @@ object MediaColumns {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
-  /** STUB decoder (audio/video only): deterministic pseudo-features from
+  /** STUB decoder (video only): deterministic pseudo-features from
     * md5(content). Replace with a real codec (JNI/ONNX) without touching
-    * the plan — exactly what [[decodeImage]] did for images. */
+    * the plan — exactly what [[decodeImage]] and [[decodeAudio]] did for
+    * images and audio. */
   private[multimodal] def fakeDecode(bytes: Array[Byte], dims: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     Array.tabulate(dims)(i => ((md(i % md.length) & 0xff) - 128) / 128.0f)
@@ -98,10 +102,88 @@ object MediaColumns {
     }
   }
 
+  /** REAL audio decode (JDK `javax.sound.sampled`, WAV): sample rate and
+    * frame count from the decoded header plus `dims` features — RMS
+    * amplitude, normalized to [0, 1] by the 16-bit full scale, over
+    * `dims` contiguous frame windows (the classic audio-thumbnail
+    * embedding; a constant-amplitude signal yields `dims` copies of
+    * amp/32768 EXACTLY — sum/n of identical squares then √ then a
+    * power-of-two divide are all exact — which is what lets q168's
+    * oracle replay the values in SQL). Only PCM_SIGNED 16-bit mono
+    * little-endian is decoded — the one shape [[solidWav]] writes and
+    * the JDK reads without a transcoder; anything else, like bytes that
+    * aren't audio at all, returns None and the caller surfaces NULLs,
+    * never stub features. In [[featureSchema]] terms an audio row's
+    * `width` is its sample rate (Hz) and `height` its frame count. */
+  private[multimodal] def decodeAudio(
+      bytes: Array[Byte], dims: Int): Option[(Int, Int, Array[Float])] = {
+    if (bytes.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) None
+    else {
+      val fmt = ais.getFormat
+      val pcm16mono =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian
+      if (!pcm16mono) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) None
+        else {
+          val feats = Array.ofDim[Float](dims)
+          var w = 0
+          while (w < dims) {
+            val f0 = w * n / dims; val f1 = math.max(f0 + 1, (w + 1) * n / dims)
+            var sum = 0.0
+            var i = f0
+            while (i < math.min(f1, n)) {
+              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+              sum += s.toDouble * s.toDouble
+              i += 1
+            }
+            feats(w) = (math.sqrt(sum / (math.min(f1, n) - f0)) / 32768.0).toFloat
+            w += 1
+          }
+          Some((fmt.getSampleRate.toInt, n, feats))
+        }
+      }
+    }
+  }
+
+  /** Deterministic WAV synthesis (JDK `AudioSystem.write`) — the fixture
+    * generator for the real audio decode: `frames` PCM16 mono samples,
+    * all at `amp`, at `sampleRate` Hz. Runs at staging time only. */
+  private[graft] def solidWav(sampleRate: Int, frames: Int, amp: Int): Array[Byte] = {
+    val data = Array.ofDim[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      data(2 * i) = (amp & 0xff).toByte
+      data(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Partition-wise feature extraction over a media frame, dispatched by
     * media_type: images through the real [[decodeImage]] (true
-    * width/height; NULLs when undecodable), audio/video through the
-    * documented stub with sidecar width/height. */
+    * width/height; NULLs when undecodable), audio through the real
+    * [[decodeAudio]] (sample rate / frame count as width/height; NULLs
+    * when undecodable), video through the documented stub with sidecar
+    * width/height. */
   def extractFeatures(media: DataFrame, dims: Int = 16): DataFrame = {
     val spark = media.sparkSession
     val out = media
@@ -110,8 +192,9 @@ object MediaColumns {
         rows.map { r =>
           val mediaType = r.getAs[String]("media_type")
           val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-          if (mediaType == "image") {
-            val dec = decodeImage(bytes, dims)
+          if (mediaType == "image" || mediaType == "audio") {
+            val dec = if (mediaType == "image") decodeImage(bytes, dims)
+              else decodeAudio(bytes, dims)
             Row(
               r.getAs[Long]("media_id"), mediaType, bytes.length,
               dec.map(_._3.toSeq).orNull,

@@ -38,10 +38,10 @@ object MultimodalQueries {
     // Partition-wise feature extraction over binary media columns
     // (mapPartitions batching — the Scala shape of mapInPandas). f0_byte
     // recovers the first stub-feature's source byte so the decode path is
-    // value-checked end-to-end. Image-typed rows carry TEXT bytes — not
-    // a decodable image — so the real-decode dispatch must surface them
-    // as NULL width/height/features (the oracle pins exactly that; the
-    // happy image path is q166's).
+    // value-checked end-to-end. Image- and audio-typed rows carry TEXT
+    // bytes — not decodable media — so the real-decode dispatch must
+    // surface them as NULL width/height/features (the oracle pins
+    // exactly that; the happy paths are q166's and q168's).
     QueryDef("q62_media_features", Seq("S14"),
       """WITH media AS (
            SELECT doc_id AS media_id,
@@ -50,11 +50,11 @@ object MultimodalQueries {
              text, n_chars FROM documents)
          SELECT media_id, media_type,
            CAST(coalesce(strlen(text), 0) AS INT) AS n_bytes,
-           CASE WHEN media_type = 'image' THEN NULL
+           CASE WHEN media_type <> 'video' THEN NULL
                 ELSE CAST(n_chars % 640 AS INT) END AS width,
-           CASE WHEN media_type = 'image' THEN NULL
+           CASE WHEN media_type <> 'video' THEN NULL
                 ELSE CAST((n_chars * 7) % 480 AS INT) END AS height,
-           CASE WHEN media_type = 'image' OR coalesce(strlen(text), 0) = 0 THEN NULL
+           CASE WHEN media_type <> 'video' OR coalesce(strlen(text), 0) = 0 THEN NULL
                 ELSE ('0x' || substring(md5(text), 1, 2))::INT END AS f0_byte
          FROM media""") { (s, d) =>
       MediaColumns.extractFeatures(mediaFrame(s, d), 16)
@@ -88,13 +88,14 @@ object MultimodalQueries {
     // never an all-pairs scan. The feature→order mapping is monotone
     // ((b-128)/128f is exact in float32), so byte comparisons in SQL
     // reproduce the float comparisons bit-for-bit.
-    // Image-typed rows drop out up front: their text bytes don't decode,
-    // so their features are NULL (the real-decode contract) — the oracle
-    // excludes doc_id % 3 = 0 to match.
+    // Image- and audio-typed rows drop out up front: their text bytes
+    // don't decode, so their features are NULL (the real-decode
+    // contract) — the oracle keeps only the video rows (doc_id % 3 = 2)
+    // to match.
     QueryDef("q98_media_neardup", Seq("S14", "A10"),
       """WITH media AS (
            SELECT doc_id AS media_id, text FROM documents
-           WHERE coalesce(strlen(text), 0) > 0 AND CAST(doc_id % 3 AS INT) <> 0),
+           WHERE coalesce(strlen(text), 0) > 0 AND CAST(doc_id % 3 AS INT) = 2),
          bytes AS (
            SELECT media_id, [('0x' || substring(md5(text), 2*j+1, 2))::BIGINT FOR j IN generate_series(0, 15)] AS bs
            FROM media),
@@ -160,6 +161,49 @@ object MultimodalQueries {
           size(col("features")).as("n_features"),
           round(element_at(col("features"), 1) * 255).cast("int").as("f0_gray"),
           round(element_at(col("features"), 16) * 255).cast("int").as("f15_gray"))
+    },
+
+    // REAL AUDIO DECODE UNDER THE ORACLE GATE — q166's pattern applied
+    // to the second modality: the media table carries ACTUAL WAV bytes
+    // (MediaColumns.solidWav — JDK AudioSystem encode — with sample
+    // rate, frame count and amplitude deterministic functions of
+    // document columns) and the serving side decodes them for real
+    // through javax.sound.sampled: sample rate / frame count from the
+    // decoded header (the featureSchema's width/height for audio),
+    // features = windowed RMS amplitude of the decoded samples. DuckDB
+    // cannot parse WAV — and doesn't need to: on a constant-amplitude
+    // signal every window's RMS is amp/32768 EXACTLY (identical
+    // squares: sum/n then √ then a power-of-two divide are all exact),
+    // so round(f·32768) recovers the integer amplitude with no seam. A
+    // decoder that hashed the bytes, misread the little-endian samples,
+    // or mis-windowed the frames would hash-mismatch.
+    QueryDef("q168_audio_decode", Seq("S14"),
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             8000 + CAST(n_chars % 8 AS INT) * 1000 AS width,
+             50 + CAST(n_chars % 100 AS INT) AS height,
+             CAST((n_chars * 37) % 30000 AS INT) AS amp
+           FROM documents)
+         SELECT media_id, width, height,
+           8 AS n_features, amp AS f0_amp, amp AS f7_amp
+         FROM m""") { (s, d) =>
+      val dir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_media_wav", d, s"$d/documents.parquet") { target =>
+        val wav = udf((r: Int, f: Int, a: Int) => MediaColumns.solidWav(r, f, a))
+        Tables.documents(s, d).select(
+            col("doc_id").as("media_id"),
+            lit("audio").as("media_type"),
+            wav((lit(8000) + (col("n_chars") % 8) * 1000).cast("int"),
+              (lit(50) + col("n_chars") % 100).cast("int"),
+              ((col("n_chars") * 37) % 30000).cast("int")).as("content"),
+            lit(null).cast("string").as("meta"))
+          .write.mode("overwrite").parquet(target)
+      }
+      MediaColumns.extractFeatures(s.read.parquet(dir), dims = 8)
+        .select(col("media_id"), col("width"), col("height"),
+          size(col("features")).as("n_features"),
+          round(element_at(col("features"), 1) * 32768).cast("int").as("f0_amp"),
+          round(element_at(col("features"), 8) * 32768).cast("int").as("f7_amp"))
     },
   )
 }

@@ -7,19 +7,21 @@ import org.apache.spark.sql.functions._
 class MediaColumnsSpec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
-  // image rows carry REAL encoded PNGs (JDK ImageIO round-trip); the
-  // undecodable-image row (id 5) pins the NULL contract — bytes that
-  // aren't an image must never surface stub features
+  // image/audio rows carry REAL encoded bytes (JDK ImageIO / WAV
+  // round-trips); the undecodable rows (ids 5, 6) pin the NULL
+  // contract — bytes that aren't the claimed medium must never surface
+  // stub features
   private def media = spark.createDataFrame(
     Seq(
       Row(1L, "image", MediaColumns.solidPng(6, 4, 128), """{"width": 640, "height": 480}"""),
-      Row(2L, "audio", "fake-wav-bytes".getBytes("UTF-8"), """{"sample_rate": 16000}"""),
+      Row(2L, "audio", MediaColumns.solidWav(16000, 40, 1234), """{"sample_rate": 99}"""),
       Row(3L, "video", "fake-mp4-bytes-somewhat-longer".getBytes("UTF-8"), null),
       Row(4L, "image", null, "{}"),
-      Row(5L, "image", "not-an-image-at-all".getBytes("UTF-8"), """{"width": 9, "height": 9}""")).asJava,
+      Row(5L, "image", "not-an-image-at-all".getBytes("UTF-8"), """{"width": 9, "height": 9}"""),
+      Row(6L, "audio", "not-a-wav-either".getBytes("UTF-8"), """{"width": 7}""")).asJava,
     MediaColumns.mediaSchema)
 
-  test("extractFeatures: real image decode, stub for audio, NULLs for undecodable") {
+  test("extractFeatures: real image + audio decode, stub for video, NULLs for undecodable") {
     val out = MediaColumns.extractFeatures(media, dims = 8)
     val byId = out.collect().map(r => r.getLong(0) -> r).toMap
     // TRUE dimensions from the decoded raster — the sidecar says 640×480
@@ -29,18 +31,48 @@ class MediaColumnsSpec extends SparkSpec {
     assert(feats.length == 8)
     // solid gray 128 → every grid-cell mean is exactly 128/255
     assert(feats.forall(_ == (128.0 / 255.0).toFloat), s"features: $feats")
-    // audio: stub features, sidecar width absent → NULL
-    assert(byId(2L).getAs[Any]("width") == null)
-    assert(byId(2L).getAs[scala.collection.Seq[Float]]("features").length == 8)
+    // audio: decoded header beats the sidecar — sample rate / frames
+    assert(byId(2L).getAs[Int]("width") == 16000 && byId(2L).getAs[Int]("height") == 40)
+    val afeats = byId(2L).getAs[scala.collection.Seq[Float]]("features")
+    // constant amplitude 1234 → every window's RMS is exactly 1234/32768
+    assert(afeats.length == 8 && afeats.forall(_ == (1234.0 / 32768.0).toFloat),
+      s"audio features: $afeats")
+    // video: stub features, sidecar width absent → NULL
+    assert(byId(3L).getAs[Any]("width") == null)
+    assert(byId(3L).getAs[scala.collection.Seq[Float]]("features").length == 8)
     assert(byId(4L).getAs[Any]("features") == null) // null content → null features
-    // undecodable image bytes: NULL features AND NULL dims (the sidecar
-    // must NOT leak through — there is no real raster behind it)
-    assert(byId(5L).getAs[Any]("features") == null)
-    assert(byId(5L).getAs[Any]("width") == null && byId(5L).getAs[Any]("height") == null)
+    // undecodable image/audio bytes: NULL features AND NULL dims (the
+    // sidecar must NOT leak through — there is no real medium behind it)
+    for (id <- Seq(5L, 6L)) {
+      assert(byId(id).getAs[Any]("features") == null)
+      assert(byId(id).getAs[Any]("width") == null && byId(id).getAs[Any]("height") == null)
+    }
     // determinism: same bytes → same features
     val again = MediaColumns.extractFeatures(media, dims = 8)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(feats == again(1L).getAs[scala.collection.Seq[Float]]("features"))
+  }
+
+  test("decodeAudio: windows follow the samples, not the fill") {
+    // 10 frames: first 5 at +1000, last 5 at -2000; dims=2 → window RMS
+    // = [1000, 2000] / 32768 exactly (constant within each window,
+    // negative amplitude enters squared)
+    val data = Array.ofDim[Byte](20)
+    for (i <- 0 until 10) {
+      val a = if (i < 5) 1000 else -2000
+      data(2 * i) = (a & 0xff).toByte
+      data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 10L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, frames, feats)) = MediaColumns.decodeAudio(bos.toByteArray, dims = 2)
+    assert(rate == 8000 && frames == 10)
+    assert(feats.toSeq == Seq((1000.0 / 32768.0).toFloat, (2000.0 / 32768.0).toFloat),
+      s"got ${feats.toSeq}")
   }
 
   test("decodeImage: grid means follow the raster, not the fill") {
