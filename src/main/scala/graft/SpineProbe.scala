@@ -120,6 +120,7 @@ object SpineProbe {
         ("q163_cdc_incremental_refresh", Set("events")),
         ("q165_scd2_join_ivm", Set("events")),
         ("q167_stream_cdc_view", Set("events")),
+        ("q169_scd2_incremental_build", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
@@ -161,6 +162,7 @@ object SpineProbe {
         ("q163_cdc_incremental_refresh", Set("events")),
         ("q165_scd2_join_ivm", Set("events")),
         ("q167_stream_cdc_view", Set("events")),
+        ("q169_scd2_incremental_build", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),

@@ -1172,7 +1172,7 @@ object EventQueries {
     * their first write already commits a `_SUCCESS`, so a crash between
     * writes would otherwise leave a half-built dir that ensureStagedDir
     * treats as complete on every later run. */
-  private def multiWriteStage(target: String)(write: String => Unit): Unit = {
+  private[queries] def multiWriteStage(target: String)(write: String => Unit): Unit = {
     val tmp = s"$target.build"
     rm(new java.io.File(tmp))
     write(tmp)

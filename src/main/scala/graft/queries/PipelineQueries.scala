@@ -261,22 +261,8 @@ object PipelineQueries {
     // become versioned rows with [valid_from, valid_to) and a current
     // flag — one shuffle on the entity key, lead() within it.
     QueryDef("q86_scd2_intervals", Seq("W3", "A5"),
-      """WITH v AS (
-           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
-           FROM events WHERE event_type IN ('signup', 'purchase'))
-         SELECT user_id, sec AS valid_from, event_id,
-           lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
-           (lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL) AS is_current,
-           round(value, 4) AS attr_value
-         FROM v""") { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-      Tables.events(s, d)
-        .filter(col("event_type").isin("signup", "purchase"))
-        .select(col("user_id"), nsToSec("ts").as("sec"), col("event_id"), col("value"))
-        .select(col("user_id"), col("sec").as("valid_from"), col("event_id"),
-          lead("sec", 1).over(w).as("valid_to"),
-          lead("sec", 1).over(w).isNull.as("is_current"),
-          round(col("value"), 4).as("attr_value"))
+      scd2IntervalsSql) { (s, d) =>
+      scd2Intervals(scd2Changes(Tables.events(s, d)))
     },
 
     // CDC changelog apply: last operation per entity wins, deletes
@@ -650,5 +636,117 @@ object PipelineQueries {
       EventQueries.dropStaged(in)
       sink.groupBy("source").agg(sum("kept").cast("long").as("n_kept"))
     },
+
+    // INCREMENTAL SCD2 MAINTENANCE — q86 builds the versioned dim from
+    // scratch; here the dim is an AT-REST TABLE kept current as new
+    // change events arrive, without recomputing every user's interval
+    // chain. The insight: a new change for user u can rewrite ONLY u's
+    // chain (it closes u's open interval and may resequence u's
+    // versions), so the refresh rebuilds exactly the users that
+    // changed. Physically the dim AND its change log are PARTITIONED BY
+    // USER BUCKET (user_id % 64): the refresh lists the delta's touched
+    // buckets (≤ 64 — a bounded driver list), rebuilds intervals from a
+    // PARTITION-PRUNED read of the log (only touched bucket dirs open —
+    // the q157 pruning contract on the write-side problem), and lands
+    // them as a DYNAMIC PARTITION OVERWRITE of exactly those buckets
+    // (q161's repair shape applied to a dimension). Untouched buckets
+    // are never read or rewritten — at 100 TB of dim history a day's
+    // corrections cost O(touched users' history), not O(dim). The delta
+    // is sparse by construction (event_id % 500 == 0, ~0.2% of
+    // changes), so pruning is real: a handful of the 64 bucket dirs.
+    // Oracle: q86's interval text VERBATIM — the maintained dim must
+    // equal the from-scratch build, whatever was rebuilt when.
+    QueryDef("q169_scd2_incremental_build", Seq("W3", "A5", "F1"),
+      scd2IntervalsSql) { (s, d) =>
+      val dimDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_scd2_dim_maintained", d, s"$d/events.parquet") { target =>
+        EventQueries.multiWriteStage(target) { stage =>
+          // yesterday's dim: intervals over the history change log
+          s.read.parquet(scd2BaseDimDir(s, d))
+            .write.partitionBy("bucket").mode("append").parquet(stage)
+          val (pruned, touched) = scd2TouchedRebuild(s, d)
+          if (touched.nonEmpty) {
+            val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try scd2Intervals(pruned).withColumn("bucket", bucketOf)
+              .write.partitionBy("bucket").mode("overwrite").parquet(stage)
+            finally prev match {
+              case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+              case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            }
+          }
+        }
+      }
+      s.read.parquet(dimDir).select("user_id", "valid_from", "event_id",
+        "valid_to", "is_current", "attr_value")
+    },
   )
+
+  /** The SCD2 interval oracle shared VERBATIM by q86 (from-scratch
+    * build) and q169 (incrementally maintained dim): however the
+    * versions were (re)built, the at-rest dim must equal the full
+    * interval derivation. */
+  private def scd2IntervalsSql =
+    """WITH v AS (
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+         FROM events WHERE event_type IN ('signup', 'purchase'))
+       SELECT user_id, sec AS valid_from, event_id,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to,
+         (lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL) AS is_current,
+         round(value, 4) AS attr_value
+       FROM v"""
+
+  /** The profile-change log: (user_id, sec, event_id, value). */
+  private def scd2Changes(events: org.apache.spark.sql.DataFrame) = events
+    .filter(col("event_type").isin("signup", "purchase"))
+    .select(col("user_id"), nsToSec("ts").as("sec"), col("event_id"), col("value"))
+
+  /** Changes → SCD2 versions: one shuffle on the entity key, lead()
+    * within it — q86's build, shared by the incremental rebuild. */
+  private def scd2Intervals(changes: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    changes.select(col("user_id"), col("sec").as("valid_from"), col("event_id"),
+      lead("sec", 1).over(w).as("valid_to"),
+      lead("sec", 1).over(w).isNull.as("is_current"),
+      round(col("value"), 4).as("attr_value"))
+  }
+
+  private def bucketOf: Column = (col("user_id") % 64).cast("int")
+
+  /** The change log at rest, partitioned by user bucket — what makes
+    * the q169 rebuild's read prunable. */
+  private[graft] def scd2LogDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_scd2_log_b64", d, s"$d/events.parquet") { target =>
+      scd2Changes(Tables.events(s, d)).withColumn("bucket", bucketOf)
+        .write.partitionBy("bucket").mode("overwrite").parquet(target)
+    }
+
+  /** Yesterday's dim: intervals over HISTORY changes (event_id % 500
+    * <> 0), partitioned by bucket. */
+  private def scd2BaseDimDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_scd2_base_dim_b64", d, s"$d/events.parquet") { target =>
+      scd2Intervals(scd2Changes(
+          Tables.events(s, d).filter(col("event_id") % 500 =!= 0)))
+        .withColumn("bucket", bucketOf)
+        .write.partitionBy("bucket").mode("overwrite").parquet(target)
+    }
+
+  /** The q169 rebuild's inputs: the PARTITION-PRUNED log read (only
+    * the delta's touched buckets) and the touched-bucket list —
+    * exposed so PlanBudgetSpec can assert the pruning at file level. */
+  private[graft] def scd2TouchedRebuild(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Seq[Int]) = {
+    val delta = scd2Changes(Tables.events(s, d))
+      .filter(col("event_id") % 500 === 0)
+    // bounded driver list: 64 buckets exist in total
+    val touched = delta.select(bucketOf.as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val pruned = s.read.parquet(scd2LogDir(s, d))
+      .filter(col("bucket").isin(touched: _*)).drop("bucket")
+    (pruned, touched)
+  }
 }

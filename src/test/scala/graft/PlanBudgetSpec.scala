@@ -560,6 +560,31 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("incremental SCD2 (q169): the rebuild reads only touched buckets") {
+    // the refresh's log read must open exactly the delta's touched
+    // bucket dirs (of 64) — a rebuild that scans the whole log is the
+    // from-scratch build in disguise
+    val (pruned, touched) = graft.queries.PipelineQueries.scd2TouchedRebuild(spark, sf)
+    assert(touched.nonEmpty && touched.size < 32,
+      s"fixture degenerate: delta touches ${touched.size} of 64 buckets — pruning vacuous")
+    val phys = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("scd2_log")) => f
+    }
+    assert(scans.nonEmpty, "bucket-partitioned log scan missing from the rebuild plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("bucket")),
+        s"bucket filter not pushed to partition pruning: ${f.partitionFilters}")
+      assert(f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size == touched.size,
+        "rebuild opened buckets the delta never touched")
+    }
+  }
+
   test("as-of snapshot (q157): generation filter prunes partitions at file level") {
     val q = SparkEntry.queries("q157_index_asof_snapshot")(spark, sf)
     // AdaptiveSparkPlanExec is a leaf to collect() — unwrap to its
