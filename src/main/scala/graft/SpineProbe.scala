@@ -122,6 +122,7 @@ object SpineProbe {
         ("q167_stream_cdc_view", Set("events")),
         ("q169_scd2_incremental_build", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
+        ("q170_cdc_join_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -164,6 +165,7 @@ object SpineProbe {
         ("q167_stream_cdc_view", Set("events")),
         ("q169_scd2_incremental_build", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
+        ("q170_cdc_join_refresh", Set("orders", "nation", "customer")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -378,11 +380,13 @@ object SpineProbe {
       val stateN = streamSinks.get(q).flatMap(graft.streaming.StreamMetrics.get)
       val segsN = ledgerSinks.get(q).map(graft.streaming.StreamMetrics.segments)
         .getOrElse(Vector.empty)
-      // q152 has no state operators to meter (foreachBatch encode) — its
-      // scaling claim lives in the SEGMENT LEDGER: segment count tracks
-      // trigger cadence (flat — 4 staged ranges at every SF; rate moves
+      // q152/q164 have no state operators to meter (foreachBatch
+      // encode/route) — their scaling claim lives in the SEGMENT
+      // LEDGER: segment count tracks trigger cadence (flat — the staged
+      // range count at every SF: 4 for q152, 2 for q164; rate moves
       // rows per segment, never segment count, and the q149 compaction
-      // cadence stays an operational knob), total coded rows ∝ N.
+      // cadence stays an operational knob), total landed rows ∝ N
+      // (q164's ledger counts appends + tombstones).
       if (decade && (q == "q152_stream_index_append" ||
           q == "q164_stream_tombstone_delete")) {
         val (n1, nN) = (segs1.count(_._2 > 0), segsN.count(_._2 > 0))

@@ -296,5 +296,79 @@ object RelationalQueries {
         .select(col("n_name"), col("o_year"), col("n"),
           round(col("sum_value"), 4).as("total_price"))
     },
+
+    // RETRACTIONS ON THE JOIN-BEARING VIEW — q160 composed with q163:
+    // the fact delta is a CDC changelog (orders inserted, revised,
+    // cancelled), and each op must be ENRICHED through the dims before
+    // it folds, because the view's keys (n_name, o_year) live on the
+    // dim side. The refresh broadcast-joins ONLY the delta (dims are
+    // dimensions; history stays folded in the materialized partials),
+    // then turns the enriched ops into signed partials — an order
+    // cancellation is a negative merge under the nation-year it was
+    // counted under, a price revision folds as new−old with zero count
+    // change — and the one mergePartials reduce absorbs them.
+    // Deterministic CDC script the oracle replays: I = o_orderkey%10==0
+    // (absent from the base state), U = %10==7 (o_totalprice doubles —
+    // exact in FP), D = %10==3. Oracle = the full three-table recompute
+    // over the post-CDC state. The base partials are q160's staged dir
+    // VERBATIM: one standing join view, append (q160) and CDC (here)
+    // delta shapes.
+    QueryDef("q170_cdc_join_refresh", Seq("A5", "J1", "R4", "F4"),
+      """SELECT n_name, year(o_orderdate) AS o_year, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 10 = 7
+                     THEN o_totalprice * 2 ELSE o_totalprice END), 4) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderkey % 10 <> 3
+         GROUP BY n_name, o_year""") { (s, d) =>
+      def partial(orders: org.apache.spark.sql.DataFrame) = orders
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_value"))
+      // q160's materialized base state, shared staged dir
+      val matDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_incr_join_base", d, s"$d/orders.parquet") { target =>
+        partial(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+          .write.mode("overwrite").parquet(target)
+      }
+      // the CDC landing file: op + the fact keys the enrichment needs
+      val deltaDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_cdc_orders_delta", d, s"$d/orders.parquet") { target =>
+        val o = Tables.orders(s, d)
+        val ins = o.filter(col("o_orderkey") % 10 === 0)
+          .select(lit("I").as("op"), col("o_custkey"), col("o_orderdate"),
+            lit(null).cast("double").as("value_old"),
+            col("o_totalprice").as("value_new"))
+        val upd = o.filter(col("o_orderkey") % 10 === 7)
+          .select(lit("U").as("op"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice").as("value_old"),
+            (col("o_totalprice") * 2).as("value_new"))
+        val del = o.filter(col("o_orderkey") % 10 === 3)
+          .select(lit("D").as("op"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice").as("value_old"),
+            lit(null).cast("double").as("value_new"))
+        ins.unionByName(upd).unionByName(del)
+          .write.mode("overwrite").parquet(target)
+      }
+      // enrichment first (broadcast dims, delta rows only), THEN the
+      // signed fold on the enriched keys
+      val enriched = s.read.parquet(deltaDir)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+          col("op"), col("value_old"), col("value_new"))
+      val signed = graft.operators.IncrementalView.signedPartials(
+        Seq("n_name", "o_year"), enriched)
+      graft.operators.IncrementalView.dropEmptied(
+          graft.operators.IncrementalView.mergePartials(Seq("n_name", "o_year"),
+            s.read.parquet(matDir), signed))
+        .select(col("n_name"), col("o_year"), col("n"),
+          round(col("sum_value"), 4).as("total_price"))
+    },
   )
 }

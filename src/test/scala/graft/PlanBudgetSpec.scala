@@ -560,6 +560,15 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("CDC join refresh (q170): retractions enrich through broadcast dims, base never rescanned") {
+    val q = SparkEntry.queries("q170_cdc_join_refresh")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("orders.parquet"),
+      "q170's refresh plan rescans orders.parquet instead of folding signed partials")
+    assert(broadcasts(q) == 2)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("incremental SCD2 (q169): the rebuild reads only touched buckets") {
     // the refresh's log read must open exactly the delta's touched
     // bucket dirs (of 64) — a rebuild that scans the whole log is the
