@@ -115,6 +115,8 @@ object SpineProbe {
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
+        ("q166_image_decode", Set("documents")),
+        ("q168_audio_decode", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
@@ -158,6 +160,8 @@ object SpineProbe {
         ("q156_agg_incremental_refresh", Set("events")),
         ("q158_stream_agg_refresh", Set("events")),
         ("q159_stream_decontam", Set("documents")),
+        ("q166_image_decode", Set("documents")),
+        ("q168_audio_decode", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),

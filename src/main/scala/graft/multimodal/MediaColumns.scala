@@ -118,6 +118,13 @@ object MediaColumns {
   private[multimodal] def decodeAudio(
       bytes: Array[Byte], dims: Int): Option[(Int, Int, Array[Float])] = {
     if (bytes.isEmpty) return None
+    // cheap RIFF/WAVE sniff before the SPI lookup: obviously-non-WAV
+    // bytes (the common case in a mixed media table) skip the provider
+    // scan + exception throw, which dominate the per-row cost
+    if (bytes.length < 12 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
