@@ -117,6 +117,7 @@ object SpineProbe {
         ("q159_stream_decontam", Set("documents")),
         ("q166_image_decode", Set("documents")),
         ("q168_audio_decode", Set("documents")),
+        ("q171_components_incremental", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
@@ -162,6 +163,7 @@ object SpineProbe {
         ("q159_stream_decontam", Set("documents")),
         ("q166_image_decode", Set("documents")),
         ("q168_audio_decode", Set("documents")),
+        ("q171_components_incremental", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),

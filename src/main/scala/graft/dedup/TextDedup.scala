@@ -228,4 +228,38 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** [[simHashNearDup]]'s ASYMMETRIC form: candidate pairs where at
+    * least one side is in `probe` — the probe's bands equi-join the
+    * corpus's bands, so the corpus never self-joins. This is what makes
+    * cluster maintenance incremental (q171): history×history collisions
+    * were already paid when history was ingested; a new batch pays only
+    * |batch bands| × bucket occupancy, not the corpus's banded
+    * self-join. Pairs are canonicalized (id_a < id_b) and deduped, so
+    * probe-probe pairs (found from both sides) emit once; `corpus`
+    * should INCLUDE the probe rows when batch-internal duplicates
+    * matter. Same pigeonhole-exact recall as the symmetric form. */
+  def simHashNearDupAgainst(probe: DataFrame, corpus: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int, nBands: Int = 4,
+      bandBits: Int = 15, sigBits: Int = 60): DataFrame = {
+    require(nBands * bandBits <= sigBits,
+      s"$nBands bands × $bandBits bits exceed the $sigBits-bit signature")
+    require(maxHamming < nBands,
+      s"pigeonhole recall needs maxHamming ($maxHamming) < nBands ($nBands)")
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, side: String) =
+      pinByKey(df, idCol, sigCol).select(
+        col(idCol).as(s"id_$side"), col(sigCol).as(s"__s$side"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col(sigCol), bandBits * b).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("bc"))
+        .select(col(s"id_$side"), col(s"__s$side"), col("bc.band"), col("bc.chunk"))
+    banded(probe, "p").join(banded(corpus, "c"), Seq("band", "chunk"))
+      .filter(col("id_p") =!= col("id_c"))
+      .select(least(col("id_p"), col("id_c")).as("id_a"),
+        greatest(col("id_p"), col("id_c")).as("id_b"),
+        hamming32(col("__sp"), col("__sc")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

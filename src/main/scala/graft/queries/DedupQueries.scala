@@ -124,40 +124,57 @@ object DedupQueries {
     // representative. Spark: min-label propagation to fixpoint (each step
     // a distributed join+agg); oracle: recursive-CTE transitive closure.
     QueryDef("q65_dedup_components", Seq("A10"),
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
-           FROM documents),
-         bits AS (
-           SELECT doc_id, b.b,
-             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
-           GROUP BY doc_id, b.b),
-         sig AS (
-           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
-           FROM bits GROUP BY doc_id),
-         banded AS (
-           SELECT doc_id, simhash, band.band,
-             (simhash >> (15 * band.band)) & 32767 AS chunk
-           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
-             AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION SELECT id_b, id_a FROM pairs
-           UNION SELECT id_a, id_a FROM pairs
-           UNION SELECT id_b, id_b FROM pairs),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""") { (s, d) =>
+      ccComponentsSql) { (s, d) =>
       val sig = Tables.documents(s, d).select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
       val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
       Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+    },
+
+    // INCREMENTAL DEDUP CLUSTERS — q65's components absorbing a new
+    // batch without recomputing history: the standing cluster labels
+    // are an at-rest artifact, and a day's arrivals must merge into
+    // them paying only the ARRIVALS' collisions. Two pieces make it
+    // incremental: (1) pair generation is ASYMMETRIC — the new batch's
+    // bands probe the full corpus's bands (simHashNearDupAgainst), so
+    // the history×history banded self-join, the quadratic-in-corpus
+    // piece, is never re-run; (2) the merge CONTRACTS history — each
+    // stored label row (id, component) re-enters the graph as one edge,
+    // which preserves within-cluster connectivity (a component label IS
+    // a member id) while replacing history's whole edge set, so the
+    // components run covers |labels| + |delta| edges, not the corpus's
+    // pair graph. A delta edge can only merge clusters; min-ids are
+    // preserved under contraction, so the maintained labeling equals
+    // the from-scratch one — q65's recursive-CTE oracle VERBATIM. At
+    // 100 TB this is cluster maintenance at ingest: the nightly job
+    // pays O(batch × bucket occupancy + clusters), not O(corpus²/buckets).
+    QueryDef("q171_components_incremental", Seq("A10"),
+      ccComponentsSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def sigOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+      // the standing labels: components over HISTORY's pairs (doc_id
+      // % 11 <> 0 — the q66 daily-increment split), staged once
+      val baseDir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_cc_base_labels", d, s"$d/documents.parquet") { target =>
+        Components.connectedComponents(
+            TextDedup.simHashNearDup(
+              sigOf(docs.filter(col("doc_id") % 11 =!= 0)),
+              "doc_id", "simhash", 3),
+            "id_a", "id_b")
+          .write.mode("overwrite").parquet(target)
+      }
+      val labels = s.read.parquet(baseDir)
+      // delta pairs: arrivals probed against the full corpus (arrivals
+      // included — batch-internal duplicates matter)
+      val deltaPairs = TextDedup.simHashNearDupAgainst(
+        sigOf(docs.filter(col("doc_id") % 11 === 0)), sigOf(docs),
+        "doc_id", "simhash", 3)
+      val contracted = labels
+        .select(col("id").as("id_a"), col("component").as("id_b"))
+        .unionByName(deltaPairs.select("id_a", "id_b"))
+      Components.connectedComponents(contracted, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
     },
 
@@ -313,4 +330,41 @@ object DedupQueries {
           col("hit_bands").isNotNull.as("dup_in_history"))
     },
   )
+
+  /** The dedup-cluster oracle (recursive-CTE transitive closure over
+    * the banded simhash pair graph), shared VERBATIM by q65 (from-
+    * scratch components) and q171 (incrementally maintained labels):
+    * however the clusters were (re)built, the labeling must equal the
+    * full transitive closure. */
+  private def ccComponentsSql =
+    """WITH RECURSIVE tok AS (
+         SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
+         FROM documents),
+       bits AS (
+         SELECT doc_id, b.b,
+           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+         GROUP BY doc_id, b.b),
+       sig AS (
+         SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, simhash, band.band,
+           (simhash >> (15 * band.band)) & 32767 AS chunk
+         FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+         UNION SELECT id_a, id_a FROM pairs
+         UNION SELECT id_b, id_b FROM pairs),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"""
 }

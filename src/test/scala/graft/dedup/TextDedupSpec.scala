@@ -141,4 +141,25 @@ class TextDedupSpec extends SparkSpec {
     // both sides are actually populated across the 30 singletons
     assert(side.values.map(_._2).toSet == Set("train", "val"))
   }
+
+  test("incremental components (q171): label contraction == full recompute, clusters merge") {
+    import spark.implicits._
+    // history: two clusters {1,2,3} (comp 1) and {10,11} (comp 10),
+    // plus pair {20,21}
+    val histEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels = Components.connectedComponents(histEdges, "id_a", "id_b")
+    // delta: new doc 100 BRIDGES clusters 1 and 10 (the merge case the
+    // contraction must get right); new pair {200, 201} is batch-internal
+    val delta = Seq((3L, 100L), (100L, 11L), (200L, 201L)).toDF("id_a", "id_b")
+    val contracted = labels.select(col("id").as("id_a"), col("component").as("id_b"))
+      .unionByName(delta)
+    val inc = Components.connectedComponents(contracted, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Components.connectedComponents(histEdges.unionByName(delta), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"contracted labeling diverged: inc=$inc full=$full")
+    // the bridge actually merged: everyone in {1,2,3,10,11,100} → comp 1
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 100L).forall(inc(_) == 1L))
+    assert(inc(20L) == 20L && inc(21L) == 20L && inc(201L) == 200L)
+  }
 }
