@@ -118,6 +118,7 @@ object SpineProbe {
         ("q166_image_decode", Set("documents")),
         ("q168_audio_decode", Set("documents")),
         ("q171_components_incremental", Set("documents")),
+        ("q172_stream_components", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
@@ -164,6 +165,7 @@ object SpineProbe {
         ("q166_image_decode", Set("documents")),
         ("q168_audio_decode", Set("documents")),
         ("q171_components_incremental", Set("documents")),
+        ("q172_stream_components", Set("documents")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
@@ -349,6 +351,7 @@ object SpineProbe {
       "q152_stream_index_append",
       "q164_stream_tombstone_delete",
       "q167_stream_cdc_view",
+      "q172_stream_components",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -372,7 +375,8 @@ object SpineProbe {
       "q152_stream_index_append" -> "graft_stream_index_append",
       "q164_stream_tombstone_delete" -> "graft_stream_tombstone_delete",
       "q158_stream_agg_refresh" -> "graft_stream_agg_refresh",
-      "q167_stream_cdc_view" -> "graft_stream_cdc_view")
+      "q167_stream_cdc_view" -> "graft_stream_cdc_view",
+      "q172_stream_components" -> "graft_stream_components")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153

@@ -178,6 +178,53 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("component"))
     },
 
+    // STREAMED CLUSTER MAINTENANCE — q171's incremental merge as a
+    // continuously maintained labeling: candidate pairs ARRIVE AS A
+    // STREAM (each micro-batch = one day's near-dup edges) and each
+    // batch folds into the standing labels inside foreachBatch —
+    // contract the committed predecessor generation to label edges,
+    // union the batch's edges, re-run components over that SMALL graph,
+    // land generation batchId (q158's recovery + vacuum discipline:
+    // replays re-base on the committed predecessor and converge). The
+    // fold is batching-independent because contraction preserves
+    // connectivity and min-ids — CC(contract(CC(A)) ∪ B) = CC(A ∪ B) —
+    // so however the edge stream splits, the final labels equal the
+    // from-scratch closure: q65's oracle VERBATIM, the third query on
+    // that text. The ledger records the label count per batch — at-rest
+    // state is O(clustered docs), never O(edges seen).
+    QueryDef("q172_stream_components", Seq("A10"),
+      ccComponentsSql) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val sig = Tables.documents(s0, d).select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+      val batch = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+        .select("id_a", "id_b")
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_components"
+      val in = EventQueries.stageRangedDrain(batch, 2, "id_a", "graft_scc_")
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = componentsMergeStep(root, b, id)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      EventQueries.latestViewGen(root) match {
+        case None      => batch.limit(0)
+          .select(col("id_a").as("doc_id"), col("id_b").as("component"))
+        case Some(dir) => s.read.parquet(dir)
+          .select(col("id").as("doc_id"), col("component"))
+      }
+    },
+
     // Incremental dedup: flag a new batch (doc_id % 11 = 0, the "daily
     // increment") against the already-ingested history — any shared
     // md5-band signature is a candidate duplicate. Scale shape: history
@@ -330,6 +377,31 @@ object DedupQueries {
           col("hit_bands").isNotNull.as("dup_in_history"))
     },
   )
+
+
+  /** One q172 maintenance step: fold edge micro-batch `b` into the
+    * standing labels under `root` — contract the committed predecessor
+    * generation (labels re-enter as edges), union the batch's edges,
+    * re-run components, land gen-`id` (q158's recovery/vacuum
+    * discipline via EventQueries.latestViewGen: replays re-base on the
+    * committed predecessor and converge). Returns the label count. */
+  private[queries] def componentsMergeStep(root: String,
+      b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+    val s = b.sparkSession
+    val base = EventQueries.latestViewGen(root, below = Some(id))
+    val edges = base match {
+      case None => b.select(col("id_a"), col("id_b"))
+      case Some(p) => s.read.parquet(p)
+        .select(col("id").as("id_a"), col("component").as("id_b"))
+        .unionByName(b.select(col("id_a"), col("id_b")))
+    }
+    val merged = graft.dedup.Components
+      .connectedComponents(edges, "id_a", "id_b")
+    val next = s"$root/gen-$id"
+    merged.write.mode("overwrite").parquet(next)
+    EventQueries.vacuumViewGens(root, base)
+    s.read.parquet(next).count()
+  }
 
   /** The dedup-cluster oracle (recursive-CTE transitive closure over
     * the banded simhash pair graph), shared VERBATIM by q65 (from-

@@ -1119,12 +1119,20 @@ object EventQueries {
         Seq("event_type", "day_num"), b))
     val next = s"$root/gen-$id"
     merged.write.mode("overwrite").parquet(next)
+    vacuumViewGens(root, base)
+    s.read.parquet(next).count()
+  }
+
+  /** The generation vacuum shared by every foreachBatch view-merge step
+    * (q158/q167/q172): drop generations strictly below the merge base —
+    * each generation carries the whole view, so keeping base + next is
+    * exactly the replay window. */
+  private[queries] def vacuumViewGens(root: String, base: Option[String]): Unit = {
     val baseGen = base.map(p => genNumOf(new java.io.File(p)))
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.getName.startsWith("gen-") &&
         baseGen.exists(genNumOf(f) < _))
       .foreach(rm)
-    s.read.parquet(next).count()
   }
 
   /** q161: the at-rest rollup is PARTITIONED BY DAY, and a correction
@@ -1227,11 +1235,7 @@ object EventQueries {
     }
     val next = s"$root/gen-$id"
     merged.write.mode("overwrite").parquet(next)
-    val baseGen = base.map(p => genNumOf(new java.io.File(p)))
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("gen-") &&
-        baseGen.exists(genNumOf(f) < _))
-      .foreach(rm)
+    vacuumViewGens(root, base)
     b.sparkSession.read.parquet(next).count()
   }
 
