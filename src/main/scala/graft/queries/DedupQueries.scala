@@ -385,7 +385,7 @@ object DedupQueries {
     * re-run components, land gen-`id` (q158's recovery/vacuum
     * discipline via EventQueries.latestViewGen: replays re-base on the
     * committed predecessor and converge). Returns the label count. */
-  private[queries] def componentsMergeStep(root: String,
+  private[graft] def componentsMergeStep(root: String,
       b: org.apache.spark.sql.DataFrame, id: Long): Long = {
     val s = b.sparkSession
     val base = EventQueries.latestViewGen(root, below = Some(id))

@@ -1245,7 +1245,7 @@ object EventQueries {
   /** Latest COMMITTED view generation under `root` (optionally only
     * those strictly below `below`) — the recovery read: a dir without
     * parquet's _SUCCESS marker is a torn write and never a merge base. */
-  private[queries] def latestViewGen(root: String,
+  private[graft] def latestViewGen(root: String,
       below: Option[Long] = None): Option[String] =
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.getName.startsWith("gen-") &&

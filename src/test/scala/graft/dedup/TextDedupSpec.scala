@@ -162,4 +162,26 @@ class TextDedupSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 10L, 11L, 100L).forall(inc(_) == 1L))
     assert(inc(20L) == 20L && inc(21L) == 20L && inc(201L) == 200L)
   }
+
+  test("q172 merge step: replayed batch ids converge, vacuum keeps base + next") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_stream_spec_").toString
+    def edges(rows: (Long, Long)*) = rows.toSeq.toDF("id_a", "id_b")
+    graft.queries.DedupQueries.componentsMergeStep(root, edges((1L, 2L), (10L, 11L)), 0L)
+    graft.queries.DedupQueries.componentsMergeStep(root, edges((2L, 10L)), 1L) // bridge
+    def served: Map[Long, Long] = spark.read
+      .parquet(graft.queries.EventQueries.latestViewGen(root).get)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = served
+    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L), s"got $after")
+    // foreachBatch restart contract: batch 1 replays, labels converge
+    graft.queries.DedupQueries.componentsMergeStep(root, edges((2L, 10L)), 1L)
+    assert(served == after, "replayed batch diverged the labels")
+    // vacuum: a third batch supersedes gen-0
+    graft.queries.DedupQueries.componentsMergeStep(root, edges((20L, 21L)), 2L)
+    val gens = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("gen-")).sorted
+    assert(gens.toSeq == Seq("gen-1", "gen-2"), s"vacuum kept: ${gens.mkString(",")}")
+    assert(served == after + (20L -> 20L) + (21L -> 20L))
+  }
 }

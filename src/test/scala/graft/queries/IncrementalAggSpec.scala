@@ -182,6 +182,55 @@ class IncrementalAggSpec extends SparkSpec {
     assert(served == asSet(post))
   }
 
+  test("property: ANY batching of ANY I/U/D script folds to the post-CDC recompute") {
+    import spark.implicits._
+    import graft.operators.IncrementalView
+    val keys = Seq("event_type", "day_num")
+    val rnd = new scala.util.Random(41)
+    // 20 random scripts: rows live on 3 keys; each row is inserted, then
+    // possibly updated (new value), then possibly deleted; the script's
+    // CDC rows split into 1-4 random batches folded in order
+    for (trial <- 1 to 20) {
+      val keysPool = Seq(("a", 1L), ("a", 2L), ("b", 1L))
+      case class RowState(k: (String, Long), v0: Double, v1: Option[Double], deleted: Boolean)
+      val states = (1 to 12).map { _ =>
+        val k = keysPool(rnd.nextInt(3))
+        val v0 = math.rint(rnd.nextDouble() * 100) / 4
+        val upd = if (rnd.nextBoolean()) Some(math.rint(rnd.nextDouble() * 100) / 4) else None
+        RowState(k, v0, upd, rnd.nextInt(3) == 0)
+      }
+      // base = the inserts (pre-CDC state); CDC = updates + deletes
+      val base = states.map(st => (st.k._1, st.k._2, st.v0))
+        .toDF("event_type", "day_num", "value")
+      val cdc = states.flatMap { st =>
+        val upd = st.v1.map(v1 => ("U", st.k._1, st.k._2, Some(st.v0), Some(v1)))
+        val cur = st.v1.getOrElse(st.v0)
+        val del = if (st.deleted) Some(("D", st.k._1, st.k._2, Some(cur), Option.empty[Double])) else None
+        upd.toSeq ++ del.toSeq
+      }
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = cdc.zipWithIndex.groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      // batch assignment deliberately SCRAMBLES op order (index % n): a
+      // delete may fold before the update it follows in the script —
+      // irrelevant, because once each row carries its correct old/new
+      // values the signed contributions are commutative sums
+      var view = toyPartial(base)
+      for (b <- batches if b.nonEmpty) {
+        val bdf = b.toDF("op", "event_type", "day_num", "value_old", "value_new")
+        view = IncrementalView.mergePartials(keys, view,
+          IncrementalView.signedPartials(keys, bdf))
+      }
+      val post = states.filterNot(_.deleted)
+        .map(st => (st.k._1, st.k._2, st.v1.getOrElse(st.v0)))
+      val want =
+        if (post.isEmpty) Set.empty[String]
+        else asSet(toyPartial(post.toDF("event_type", "day_num", "value")))
+      assert(asSet(IncrementalView.dropEmptied(view)) == want,
+        s"trial $trial ($nBatches batches) diverged from the recompute")
+    }
+  }
+
   test("retraction fold: an unknown op poisons the key instead of being ignored") {
     import spark.implicits._
     import graft.operators.IncrementalView
