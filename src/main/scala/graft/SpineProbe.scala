@@ -117,6 +117,7 @@ object SpineProbe {
         ("q159_stream_decontam", Set("documents")),
         ("q166_image_decode", Set("documents")),
         ("q168_audio_decode", Set("documents")),
+        ("q173_video_frames", Set("documents")),
         ("q171_components_incremental", Set("documents")),
         ("q172_stream_components", Set("documents")),
         ("q161_partition_backfill", Set("events")),
@@ -164,6 +165,7 @@ object SpineProbe {
         ("q159_stream_decontam", Set("documents")),
         ("q166_image_decode", Set("documents")),
         ("q168_audio_decode", Set("documents")),
+        ("q173_video_frames", Set("documents")),
         ("q171_components_incremental", Set("documents")),
         ("q172_stream_components", Set("documents")),
         ("q161_partition_backfill", Set("events")),

@@ -239,9 +239,115 @@ object MediaColumns {
     bos.toByteArray
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame
-    * offset — a generator, no shuffle. The decode of each frame is the
-    * same stub. */
+  /** REAL frame decode for video rows whose container the JDK can read
+    * (animated GIF — the one multi-frame format `javax.imageio` decodes
+    * with zero new dependencies): one output row per DECODED frame with
+    * true width/height and the frame's mean luminance, normalized to
+    * [0, 1]. Row-local flatMap — one row in, n-frames rows out, blobs
+    * never shuffle. Bytes that aren't a multi-frame image produce no
+    * rows here; they remain the honest codec boundary [[sampleFrames]]'
+    * byte-offset stub serves. */
+  def sampleFramesDecoded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("f_mean", FloatType, nullable = false)))
+    val out = media.filter(col("media_type") === "video")
+      .select("media_id", "content")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+          decodeAllFrames(bytes).zipWithIndex.map { case ((w, h, f), i) =>
+            Row(r.getAs[Long]("media_id"), i, w, h, f)
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Every frame of a multi-frame image container: (width, height,
+    * mean luminance / 255) per frame, Nil when the bytes don't decode.
+    * Mean luminance is (r+g+b)/3 — exact for grayscale pixels, so a
+    * solid frame round-trips its palette gray bit-for-bit (what lets
+    * q173's oracle replay the decode in SQL). */
+  private[multimodal] def decodeAllFrames(
+      bytes: Array[Byte]): Seq[(Int, Int, Float)] = {
+    if (bytes.isEmpty) return Nil
+    // in-memory stream cache: the default FILE cache opens one temp
+    // file per stream, and a per-row decode at corpus scale exhausts
+    // the fd limit (observed at the 10× probe: "Too many open files")
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (iis == null) return Nil
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          (w, h, (sum / (w.toLong * h) / 255.0).toFloat)
+        }
+      } catch { case _: java.io.IOException => Nil }
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Deterministic animated-GIF synthesis (JDK `GIFImageWriter`
+    * sequence API) — the fixture generator for the real frame decode:
+    * `n` solid frames at `(base + i·37) % 256` gray. Staging-time only. */
+  private[graft] def animatedGif(w: Int, h: Int, n: Int, base: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp file per stream
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until n).foreach { i =>
+        val g = (base + i * 37) % 256
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam())
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Frame sampling for video rows the JDK has NO decoder for: one
+    * output row per sampled byte offset — a generator, no shuffle, the
+    * decode of each frame is the documented stub. Real containers the
+    * JDK can read go through [[sampleFramesDecoded]]. */
   def sampleFrames(media: DataFrame, everyNthByte: Int): DataFrame =
     media.filter(col("media_type") === "video")
       // 0-byte or NULL media has no frames (and the null-content row would

@@ -205,5 +205,50 @@ object MultimodalQueries {
           round(element_at(col("features"), 1) * 32768).cast("int").as("f0_amp"),
           round(element_at(col("features"), 8) * 32768).cast("int").as("f7_amp"))
     },
+
+    // REAL FRAME DECODE UNDER THE ORACLE GATE — the frame-sampling stub
+    // (q63's byte offsets) upgraded to an actual multi-frame decode for
+    // the one video-ish container the JDK reads: animated GIF. The
+    // media table carries real animated GIFs (MediaColumns.animatedGif
+    // — GIFImageWriter sequence API — frame count, pixel dims and each
+    // frame's gray level parametric in document columns) and serving
+    // decodes EVERY frame through ImageIO's multi-image reader: one row
+    // per decoded frame with true width/height and the frame's mean
+    // luminance. GIF is palette-based, so a solid frame round-trips its
+    // gray exactly and the oracle replays the whole per-frame table
+    // (frame i of doc d must surface gray (13·n_chars + 37·i) % 256 —
+    // a decoder that misordered frames, misread the palette, or
+    // collapsed the sequence to its first frame would hash-mismatch).
+    // Containers the JDK cannot decode remain q63's documented
+    // byte-offset stub.
+    QueryDef("q173_video_frames", Seq("S14", "U6"),
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             1 + CAST(n_chars % 16 AS INT) AS width,
+             1 + CAST((n_chars * 3) % 12 AS INT) AS height,
+             2 + CAST(n_chars % 4 AS INT) AS nf,
+             CAST((n_chars * 13) % 256 AS INT) AS base
+           FROM documents)
+         SELECT media_id, CAST(g.i AS INT) AS frame_idx, width, height,
+           CAST((base + g.i * 37) % 256 AS INT) AS f_gray
+         FROM m, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) g""") { (s, d) =>
+      val dir = graft.sources.ZOrder.ensureStagedDir(
+        "graft_media_gif", d, s"$d/documents.parquet") { target =>
+        val gif = udf((w: Int, h: Int, n: Int, base: Int) =>
+          MediaColumns.animatedGif(w, h, n, base))
+        Tables.documents(s, d).select(
+            col("doc_id").as("media_id"),
+            lit("video").as("media_type"),
+            gif((lit(1) + col("n_chars") % 16).cast("int"),
+              (lit(1) + (col("n_chars") * 3) % 12).cast("int"),
+              (lit(2) + col("n_chars") % 4).cast("int"),
+              ((col("n_chars") * 13) % 256).cast("int")).as("content"),
+            lit(null).cast("string").as("meta"))
+          .write.mode("overwrite").parquet(target)
+      }
+      MediaColumns.sampleFramesDecoded(s.read.parquet(dir))
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          round(col("f_mean") * 255).cast("int").as("f_gray"))
+    },
   )
 }

@@ -100,6 +100,23 @@ class MediaColumnsSpec extends SparkSpec {
     assert(feats.length == 3 && feats.forall(_ == (77.0 / 255.0).toFloat))
   }
 
+  test("sampleFramesDecoded: real GIF frames in order, none for undecodable video") {
+    import scala.jdk.CollectionConverters._
+    val gifMedia = spark.createDataFrame(
+      Seq(
+        Row(7L, "video", MediaColumns.animatedGif(5, 4, 3, 40), null),
+        Row(8L, "video", "not-a-gif".getBytes("UTF-8"), null),
+        Row(9L, "image", MediaColumns.animatedGif(5, 4, 3, 40), null)).asJava,
+      MediaColumns.mediaSchema)
+    val out = MediaColumns.sampleFramesDecoded(gifMedia).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        math.round(r.getFloat(4) * 255)))
+    // 3 frames, in sequence order, exact palette grays 40, 77, 114;
+    // undecodable bytes contribute nothing; non-video rows are not frames
+    assert(out.toSeq == Seq((7L, 0, 5, 4, 40L), (7L, 1, 5, 4, 77L), (7L, 2, 5, 4, 114L)),
+      s"got ${out.toSeq}")
+  }
+
   test("sampleFrames: one row per sampled offset, video only") {
     val out = MediaColumns.sampleFrames(media, everyNthByte = 10).collect()
     assert(out.forall(_.getLong(0) == 3L))
