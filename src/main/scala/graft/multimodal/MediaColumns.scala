@@ -64,6 +64,9 @@ object MediaColumns {
   private[multimodal] def decodeImage(
       bytes: Array[Byte], dims: Int): Option[(Int, Int, Array[Float])] = {
     if (bytes.isEmpty) return None
+    // in-memory stream cache (same reason as decodeAllFrames): the
+    // default FILE cache pays a temp-file create/delete per decoded row
+    javax.imageio.ImageIO.setUseCache(false)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null } // recognized-but-corrupt
@@ -147,7 +150,9 @@ object MediaColumns {
           val feats = Array.ofDim[Float](dims)
           var w = 0
           while (w < dims) {
-            val f0 = w * n / dims; val f1 = math.max(f0 + 1, (w + 1) * n / dims)
+            // Long arithmetic: w * n overflows Int for ~90-minute WAVs
+            val f0 = (w.toLong * n / dims).toInt
+            val f1 = math.max(f0 + 1, ((w + 1).toLong * n / dims).toInt)
             var sum = 0.0
             var i = f0
             while (i < math.min(f1, n)) {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-partial plumbing for incrementally maintained aggregates
@@ -47,16 +47,24 @@ object IncrementalView {
       opCol: String = "op", oldCol: String = "value_old",
       newCol: String = "value_new"): DataFrame = {
     val op = col(opCol)
-    // an unknown op must fail AT THE ROW (sum() would silently ignore a
-    // NULL contribution — the op would vanish, not poison)
+    // an unknown op — or a known op missing the value its sign needs
+    // (a D without its before-image, an I/U without the new value) —
+    // must fail AT THE ROW: sum() would silently ignore a NULL
+    // contribution, so the count would move while the sum kept the
+    // retracted value — a silently wrong view, worse than a crash
     val bad = raise_error(
       concat(lit("signedPartials: unknown CDC op '"), op, lit("'")))
+    def req(c: Column, what: String): Column =
+      when(c.isNull, raise_error(concat(
+        lit(s"signedPartials: NULL $what for op '"), op, lit("'"))))
+        .otherwise(c)
     cdc.select(keys.map(col) ++ Seq(
         when(op === "I", 1L).when(op === "D", -1L).when(op === "U", 0L)
           .otherwise(bad).as("dn"),
-        when(op === "I", col(newCol))
-          .when(op === "D", -col(oldCol))
-          .when(op === "U", col(newCol) - col(oldCol)).as("dv")): _*)
+        when(op === "I", req(col(newCol), newCol))
+          .when(op === "D", -req(col(oldCol), oldCol))
+          .when(op === "U", req(col(newCol), newCol) - req(col(oldCol), oldCol))
+          .as("dv")): _*)
       .groupBy(keys.map(col): _*)
       .agg(sum("dn").as("n"), sum("dv").as("sum_value"))
   }

@@ -410,7 +410,7 @@ object DedupQueries {
     * full transitive closure. */
   private def ccComponentsSql =
     """WITH RECURSIVE tok AS (
-         SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
+         SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
          FROM documents),
        bits AS (
          SELECT doc_id, b.b,

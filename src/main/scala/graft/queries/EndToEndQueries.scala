@@ -706,10 +706,10 @@ object EndToEndQueries {
     val ndp = keepMin(ex, "minhash")
     // standing tree quantizer (q140's): trained on the FULL embeddings
     // table — the quantizer is a maintained artifact, the dedup applies
-    // to whatever candidate set flows in. Follows q140's k ∝ N rule, so
-    // the oracle (whose tree is pinned at 8×8) matches exactly at
-    // sf0.01 where cellSide resolves to 8; at other SFs the trees — and
-    // so the dup sets — legitimately differ (the q140/q142 convention)
+    // to whatever candidate set flows in. Follows q140's k ∝ N rule,
+    // and since round 14 the oracle replays the SAME rule (its `side`
+    // CTE derives from count(*)), so engine and oracle agree at EVERY
+    // sf — a q153 hash mismatch at any scale is a real regression.
     val emb = Tables.embeddings(s, d)
     val side = graft.dedup.SemDedup.cellSide(emb.count())
     val tq = graft.ann.KMeans.fitTree(emb, "vec_id", "embedding",

@@ -274,25 +274,14 @@ object RelationalQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name, o_year""") { (s, d) =>
-      def partial(orders: org.apache.spark.sql.DataFrame) = orders
-        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_value"))
-      val matDir = graft.sources.ZOrder.ensureStagedDir(
-        "graft_incr_join_base", d, s"$d/orders.parquet") { target =>
-        partial(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
-          .write.mode("overwrite").parquet(target)
-      }
       val deltaDir = graft.sources.ZOrder.ensureStagedDir(
         "graft_incr_join_delta", d, s"$d/orders.parquet") { target =>
         Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
           .write.mode("overwrite").parquet(target)
       }
       graft.operators.IncrementalView.mergePartials(Seq("n_name", "o_year"),
-          s.read.parquet(matDir), partial(s.read.parquet(deltaDir)))
+          s.read.parquet(incrJoinBaseDir(s, d)),
+          joinViewPartial(s, d, s.read.parquet(deltaDir)))
         .select(col("n_name"), col("o_year"), col("n"),
           round(col("sum_value"), 4).as("total_price"))
     },
@@ -321,19 +310,6 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE o_orderkey % 10 <> 3
          GROUP BY n_name, o_year""") { (s, d) =>
-      def partial(orders: org.apache.spark.sql.DataFrame) = orders
-        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_value"))
-      // q160's materialized base state, shared staged dir
-      val matDir = graft.sources.ZOrder.ensureStagedDir(
-        "graft_incr_join_base", d, s"$d/orders.parquet") { target =>
-        partial(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
-          .write.mode("overwrite").parquet(target)
-      }
       // the CDC landing file: op + the fact keys the enrichment needs
       val deltaDir = graft.sources.ZOrder.ensureStagedDir(
         "graft_cdc_orders_delta", d, s"$d/orders.parquet") { target =>
@@ -366,9 +342,35 @@ object RelationalQueries {
         Seq("n_name", "o_year"), enriched)
       graft.operators.IncrementalView.dropEmptied(
           graft.operators.IncrementalView.mergePartials(Seq("n_name", "o_year"),
-            s.read.parquet(matDir), signed))
+            s.read.parquet(incrJoinBaseDir(s, d)), signed))
         .select(col("n_name"), col("o_year"), col("n"),
           round(col("sum_value"), 4).as("total_price"))
     },
   )
+
+  /** The (nation, year) revenue partial over a frame of order rows —
+    * ONE definition for the join-bearing view's enrichment + reduce, so
+    * q160 (append delta) and q170 (CDC delta, via the same dims) can
+    * never disagree on the view they maintain. */
+  private def joinViewPartial(s: org.apache.spark.sql.SparkSession,
+      d: String, orders: org.apache.spark.sql.DataFrame) = orders
+    .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+      col("c_nationkey") === col("n_nationkey"))
+    .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+    .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_value"))
+
+  /** The join view's materialized base state (history partials over
+    * o_orderkey % 10 <> 0), shared by q160 and q170 — one staged dir,
+    * one builder, so an edit cannot reach one consumer and miss the
+    * other (they cache under the same fingerprint key). */
+  private def incrJoinBaseDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_incr_join_base", d, s"$d/orders.parquet") { target =>
+      joinViewPartial(s, d,
+          Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+        .write.mode("overwrite").parquet(target)
+    }
 }

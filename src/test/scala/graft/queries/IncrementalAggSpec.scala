@@ -231,6 +231,22 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("retraction fold: a known op missing its value fails at the row, never mis-folds") {
+    import spark.implicits._
+    import graft.operators.IncrementalView
+    // a D without its before-image would decrement n while sum() skipped
+    // the NULL — count moves, sum keeps the deleted value: silently wrong
+    val keys = Seq("event_type", "day_num")
+    val cdc = Seq(("D", "a", 1L, Option.empty[Double], Option.empty[Double]))
+      .toDF("op", "event_type", "day_num", "value_old", "value_new")
+    val e = intercept[Exception](
+      IncrementalView.signedPartials(keys, cdc).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL value_old")),
+      s"expected the NULL-value guard, got: ${e.getMessage}")
+  }
+
   test("retraction fold: an unknown op poisons the key instead of being ignored") {
     import spark.implicits._
     import graft.operators.IncrementalView
