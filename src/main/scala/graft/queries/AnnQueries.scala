@@ -1457,6 +1457,83 @@ object AnnQueries {
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
+
+    // MMR RE-RANK — retrieval diversity, the stage between "top-k by
+    // similarity" and "what a RAG context window actually wants": pure
+    // cosine top-k returns near-duplicates of each other (by q106's own
+    // evidence the corpus HAS semantic duplicates), so maximal marginal
+    // relevance greedily picks argmax λ·rel − (1−λ)·max_sim_to_selected
+    // (λ = 0.7), trading relevance against redundancy. The greedy loop
+    // is inherently sequential, but its DEPTH is the answer size (3) and
+    // its WIDTH the shortlist (top-8 by rel) — so each step is a
+    // broadcast of the ≤2 selected vectors against 8 candidate rows,
+    // unrolled statically; the corpus-sized work is only the shortlist
+    // top-k (bounded rank-filter, the RewriteRankFilterToTopK shape).
+    // Scores compare at 6dp with vec_id ties, so selection is
+    // engine-deterministic; the oracle unrolls the same three steps.
+    QueryDef("q179_mmr_rerank", Seq("J12", "W8", "W6"),
+      s"""WITH cand AS (
+            SELECT a.vec_id, a.embedding,
+              round($cosineSql, 6) AS rel
+            FROM embeddings a
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+            WHERE a.vec_id <> 0),
+          short AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 8),
+          s1 AS (
+            SELECT vec_id, embedding, rel, round(0.7 * rel, 6) AS score
+            FROM short ORDER BY rel DESC, vec_id LIMIT 1),
+          c2 AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+              round(0.7 * c.rel - 0.3 * round(list_cosine_similarity(
+                cast(c.embedding AS DOUBLE[]), cast(s.embedding AS DOUBLE[])), 6), 6) AS score
+            FROM short c, s1 s WHERE c.vec_id <> s.vec_id),
+          s2 AS (SELECT vec_id, embedding, rel, score FROM c2
+                 ORDER BY score DESC, vec_id LIMIT 1),
+          c3 AS (
+            SELECT c.vec_id, c.rel,
+              round(0.7 * c.rel - 0.3 * greatest(
+                round(list_cosine_similarity(cast(c.embedding AS DOUBLE[]),
+                                             cast(a.embedding AS DOUBLE[])), 6),
+                round(list_cosine_similarity(cast(c.embedding AS DOUBLE[]),
+                                             cast(b.embedding AS DOUBLE[])), 6)), 6) AS score
+            FROM short c, s1 a, s2 b
+            WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id),
+          s3 AS (SELECT vec_id, rel, score FROM c3 ORDER BY score DESC, vec_id LIMIT 1)
+          SELECT 1 AS step, vec_id, rel, score FROM s1
+          UNION ALL SELECT 2, vec_id, rel, score FROM s2
+          UNION ALL SELECT 3, vec_id, rel, score FROM s3""") { (s, d) =>
+      import graft.functions.VectorFns
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
+      // the only corpus-sized stage: relevance scan + bounded top-8
+      val short = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("embedding"),
+          round(VectorFns.cosine(col("embedding"), col("__qvec")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(8)
+        .localCheckpoint(false) // 8 rows, read by every unrolled step
+      def pick(cands: org.apache.spark.sql.DataFrame) =
+        cands.orderBy(col("score").desc, col("vec_id")).limit(1)
+          .localCheckpoint(false) // selected row re-enters later steps
+      val s1 = pick(short.withColumn("score", round(lit(0.7) * col("rel"), 6)))
+      val sel1 = s1.select(col("vec_id").as("__sid"), col("embedding").as("__svec"))
+      val c2 = short.crossJoin(broadcast(sel1))
+        .filter(col("vec_id") =!= col("__sid"))
+        .withColumn("score", round(lit(0.7) * col("rel")
+          - lit(0.3) * round(VectorFns.cosine(col("embedding"), col("__svec")), 6), 6))
+      val s2 = pick(c2.select("vec_id", "embedding", "rel", "score"))
+      val sel2 = s2.select(col("vec_id").as("__sid2"), col("embedding").as("__svec2"))
+      val c3 = short.crossJoin(broadcast(sel1)).crossJoin(broadcast(sel2))
+        .filter(col("vec_id") =!= col("__sid") && col("vec_id") =!= col("__sid2"))
+        .withColumn("score", round(lit(0.7) * col("rel")
+          - lit(0.3) * greatest(
+              round(VectorFns.cosine(col("embedding"), col("__svec")), 6),
+              round(VectorFns.cosine(col("embedding"), col("__svec2")), 6)), 6))
+      val s3 = pick(c3.select("vec_id", "embedding", "rel", "score"))
+      s1.select(lit(1).as("step"), col("vec_id"), col("rel"), col("score"))
+        .unionByName(s2.select(lit(2).as("step"), col("vec_id"), col("rel"), col("score")))
+        .unionByName(s3.select(lit(3).as("step"), col("vec_id"), col("rel"), col("score")))
+    },
   )
 
   // The history-trained tree incremental dup-flags oracle (history gate

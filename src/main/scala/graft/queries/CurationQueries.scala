@@ -213,6 +213,121 @@ object CurationQueries {
             .otherwise(array().cast("array<bigint>"))).as("epoch"))
     },
 
+    // TOKEN-BUDGET MIXTURE — the planner's side of a training-data mix:
+    // the run has a TOKEN budget (here half the corpus), each source a
+    // mixture weight (1 + src# % 3 — deterministic), and the engine must
+    // fill each source's share with its BEST documents. Per source:
+    // budget = floor(total/2 · w / Σw), docs ranked by quality (q40's
+    // 6dp-rounded score, so the order is engine-stable), kept while the
+    // running token prefix-sum stays within budget. Complements the
+    // rate-based mixers (q101 temperature, q108 epochs): those realize a
+    // RATIO, this realizes an absolute budget with a quality floor —
+    // what an actual pretraining run is provisioned by. Scale shape: the
+    // corpus is tokenized+scored in ONE pinned pass; budgets derive from
+    // the per-source aggregate (20 rows) with the global sums as windows
+    // over THAT frame, not second corpus scans; the prefix-sum is a
+    // per-source window (sources ≫ executors ⇒ partition-parallel; a
+    // single monster source would use the PrefixSum two-phase scan
+    // instead, q83's idiom). Output is the per-source manifest.
+    QueryDef("q176_token_budget_mix", Seq("F5", "W4", "W8", "A5"),
+      s"""WITH tok AS (
+            SELECT doc_id, source, len($wsToks) AS tokens,
+              ${TextQueries.qualitySql} AS quality
+            FROM documents),
+          srct AS (
+            SELECT source, CAST(sum(tokens) AS BIGINT) AS src_tokens
+            FROM tok GROUP BY source),
+          srcw AS (
+            SELECT source, src_tokens,
+              1 + CAST(substr(source, 4) AS INT) % 3 AS w
+            FROM srct),
+          budgets AS (
+            SELECT source, w,
+              CAST(floor(
+                CAST(floor(sum(src_tokens) OVER () / 2.0) AS BIGINT)
+                  * w / CAST(sum(w) OVER () AS DOUBLE)) AS BIGINT) AS budget
+            FROM srcw),
+          ranked AS (
+            SELECT doc_id, source, tokens,
+              sum(tokens) OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tok),
+          kept AS (
+            SELECT r.source, count(*) AS n_kept,
+              CAST(sum(r.tokens) AS BIGINT) AS tokens_kept
+            FROM ranked r JOIN budgets b ON r.source = b.source
+            WHERE r.cum <= b.budget GROUP BY r.source)
+          SELECT b.source, b.w, b.budget,
+            coalesce(k.n_kept, 0) AS n_kept,
+            coalesce(k.tokens_kept, 0) AS tokens_kept
+          FROM budgets b LEFT JOIN kept k ON b.source = k.source""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFns
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), """\s+""")).cast("long").as("tokens"),
+          TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
+        .localCheckpoint(false) // budgets agg and the ranked window share one scan
+      // global sums ride windows over the 20-row per-source aggregate
+      // (q101/q108 discipline), never a second corpus scan
+      val srcw = tok.groupBy("source").agg(sum("tokens").as("src_tokens"))
+        .withColumn("w", lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+      val budgets = srcw
+        .withColumn("budget_total",
+          floor(sum("src_tokens").over(Window.partitionBy(lit(1))) / 2.0).cast("long"))
+        .withColumn("ws", sum("w").over(Window.partitionBy(lit(1))))
+        .select(col("source"), col("w"),
+          floor(col("budget_total") * col("w") / col("ws").cast("double"))
+            .cast("long").as("budget"))
+      val ranked = tok.withColumn("cum",
+        sum("tokens").over(Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val kept = ranked.join(broadcast(budgets), "source")
+        .filter(col("cum") <= col("budget"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          sum("tokens").as("tokens_kept"))
+      budgets.join(kept, Seq("source"), "left")
+        .select(col("source"), col("w"), col("budget"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+    },
+
+    // TOKEN-BALANCED SHARDS — q102 hash-shards documents uniformly BY
+    // COUNT, which leaves shard token totals as lopsided as the length
+    // distribution; a training run wants shards balanced BY TOKENS so
+    // every data-parallel reader finishes together. Classic LPT
+    // approximation: order docs by tokens desc and deal them round-robin
+    // — shard = global_rank % 8, which bounds the token imbalance by one
+    // document per deal round. The global rank is the q83 discipline:
+    // PrefixSum's two-phase scan (bucket = the negated token count —
+    // a coarsening of the order with doc_id unique inside), NEVER a
+    // single-partition row_number over the corpus. Output is the
+    // per-doc shard manifest the writer tasks consume.
+    QueryDef("q180_balanced_shards", Seq("W8", "F5", "A5"),
+      s"""WITH tok AS (
+            SELECT doc_id, len($wsToks) AS tokens FROM documents),
+          ranked AS (
+            SELECT doc_id, tokens,
+              row_number() OVER (ORDER BY tokens DESC, doc_id) AS rnk
+            FROM tok)
+          SELECT doc_id, tokens, CAST((rnk - 1) % 8 AS INT) AS shard
+          FROM ranked""") { (s, d) =>
+      import graft.operators.PrefixSum
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), """\s+""")).cast("long").as("tokens"))
+      // rank-1 = exclusive prefix COUNT in (tokens desc, doc_id) order;
+      // the bucket (-tokens) coarsens that order so phase 3 partitions
+      // by token count and no task ever sees the whole corpus
+      PrefixSum.exclusive(tok,
+          order = struct((-col("tokens")).as("nt"), col("doc_id")),
+          value = lit(1L), bucket = -col("tokens"), as = "__pre")
+        .select(col("doc_id"), col("tokens"),
+          (col("__pre") % 8).cast("int").as("shard"))
+    },
+
     // Classifier-scored curation ([[graft.ml.NaiveBayes]]): train a
     // multinomial NB lang model in ONE aggregation pass (per-class doc
     // counts ride the token-count shuffle via a marker token), then

@@ -376,6 +376,57 @@ object DedupQueries {
         .select(col("doc_id"), coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
           col("hit_bands").isNotNull.as("dup_in_history"))
     },
+
+    // QUALITY-PREFERRED SURVIVOR SELECTION — canonical selection the way
+    // a corpus build actually does it: per near-dup cluster keep the
+    // HIGHEST-QUALITY member (q40's score), not the smallest id. q65
+    // answers "which docs are the same"; this answers "which copy do we
+    // train on" — the min-id convention silently keeps whichever copy
+    // was crawled first, which for boilerplate-wrapped mirrors is often
+    // the worst one. Every document gets a verdict (singletons are their
+    // own cluster), so the output IS the kept-corpus manifest. Scale
+    // shape: labels come from the banded component run (linear in
+    // candidates); the survivor pick is a sort-free min-struct hash agg
+    // on the cluster key (q33's exactDedup idiom — partial-aggregatable,
+    // no per-cluster window sort), and the quality ordering key is the
+    // ALREADY-6dp-ROUNDED score, so the argmax is deterministic across
+    // engines; ties break to the smaller doc_id via the struct's second
+    // field. The oracle extends q65's transitive-closure CTE verbatim.
+    QueryDef("q174_dedup_quality_survivor", Seq("A10", "A2", "W6"),
+      s"""WITH RECURSIVE $ccLabelCtes,
+          scored AS (
+            SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+              ${TextQueries.qualitySql} AS quality
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+          ranked AS (
+            SELECT component, doc_id, quality,
+              row_number() OVER (PARTITION BY component
+                ORDER BY quality DESC, doc_id) AS rnk,
+              count(*) OVER (PARTITION BY component) AS n_members
+            FROM scored)
+          SELECT component, doc_id AS survivor_id, n_members, quality
+          FROM ranked WHERE rnk = 1""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sig = docs.select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+      val labels = Components.connectedComponents(
+          TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+      docs
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
+        // argmax(quality, tiebreak min id) as ONE hash agg: max of
+        // (quality, -id) — no negated doubles, no window sort
+        .groupBy("component")
+        .agg(
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("pick.nid")).as("survivor_id"),
+          col("n_members"), col("pick.quality").as("quality"))
+    },
   )
 
 
@@ -409,7 +460,15 @@ object DedupQueries {
     * however the clusters were (re)built, the labeling must equal the
     * full transitive closure. */
   private def ccComponentsSql =
-    """WITH RECURSIVE tok AS (
+    s"""WITH RECURSIVE $ccLabelCtes
+       SELECT doc_id, component FROM labels"""
+
+  /** The transitive-closure CTE chain ending in `labels(doc_id,
+    * component)` — the shared body of ccComponentsSql, also extended by
+    * q174's survivor selection (which needs the labels AS a relation,
+    * not the final projection). Must follow `WITH RECURSIVE`. */
+  private def ccLabelCtes =
+    """tok AS (
          SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
          FROM documents),
        bits AS (
@@ -437,6 +496,7 @@ object DedupQueries {
        reach(src, dst) AS (
          SELECT src, dst FROM edges
          UNION
-         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"""
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       labels AS (
+         SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)"""
 }

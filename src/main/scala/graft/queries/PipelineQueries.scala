@@ -257,6 +257,54 @@ object PipelineQueries {
           (col("n_total") - coalesce(col("n_bad"), lit(0L))).as("n_kept"))
     },
 
+    // FUZZY DECONTAMINATION — the third pole of the decontamination
+    // family: q70/q85 catch EXACT eval overlap (n-gram / fingerprint),
+    // but a paraphrased or lightly-edited eval leak shares no exact
+    // 3-gram. Here the corpus is screened against the eval set with
+    // MinHash band signatures (q118's shingle-8 × 4-band machinery):
+    // a doc colliding with any eval doc in ≥ 2 of 4 bands is flagged
+    // contaminated — band votes grade the match from "coincidental
+    // shingle" (1 band) to "near-copy" (4). Scale shape: the EVAL side
+    // is always the small one, so its distinct (band, sig) keys
+    // broadcast and the corpus streams through one semi-shaped hash
+    // join — per-doc verdicts come off a doc-keyed aggregate of the
+    // collisions, never a corpus×eval pair stage.
+    QueryDef("q178_fuzzy_decontam", Seq("F3", "A10", "J11"),
+      """WITH bands AS (SELECT unnest(generate_series(0, 3)) AS b),
+          sigs AS (
+            SELECT d.doc_id, bands.b,
+              list_min([md5(CAST(bands.b AS VARCHAR) || ':' || substring(d.text, g, 8))
+                        FOR g IN generate_series(1, greatest(length(d.text) - 7, 1))]) AS sig
+            FROM documents d CROSS JOIN bands),
+          esig AS (SELECT DISTINCT b, sig FROM sigs WHERE doc_id % 97 = 0),
+          hits AS (
+            SELECT s.doc_id, count(*) AS hit_bands
+            FROM sigs s JOIN esig e ON s.b = e.b AND s.sig = e.sig
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY s.doc_id)
+          SELECT d.doc_id, coalesce(h.hit_bands, 0) AS hit_bands,
+            coalesce(h.hit_bands, 0) >= 2 AS contaminated
+          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.doc_id % 97 <> 0""") { (s, d) =>
+      import graft.dedup.TextDedup
+      val docs = Tables.documents(s, d)
+      val evalSigs = TextDedup.md5BandSigs(
+          docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", 8, 4)
+        .select("b", "sig").distinct()
+      val kept = docs.filter(col("doc_id") % 97 =!= 0)
+      val hits = TextDedup.md5BandSigs(kept, "text", "doc_id", 8, 4)
+        // esig is distinct on (b, sig) and a doc carries ONE sig per
+        // band, so each (doc, band) row matches at most once — plain
+        // count ≡ the oracle's per-band hit count
+        .join(broadcast(evalSigs), Seq("b", "sig"))
+        .groupBy("doc_id").agg(count(lit(1)).as("hit_bands"))
+      kept.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit_bands"), lit(0L)).as("hit_bands"),
+          (coalesce(col("hit_bands"), lit(0L)) >= 2).as("contaminated"))
+    },
+
     // SCD2 interval build (the CDC pattern): profile-change events
     // become versioned rows with [valid_from, valid_to) and a current
     // flag — one shuffle on the entity key, lead() within it.

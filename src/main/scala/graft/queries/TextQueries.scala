@@ -91,18 +91,83 @@ object TextQueries {
   private def stopHits(stops: Seq[String]) =
     s"""len(list_filter($wsToks, t -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], lower(t))))"""
 
+  /** The q40 stopword list, shared with the quality-ranked consumers
+    * (q174 survivor selection, q176 token-budget mix). */
+  private[queries] val qualityStops = Seq("the", "a", "and", "of", "to", "is")
+
+  /** q115's Okapi BM25 CTE chain, ending in `bm25(doc_id, bm25)` — the
+    * oracle twin of `bm25Scores`, extended by q175's hybrid fusion.
+    * Must follow `WITH`. */
+  private def bm25CtesSql =
+    s"""tok AS (
+          SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
+        stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
+        tf AS (
+          SELECT doc_id, len(toks) AS dl, t, count(*) AS tf
+          FROM tok, LATERAL (SELECT unnest(toks) AS t)
+          WHERE t IN ('dup', 'spark', 'merge') GROUP BY 1, 2, 3),
+        df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        bm25 AS (
+          SELECT doc_id,
+            round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                  * tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+          FROM tf JOIN df USING (t) CROSS JOIN stats GROUP BY doc_id)"""
+
+  /** BM25 retrieval scoring (Okapi, the Lucene always-positive idf
+    * variant) for the fixed query terms — the ranking twin of q78's
+    * TF-IDF keyword extraction, and the lexical arm of q175's hybrid
+    * fusion. Scale shape: the explode is filtered to the QUERY terms
+    * before the (doc, term) aggregate, so only hit rows ever shuffle
+    * (query-sized, not vocabulary-sized); df comes off that tiny frame
+    * and broadcasts back; n_docs/avgdl are one scalar row off the
+    * checkpointed token frame (pinned once — the stats agg and the tf
+    * path would otherwise each re-tokenize the corpus). 'dup' is the
+    * corpus's planted rare token (high idf), 'spark' and 'merge' are
+    * common (~900 hits) — the score separates them. */
+  private[queries] def bm25Scores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("dup", "spark", "merge")
+    val k1 = 1.2; val b = 0.75
+    val tok = Tables.documents(s, d)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), split(trim(col("text")), """\s+""").as("toks"))
+      .localCheckpoint(false)
+    val stats = tok.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val tf = tok
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // df and the scored side both read it (q78 pattern)
+    val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * (k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
+  }
+
+  /** q40's quality expression VERBATIM (already rounded at 6dp, so
+    * ordering by it is deterministic across engines) — the DuckDB mirror
+    * of `TextFns.qualityScore`. Shared by q40 and the quality-ranked
+    * consumers; `text` must resolve unambiguously in the calling scope. */
+  private[queries] def qualitySql: String =
+    s"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        round((least(cast(length(text) AS DOUBLE) / 500.0, 1.0)
+          + (1.0 - least(cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE) * 5.0 / length(text), 1.0))
+          + least(cast(${stopHits(qualityStops)} AS DOUBLE) * 4.0 / len($wsToks), 1.0)) / 3.0, 6) END"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Quality score: length score + punct cleanliness + stopword mass.
     QueryDef("q40_text_quality", Seq("F5", "A11"),
-      s"""SELECT doc_id,
-           CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           round((least(cast(length(text) AS DOUBLE) / 500.0, 1.0)
-             + (1.0 - least(cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS DOUBLE) * 5.0 / length(text), 1.0))
-             + least(cast(${stopHits(Seq("the", "a", "and", "of", "to", "is"))} AS DOUBLE) * 4.0 / len($wsToks), 1.0)) / 3.0, 6) END AS quality
-         FROM documents""") { (s, d) =>
+      s"""SELECT doc_id, $qualitySql AS quality FROM documents""") { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        TextFns.qualityScore(col("text"), Seq("the", "a", "and", "of", "to", "is")).as("quality"))
+        TextFns.qualityScore(col("text"), qualityStops).as("quality"))
     },
 
     // Language-ID: marker-word scores + argmax cascade.
@@ -236,6 +301,57 @@ object TextQueries {
         .select(col("doc_id"), explode(wordGrams(col("text"), 3)).as("gram"))
         .join(broadcast(probe), "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    },
+
+    // CONTAMINATION FRACTION — q70 counts eval-set n-gram hits; real
+    // decontamination policies (the Gopher / Llama "dirty document"
+    // rule) flag on the FRACTION of a document's n-grams that appear in
+    // the eval set, so a long document brushing one eval phrase is kept
+    // while a short near-copy is dropped. Per kept-side doc: n_grams
+    // (distinct 3-grams), n_hits, frac = hits/grams at 6dp, flagged at
+    // τ = 0.1 (the fixture's contaminated tail — real policies run 0.1–0.8). Docs too short to have any gram get frac 0 and are kept
+    // (nothing to match on — the ANSI-mode 0/0 is guarded on both
+    // sides). Scale shape: the probe set broadcasts at any corpus size
+    // (eval suites are MBs); the per-doc denominator rides the same
+    // explode as the hit count, so the corpus is tokenized ONCE and the
+    // verdict join is gram-bucketed, never all-pairs.
+    QueryDef("q177_contamination_fraction", Seq("F3", "A10", "A11", "J11"),
+      s"""WITH tok AS (
+            SELECT doc_id, $wsToks AS toks FROM documents),
+          grams AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[g:g+2], ' ') AS gram
+            FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-2, 0))) AS g)),
+          probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+          counts AS (
+            SELECT g.doc_id, count(*) AS n_grams, count(p.gram) AS n_hits
+            FROM grams g LEFT JOIN probe p ON g.gram = p.gram
+            WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id),
+          scored AS (
+            SELECT t.doc_id, coalesce(c.n_grams, 0) AS n_grams,
+              coalesce(c.n_hits, 0) AS n_hits,
+              CASE WHEN coalesce(c.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(CAST(c.n_hits AS DOUBLE) / c.n_grams, 6) END AS frac
+            FROM tok t LEFT JOIN counts c ON t.doc_id = c.doc_id
+            WHERE t.doc_id % 97 <> 0)
+          SELECT doc_id, n_grams, n_hits, frac, frac >= 0.1 AS flagged
+          FROM scored""") { (s, d) =>
+      import graft.dedup.TextDedup.wordGrams
+      val docs = Tables.documents(s, d)
+      val probe = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(wordGrams(col("text"), 3)).as("gram")).distinct()
+      val base = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), wordGrams(col("text"), 3).as("grams"))
+        .localCheckpoint(false) // denominator and hit explode share one tokenize
+      val hits = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(probe), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      base.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("frac", when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_grams"), 6)))
+        .select(col("doc_id"), col("n_grams"), col("n_hits"), col("frac"),
+          (col("frac") >= 0.1).as("flagged"))
     },
 
     // Intra-document repetition ratio (Gopher-style quality filter):
@@ -412,51 +528,78 @@ object TextQueries {
     },
 
     // BM25 retrieval scoring (Okapi, the Lucene always-positive idf
-    // variant) for a fixed query — the ranking twin of q78's TF-IDF
-    // keyword extraction. Scale shape: the explode is filtered to the
-    // QUERY terms before the (doc, term) aggregate, so only hit rows
-    // ever shuffle (query-sized, not vocabulary-sized); df comes off
-    // that tiny frame and broadcasts back; n_docs/avgdl are one scalar
-    // row off the checkpointed token frame (pinned once — the stats agg
-    // and the tf path would otherwise each re-tokenize the corpus).
-    // 'dup' is the corpus's planted rare token (high idf), 'spark' and
-    // 'merge' are common (~900 hits) — the score separates them.
+    // variant) for a fixed query — body and scale notes in bm25Scores
+    // (shared with q175's hybrid fusion).
     QueryDef("q115_bm25", Seq("A5", "A11"),
-      s"""WITH tok AS (
-            SELECT doc_id, $wsToks AS toks FROM documents WHERE trim(text) <> ''),
-          stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok),
-          tf AS (
-            SELECT doc_id, len(toks) AS dl, t, count(*) AS tf
-            FROM tok, LATERAL (SELECT unnest(toks) AS t)
-            WHERE t IN ('dup', 'spark', 'merge') GROUP BY 1, 2, 3),
-          df AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
-          SELECT doc_id,
-            round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                  * tf * (1.2 + 1.0)
-                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
-          FROM tf JOIN df USING (t) CROSS JOIN stats GROUP BY doc_id""") { (s, d) =>
-      val terms = Seq("dup", "spark", "merge")
-      val k1 = 1.2; val b = 0.75
-      val tok = Tables.documents(s, d)
-        .filter(trim(col("text")) =!= "")
-        .select(col("doc_id"), split(trim(col("text")), """\s+""").as("toks"))
-        .localCheckpoint(false)
-      val stats = tok.agg(count(lit(1)).as("n_docs"),
-        avg(size(col("toks"))).as("avgdl"))
-      val tf = tok
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("t"))
-        .filter(col("t").isin(terms: _*))
-        .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // df and the scored side both read it (q78 pattern)
-      val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfc), "t")
-        .crossJoin(broadcast(stats))
-        .withColumn("w",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-            * col("tf") * (k1 + 1.0)
-            / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
+      s"""WITH $bm25CtesSql
+          SELECT doc_id, bm25 FROM bm25""") { (s, d) =>
+      bm25Scores(s, d)
+    },
+
+    // HYBRID RETRIEVAL — the serving composition every RAG/corpus-search
+    // stack runs: a lexical ranker (q115's BM25 over the query terms) and
+    // a semantic ranker (cosine against a probe embedding, doc 0's) fused
+    // by reciprocal-rank fusion: rrf = Σ 1/(60 + rank), a doc absent from
+    // one list contributing 0 from it. RRF needs only RANKS, so the two
+    // arms never have to calibrate scores against each other — which is
+    // why it's the standard fusion. Scale shape: each arm is a bounded
+    // top-50 (rank-filter windows over the query-sized hit list and the
+    // cosine scan — the engine's RewriteRankFilterToTopK turns the global
+    // row_number into a bounded per-partition top-k + single merge, never
+    // a full sort); the fusion join then touches ≤100 rows regardless of
+    // corpus size. The probe doc itself is excluded from both arms. At
+    // sf0.1 the embedding table covers only a prefix of the doc ids, so
+    // the full-outer fusion's one-armed paths are exercised for real.
+    QueryDef("q175_hybrid_rrf", Seq("A5", "J12", "W8"),
+      s"""WITH $bm25CtesSql,
+          lex AS (
+            SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM bm25 WHERE doc_id <> 0 QUALIFY lex_rank <= 50),
+          sem AS (
+            SELECT a.vec_id AS doc_id,
+              row_number() OVER (ORDER BY
+                round(list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+                                             cast(q.embedding AS DOUBLE[])), 6) DESC,
+                a.vec_id) AS sem_rank
+            FROM embeddings a
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE a.vec_id <> 0 QUALIFY sem_rank <= 50),
+          fused AS (
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+              l.lex_rank, s.sem_rank,
+              coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+                + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), 0) AS rrf
+            FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+          SELECT doc_id, lex_rank, sem_rank, round(rrf, 6) AS rrf,
+            row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fused QUALIFY rnk <= 10""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFns
+      val lex = bm25Scores(s, d)
+        .filter(col("doc_id") =!= 0)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("lex_rank") <= 50)
+        .select("doc_id", "lex_rank")
+      val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("__qvec"))
+      val sem = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cosine", round(VectorFns.cosine(col("embedding"), col("__qvec")), 6))
+        .withColumn("sem_rank",
+          row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("sem_rank") <= 50)
+        .select(col("vec_id").as("doc_id"), col("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          round(col("rrf"), 6).as("rrf"), col("rnk"))
     },
 
     // PII redaction (the privacy-scrub pass of a corpus build): phones
