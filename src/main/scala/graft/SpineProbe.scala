@@ -128,6 +128,13 @@ object SpineProbe {
         ("q169_scd2_incremental_build", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q170_cdc_join_refresh", Set("orders", "nation", "customer")),
+        ("q174_dedup_quality_survivor", Set("documents")),
+        ("q175_hybrid_rrf", Set("documents", "embeddings")),
+        ("q176_token_budget_mix", Set("documents")),
+        ("q177_contamination_fraction", Set("documents")),
+        ("q178_fuzzy_decontam", Set("documents")),
+        ("q179_mmr_rerank", Set("embeddings")),
+        ("q180_balanced_shards", Set("documents")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),
@@ -176,6 +183,13 @@ object SpineProbe {
         ("q169_scd2_incremental_build", Set("events")),
         ("q160_join_incremental_refresh", Set("orders", "nation", "customer")),
         ("q170_cdc_join_refresh", Set("orders", "nation", "customer")),
+        ("q174_dedup_quality_survivor", Set("documents")),
+        ("q175_hybrid_rrf", Set("documents", "embeddings")),
+        ("q176_token_budget_mix", Set("documents")),
+        ("q177_contamination_fraction", Set("documents")),
+        ("q178_fuzzy_decontam", Set("documents")),
+        ("q179_mmr_rerank", Set("embeddings")),
+        ("q180_balanced_shards", Set("documents")),
         ("q130_stream_interval_join", Set("events")),
         ("q131_stream_session", Set("events")),
         ("q132_stream_cms", Set("documents")),

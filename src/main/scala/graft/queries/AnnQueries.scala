@@ -1503,14 +1503,7 @@ object AnnQueries {
           UNION ALL SELECT 2, vec_id, rel, score FROM s2
           UNION ALL SELECT 3, vec_id, rel, score FROM s3""") { (s, d) =>
       import graft.functions.VectorFns
-      val emb = Tables.embeddings(s, d)
-      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
-      // the only corpus-sized stage: relevance scan + bounded top-8
-      val short = emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("embedding"),
-          round(VectorFns.cosine(col("embedding"), col("__qvec")), 6).as("rel"))
-        .orderBy(col("rel").desc, col("vec_id")).limit(8)
+      val short = mmrShortlist(s, d)
         .localCheckpoint(false) // 8 rows, read by every unrolled step
       def pick(cands: org.apache.spark.sql.DataFrame) =
         cands.orderBy(col("score").desc, col("vec_id")).limit(1)
@@ -1535,6 +1528,23 @@ object AnnQueries {
         .unionByName(s3.select(lit(3).as("step"), col("vec_id"), col("rel"), col("score")))
     },
   )
+
+  /** q179's one corpus-sized stage: relevance scan + bounded top-8
+    * shortlist (plans as TakeOrderedAndProject — per-partition partial
+    * top-k, no global sort). Exposed so PlanBudgetSpec can assert the
+    * bound on THIS frame; the query body checkpoints it, which hides
+    * the stage behind an ExistingRDD in the final plan. */
+  private[graft] def mmrShortlist(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("embedding"),
+        round(VectorFns.cosine(col("embedding"), col("__qvec")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(8)
+  }
 
   // The history-trained tree incremental dup-flags oracle (history gate
   // + lower-id pair flags on the tree cells), shared VERBATIM by q142

@@ -616,4 +616,68 @@ class PlanBudgetSpec extends SparkSpec {
         "as-of scan opened generations beyond the snapshot")
     }
   }
+
+  test("corpus planning (q174-q180): bounded ranks, broadcast probes, single scans") {
+    // q174: the survivor pick is a hash aggregate, never a per-cluster
+    // window sort, and the cluster pair stage is banded (no cross join)
+    val survivor = q("q174_dedup_quality_survivor")
+    val survivorPlan = survivor.queryExecution.executedPlan.toString
+    assert(!survivorPlan.contains("WindowExec"),
+      "q174's argmax must stay a sort-free struct agg")
+    assert(!survivorPlan.contains("CartesianProduct"))
+
+    // q175: both retrieval arms bound their rank (TakeOrdered feeds the
+    // 50-row window — the corpus never crosses a full sort) and the
+    // final fusion rank rewrites to bounded top-k
+    val rrf = q("q175_hybrid_rrf")
+    val rrfPlan = rrf.queryExecution.executedPlan.toString
+    assert(rrfPlan.contains("bounded_top_k"), s"fusion rank kept the window plan:\n$rrfPlan")
+    assert(rrfPlan.contains("TakeOrderedAndProject"), "arm shortlists must plan bounded")
+    assert(!rrfPlan.contains("CartesianProduct"))
+
+    // q176: budgets and the ranked prefix both read the ONE pinned
+    // tokenize+score pass — no second documents.parquet scan anywhere
+    val mix = q("q176_token_budget_mix")
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("documents.parquet"),
+      "q176 re-scans documents instead of the checkpointed token pass")
+    assert(broadcasts(mix) >= 1) // per-source budgets broadcast back
+
+    // q178: the eval side broadcasts; the corpus crosses only its own
+    // verdict aggregate
+    val fuzzy = q("q178_fuzzy_decontam")
+    assert(broadcasts(fuzzy) >= 1)
+    assert(!fuzzy.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+
+    // q179: the only corpus-sized stage is the bounded top-8 shortlist
+    // (asserted on the pre-checkpoint frame — the final plan reads the
+    // pinned 8 rows); every MMR step is a broadcast over those rows
+    val shortPlan = graft.queries.AnnQueries.mmrShortlist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(shortPlan.contains("TakeOrderedAndProject"), "shortlist must plan bounded")
+    val mmrPlan = q("q179_mmr_rerank").queryExecution.executedPlan.toString
+    assert(!mmrPlan.contains("CartesianProduct"))
+    assert(!mmrPlan.contains("SortMergeJoin"))
+
+    // q180: the global rank is PrefixSum's two-phase scan — the only
+    // windows run per-bucket and over the bucket subtotals; the corpus
+    // itself never funnels through a single-partition ordered window
+    // (the SinglePartition exchanges in the plan carry subtotal rows)
+    val shards = q("q180_balanced_shards")
+    assert(shuffles(shards) <= 4)
+    val shardPhys = shards.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val corpusWindows = shardPhys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty &&
+            w.child.collect {
+              case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+            }.isEmpty =>
+        w
+    }
+    assert(corpusWindows.isEmpty,
+      "q180 funnels raw corpus rows through an un-partitioned window")
+  }
 }

@@ -122,4 +122,58 @@ class CorpusPlanningSpec extends SparkSpec {
     assert(out(2L) == ((3L, 0L, 0.0, false)))
     assert(out(3L) == ((0L, 0L, 0.0, false)))
   }
+
+  test("q178: band votes grade exact copy > edited copy > unrelated; flag at ≥2") {
+    // md5 shingles are engine-stable, so these collision counts are
+    // pinned constants: the exact copy collides in all 4 bands, the
+    // suffix-edited copy keeps 3 (one band's min shingle lands in the
+    // appended text), the unrelated doc none
+    val T = "the quick brown fox jumps over the lazy dog while the cat naps " +
+      "by the fire and the day is long"
+    val dir = corpus(Seq(
+      (0L, T, "en", "src0"),                                               // eval probe
+      (1L, T, "en", "src0"),                                               // exact leak
+      (2L, "completely unrelated content about databases and distributed systems engineering", "en", "src0"),
+      (3L, T + " with some extra trailing words appended here", "en", "src0"))) // edited leak
+    val out = q("q178_fuzzy_decontam", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((4L, true)), 2L -> ((0L, false)), 3L -> ((3L, true))),
+      s"got $out")
+  }
+
+  test("q179: MMR picks the diverse candidate over the exact duplicate") {
+    // probe e0 = x-axis; vec 1 most relevant, vec 2 its EXACT duplicate,
+    // vec 3 slightly less relevant but angularly distinct, vec 4
+    // irrelevant. Pure top-3 by relevance would be (1, 2, 3); MMR's
+    // redundancy penalty (λ = 0.7) must demote the duplicate: step 2
+    // picks vec 3 (0.7·0.90 − 0.3·0.74 ≈ 0.407 beats the duplicate's
+    // 0.7·0.96 − 0.3·1.0 = 0.372), and the duplicate only enters at
+    // step 3 once the diverse mass is exhausted.
+    val dir = corpus(
+      docs = Seq((1L, "filler so the documents table exists", "en", "src0")),
+      embs = Seq(
+        (0L, Seq(1f, 0f, 0f, 0f), 0),
+        (1L, Seq(0.96f, 0.28f, 0f, 0f), 0),
+        (2L, Seq(0.96f, 0.28f, 0f, 0f), 0),
+        (3L, Seq(0.9f, -0.436f, 0f, 0f), 0),
+        (4L, Seq(0f, 0f, 1f, 0f), 0)))
+    val out = q("q179_mmr_rerank", dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L), s"got $out")
+  }
+
+  test("q180: LPT round-robin deals the token-desc order; balance bounded by one doc") {
+    // nine docs with distinct token counts 9..1: ranks are exact, the
+    // deal wraps after shard 7, and shard 0 gets rank 1 (9 tokens) plus
+    // rank 9 (1 token)
+    val dir = corpus((1L to 9L).map(i =>
+      (i, Seq.fill(10 - i.toInt)("the").mkString(" "), "en", "src0")))
+    val rows = q("q180_balanced_shards", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val shardOf = rows.map(r => r._1 -> r._3).toMap
+    assert(shardOf == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4,
+      6L -> 5, 7L -> 6, 8L -> 7, 9L -> 0), s"got $shardOf")
+    val totals = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(totals(0) == 10L) // 9 + 1: the wrap-around lands on the lightest shard
+  }
 }
