@@ -153,4 +153,70 @@ object Knn {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
+
+  /** Maximal marginal relevance re-rank — the parameterized operator a
+    * RAG pipeline calls between "top-n by similarity" and "what fits a
+    * context window": greedily pick argmax λ·rel − (1−λ)·max_sim_to_
+    * selected, k times, over a relevance-ranked `shortlist` of
+    * (vec_id, embedding, rel) rows.
+    *
+    * Execution shape (the q179 contract, generalized): the greedy loop
+    * is inherently sequential, but its DEPTH is k and its WIDTH the
+    * shortlist, so it runs as a DRIVER LOOP of k bounded steps — each
+    * step broadcasts the ≤(step−1) already-selected rows against the
+    * pinned shortlist (1-row BroadcastNestedLoopJoins, never a shuffle)
+    * and takes one bounded top-1. Corpus-sized work belongs in the
+    * shortlist builder (a bounded top-n, e.g. AnnQueries.mmrShortlist),
+    * never here. Scores compare at 6dp (per-pair cosines rounded before
+    * the max, the combined score rounded after) with vec_id ties, so
+    * selection is engine-deterministic; (1−λ) is computed ONCE here and
+    * must be interpolated verbatim into any replaying oracle (1.0−0.7
+    * is not the double literal 0.3).
+    *
+    * @return one row per selection: (step, vec_id, rel, score). */
+  def mmr(shortlist: DataFrame, k: Int, lambda: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"mmr needs k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val short = shortlist
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col(relCol).as("rel"))
+      .localCheckpoint(false) // bounded rows, read by every unrolled step
+    var picks = Vector.empty[DataFrame]
+    for (_ <- 1 to k) {
+      val pick = mmrStep(short, picks, lambda)
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .localCheckpoint(false) // the selected row re-enters later steps
+      picks :+= pick
+    }
+    picks.zipWithIndex.map { case (p, i) =>
+      p.select(lit(i + 1).as("step"), col("vec_id"), col("rel"), col("score"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** One MMR selection step's scored candidate frame: `short` minus the
+    * already-`selected` rows, scored λ·rel − (1−λ)·max over selected of
+    * the (6dp-rounded) cosine. Each selected row joins as its own 1-row
+    * broadcast (a BroadcastNestedLoopJoin over the bounded shortlist —
+    * the plan PlanBudgetSpec asserts on, pre-checkpoint). */
+  private[graft] def mmrStep(short: DataFrame, selected: Seq[DataFrame],
+      lambda: Double): DataFrame = {
+    if (selected.isEmpty)
+      return short.withColumn("score", round(lit(lambda) * col("rel"), 6))
+    val mu = 1.0 - lambda // ONE value, interpolated verbatim into oracles
+    var cand = short
+    val sims = selected.zipWithIndex.map { case (p, i) =>
+      cand = cand.crossJoin(broadcast(
+        p.select(col("vec_id").as(s"__sid$i"), col("embedding").as(s"__svec$i"))))
+      round(VectorFns.cosine(col("embedding"), col(s"__svec$i")), 6)
+    }
+    val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+    cand
+      .filter(selected.indices.map(i => col("vec_id") =!= col(s"__sid$i"))
+        .reduce(_ && _))
+      .withColumn("score",
+        round(lit(lambda) * col("rel") - lit(mu) * maxSim, 6))
+      .select("vec_id", "embedding", "rel", "score")
+  }
 }

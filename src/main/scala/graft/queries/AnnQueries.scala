@@ -1464,78 +1464,39 @@ object AnnQueries {
     // evidence the corpus HAS semantic duplicates), so maximal marginal
     // relevance greedily picks argmax λ·rel − (1−λ)·max_sim_to_selected
     // (λ = 0.7), trading relevance against redundancy. The greedy loop
-    // is inherently sequential, but its DEPTH is the answer size (3) and
-    // its WIDTH the shortlist (top-8 by rel) — so each step is a
-    // broadcast of the ≤2 selected vectors against 8 candidate rows,
-    // unrolled statically; the corpus-sized work is only the shortlist
-    // top-k (bounded rank-filter, the RewriteRankFilterToTopK shape).
-    // Scores compare at 6dp with vec_id ties, so selection is
-    // engine-deterministic; the oracle unrolls the same three steps.
+    // is Knn.mmr — a driver loop whose DEPTH is the answer size (3) and
+    // whose WIDTH the shortlist (top-8 by rel) — so each step is a
+    // broadcast of the already-selected rows against 8 candidate rows;
+    // the corpus-sized work is only the shortlist top-k (bounded
+    // rank-filter, the RewriteRankFilterToTopK shape). Scores compare
+    // at 6dp with vec_id ties, so selection is engine-deterministic;
+    // the oracle unrolls the same three steps (mmrOracleSql(3, 8)).
     QueryDef("q179_mmr_rerank", Seq("J12", "W8", "W6"),
-      s"""WITH cand AS (
-            SELECT a.vec_id, a.embedding,
-              round($cosineSql, 6) AS rel
-            FROM embeddings a
-            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
-            WHERE a.vec_id <> 0),
-          short AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 8),
-          s1 AS (
-            SELECT vec_id, embedding, rel, round(0.7 * rel, 6) AS score
-            FROM short ORDER BY rel DESC, vec_id LIMIT 1),
-          c2 AS (
-            SELECT c.vec_id, c.embedding, c.rel,
-              round(0.7 * c.rel - 0.3 * round(list_cosine_similarity(
-                cast(c.embedding AS DOUBLE[]), cast(s.embedding AS DOUBLE[])), 6), 6) AS score
-            FROM short c, s1 s WHERE c.vec_id <> s.vec_id),
-          s2 AS (SELECT vec_id, embedding, rel, score FROM c2
-                 ORDER BY score DESC, vec_id LIMIT 1),
-          c3 AS (
-            SELECT c.vec_id, c.rel,
-              round(0.7 * c.rel - 0.3 * greatest(
-                round(list_cosine_similarity(cast(c.embedding AS DOUBLE[]),
-                                             cast(a.embedding AS DOUBLE[])), 6),
-                round(list_cosine_similarity(cast(c.embedding AS DOUBLE[]),
-                                             cast(b.embedding AS DOUBLE[])), 6)), 6) AS score
-            FROM short c, s1 a, s2 b
-            WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id),
-          s3 AS (SELECT vec_id, rel, score FROM c3 ORDER BY score DESC, vec_id LIMIT 1)
-          SELECT 1 AS step, vec_id, rel, score FROM s1
-          UNION ALL SELECT 2, vec_id, rel, score FROM s2
-          UNION ALL SELECT 3, vec_id, rel, score FROM s3""") { (s, d) =>
-      import graft.functions.VectorFns
-      val short = mmrShortlist(s, d)
-        .localCheckpoint(false) // 8 rows, read by every unrolled step
-      def pick(cands: org.apache.spark.sql.DataFrame) =
-        cands.orderBy(col("score").desc, col("vec_id")).limit(1)
-          .localCheckpoint(false) // selected row re-enters later steps
-      val s1 = pick(short.withColumn("score", round(lit(0.7) * col("rel"), 6)))
-      val sel1 = s1.select(col("vec_id").as("__sid"), col("embedding").as("__svec"))
-      val c2 = short.crossJoin(broadcast(sel1))
-        .filter(col("vec_id") =!= col("__sid"))
-        .withColumn("score", round(lit(0.7) * col("rel")
-          - lit(0.3) * round(VectorFns.cosine(col("embedding"), col("__svec")), 6), 6))
-      val s2 = pick(c2.select("vec_id", "embedding", "rel", "score"))
-      val sel2 = s2.select(col("vec_id").as("__sid2"), col("embedding").as("__svec2"))
-      val c3 = short.crossJoin(broadcast(sel1)).crossJoin(broadcast(sel2))
-        .filter(col("vec_id") =!= col("__sid") && col("vec_id") =!= col("__sid2"))
-        .withColumn("score", round(lit(0.7) * col("rel")
-          - lit(0.3) * greatest(
-              round(VectorFns.cosine(col("embedding"), col("__svec")), 6),
-              round(VectorFns.cosine(col("embedding"), col("__svec2")), 6)), 6))
-      val s3 = pick(c3.select("vec_id", "embedding", "rel", "score"))
-      s1.select(lit(1).as("step"), col("vec_id"), col("rel"), col("score"))
-        .unionByName(s2.select(lit(2).as("step"), col("vec_id"), col("rel"), col("score")))
-        .unionByName(s3.select(lit(3).as("step"), col("vec_id"), col("rel"), col("score")))
+      mmrOracleSql(k = 3, shortlist = 8, lambda = 0.7)) { (s, d) =>
+      Knn.mmr(mmrShortlist(s, d, 8), k = 3, lambda = 0.7)
+    },
+
+    // MMR AT PARAMETERIZED DEPTH — the same operator at k = 5 over a
+    // top-16 shortlist with λ = 0.6: what proves Knn.mmr is an operator
+    // and not a transcript of q179 (whose k = 3 body is now a call into
+    // it). Five greedy steps, each still a ≤4-row broadcast against the
+    // 16 pinned shortlist rows; the oracle generator unrolls the same
+    // five steps with the SAME (1−λ) double the engine computes (0.4 at
+    // λ = 0.6 — interpolated, never re-derived, so the two sides can
+    // never disagree on the redundancy weight's last bit).
+    QueryDef("q184_mmr_rerank_k5", Seq("J12", "W8", "W6"),
+      mmrOracleSql(k = 5, shortlist = 16, lambda = 0.6)) { (s, d) =>
+      Knn.mmr(mmrShortlist(s, d, 16), k = 5, lambda = 0.6)
     },
   )
 
-  /** q179's one corpus-sized stage: relevance scan + bounded top-8
-    * shortlist (plans as TakeOrderedAndProject — per-partition partial
-    * top-k, no global sort). Exposed so PlanBudgetSpec can assert the
-    * bound on THIS frame; the query body checkpoints it, which hides
-    * the stage behind an ExistingRDD in the final plan. */
+  /** The MMR queries' one corpus-sized stage: relevance scan + bounded
+    * top-`n` shortlist (plans as TakeOrderedAndProject — per-partition
+    * partial top-k, no global sort). Exposed so PlanBudgetSpec can
+    * assert the bound on THIS frame; Knn.mmr checkpoints it, which
+    * hides the stage behind an ExistingRDD in the final plan. */
   private[graft] def mmrShortlist(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, n: Int): org.apache.spark.sql.DataFrame = {
     import graft.functions.VectorFns
     val emb = Tables.embeddings(s, d)
     val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qvec"))
@@ -1543,7 +1504,47 @@ object AnnQueries {
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("embedding"),
         round(VectorFns.cosine(col("embedding"), col("__qvec")), 6).as("rel"))
-      .orderBy(col("rel").desc, col("vec_id")).limit(8)
+      .orderBy(col("rel").desc, col("vec_id")).limit(n)
+  }
+
+  /** Oracle generator replaying Knn.mmr step for step: top-`shortlist`
+    * relevance CTE, then k unrolled (candidates → top-1) selections.
+    * λ and 1−λ are interpolated from the SAME doubles the operator
+    * multiplies by (1.0−λ is not always a pretty literal), so engine
+    * and oracle agree to the last bit before the 6dp round. */
+  private def mmrOracleSql(k: Int, shortlist: Int, lambda: Double): String = {
+    val l = lambda.toString
+    val mu = (1.0 - lambda).toString
+    def cos(a: String, b: String) =
+      s"round(list_cosine_similarity(cast($a.embedding AS DOUBLE[]), cast($b.embedding AS DOUBLE[])), 6)"
+    val steps = (2 to k).map { i =>
+      val sel = (1 until i).map(j => s"s$j")
+      val sims = sel.map(sj => cos("c", sj))
+      val maxSim = if (sims.size == 1) sims.head
+        else sims.mkString("greatest(", ", ", ")")
+      s"""c$i AS (
+            SELECT c.vec_id, c.embedding, c.rel,
+              round($l * c.rel - $mu * $maxSim, 6) AS score
+            FROM short c, ${sel.mkString(", ")}
+            WHERE ${sel.map(sj => s"c.vec_id <> $sj.vec_id").mkString(" AND ")}),
+          s$i AS (SELECT vec_id, embedding, rel, score FROM c$i
+                  ORDER BY score DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n          ")
+    val tail = if (k >= 2) s",\n          $steps" else ""
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS step, vec_id, rel, score FROM s$i")
+      .mkString("\n          UNION ALL ")
+    s"""WITH cand AS (
+          SELECT a.vec_id, a.embedding,
+            round($cosineSql, 6) AS rel
+          FROM embeddings a
+          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+          WHERE a.vec_id <> 0),
+        short AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT $shortlist),
+        s1 AS (
+          SELECT vec_id, embedding, rel, round($l * rel, 6) AS score
+          FROM short ORDER BY score DESC, vec_id LIMIT 1)$tail
+        $out"""
   }
 
   // The history-trained tree incremental dup-flags oracle (history gate

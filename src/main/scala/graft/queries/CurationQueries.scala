@@ -272,7 +272,10 @@ object CurationQueries {
       // global sums ride windows over the 20-row per-source aggregate
       // (q101/q108 discipline), never a second corpus scan
       val srcw = tok.groupBy("source").agg(sum("tokens").as("src_tokens"))
-        .withColumn("w", lit(1) + substring(col("source"), 4, 10).cast("int") % 3)
+        // substr(source, 4) to END of string — the oracle takes the full
+        // numeric suffix, and a length-capped substring(…, 4, 10) would
+        // silently diverge on a suffix longer than the cap
+        .withColumn("w", lit(1) + expr("substr(source, 4)").cast("int") % 3)
       val budgets = srcw
         .withColumn("budget_total",
           floor(sum("src_tokens").over(Window.partitionBy(lit(1))) / 2.0).cast("long"))

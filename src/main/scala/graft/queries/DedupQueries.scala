@@ -386,9 +386,10 @@ object DedupQueries {
     // the worst one. Every document gets a verdict (singletons are their
     // own cluster), so the output IS the kept-corpus manifest. Scale
     // shape: labels come from the banded component run (linear in
-    // candidates); the survivor pick is a sort-free min-struct hash agg
-    // on the cluster key (q33's exactDedup idiom — partial-aggregatable,
-    // no per-cluster window sort), and the quality ordering key is the
+    // candidates); the survivor pick is a sort-free max-struct hash agg
+    // on the cluster key (argmax quality, min-id tiebreak via negated
+    // id — the same one-agg idiom as q33's exactDedup min-struct, with
+    // the order flipped), and the quality ordering key is the
     // ALREADY-6dp-ROUNDED score, so the argmax is deterministic across
     // engines; ties break to the smaller doc_id via the struct's second
     // field. The oracle extends q65's transitive-closure CTE verbatim.

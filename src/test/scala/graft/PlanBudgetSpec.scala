@@ -649,15 +649,31 @@ class PlanBudgetSpec extends SparkSpec {
     assert(broadcasts(fuzzy) >= 1)
     assert(!fuzzy.queryExecution.executedPlan.toString.contains("CartesianProduct"))
 
-    // q179: the only corpus-sized stage is the bounded top-8 shortlist
-    // (asserted on the pre-checkpoint frame — the final plan reads the
-    // pinned 8 rows); every MMR step is a broadcast over those rows
-    val shortPlan = graft.queries.AnnQueries.mmrShortlist(spark, sf)
+    // q179/q184: the only corpus-sized stage is the bounded top-n
+    // shortlist, and every MMR selection step joins the selected rows
+    // as 1-row broadcasts. Both asserted on PRE-CHECKPOINT frames —
+    // Knn.mmr pins the shortlist and every pick, so the executed plan
+    // of the query itself is just ExistingRDD scans and would pass any
+    // join-strategy assert vacuously (the r14 advice finding).
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val mmrShort = graft.queries.AnnQueries.mmrShortlist(spark, sf, 8)
+    assert(mmrShort.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "shortlist must plan bounded")
+    assert(graft.queries.AnnQueries.mmrShortlist(spark, sf, 16)
+      .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q184's top-16 shortlist must plan bounded")
+    // one un-pinned selection step over the un-pinned shortlist: the
+    // selected row must enter as a broadcast nested-loop join, never a
+    // shuffle join or cartesian product
+    val mmrPick = mmrShort
+      .withColumn("score", round(lit(0.7) * col("rel"), 6))
+      .orderBy(col("score").desc, col("vec_id")).limit(1)
+    val mmrStepPlan = graft.ann.Knn.mmrStep(mmrShort, Seq(mmrPick), 0.7)
       .queryExecution.executedPlan.toString
-    assert(shortPlan.contains("TakeOrderedAndProject"), "shortlist must plan bounded")
-    val mmrPlan = q("q179_mmr_rerank").queryExecution.executedPlan.toString
-    assert(!mmrPlan.contains("CartesianProduct"))
-    assert(!mmrPlan.contains("SortMergeJoin"))
+    assert(mmrStepPlan.contains("BroadcastNestedLoopJoin"),
+      s"MMR step must broadcast the selected row:\n$mmrStepPlan")
+    assert(!mmrStepPlan.contains("CartesianProduct"))
+    assert(!mmrStepPlan.contains("SortMergeJoin"))
 
     // q180: the global rank is PrefixSum's two-phase scan — the only
     // windows run per-bucket and over the bucket subtotals; the corpus
