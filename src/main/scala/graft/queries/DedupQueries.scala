@@ -124,7 +124,7 @@ object DedupQueries {
     // representative. Spark: min-label propagation to fixpoint (each step
     // a distributed join+agg); oracle: recursive-CTE transitive closure.
     QueryDef("q65_dedup_components", Seq("A10"),
-      ccComponentsSql) { (s, d) =>
+      ccComponentsSql()) { (s, d) =>
       val sig = Tables.documents(s, d).select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
       val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
@@ -150,7 +150,7 @@ object DedupQueries {
     // 100 TB this is cluster maintenance at ingest: the nightly job
     // pays O(batch × bucket occupancy + clusters), not O(corpus²/buckets).
     QueryDef("q171_components_incremental", Seq("A10"),
-      ccComponentsSql) { (s, d) =>
+      ccComponentsSql()) { (s, d) =>
       val docs = Tables.documents(s, d)
       def sigOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
@@ -193,7 +193,7 @@ object DedupQueries {
     // that text. The ledger records the label count per batch — at-rest
     // state is O(clustered docs), never O(edges seen).
     QueryDef("q172_stream_components", Seq("A10"),
-      ccComponentsSql) { (s0, d) =>
+      ccComponentsSql()) { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
       val sig = Tables.documents(s0, d).select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
@@ -394,19 +394,7 @@ object DedupQueries {
     // engines; ties break to the smaller doc_id via the struct's second
     // field. The oracle extends q65's transitive-closure CTE verbatim.
     QueryDef("q174_dedup_quality_survivor", Seq("A10", "A2", "W6"),
-      s"""WITH RECURSIVE $ccLabelCtes,
-          scored AS (
-            SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
-              ${TextQueries.qualitySql} AS quality
-            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
-          ranked AS (
-            SELECT component, doc_id, quality,
-              row_number() OVER (PARTITION BY component
-                ORDER BY quality DESC, doc_id) AS rnk,
-              count(*) OVER (PARTITION BY component) AS n_members
-            FROM scored)
-          SELECT component, doc_id AS survivor_id, n_members, quality
-          FROM ranked WHERE rnk = 1""") { (s, d) =>
+      survivorManifestSql()) { (s, d) =>
       val docs = Tables.documents(s, d)
       val sig = docs.select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
@@ -427,6 +415,133 @@ object DedupQueries {
           count(lit(1)).as("n_members"))
         .select(col("component"), (-col("pick.nid")).as("survivor_id"),
           col("n_members"), col("pick.quality").as("quality"))
+    },
+
+    // RETRACTION-CAPABLE DEDUP CLUSTERS — the symmetric twin of the
+    // append path (q171): a CDC delete (GDPR forget, takedown) must
+    // SHRINK or SPLIT its near-dup cluster, which the label-contraction
+    // merge can never do (contraction only grows connectivity). The
+    // piece that makes deletes O(affected) is keeping the EDGE SET at
+    // rest keyed by component: edges partitioned by pmod(component, 16)
+    // buckets. A delete batch then (1) looks up the deleted ids'
+    // components in the standing labels (O(deletes)), (2) reads ONLY
+    // the touched components' edge partitions (bucket-level partition
+    // prune + row-level component semi-join — untouched components'
+    // edges are never opened, the q169/q157 pruning contract), (3)
+    // anti-joins the deleted ids off both endpoints, and (4) re-runs
+    // connectedComponents over that small subgraph. Untouched labels
+    // pass through untouched. Deleting a node only removes ITS edges —
+    // a surviving pair is a pair regardless of the rest of the corpus —
+    // so recompute-over-touched equals the from-scratch closure on the
+    // post-delete corpus: the q65 oracle text with the delete predicate
+    // applied. Fixture CDC: doc_id % 13 == 3 is deleted (~8% of docs —
+    // at sf0.01 it takes one member from four of the thirteen pair
+    // clusters, dissolving them, and leaves nine untouched).
+    QueryDef("q181_components_retraction", Seq("A10", "F4"),
+      ccComponentsSql(ccKeepPredSql)) { (s, d) =>
+      val touched = ccTouchedComps(s, d)
+      val (prunedEdges, _) = componentsTouchedRead(s, d, touched)
+      val recomputed = retractedTouchedLabels(prunedEdges, ccDeletedIds(s, d))
+      ccAtRestLabels(s, d)
+        .join(broadcast(touched), Seq("component"), "left_anti")
+        .select(col("id").as("doc_id"), col("component"))
+        .unionByName(recomputed
+          .select(col("id").as("doc_id"), col("component")))
+    },
+
+    // STREAMED RETRACTIONS INTO THE CLUSTERS — q181's fold with the
+    // deletes ARRIVING AS A STREAM (the forget-request queue), each
+    // micro-batch folded into standing labels inside foreachBatch. Per
+    // batch: the deleted ids' ORIGINAL components (from the immutable
+    // at-rest labels — deletes only ever split, so every current
+    // cluster sits inside one original component, making the at-rest
+    // edge partitions a stable covering) are re-run over the pruned
+    // at-rest edges minus the CUMULATIVE delete set (carried as an
+    // O(deletes) ledger generation beside the labels), and the result
+    // replaces exactly those original components' label rows —
+    // generation dirs with q158's committed-predecessor recovery and
+    // vacuum, so replays re-base and converge. The fold is
+    // batching-independent (each touched original component is rebuilt
+    // from at-rest edges minus all deletes so far), so the final labels
+    // equal q181's — the SAME oracle text, the retraction twin of the
+    // q171/q172 pairing.
+    QueryDef("q185_stream_components_retraction", Seq("A10", "F4"),
+      ccComponentsSql(ccKeepPredSql)) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val stateDir = ccStateDir(s0, d)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_cc_retraction"
+      val deleted = ccDeletedIds(s, d)
+      val in = EventQueries.stageRangedDrain(deleted, 2, "doc_id", "graft_ccr_")
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(deleted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = componentsRetractStep(stateDir, root, b, id)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      EventQueries.latestViewGen(s"$root/labels") match {
+        case None      => ccAtRestLabels(s, d) // no delete ever arrived
+          .select(col("id").as("doc_id"), col("component"))
+        case Some(dir) => s.read.parquet(dir)
+          .select(col("id").as("doc_id"), col("component"))
+      }
+    },
+
+    // SURVIVOR RE-ELECTION UNDER RETRACTION — q174's manifest is a
+    // maintained artifact too: when a delete removes a cluster's
+    // survivor (or any member), the manifest row must re-elect
+    // argmax(quality) from the REMAINDER — under the remainder's new
+    // cluster labels, because the delete may have split the cluster.
+    // Composition of q181 + q174: touched components (now including
+    // deleted SINGLETONS — their manifest rows simply disappear) are
+    // re-derived from the scored-membership artifact at rest
+    // (doc_id, component, quality — partitioned by pmod(component, 64),
+    // so only touched buckets are opened), relabeled through q181's
+    // recomputed labels, and re-elected with the same sort-free
+    // max-struct agg; every other manifest row passes through from the
+    // manifest at rest, byte-identical. Oracle: q174's text over the
+    // post-delete corpus.
+    QueryDef("q182_survivor_reelection", Seq("A10", "A2", "W6", "F4"),
+      survivorManifestSql(ccKeepPredSql)) { (s, d) =>
+      val manifestState = survivorStateDir(s, d)
+      val manifest = s.read.parquet(s"$manifestState/manifest")
+      val deleted = ccDeletedIds(s, d)
+      // touched components INCLUDING singletons: coalesce through the
+      // at-rest labels exactly as the manifest's component key did
+      val touched = survivorTouchedComps(s, d)
+      // members of touched components, deleted rows dropped — from the
+      // bucket-pruned membership read, never the corpus
+      val (members, _) = survivorTouchedRead(s, d, touched)
+      val remaining = members
+        .join(broadcast(deleted), Seq("doc_id"), "left_anti")
+      // relabel through the post-delete closure of the touched CLUSTER
+      // components (q181's recompute); edge-less members fall back to
+      // their own id — the singleton rule
+      val (prunedEdges, _) = componentsTouchedRead(s, d, ccTouchedComps(s, d))
+      val relabeled = retractedTouchedLabels(prunedEdges, deleted)
+        .select(col("id").as("doc_id"), col("component").as("__newc"))
+      val reElected = remaining.drop("component")
+        .join(broadcast(relabeled), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("__newc"), col("doc_id")).as("component"))
+        .groupBy("component")
+        .agg(
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"), (-col("pick.nid")).as("survivor_id"),
+          col("n_members"), col("pick.quality").as("quality"))
+      manifest.join(broadcast(touched), Seq("component"), "left_anti")
+        .select("component", "survivor_id", "n_members", "quality")
+        .unionByName(reElected)
     },
   )
 
@@ -455,23 +570,257 @@ object DedupQueries {
     s.read.parquet(next).count()
   }
 
+  // ---- retraction state (q181/q182/q185) --------------------------------
+
+  /** The retraction fixture's CDC delete set: doc_id % 13 == 3 (~8% of
+    * docs). ONE definition feeding the engine's delete frames and — via
+    * [[ccKeepPredSql]] — every retraction oracle, so the two sides can
+    * never disagree on what was forgotten. */
+  private[graft] def ccDeletedIds(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 13 === 3).select("doc_id")
+
+  /** The keep-side document predicate (oracle form of [[ccDeletedIds]]).
+    * A def — `defs` above initializes first and a val here would still
+    * be null when the oracle strings interpolate it. */
+  private def ccKeepPredSql = "doc_id % 13 <> 3"
+
+  /** The cluster state AT REST — what makes deletes O(affected): ONE
+    * staged dir holding `labels` (id, component — the standing q65
+    * labeling) and `edges` (the near-dup pair graph KEYED BY COMPONENT,
+    * partitioned by pmod(component, 16) buckets, so a delete opens only
+    * its clusters' partitions). Built in one pass: pairs → components →
+    * edges re-keyed through the labels. The `_SUCCESS` marker is
+    * written manually because both payloads live in subdirs. */
+  private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_cc_state_b16", d, s"$d/documents.parquet") { target =>
+      EventQueries.multiWriteStage(target) { stage =>
+        val sig = Tables.documents(s, d).select(col("doc_id"),
+          TextDedup.simHashN(col("text"), 60).as("simhash"))
+        val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
+          .select("id_a", "id_b")
+          .localCheckpoint() // read by the components run AND the edge write
+        val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+          .localCheckpoint()
+        labels.write.mode("overwrite").parquet(s"$stage/labels")
+        pairs
+          .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
+            Seq("id_a"))
+          .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/edges")
+        new java.io.File(stage, "_SUCCESS").createNewFile()
+        ()
+      }
+    }
+
+  /** The standing labels (id, component) from [[ccStateDir]]. */
+  private[graft] def ccAtRestLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"${ccStateDir(s, d)}/labels")
+
+  /** Components with a deleted CLUSTERED member — the recompute set.
+    * O(deletes) rows; lazily pinned because the callers both prune with
+    * it and anti-join against it. */
+  private[graft] def ccTouchedComps(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    ccAtRestLabels(s, d)
+      .join(ccDeletedIds(s, d).select(col("doc_id").as("id")), Seq("id"), "leftsemi")
+      .select("component").distinct()
+      .localCheckpoint(false)
+
+  /** The PRUNED edge read: only `touched` components' bucket partitions
+    * are opened (bucket-level partition prune from a bounded ≤16-entry
+    * driver list), then a row-level semi-join keeps exactly the touched
+    * components' edges. Exposed with the bucket list so PlanBudgetSpec
+    * can assert the pruning at file level. */
+  private[graft] def componentsTouchedRead(s: org.apache.spark.sql.SparkSession,
+      d: String, touched: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
+    val stateDir = ccStateDir(s, d)
+    // bounded driver list: 16 buckets exist in total
+    val buckets = touched
+      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val pruned = s.read.parquet(s"$stateDir/edges")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(touched), Seq("component"), "leftsemi")
+      .select("id_a", "id_b")
+    (pruned, buckets)
+  }
+
+  /** Post-delete closure of the touched subgraph: drop every edge with
+    * a deleted endpoint, re-run components. Deleting a node removes
+    * only ITS edges (pair existence is pairwise), so this equals the
+    * from-scratch closure restricted to the touched components. */
+  private[graft] def retractedTouchedLabels(
+      prunedEdges: org.apache.spark.sql.DataFrame,
+      deleted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val remaining = prunedEdges
+      .join(broadcast(deleted.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_anti")
+      .join(broadcast(deleted.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_anti")
+    Components.connectedComponents(remaining, "id_a", "id_b")
+  }
+
+  /** One q185 maintenance step: fold delete micro-batch `b` into the
+    * standing labels under `$root/labels` — the batch's deletes name
+    * their ORIGINAL components (at-rest labels; stable under splits
+    * because deletes never merge), those components are rebuilt from
+    * the pruned at-rest edges minus the CUMULATIVE delete ledger
+    * (`$root/dels`, O(deletes) rows carried per generation), and the
+    * rebuilt rows replace exactly those original components' label
+    * rows. Generation dirs follow q158's committed-predecessor
+    * recovery + vacuum, so a replayed batch re-bases and converges.
+    * Returns the standing label count. */
+  private[graft] def componentsRetractStep(stateDir: String, root: String,
+      b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+    val s = b.sparkSession
+    val atRest = s.read.parquet(s"$stateDir/labels")
+    val baseLabels = EventQueries.latestViewGen(s"$root/labels", below = Some(id))
+    val baseDels = EventQueries.latestViewGen(s"$root/dels", below = Some(id))
+    val predLabels = baseLabels match {
+      case None    => atRest.withColumn("orig", col("component"))
+      case Some(p) => s.read.parquet(p)
+    }
+    val cumDels = (baseDels match {
+        case None    => b.select("doc_id").limit(0)
+        case Some(p) => s.read.parquet(p)
+      })
+      .unionByName(b.select("doc_id")).distinct()
+      .localCheckpoint() // read by the ledger write AND both anti-joins
+    val touchedOrig = atRest
+      .join(b.select(col("doc_id").as("id")), Seq("id"), "leftsemi")
+      .select("component").distinct()
+      .localCheckpoint() // ≤ batch rows; prunes, anti-joins, bucket list
+    val buckets = touchedOrig
+      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = s.read.parquet(s"$stateDir/edges")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(touchedOrig), Seq("component"), "leftsemi")
+      .select("id_a", "id_b")
+    val recomputed = retractedTouchedLabels(pruned, cumDels)
+      .join(atRest.select(col("id"), col("component").as("orig")), Seq("id"))
+    val next = predLabels
+      .join(broadcast(touchedOrig.select(col("component").as("orig"))),
+        Seq("orig"), "left_anti")
+      .select("id", "component", "orig")
+      .unionByName(recomputed.select("id", "component", "orig"))
+    next.write.mode("overwrite").parquet(s"$root/labels/gen-$id")
+    cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
+    EventQueries.vacuumViewGens(s"$root/labels", baseLabels)
+    EventQueries.vacuumViewGens(s"$root/dels", baseDels)
+    s.read.parquet(s"$root/labels/gen-$id").count()
+  }
+
+  /** The survivor-manifest state AT REST (q182): `membership`
+    * (doc_id, component, quality — every doc, singletons under their
+    * own id; partitioned by pmod(component, 64) so a delete's
+    * re-election reads only touched buckets) and `manifest` (q174's
+    * per-component output — the artifact being maintained; read fully
+    * because it IS the output's pass-through side). */
+  private[graft] def survivorStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.sources.ZOrder.ensureStagedDir(
+      "graft_survivor_state_b64", d, s"$d/documents.parquet") { target =>
+      EventQueries.multiWriteStage(target) { stage =>
+        val labels = ccAtRestLabels(s, d)
+        val membership = Tables.documents(s, d)
+          .join(broadcast(labels.select(col("id").as("doc_id"), col("component"))),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
+          .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+          .localCheckpoint() // read by the membership write AND the manifest agg
+        membership.write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$stage/membership")
+        membership.groupBy("component")
+          .agg(
+            max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
+            count(lit(1)).as("n_members"))
+          .select(col("component"), (-col("pick.nid")).as("survivor_id"),
+            col("n_members"), col("pick.quality").as("quality"))
+          .write.mode("overwrite").parquet(s"$stage/manifest")
+        new java.io.File(stage, "_SUCCESS").createNewFile()
+        ()
+      }
+    }
+
+  /** Components (singletons included) holding a deleted doc — the
+    * manifest rows that must be re-derived. O(deletes) rows. */
+  private[graft] def survivorTouchedComps(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    ccDeletedIds(s, d)
+      .join(broadcast(ccAtRestLabels(s, d)
+          .select(col("id").as("doc_id"), col("component"))),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("component"))
+      .distinct()
+      .localCheckpoint(false)
+
+  /** The PRUNED membership read for re-election: only `touched`
+    * components' bucket partitions open (≤64-entry driver list), then
+    * the row-level component semi-join. Exposed with the bucket list
+    * for PlanBudgetSpec's file-level pruning assert. */
+  private[graft] def survivorTouchedRead(s: org.apache.spark.sql.SparkSession,
+      d: String, touched: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
+    val stateDir = survivorStateDir(s, d)
+    val buckets = touched
+      .select(pmod(col("component"), lit(64)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val members = s.read.parquet(s"$stateDir/membership")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(touched), Seq("component"), "leftsemi")
+      .select("doc_id", "component", "quality")
+    (members, buckets)
+  }
+
+  /** The survivor-manifest oracle (q174's transitive-closure CTE chain
+    * + per-cluster argmax), shared by q174 (from-scratch manifest,
+    * docPred = true) and q182 (manifest maintained under retraction,
+    * docPred = the post-delete corpus): however the manifest was
+    * (re)built, it must equal the full derivation. The predicate is
+    * applied in a derived table so `doc_id` never becomes ambiguous
+    * against the labels CTE. */
+  private def survivorManifestSql(docPred: String = "true") =
+    s"""WITH RECURSIVE ${ccLabelCtes(docPred)},
+        scored AS (
+          SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+            ${TextQueries.qualitySql} AS quality
+          FROM (SELECT * FROM documents WHERE $docPred) d
+          LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        ranked AS (
+          SELECT component, doc_id, quality,
+            row_number() OVER (PARTITION BY component
+              ORDER BY quality DESC, doc_id) AS rnk,
+            count(*) OVER (PARTITION BY component) AS n_members
+          FROM scored)
+        SELECT component, doc_id AS survivor_id, n_members, quality
+        FROM ranked WHERE rnk = 1"""
+
   /** The dedup-cluster oracle (recursive-CTE transitive closure over
     * the banded simhash pair graph), shared VERBATIM by q65 (from-
     * scratch components) and q171 (incrementally maintained labels):
     * however the clusters were (re)built, the labeling must equal the
-    * full transitive closure. */
-  private def ccComponentsSql =
-    s"""WITH RECURSIVE $ccLabelCtes
+    * full transitive closure. `docPred` restricts the DOCUMENT set the
+    * closure runs over — the retraction queries (q181 batch, q185
+    * streamed) pass the post-delete corpus and must equal the closure
+    * over it, exactly as if the deleted docs had never been ingested. */
+  private def ccComponentsSql(docPred: String = "true") =
+    s"""WITH RECURSIVE ${ccLabelCtes(docPred)}
        SELECT doc_id, component FROM labels"""
 
   /** The transitive-closure CTE chain ending in `labels(doc_id,
     * component)` — the shared body of ccComponentsSql, also extended by
-    * q174's survivor selection (which needs the labels AS a relation,
-    * not the final projection). Must follow `WITH RECURSIVE`. */
-  private def ccLabelCtes =
-    """tok AS (
-         SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
-         FROM documents),
+    * q174/q182's survivor selection (which needs the labels AS a
+    * relation, not the final projection). Must follow `WITH RECURSIVE`. */
+  private def ccLabelCtes(docPred: String = "true") =
+    s"""tok AS (
+         SELECT doc_id, ('0x' || substring(md5(unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))), 1, 15))::BIGINT AS h
+         FROM documents WHERE $docPred),
        bits AS (
          SELECT doc_id, b.b,
            sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s

@@ -594,6 +594,40 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  test("cluster retraction (q181/q182): untouched components' state is never read") {
+    import graft.queries.DedupQueries
+    def prunedScanPartitions(df: DataFrame, pathTag: String, expect: Int): Unit = {
+      val phys = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scans = phys.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(pathTag)) => f
+      }
+      assert(scans.nonEmpty, s"bucket-partitioned $pathTag scan missing from the plan")
+      scans.foreach { f =>
+        assert(f.partitionFilters.exists(_.toString.contains("bucket")),
+          s"bucket filter not pushed to partition pruning: ${f.partitionFilters}")
+        assert(f.relation.location.listFiles(f.partitionFilters, f.dataFilters).size == expect,
+          s"$pathTag read opened buckets the deletes never touched")
+      }
+    }
+    // q181: the delete batch opens only its components' edge partitions
+    val (prunedEdges, edgeBuckets) =
+      DedupQueries.componentsTouchedRead(spark, sf, DedupQueries.ccTouchedComps(spark, sf))
+    assert(edgeBuckets.nonEmpty && edgeBuckets.size < 16,
+      s"fixture degenerate: deletes touch ${edgeBuckets.size} of 16 edge buckets — pruning vacuous")
+    prunedScanPartitions(prunedEdges, "cc_state", edgeBuckets.size)
+    // q182: re-election opens only touched membership buckets
+    val (members, memberBuckets) =
+      DedupQueries.survivorTouchedRead(spark, sf, DedupQueries.survivorTouchedComps(spark, sf))
+    assert(memberBuckets.nonEmpty && memberBuckets.size < 64,
+      s"fixture degenerate: deletes touch ${memberBuckets.size} of 64 membership buckets")
+    prunedScanPartitions(members, "survivor_state", memberBuckets.size)
+  }
+
   test("as-of snapshot (q157): generation filter prunes partitions at file level") {
     val q = SparkEntry.queries("q157_index_asof_snapshot")(spark, sf)
     // AdaptiveSparkPlanExec is a leaf to collect() — unwrap to its
