@@ -21,6 +21,29 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    // HOST-DRIFT CALIBRATION: a fixed, SF-independent CPU+shuffle
+    // workload timed FIRST and recorded in the sidecar. The same query
+    // set has measured 150 s and 227 s on the same day on this host
+    // (CPU steal) — the calibration constant lets a later reader
+    // normalize totals across rounds before diagnosing "regressions".
+    // Two runs, min, same as the queries; ~1 s on an unloaded host.
+    val calibration = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 32L * 1000 * 1000, 1, 32)
+          .select((org.apache.spark.sql.functions.col("id") % 1024).as("k"),
+            // bounded per-row value: summing raw xxhash64 longs
+            // overflows under Spark 4's default ANSI mode
+            (org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("id")) % 1048576).as("h"))
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try math.min(once(), once())
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] calibration failed: $t"); -1.0 }
+    }
     // Steady-state methodology: run each query once at the smallest SF
     // before timing it at the target SF, so the measurement charges the
     // query's data-proportional work, not its one-time codegen + JIT
@@ -61,7 +84,7 @@ object Bench {
       // makes that visible instead of silent.
       val r = rescuedNames.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
       val w = new java.io.PrintWriter(timesPath, "UTF-8")
-      try w.println(s"""{"sf":${jstr(sfDir)},"rescued":$r,"queries":$qs}""")
+      try w.println(s"""{"sf":${jstr(sfDir)},"calibration":${fmt(calibration)},"rescued":$r,"queries":$qs}""")
       finally w.close()
     }
     val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -92,7 +115,8 @@ object Bench {
         // "bench" in 0.2s yet cost seconds to actually produce)
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name failed: $t"); -1.0 }
       }
       val good = times.filter(_ >= 0)
       // Environmental rescue: the host occasionally throttles (CPU
@@ -112,7 +136,8 @@ object Bench {
           val extra =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => -1.0 }
+            catch { case t: Throwable =>
+          System.err.println(s"[bench] $name failed: $t"); -1.0 }
           good ++ Seq(extra).filter(_ >= 0)
         } else good
       // a failed query must read as a failure, not a fast time

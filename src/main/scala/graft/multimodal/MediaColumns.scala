@@ -112,12 +112,17 @@ object MediaColumns {
     * embedding; a constant-amplitude signal yields `dims` copies of
     * amp/32768 EXACTLY — sum/n of identical squares then √ then a
     * power-of-two divide are all exact — which is what lets q168's
-    * oracle replay the values in SQL). Only PCM_SIGNED 16-bit mono
-    * little-endian is decoded — the one shape [[solidWav]] writes and
-    * the JDK reads without a transcoder; anything else, like bytes that
-    * aren't audio at all, returns None and the caller surfaces NULLs,
-    * never stub features. In [[featureSchema]] terms an audio row's
-    * `width` is its sample rate (Hz) and `height` its frame count. */
+    * oracle replay the values in SQL).
+    *
+    * Coverage: PCM_SIGNED 16-bit little-endian reads directly; any
+    * other PCM shape the JDK's PCM-to-PCM converter reaches (8-bit,
+    * unsigned, big-endian) is TRANSCODED first — width/sign/endianness
+    * conversions are stock JDK; channel DOWNMIX is not, so multi-
+    * channel frames are averaged here (stereo → (L+R)/2, exact in
+    * double). Bytes that aren't audio, or shapes with no converter
+    * chain, return None and the caller surfaces NULLs, never stub
+    * features. In [[featureSchema]] terms an audio row's `width` is
+    * its sample rate (Hz) and `height` its frame count. */
   private[multimodal] def decodeAudio(
       bytes: Array[Byte], dims: Int): Option[(Int, Int, Array[Float])] = {
     if (bytes.isEmpty) return None
@@ -137,34 +142,58 @@ object MediaColumns {
       }
     if (ais == null) None
     else {
-      val fmt = ais.getFormat
-      val pcm16mono =
-        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian
-      if (!pcm16mono) None
-      else {
-        val data = ais.readAllBytes()
-        val n = data.length / 2
-        if (n == 0) None
+      val src = ais.getFormat
+      val direct =
+        src.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          src.getSampleSizeInBits == 16 && !src.isBigEndian
+      val pcm =
+        if (direct) ais
         else {
-          val feats = Array.ofDim[Float](dims)
-          var w = 0
-          while (w < dims) {
-            // Long arithmetic: w * n overflows Int for ~90-minute WAVs
-            val f0 = (w.toLong * n / dims).toInt
-            val f1 = math.max(f0 + 1, ((w + 1).toLong * n / dims).toInt)
-            var sum = 0.0
-            var i = f0
-            while (i < math.min(f1, n)) {
-              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
-              sum += s.toDouble * s.toDouble
-              i += 1
-            }
-            feats(w) = (math.sqrt(sum / (math.min(f1, n) - f0)) / 32768.0).toFloat
-            w += 1
-          }
-          Some((fmt.getSampleRate.toInt, n, feats))
+          // same rate and channel count, 16-bit signed little-endian —
+          // the shape the stock PCM-to-PCM converter can always reach
+          // from 8-bit / unsigned / big-endian PCM
+          val target = new javax.sound.sampled.AudioFormat(
+            src.getSampleRate, 16, src.getChannels, true, false)
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+          catch { case _: IllegalArgumentException => null } // no converter chain
         }
+      if (pcm == null) return None
+      val ch = pcm.getFormat.getChannels
+      if (ch < 1) return None
+      val data = pcm.readAllBytes()
+      val n = data.length / (2 * ch)
+      if (n == 0) None
+      else {
+        // per-frame mono sample: mean over channels — the raw short for
+        // mono input (bit-identical to the pre-transcode decoder), the
+        // exact (L+R)/2 downmix for stereo
+        def frame(i: Int): Double = {
+          var c = 0
+          var s = 0.0
+          while (c < ch) {
+            val o = 2 * (i * ch + c)
+            s += ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toDouble
+            c += 1
+          }
+          s / ch
+        }
+        val feats = Array.ofDim[Float](dims)
+        var w = 0
+        while (w < dims) {
+          // Long arithmetic: w * n overflows Int for ~90-minute WAVs
+          val f0 = (w.toLong * n / dims).toInt
+          val f1 = math.max(f0 + 1, ((w + 1).toLong * n / dims).toInt)
+          var sum = 0.0
+          var i = f0
+          while (i < math.min(f1, n)) {
+            val s = frame(i)
+            sum += s * s
+            i += 1
+          }
+          feats(w) = (math.sqrt(sum / (math.min(f1, n) - f0)) / 32768.0).toFloat
+          w += 1
+        }
+        Some((pcm.getFormat.getSampleRate.toInt, n, feats))
       }
     }
   }

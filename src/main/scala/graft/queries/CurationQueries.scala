@@ -297,6 +297,106 @@ object CurationQueries {
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
     },
 
+    // MONSTER-SOURCE TOKEN BUDGET — q176's missing arm, wired: the
+    // per-source cumulative window is partition-parallel only while
+    // sources ≫ executors, and a real crawl mix has ONE source holding
+    // most of the corpus (here: src0–src11 fold into 'mega', ~60% of
+    // tokens). For that source a PARTITION BY source window funnels
+    // most of the corpus through one task — so the mega source's
+    // ranked prefix-sum runs through PrefixSum's two-phase scan
+    // instead (bucket = the negated 6dp quality micro-key, a
+    // coarsening of the (quality DESC, doc_id) rank order with doc_id
+    // unique inside; q180's discipline), while the remaining small
+    // sources keep the per-source window. Both arms produce the same
+    // `cum` the oracle's window defines; budgets ride the per-source
+    // aggregate exactly as in q176. PlanBudgetSpec asserts no
+    // un-partitioned corpus-sized window survives in the plan.
+    QueryDef("q183_monster_source_budget", Seq("F5", "W4", "W8", "A5"),
+      s"""WITH tok AS (
+            SELECT doc_id,
+              CASE WHEN CAST(substr(source, 4) AS INT) < 12
+                   THEN 'mega' ELSE source END AS source,
+              len($wsToks) AS tokens,
+              ${TextQueries.qualitySql} AS quality
+            FROM documents),
+          srct AS (
+            SELECT source, CAST(sum(tokens) AS BIGINT) AS src_tokens
+            FROM tok GROUP BY source),
+          srcw AS (
+            SELECT source, src_tokens,
+              CASE WHEN source = 'mega' THEN 4
+                   ELSE 1 + CAST(substr(source, 4) AS INT) % 3 END AS w
+            FROM srct),
+          budgets AS (
+            SELECT source, w,
+              CAST(floor(
+                CAST(floor(sum(src_tokens) OVER () / 2.0) AS BIGINT)
+                  * w / CAST(sum(w) OVER () AS DOUBLE)) AS BIGINT) AS budget
+            FROM srcw),
+          ranked AS (
+            SELECT doc_id, source, tokens,
+              sum(tokens) OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tok),
+          kept AS (
+            SELECT r.source, count(*) AS n_kept,
+              CAST(sum(r.tokens) AS BIGINT) AS tokens_kept
+            FROM ranked r JOIN budgets b ON r.source = b.source
+            WHERE r.cum <= b.budget GROUP BY r.source)
+          SELECT b.source, b.w, b.budget,
+            coalesce(k.n_kept, 0) AS n_kept,
+            coalesce(k.tokens_kept, 0) AS tokens_kept
+          FROM budgets b LEFT JOIN kept k ON b.source = k.source""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFns
+      import graft.operators.PrefixSum
+      val srcNum = expr("substr(source, 4)").cast("int")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(srcNum < 12, lit("mega")).otherwise(col("source")).as("source"),
+          size(split(trim(col("text")), """\s+""")).cast("long").as("tokens"),
+          TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
+        .localCheckpoint(false) // budgets agg and both ranked arms share one scan
+      val srcw = tok.groupBy("source").agg(sum("tokens").as("src_tokens"))
+        .withColumn("w", when(col("source") === "mega", lit(4))
+          .otherwise(lit(1) + expr("substr(source, 4)").cast("int") % 3))
+      val budgets = srcw
+        .withColumn("budget_total",
+          floor(sum("src_tokens").over(Window.partitionBy(lit(1))) / 2.0).cast("long"))
+        .withColumn("ws", sum("w").over(Window.partitionBy(lit(1))))
+        .select(col("source"), col("w"),
+          floor(col("budget_total") * col("w") / col("ws").cast("double"))
+            .cast("long").as("budget"))
+      // mega arm: (quality DESC, doc_id) ≡ (negq ASC, doc_id) with negq
+      // the 6dp micro-key — bijective on 6dp-rounded scores, so the
+      // two-phase scan reproduces the window's cum exactly
+      val mega = tok.filter(col("source") === "mega")
+        .withColumn("__negq",
+          lit(1000000L) - round(col("quality") * 1e6).cast("long"))
+      val megaRanked = PrefixSum.exclusive(mega,
+          order = struct(col("__negq"), col("doc_id")),
+          value = col("tokens"),
+          bucket = expr("CAST(__negq DIV 10000 AS BIGINT)"), as = "__pre")
+        .withColumn("cum", col("__pre") + col("tokens"))
+        .select("doc_id", "source", "tokens", "cum")
+      val restRanked = tok.filter(col("source") =!= "mega")
+        .withColumn("cum",
+          sum("tokens").over(Window.partitionBy("source")
+            .orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("doc_id", "source", "tokens", "cum")
+      val kept = megaRanked.unionByName(restRanked)
+        .join(broadcast(budgets), "source")
+        .filter(col("cum") <= col("budget"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          sum("tokens").as("tokens_kept"))
+      budgets.join(kept, Seq("source"), "left")
+        .select(col("source"), col("w"), col("budget"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+    },
+
     // TOKEN-BALANCED SHARDS — q102 hash-shards documents uniformly BY
     // COUNT, which leaves shard token totals as lopsided as the length
     // distribution; a training run wants shards balanced BY TOKENS so

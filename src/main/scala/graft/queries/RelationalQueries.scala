@@ -346,20 +346,95 @@ object RelationalQueries {
         .select(col("n_name"), col("o_year"), col("n"),
           round(col("sum_value"), 4).as("total_price"))
     },
+
+    // STATS-DRIVEN BROADCAST — the join-sizing decision made by the
+    // PLANNER from written statistics, with no broadcast() hint in
+    // sight: the dimension is a catalog table carrying ANALYZE'd
+    // CatalogStatistics (sizeInBytes + rowCount + per-column min/max),
+    // the fact side joins a FILTERED projection of it, and the
+    // BroadcastHashJoin in the plan is the optimizer's own choice
+    // (PlanBudgetSpec asserts it hint-free, and that the row-count
+    // estimate really flows from the catalog, not the file listing).
+    // Why it matters at 100 TB: a hint is an unconditional override
+    // that melts the cluster the day the dim outgrows memory; statistics
+    // flip the same plan to a shuffle join when the numbers say so, and
+    // under CBO a selective filter on an ANALYZE'd column re-sizes the
+    // build side from column min/max instead of carrying the whole
+    // relation's bytes through the estimate.
+    QueryDef("q186_stats_broadcast_join", Seq("J5", "A5"),
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_custkey < 150
+         GROUP BY c_mktsegment""") { (s, d) =>
+      val dim = statsDim(s, d, "customer_seg",
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+        .filter(col("c_custkey") < 150)
+      Tables.orders(s, d).select("o_custkey", "o_totalprice")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("revenue"))
+    },
   )
 
   /** The (nation, year) revenue partial over a frame of order rows —
     * ONE definition for the join-bearing view's enrichment + reduce, so
     * q160 (append delta) and q170 (CDC delta, via the same dims) can
-    * never disagree on the view they maintain. */
+    * never disagree on the view they maintain.
+    *
+    * HINT-FREE since round 15: the dims are [[statsDim]] catalog tables
+    * with computed statistics, and the planner picks the broadcast side
+    * from CatalogStatistics itself (PlanBudgetSpec asserts the
+    * BroadcastHashJoins survive with the hints gone). A `broadcast()`
+    * hint is an unconditional override; stats are what let the SAME
+    * code flip to a shuffle join when a dimension outgrows the
+    * threshold on a real cluster. */
   private def joinViewPartial(s: org.apache.spark.sql.SparkSession,
       d: String, orders: org.apache.spark.sql.DataFrame) = orders
-    .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+    .join(statsDim(s, d, "customer",
+        Tables.customer(s, d).select("c_custkey", "c_nationkey")),
       col("o_custkey") === col("c_custkey"))
-    .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+    .join(statsDim(s, d, "nation",
+        Tables.nation(s, d).select("n_nationkey", "n_name")),
       col("c_nationkey") === col("n_nationkey"))
     .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
     .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_value"))
+
+  /** The catalog name [[statsDim]] registers for (`d`, `name`). */
+  private[graft] def statsDimName(d: String, name: String): String =
+    s"graft_dim_${name}_${d.replaceAll("[^a-z0-9]", "_")}"
+
+  /** Stage a dimension as a CATALOG TABLE with computed statistics and
+    * return it — the stats-driven alternative to a broadcast() hint.
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS` writes
+    * CatalogStatistics (sizeInBytes + rowCount + column stats); the
+    * planner reads them for the auto-broadcast decision, and with CBO
+    * enabled FilterEstimation can size a FILTERED dim from column
+    * min/max instead of carrying the whole relation's bytes through.
+    * Idempotent per session (the in-memory catalog is per-JVM; the
+    * parquet payload under the warehouse dir is rewritten at first
+    * touch). */
+  private[graft] def statsDim(s: org.apache.spark.sql.SparkSession, d: String,
+      name: String, df: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tbl = statsDimName(d, name)
+    if (!s.catalog.tableExists(tbl)) {
+      // a previous JVM's managed-table dir is an ORPHAN to this
+      // session's in-memory catalog — Spark refuses to adopt the
+      // location (LOCATION_ALREADY_EXISTS), so clear it first
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whDir =
+        if (wh.startsWith("file:")) new java.io.File(java.net.URI.create(wh))
+        else new java.io.File(wh)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(whDir, tbl))
+      df.write.mode("overwrite").saveAsTable(tbl)
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    s.table(tbl)
+  }
 
   /** The join view's materialized base state (history partials over
     * o_orderkey % 10 <> 0), shared by q160 and q170 — one staged dir,

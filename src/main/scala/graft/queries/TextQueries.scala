@@ -339,13 +339,21 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val probe = docs.filter(col("doc_id") % 97 === 0)
         .select(explode(wordGrams(col("text"), 3)).as("gram")).distinct()
-      val base = docs.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), wordGrams(col("text"), 3).as("grams"))
-        .localCheckpoint(false) // denominator and hit explode share one tokenize
-      val hits = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+      // Two passes by design: the r14 review flagged checkpointing the
+      // full gram-array frame (~3× text volume of executor storage at
+      // corpus scale) to save one tokenize. The denominator only needs
+      // size(grams) — a narrow (doc_id, n_grams) projection computed in
+      // its own scan — and the hit side re-tokenizes into its explode;
+      // re-running a row-local generator is cheaper than materializing
+      // its output corpus-wide.
+      val kept = docs.filter(col("doc_id") % 97 =!= 0)
+      val hits = kept
+        .select(col("doc_id"), explode(wordGrams(col("text"), 3)).as("gram"))
         .join(broadcast(probe), "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      base.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      kept
+        .select(col("doc_id"),
+          size(wordGrams(col("text"), 3)).cast("long").as("n_grams"))
         .join(hits, Seq("doc_id"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
         .withColumn("frac", when(col("n_grams") === 0, lit(0.0))

@@ -555,9 +555,41 @@ class PlanBudgetSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("orders.parquet"),
       "q160's serving plan rescans orders.parquet instead of the materialized partials")
-    // both dimension joins broadcast — the delta side never shuffles pre-agg
+    // both dimension joins broadcast WITHOUT hints since round 15 — the
+    // dims are ANALYZE'd catalog tables and the planner sizes the build
+    // side from CatalogStatistics (a regression to SortMergeJoin here
+    // means the stats pathway broke)
     assert(broadcasts(q) == 2)
     assert(!plan.contains("SortMergeJoin"))
+    assert(!q.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q160's dim joins must stay hint-free (stats-driven)")
+  }
+
+  test("stats-driven broadcast (q186): the planner broadcasts from catalog stats, hint-free") {
+    import org.apache.spark.sql.functions.col
+    val j = q("q186_stats_broadcast_join")
+    assert(broadcasts(j) >= 1, "dim join must auto-broadcast")
+    assert(!j.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(!j.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q186 must carry no broadcast hint — the decision belongs to the stats")
+    // the ANALYZE really landed: the catalog row carries a row count
+    val tbl = graft.queries.RelationalQueries.statsDimName(sf, "customer_seg")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(meta.stats.exists(_.rowCount.exists(_.toLong > 0)),
+      s"catalog stats missing on $tbl: ${meta.stats}")
+    // and the planner's estimate flows FROM it: under CBO the filtered
+    // dim still has a row-count estimate — a file-listing fallback
+    // carries bytes only, never a row count
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table(tbl).filter(col("c_custkey") < 150)
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined, s"estimate not stats-driven: $stats")
+      assert(stats.rowCount.get.toLong <= meta.stats.get.rowCount.get.toLong,
+        "filter estimation must not grow the row count")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
   test("CDC join refresh (q170): retractions enrich through broadcast dims, base never rescanned") {
@@ -729,5 +761,26 @@ class PlanBudgetSpec extends SparkSpec {
     }
     assert(corpusWindows.isEmpty,
       "q180 funnels raw corpus rows through an un-partitioned window")
+
+    // q183: the monster source's ranked prefix-sum must run through the
+    // PrefixSum two-phase scan — the only un-partitioned windows left
+    // sit over AGGREGATED frames (bucket subtotals / per-source
+    // budgets), never over raw corpus rows, and the one PARTITION BY
+    // source window carries only the non-mega remainder
+    val monster = q("q183_monster_source_budget")
+    val monsterPhys = monster.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val monsterCorpusWindows = monsterPhys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty &&
+            w.child.collect {
+              case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+            }.isEmpty =>
+        w
+    }
+    assert(monsterCorpusWindows.isEmpty,
+      "q183 funnels raw corpus rows through an un-partitioned window")
   }
 }

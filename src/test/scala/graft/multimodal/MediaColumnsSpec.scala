@@ -75,6 +75,47 @@ class MediaColumnsSpec extends SparkSpec {
       s"got ${feats.toSeq}")
   }
 
+  test("decodeAudio: stereo downmixes to the exact channel mean") {
+    // 8 stereo frames, L = +1000, R = +3000 → mono frame (L+R)/2 = 2000
+    // exactly (sum of two doubles, power-of-two divide) → every RMS
+    // window is 2000/32768, the mono-downmix expectation
+    val data = Array.ofDim[Byte](32)
+    for (i <- 0 until 8; (a, c) <- Seq((1000, 0), (3000, 1))) {
+      val o = 4 * i + 2 * c
+      data(o) = (a & 0xff).toByte
+      data(o + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 8L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, frames, feats)) = MediaColumns.decodeAudio(bos.toByteArray, dims = 2)
+    assert(rate == 8000 && frames == 8)
+    assert(feats.toSeq == Seq.fill(2)((2000.0 / 32768.0).toFloat), s"got ${feats.toSeq}")
+  }
+
+  test("decodeAudio: 8-bit unsigned PCM transcodes through the JDK converter") {
+    // 6 frames of unsigned-byte 200: ideal widening is (x−128)·256 =
+    // 18432 → RMS 0.5625; the stock converter also replicates bits into
+    // the low byte, so pin scale (within half an 8-bit step of ideal),
+    // window constancy, and determinism — not the JDK's private mapping
+    val data = Array.fill[Byte](6)(200.toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 6L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, frames, feats)) = MediaColumns.decodeAudio(bos.toByteArray, dims = 2)
+    assert(rate == 8000 && frames == 6)
+    assert(feats(0) == feats(1), s"constant signal must give equal windows: ${feats.toSeq}")
+    assert(math.abs(feats(0) - 0.5625) < 256.0 / 32768.0, s"got ${feats.toSeq}")
+    assert(MediaColumns.decodeAudio(bos.toByteArray, dims = 2).get._3.toSeq == feats.toSeq)
+  }
+
   test("decodeImage: grid means follow the raster, not the fill") {
     // 8×8 two-tone: left half gray 40, right half gray 200. dims=4 →
     // 2×2 grid whose cells align exactly with the halves: features =
