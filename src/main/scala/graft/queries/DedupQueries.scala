@@ -543,6 +543,70 @@ object DedupQueries {
         .select("component", "survivor_id", "n_members", "quality")
         .unionByName(reElected)
     },
+
+    // THE FULL CLUSTER LIFECYCLE UNDER ONE CHANGELOG — appends (q171/
+    // q172's contraction merge) and deletes (q181/q185's touched
+    // rebuild) arriving INTERLEAVED as one CDC stream (op ∈ {I, D}),
+    // folded per micro-batch: the shape a live ingest-plus-forget
+    // pipeline actually emits (q164's unified changelog applied to the
+    // clusters instead of the index). Fixture: history = doc_id % 7
+    // <> 0 (the standing state at rest; % 7 — unlike q171's % 11 — so
+    // several streamed merges SURVIVE the deletes into the final
+    // labels); arrivals (I) = % 7 == 0 carrying their row-local
+    // simhash; deletes (D) = % 13 == 3 restricted to history. Per
+    // batch, DELETES FIRST: the touched
+    // components are rebuilt from at-rest edges of their ORIG-CLOSURE
+    // (an appended bridge can merge two original components — the
+    // rebuild must cover every current component sharing an orig with
+    // a touched one) plus the APPENDED-PAIR LEDGER (arrival edges
+    // exist nowhere at rest), minus the cumulative delete set; then
+    // APPENDS: the batch's sigs probe the PRESENT corpus (history ∪
+    // appends-so-far, minus deletes-so-far) asymmetrically and the
+    // delta pairs contract into the standing labels. Every piece of
+    // carried state is O(delta): delete/append id ledgers and the
+    // appended-pair ledger ride generation dirs beside the labels with
+    // q158's recovery + vacuum. The fold is batching-independent —
+    // rebuilds re-derive from immutable evidence, contraction
+    // preserves connectivity and min-ids — so the final labels equal
+    // the from-scratch closure over exactly the post-CDC corpus:
+    // all documents minus the deleted history rows.
+    QueryDef("q187_stream_components_cdc", Seq("A10", "F4", "R4"),
+      ccComponentsSql(ccCdcKeepPredSql)) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val stateDir = ccHistStateDir(s0, d)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_cc_cdc"
+      val sigs = Tables.documents(s, d).select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+        .localCheckpoint(false) // the static probe side, pinned once
+      val changelog = sigs.filter(col("doc_id") % 7 === 0)
+        .select(lit("I").as("op"), col("doc_id"), col("simhash"))
+        .unionByName(ccDeletedIds(s, d).filter(col("doc_id") % 7 =!= 0)
+          .select(lit("D").as("op"), col("doc_id"),
+            lit(null).cast("long").as("simhash")))
+      val in = EventQueries.stageRangedDrain(changelog, 3, "doc_id", "graft_cccdc_")
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = componentsCdcStep(stateDir, root, b, id, sigs)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      EventQueries.latestViewGen(s"$root/labels") match {
+        case None      => s.read.parquet(s"$stateDir/labels") // empty changelog
+          .select(col("id").as("doc_id"), col("component"))
+        case Some(dir) => s.read.parquet(dir)
+          .select(col("id").as("doc_id"), col("component"))
+      }
+    },
   )
 
 
@@ -585,6 +649,11 @@ object DedupQueries {
     * be null when the oracle strings interpolate it. */
   private def ccKeepPredSql = "doc_id % 13 <> 3"
 
+  /** q187's post-CDC corpus: history (doc_id % 7 <> 0) minus its
+    * deletes, plus every arrival — i.e. all documents except deleted
+    * HISTORY rows (the fixture's deletes target history only). */
+  private def ccCdcKeepPredSql = "(doc_id % 13 <> 3 OR doc_id % 7 = 0)"
+
   /** The cluster state AT REST — what makes deletes O(affected): ONE
     * staged dir holding `labels` (id, component — the standing q65
     * labeling) and `edges` (the near-dup pair graph KEYED BY COMPONENT,
@@ -592,12 +661,12 @@ object DedupQueries {
     * its clusters' partitions). Built in one pass: pairs → components →
     * edges re-keyed through the labels. The `_SUCCESS` marker is
     * written manually because both payloads live in subdirs. */
-  private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
-    graft.sources.ZOrder.ensureStagedDir(
-      "graft_cc_state_b16", d, s"$d/documents.parquet") { target =>
+  private def stagedCcState(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String,
+      docs: org.apache.spark.sql.DataFrame): String =
+    graft.sources.ZOrder.ensureStagedDir(tag, d, s"$d/documents.parquet") { target =>
       EventQueries.multiWriteStage(target) { stage =>
-        val sig = Tables.documents(s, d).select(col("doc_id"),
+        val sig = docs.select(col("doc_id"),
           TextDedup.simHashN(col("text"), 60).as("simhash"))
         val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
           .select("id_a", "id_b")
@@ -614,6 +683,21 @@ object DedupQueries {
         ()
       }
     }
+
+  /** Full-corpus cluster state (q181/q182/q185). */
+  private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedCcState(s, d, "graft_cc_state_b16", Tables.documents(s, d))
+
+  /** HISTORY-ONLY cluster state (q187 — arrivals stream in later, so
+    * the standing state must not have seen them). The tag ENCODES the
+    * history rule (% 7): ensureStagedDir fingerprints source content,
+    * not builder logic, so a fixture change must rename the tag or the
+    * cache serves the old split forever. */
+  private[graft] def ccHistStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedCcState(s, d, "graft_cc_hist7_state_b16",
+      Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0))
 
   /** The standing labels (id, component) from [[ccStateDir]]. */
   private[graft] def ccAtRestLabels(s: org.apache.spark.sql.SparkSession,
@@ -711,6 +795,116 @@ object DedupQueries {
     cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
     EventQueries.vacuumViewGens(s"$root/labels", baseLabels)
     EventQueries.vacuumViewGens(s"$root/dels", baseDels)
+    s.read.parquet(s"$root/labels/gen-$id").count()
+  }
+
+  /** One q187 maintenance step: fold a mixed I/D micro-batch into the
+    * standing labels. State carried per generation, all O(delta):
+    * `labels` (id, component), `dels`/`apps` (cumulative id ledgers),
+    * `pairs` (cumulative APPENDED-pair ledger — arrival edges exist
+    * nowhere at rest). DELETES FIRST: rebuild the ORIG-CLOSURE of the
+    * touched components (an appended bridge may have merged several
+    * original components — every current component sharing an at-rest
+    * orig with a touched one rejoins the rebuild, so pass-through and
+    * rebuild partition the label set exactly) from pruned at-rest
+    * edges + the pair ledger, minus the cumulative deletes. THEN
+    * APPENDS: the batch's sigs probe the PRESENT corpus (history ∪
+    * appends-so-far, minus deletes-so-far — the probe is asymmetric
+    * and band-bucketed, the corpus side scans but never shuffles) and
+    * the delta pairs contract into the labels (CC(contract(L) ∪ Δ) =
+    * CC(edges(L) ∪ Δ)). Replays re-base on committed predecessors and
+    * converge: rebuilds re-derive from immutable evidence, appends
+    * are monotone. Returns the standing label count. */
+  private[graft] def componentsCdcStep(stateDir: String, root: String,
+      b: org.apache.spark.sql.DataFrame, id: Long,
+      staticSigs: org.apache.spark.sql.DataFrame): Long = {
+    val s = b.sparkSession
+    val atRest = s.read.parquet(s"$stateDir/labels")
+    def base(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
+    val (baseL, baseD, baseA, baseP) =
+      (base("labels"), base("dels"), base("apps"), base("pairs"))
+    val labels = baseL.map(p => s.read.parquet(p))
+      .getOrElse(atRest.select("id", "component"))
+      .localCheckpoint() // read by touch/rebuild/pass-through/contract
+    val emptyIds = b.select(col("doc_id")).limit(0)
+    val emptyPairs = b
+      .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
+    val bD = b.filter(col("op") === "D").select("doc_id")
+    val bI = b.filter(col("op") === "I").select("doc_id", "simhash")
+    val cumDels = baseD.map(p => s.read.parquet(p)).getOrElse(emptyIds)
+      .unionByName(bD).distinct().localCheckpoint()
+    val cumApps = baseA.map(p => s.read.parquet(p)).getOrElse(emptyIds)
+      .unionByName(bI.select("doc_id")).distinct().localCheckpoint()
+    val ledger = baseP.map(p => s.read.parquet(p)).getOrElse(emptyPairs)
+      .localCheckpoint()
+
+    // ---- delete phase ----
+    val touched = labels
+      .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
+      .select("component").distinct().localCheckpoint()
+    val afterD = if (touched.isEmpty) labels else {
+      val origOf = atRest.select(col("id"), col("component").as("orig"))
+      val origs = labels.join(broadcast(touched), Seq("component"), "leftsemi")
+        .join(origOf, Seq("id"))
+        .select("orig").distinct().localCheckpoint()
+      val rebuildComps = labels.join(origOf, Seq("id"))
+        .join(broadcast(origs), Seq("orig"), "leftsemi")
+        .select("component")
+        .unionByName(touched.select("component")) // all-appended comps have no orig
+        .distinct().localCheckpoint()
+      val members = labels
+        .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
+        .select("id")
+      val buckets = origs.select(pmod(col("orig"), lit(16)).cast("int").as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val atRestEdges = s.read.parquet(s"$stateDir/edges")
+        .filter(col("bucket").isin(buckets: _*))
+        .join(broadcast(origs.select(col("orig").as("component"))),
+          Seq("component"), "leftsemi")
+        .select("id_a", "id_b")
+      // a ledger pair's live endpoints share one current component, so
+      // the id_a witness suffices; pairs with a deleted endpoint are
+      // dropped by the rebuild's anti-join either way
+      val ledgerEdges = ledger
+        .join(broadcast(members.select(col("id").as("id_a"))), Seq("id_a"), "leftsemi")
+      val rebuilt = retractedTouchedLabels(
+        atRestEdges.unionByName(ledgerEdges.select("id_a", "id_b")), cumDels)
+      labels.join(broadcast(rebuildComps), Seq("component"), "left_anti")
+        .unionByName(rebuilt.select("id", "component"))
+    }
+
+    // ---- append phase ----
+    val hasI = !bI.isEmpty
+    val deltaPairs = if (!hasI) emptyPairs else {
+      val present = staticSigs
+        .join(broadcast(cumApps.select(col("doc_id"), lit(1).as("__app"))),
+          Seq("doc_id"), "left")
+        .filter(col("doc_id") % 7 =!= 0 || col("__app").isNotNull)
+        .drop("__app")
+        .join(broadcast(cumDels), Seq("doc_id"), "left_anti")
+      TextDedup.simHashNearDupAgainst(bI, present, "doc_id", "simhash", 3)
+        .select("id_a", "id_b")
+        .localCheckpoint() // read by the contract merge AND the ledger write
+    }
+    val next = if (!hasI) afterD else
+      Components.connectedComponents(
+          afterD.select(col("id").as("id_a"), col("component").as("id_b"))
+            .unionByName(deltaPairs),
+          "id_a", "id_b")
+
+    // normalize column ORDER before landing: the pass-through branch's
+    // USING join moves the key first, and a positional reader of the
+    // generation dir would silently swap (id, component)
+    next.select("id", "component")
+      .write.mode("overwrite").parquet(s"$root/labels/gen-$id")
+    cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
+    cumApps.write.mode("overwrite").parquet(s"$root/apps/gen-$id")
+    ledger.unionByName(deltaPairs).distinct()
+      .write.mode("overwrite").parquet(s"$root/pairs/gen-$id")
+    EventQueries.vacuumViewGens(s"$root/labels", baseL)
+    EventQueries.vacuumViewGens(s"$root/dels", baseD)
+    EventQueries.vacuumViewGens(s"$root/apps", baseA)
+    EventQueries.vacuumViewGens(s"$root/pairs", baseP)
     s.read.parquet(s"$root/labels/gen-$id").count()
   }
 

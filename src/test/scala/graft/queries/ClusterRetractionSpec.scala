@@ -72,6 +72,46 @@ class ClusterRetractionSpec extends SparkSpec {
     assert(streamed == expected, s"streamed fold diverged from batch: $streamed")
   }
 
+  test("componentsCdcStep: bridge merge, orig-closure rebuild, bridge-delete split") {
+    // Synthetic at-rest state: two HISTORY pair-clusters A = {1, 2}
+    // (comp 1) and B = {10, 11} (comp 10). Arrival 21 (21 % 7 == 0) is
+    // a BRIDGE: sig 1 is within hamming 3 of A's sig 0 and B's sig 3,
+    // so batch 0 merges A ∪ B ∪ {21}. Batch 1 deletes history doc 2 —
+    // the rebuild must cover BOTH original components (orig-closure)
+    // plus the appended-pair ledger, and the bridge keeps the merge
+    // alive. Batch 2 deletes the bridge itself — the merged cluster
+    // must split back, doc 1 dropping out edge-less.
+    val dir = Files.createTempDirectory("graft_cdc_step_spec_").toString
+    Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")
+      .write.parquet(s"$dir/labels")
+    Seq((1L, 2L, 1L), (10L, 11L, 10L)).toDF("id_a", "id_b", "component")
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("component"),
+          org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    val sigs = Seq((1L, 0L), (2L, 0L), (10L, 3L), (11L, 3L), (21L, 1L))
+      .toDF("doc_id", "simhash")
+    val root = Files.createTempDirectory("graft_cdc_step_root_").toString
+    def step(id: Long, rows: Seq[(String, java.lang.Long, java.lang.Long)]): Map[Long, Long] = {
+      val b = rows.toDF("op", "doc_id", "simhash")
+        .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
+      DedupQueries.componentsCdcStep(dir, root, b, id, sigs)
+      spark.read.parquet(s"$root/labels/gen-$id")
+        .select("id", "component") // read by NAME — gen column order is storage detail
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(step(0, Seq(("I", 21L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 21L -> 1L),
+      "the arrival must bridge both history clusters into one component")
+    assert(step(1, Seq(("D", 2L, null))) ==
+      Map(1L -> 1L, 10L -> 1L, 11L -> 1L, 21L -> 1L),
+      "deleting a history member must keep the bridge-merged cluster connected")
+    assert(step(2, Seq(("D", 21L, null))) ==
+      Map(10L -> 10L, 11L -> 10L),
+      "deleting the bridge must split the merge and drop the edge-less remnant")
+  }
+
   test("q182: a deleted survivor is re-elected; untouched manifest rows pass through") {
     val dir = retractionCorpus()
     val out = q("q182_survivor_reelection", dir).collect()
