@@ -120,6 +120,14 @@ object SpineProbe {
         ("q173_video_frames", Set("documents")),
         ("q171_components_incremental", Set("documents")),
         ("q172_stream_components", Set("documents")),
+        ("q181_components_retraction", Set("documents")),
+        ("q182_survivor_reelection", Set("documents")),
+        ("q185_stream_components_retraction", Set("documents")),
+        ("q187_stream_components_cdc", Set("documents")),
+        ("q188_stream_survivor_reelection", Set("documents")),
+        ("q183_monster_source_budget", Set("documents")),
+        ("q184_mmr_rerank_k5", Set("embeddings")),
+        ("q186_stats_broadcast_join", Set("orders", "customer")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
@@ -175,6 +183,14 @@ object SpineProbe {
         ("q173_video_frames", Set("documents")),
         ("q171_components_incremental", Set("documents")),
         ("q172_stream_components", Set("documents")),
+        ("q181_components_retraction", Set("documents")),
+        ("q182_survivor_reelection", Set("documents")),
+        ("q185_stream_components_retraction", Set("documents")),
+        ("q187_stream_components_cdc", Set("documents")),
+        ("q188_stream_survivor_reelection", Set("documents")),
+        ("q183_monster_source_budget", Set("documents")),
+        ("q184_mmr_rerank_k5", Set("embeddings")),
+        ("q186_stats_broadcast_join", Set("orders", "customer")),
         ("q161_partition_backfill", Set("events")),
         ("q162_schema_evolution", Set("events")),
         ("q163_cdc_incremental_refresh", Set("events")),
@@ -368,6 +384,9 @@ object SpineProbe {
       "q164_stream_tombstone_delete",
       "q167_stream_cdc_view",
       "q172_stream_components",
+      "q185_stream_components_retraction",
+      "q187_stream_components_cdc",
+      "q188_stream_survivor_reelection",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -392,7 +411,10 @@ object SpineProbe {
       "q164_stream_tombstone_delete" -> "graft_stream_tombstone_delete",
       "q158_stream_agg_refresh" -> "graft_stream_agg_refresh",
       "q167_stream_cdc_view" -> "graft_stream_cdc_view",
-      "q172_stream_components" -> "graft_stream_components")
+      "q172_stream_components" -> "graft_stream_components",
+      "q185_stream_components_retraction" -> "graft_stream_cc_retraction",
+      "q187_stream_components_cdc" -> "graft_stream_cc_cdc",
+      "q188_stream_survivor_reelection" -> "graft_stream_survivor")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153
@@ -432,6 +454,19 @@ object SpineProbe {
         val ok = segs1.nonEmpty && segsN.nonEmpty &&
           segsN.last._2 == segs1.last._2 && segsN.size <= segs1.size + 1
         println(s"""{"gate":"${q}_view_rows_$tag","ok":$ok,"detail":"view_rows_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} view_rows_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)} batches_1x=${segs1.size} batches_$tag=${segsN.size}"}""")
+      }
+      // q185/q187 fold cluster retractions (and, for q187, appends)
+      // per micro-batch: segment COUNT tracks trigger cadence (the
+      // staged range count — 2 for q185, 3 for q187), never data
+      // volume; the ledger rows are the standing label count, which
+      // grows with the corpus (copy-scaling clones every near-dup
+      // clique) and must never shrink below the 1x labeling.
+      if (decade && (q == "q185_stream_components_retraction" ||
+          q == "q187_stream_components_cdc")) {
+        val ok = segs1.nonEmpty && segsN.size <= segs1.size + 1 &&
+          segsN.lastOption.map(_._2).getOrElse(-1L) >=
+            segs1.lastOption.map(_._2).getOrElse(Long.MaxValue)
+        println(s"""{"gate":"${q}_fold_cadence_$tag","ok":$ok,"detail":"batches_1x=${segs1.size} batches_$tag=${segsN.size} labels_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} labels_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)}"}""")
       }
       // q159's whole claim is STATELESSNESS: the gate against the probe
       // set is row-local (plan-literal Bloom + broadcast confirm), so

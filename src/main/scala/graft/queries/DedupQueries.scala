@@ -544,6 +544,54 @@ object DedupQueries {
         .unionByName(reElected)
     },
 
+    // STREAMED SURVIVOR RE-ELECTION — q182's manifest maintenance as a
+    // continuously updated artifact: each delete micro-batch first
+    // folds into the labels (componentsRetractStep — q185's fold,
+    // shared verbatim), then repairs exactly the manifest rows whose
+    // component maps into the batch's touched ORIGINAL components
+    // (clustered comps map through the at-rest labels — a split comp's
+    // key is some member id whose at-rest row names the original —
+    // and deleted singletons are their own components). Re-election
+    // reads only the touched originals' membership buckets, relabels
+    // through the labels generation just written, and re-runs the same
+    // max-struct argmax; the repair is idempotent per original, so
+    // replays and any batching converge. Manifest generations ride
+    // beside the label generations with the same recovery + vacuum.
+    // Second query on q182's oracle text: however the manifest was
+    // maintained, it must equal the from-scratch derivation over the
+    // post-delete corpus.
+    QueryDef("q188_stream_survivor_reelection", Seq("A10", "A2", "W6", "F4"),
+      survivorManifestSql(ccKeepPredSql)) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val ccState = ccStateDir(s0, d)
+      val survState = survivorStateDir(s0, d)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_survivor"
+      val deleted = ccDeletedIds(s, d)
+      val in = EventQueries.stageRangedDrain(deleted, 2, "doc_id", "graft_ssr_")
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(deleted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = survivorRetractStep(ccState, survState, root, b, id)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      EventQueries.latestViewGen(s"$root/manifest") match {
+        case None      => s.read.parquet(s"$survState/manifest") // no deletes arrived
+          .select("component", "survivor_id", "n_members", "quality")
+        case Some(dir) => s.read.parquet(dir)
+          .select("component", "survivor_id", "n_members", "quality")
+      }
+    },
+
     // THE FULL CLUSTER LIFECYCLE UNDER ONE CHANGELOG — appends (q171/
     // q172's contraction merge) and deletes (q181/q185's touched
     // rebuild) arriving INTERLEAVED as one CDC stream (op ∈ {I, D}),
@@ -798,6 +846,73 @@ object DedupQueries {
     s.read.parquet(s"$root/labels/gen-$id").count()
   }
 
+  /** One q188 maintenance step: q185's label fold (shared verbatim),
+    * then the manifest repair. The repair set is keyed by ORIGINAL
+    * component — every manifest row whose component maps (via the
+    * at-rest labels; identity for singletons) into an original touched
+    * by THIS batch's deletes is re-derived from the pruned membership
+    * buckets, relabeled through the labels generation just written;
+    * everything else passes through from the committed predecessor.
+    * Idempotent per original ⇒ replays and any batching converge.
+    * Returns the standing manifest row count. */
+  private[graft] def survivorRetractStep(ccState: String, survState: String,
+      root: String, b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+    val s = b.sparkSession
+    componentsRetractStep(ccState, root, b, id)
+    val atRest = s.read.parquet(s"$ccState/labels")
+    val baseM = EventQueries.latestViewGen(s"$root/manifest", below = Some(id))
+    val manifest = baseM match {
+      case None    => s.read.parquet(s"$survState/manifest")
+      case Some(p) => s.read.parquet(p)
+    }
+    // THIS batch's touched originals — singleton deletes are their own
+    // component (exactly the manifest's key rule)
+    val touchedOrig = b.select(col("doc_id"))
+      .join(atRest.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("orig"))
+      .distinct()
+      .localCheckpoint() // bucket list + affected-row filter + member prune
+    // manifest rows in the repair set: component → orig via the at-rest
+    // labels (a split comp's key is a member id carrying its original)
+    val withOrig = manifest
+      .join(broadcast(atRest.select(col("id").as("component"),
+          col("component").as("__o"))),
+        Seq("component"), "left")
+      .withColumn("__orig", coalesce(col("__o"), col("component")))
+    val passThrough = withOrig
+      .join(broadcast(touchedOrig.select(col("orig").as("__orig"))),
+        Seq("__orig"), "left_anti")
+      .select("component", "survivor_id", "n_members", "quality")
+    // re-elect over the touched originals' full remaining membership,
+    // under the labels generation just written
+    val cumDels = s.read.parquet(s"$root/dels/gen-$id")
+    val newLabels = s.read.parquet(s"$root/labels/gen-$id")
+      .select(col("id").as("doc_id"), col("component").as("__newc"))
+    val buckets = touchedOrig
+      .select(pmod(col("orig"), lit(64)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val reElected = s.read.parquet(s"$survState/membership")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(touchedOrig.select(col("orig").as("component"))),
+        Seq("component"), "leftsemi")
+      .join(broadcast(cumDels), Seq("doc_id"), "left_anti")
+      .drop("component")
+      .join(broadcast(newLabels), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("__newc"), col("doc_id")).as("component"))
+      .groupBy("component")
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("pick.nid")).as("survivor_id"),
+        col("n_members"), col("pick.quality").as("quality"))
+    passThrough.unionByName(reElected)
+      .write.mode("overwrite").parquet(s"$root/manifest/gen-$id")
+    EventQueries.vacuumViewGens(s"$root/manifest", baseM)
+    s.read.parquet(s"$root/manifest/gen-$id").count()
+  }
+
   /** One q187 maintenance step: fold a mixed I/D micro-batch into the
     * standing labels. State carried per generation, all O(delta):
     * `labels` (id, component), `dels`/`apps` (cumulative id ledgers),
@@ -817,7 +932,11 @@ object DedupQueries {
     * are monotone. Returns the standing label count. */
   private[graft] def componentsCdcStep(stateDir: String, root: String,
       b: org.apache.spark.sql.DataFrame, id: Long,
-      staticSigs: org.apache.spark.sql.DataFrame): Long = {
+      staticSigs: org.apache.spark.sql.DataFrame,
+      /** which doc_ids the at-rest state already covers (present before
+        * any append) — q187 passes its % 7 split; the property test an
+        * arbitrary membership */
+      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Long = {
     val s = b.sparkSession
     val atRest = s.read.parquet(s"$stateDir/labels")
     def base(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
@@ -831,6 +950,13 @@ object DedupQueries {
       .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
     val bD = b.filter(col("op") === "D").select("doc_id")
     val bI = b.filter(col("op") === "I").select("doc_id", "simhash")
+    // the fold applies a batch's deletes BEFORE its appends, so one
+    // batch carrying both ops for one id has no defined order — fail
+    // loudly (signedPartials' discipline) instead of quietly labeling
+    // a deleted doc through its own probe pairs
+    require(bD.join(bI, "doc_id").isEmpty,
+      s"componentsCdcStep(gen $id): a batch may not append AND delete " +
+        "the same doc_id — route the two ops through separate batches")
     val cumDels = baseD.map(p => s.read.parquet(p)).getOrElse(emptyIds)
       .unionByName(bD).distinct().localCheckpoint()
     val cumApps = baseA.map(p => s.read.parquet(p)).getOrElse(emptyIds)
@@ -879,7 +1005,7 @@ object DedupQueries {
       val present = staticSigs
         .join(broadcast(cumApps.select(col("doc_id"), lit(1).as("__app"))),
           Seq("doc_id"), "left")
-        .filter(col("doc_id") % 7 =!= 0 || col("__app").isNotNull)
+        .filter(historyPred || col("__app").isNotNull)
         .drop("__app")
         .join(broadcast(cumDels), Seq("doc_id"), "left_anti")
       TextDedup.simHashNearDupAgainst(bI, present, "doc_id", "simhash", 3)

@@ -112,6 +112,100 @@ class ClusterRetractionSpec extends SparkSpec {
       "deleting the bridge must split the merge and drop the edge-less remnant")
   }
 
+  test("componentsCdcStep property: random I/D scripts under random batching == closure") {
+    // Batching-independence, pinned the way signedPartials was in r14:
+    // random corpus sigs (clustered around a few bases ± bit flips),
+    // random history/arrival split, random deletes, random batch
+    // boundaries — the fold's final labels must equal the from-scratch
+    // closure over exactly the surviving docs. The pair rule is
+    // hamming ≤ 3 with NO band check: threshold 3 < 4 bands means the
+    // pigeonhole guarantees banding full recall, so the reference can
+    // use the pure rule.
+    val rnd = new scala.util.Random(20250815L)
+    val mask60 = (1L << 60) - 1
+    for (trial <- 1 to 6) {
+      val bases = Array.fill(3)(rnd.nextLong() & mask60)
+      val n = 24 + rnd.nextInt(12)
+      val ids = (1L to n.toLong).toArray
+      val sig = ids.map { id =>
+        val s0 =
+          if (rnd.nextBoolean()) bases(rnd.nextInt(bases.length))
+          else rnd.nextLong() & mask60
+        val flips = rnd.nextInt(3)
+        id -> (0 until flips).foldLeft(s0)((s, _) => s ^ (1L << rnd.nextInt(60)))
+      }.toMap
+      def pairsAmong(docs: Set[Long]): Seq[(Long, Long)] =
+        (for {
+          a <- docs.toSeq; b <- docs.toSeq if a < b
+          if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+        } yield (a, b)).sorted
+      def closure(docs: Set[Long]): Map[Long, Long] = {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+        }
+        pairsAmong(docs).foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keys.map(v => v -> find(v)).toMap
+      }
+      val hist = ids.filter(_ => rnd.nextDouble() < 0.6).toSet
+      val arrivals = ids.filterNot(hist).toSeq
+      // deletes target HISTORY only (the q187 fixture's contract — a
+      // same-batch I+D of one id is rejected loudly by the step)
+      val deleted = ids.filter(id => hist(id) && rnd.nextDouble() < 0.3).toSet
+      // stage the at-rest state from the reference closure over history
+      val dir = Files.createTempDirectory(s"graft_cdc_prop_state_$trial").toString
+      val histLabels = closure(hist)
+      histLabels.toSeq.toDF("id", "component").write.parquet(s"$dir/labels")
+      pairsAmong(hist)
+        .map { case (a, b) => (a, b, histLabels(a)) }
+        .toDF("id_a", "id_b", "component")
+        .withColumn("bucket",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("component"),
+            org.apache.spark.sql.functions.lit(16)).cast("int"))
+        .write.partitionBy("bucket").parquet(s"$dir/edges")
+      val sigs = sig.toSeq.toDF("doc_id", "simhash")
+      // script: arrivals as I and history deletes as D, interleaved in
+      // one random order, then cut at random batch boundaries
+      val script = new scala.util.Random(rnd.nextLong()).shuffle(
+        arrivals.map(a => ("I", a)) ++ deleted.toSeq.map(del => ("D", del)))
+      val nBatches = 1 + rnd.nextInt(4)
+      val cuts = Seq.fill(nBatches - 1)(rnd.nextInt(script.size + 1)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(script.size)).sliding(2).collect {
+        case Seq(a, b) => script.slice(a, b)
+      }.toSeq
+      val root = Files.createTempDirectory(s"graft_cdc_prop_root_$trial").toString
+      var lastGen: Option[Long] = None
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        if (rows.nonEmpty) {
+          val b = rows.map { case (op, id0) =>
+            (op, id0, if (op == "I") java.lang.Long.valueOf(sig(id0)) else null.asInstanceOf[java.lang.Long])
+          }.toDF("op", "doc_id", "simhash")
+            .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
+          DedupQueries.componentsCdcStep(dir, root, b, i.toLong, sigs,
+            historyPred = org.apache.spark.sql.functions.col("doc_id")
+              .isin(hist.toSeq: _*))
+          lastGen = Some(i.toLong)
+        }
+      }
+      val got = lastGen match {
+        case None => spark.read.parquet(s"$dir/labels")
+          .select("id", "component").as[(Long, Long)].collect().toMap
+        case Some(g) => spark.read.parquet(s"$root/labels/gen-$g")
+          .select("id", "component").as[(Long, Long)].collect().toMap
+      }
+      val want = closure(ids.toSet -- deleted)
+      assert(got == want,
+        s"trial $trial (n=$n, |hist|=${hist.size}, |del|=${deleted.size}, " +
+          s"batches=${batches.map(_.size).mkString("/")}): fold diverged\n" +
+          s"  got  ${got.toSeq.sorted}\n  want ${want.toSeq.sorted}")
+    }
+  }
+
   test("q182: a deleted survivor is re-elected; untouched manifest rows pass through") {
     val dir = retractionCorpus()
     val out = q("q182_survivor_reelection", dir).collect()
@@ -122,5 +216,11 @@ class ClusterRetractionSpec extends SparkSpec {
       6L -> ((6L, 1L))  // untouched singleton passes through
       // 3 (deleted singleton) and 29/42 (dissolved pair) have no rows
     ), s"got $out")
+    // the STREAMED manifest fold (q188) must land on the same rows —
+    // the deletes arrive in two ranged batches and each repairs only
+    // its own touched originals
+    val streamed = q("q188_stream_survivor_reelection", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == out, s"streamed manifest diverged: $streamed")
   }
 }
