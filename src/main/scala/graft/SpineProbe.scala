@@ -125,6 +125,7 @@ object SpineProbe {
         ("q185_stream_components_retraction", Set("documents")),
         ("q187_stream_components_cdc", Set("documents")),
         ("q188_stream_survivor_reelection", Set("documents")),
+        ("q189_stream_manifest_cdc", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -188,6 +189,7 @@ object SpineProbe {
         ("q185_stream_components_retraction", Set("documents")),
         ("q187_stream_components_cdc", Set("documents")),
         ("q188_stream_survivor_reelection", Set("documents")),
+        ("q189_stream_manifest_cdc", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -387,6 +389,7 @@ object SpineProbe {
       "q185_stream_components_retraction",
       "q187_stream_components_cdc",
       "q188_stream_survivor_reelection",
+      "q189_stream_manifest_cdc",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -414,7 +417,8 @@ object SpineProbe {
       "q172_stream_components" -> "graft_stream_components",
       "q185_stream_components_retraction" -> "graft_stream_cc_retraction",
       "q187_stream_components_cdc" -> "graft_stream_cc_cdc",
-      "q188_stream_survivor_reelection" -> "graft_stream_survivor")
+      "q188_stream_survivor_reelection" -> "graft_stream_survivor",
+      "q189_stream_manifest_cdc" -> "graft_stream_manifest_cdc")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153

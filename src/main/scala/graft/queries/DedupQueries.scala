@@ -655,6 +655,64 @@ object DedupQueries {
           .select(col("id").as("doc_id"), col("component"))
       }
     },
+
+    // THE MANIFEST UNDER THE FULL CHANGELOG — the round's capstone
+    // composition: q187's label lifecycle AND q182/q188's survivor
+    // manifest, maintained together under one mixed I/D stream. This
+    // is the artifact a trainer actually consumes (which copy of every
+    // surviving document to train on), kept live while documents
+    // arrive and are forgotten. Per batch, after the label fold: the
+    // repair universe is every doc whose standing can change — members
+    // of components touched by the batch's delta pairs or the delete
+    // side's orig-closure rebuild, new arrivals (their quality rides
+    // the changelog into an O(arrivals) ledger — history quality lives
+    // in the bucketed membership artifact, read pruned), and remnant
+    // singletons. Everything outside the universe passes through
+    // byte-identical. Third query on the survivor oracle family: the
+    // maintained manifest must equal the from-scratch derivation over
+    // the post-CDC corpus, however the changelog was batched.
+    QueryDef("q189_stream_manifest_cdc", Seq("A10", "A2", "W6", "F4", "R4"),
+      survivorManifestSql(ccCdcKeepPredSql)) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val ccState = ccHistStateDir(s0, d)
+      val survState = survivorHistStateDir(s0, d)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_manifest_cdc"
+      val docs = Tables.documents(s, d)
+      val sigs = docs.select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+        .localCheckpoint(false) // the static probe side, pinned once
+      val changelog = docs.filter(col("doc_id") % 7 === 0)
+        .select(lit("I").as("op"), col("doc_id"),
+          TextDedup.simHashN(col("text"), 60).as("simhash"),
+          TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
+        .unionByName(ccDeletedIds(s, d).filter(col("doc_id") % 7 =!= 0)
+          .select(lit("D").as("op"), col("doc_id"),
+            lit(null).cast("long").as("simhash"),
+            lit(null).cast("double").as("quality")))
+      val in = EventQueries.stageRangedDrain(changelog, 3, "doc_id", "graft_mcdc_")
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = survivorCdcStep(ccState, survState, root, b, id, sigs)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      EventQueries.latestViewGen(s"$root/manifest") match {
+        case None      => s.read.parquet(s"$survState/manifest") // empty changelog
+          .select("component", "survivor_id", "n_members", "quality")
+        case Some(dir) => s.read.parquet(dir)
+          .select("component", "survivor_id", "n_members", "quality")
+      }
+    },
   )
 
 
@@ -1042,11 +1100,25 @@ object DedupQueries {
     * because it IS the output's pass-through side). */
   private[graft] def survivorStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    graft.sources.ZOrder.ensureStagedDir(
-      "graft_survivor_state_b64", d, s"$d/documents.parquet") { target =>
+    stagedSurvivorState(s, d, "graft_survivor_state_b64",
+      Tables.documents(s, d), ccStateDir(s, d))
+
+  /** HISTORY-ONLY survivor state (q189 — manifest maintained under the
+    * full changelog; the standing state must not have seen arrivals).
+    * Tag encodes the % 7 split rule, same reason as [[ccHistStateDir]]. */
+  private[graft] def survivorHistStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stagedSurvivorState(s, d, "graft_survivor_hist7_state_b64",
+      Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0),
+      ccHistStateDir(s, d))
+
+  private def stagedSurvivorState(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String, docs: org.apache.spark.sql.DataFrame,
+      ccState: String): String =
+    graft.sources.ZOrder.ensureStagedDir(tag, d, s"$d/documents.parquet") { target =>
       EventQueries.multiWriteStage(target) { stage =>
-        val labels = ccAtRestLabels(s, d)
-        val membership = Tables.documents(s, d)
+        val labels = s.read.parquet(s"$ccState/labels")
+        val membership = docs
           .join(broadcast(labels.select(col("id").as("doc_id"), col("component"))),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -1096,6 +1168,122 @@ object DedupQueries {
       .join(broadcast(touched), Seq("component"), "leftsemi")
       .select("doc_id", "component", "quality")
     (members, buckets)
+  }
+
+  /** One q189 maintenance step: q187's label fold (shared verbatim),
+    * then the manifest repair under the FULL changelog. The repaired
+    * universe V is every doc whose manifest standing can change this
+    * batch: members (new labels) of every component touched by the
+    * batch's delta pairs, arrivals, or the delete side's orig-closure
+    * rebuild, plus any still-present universe singleton (new arrivals,
+    * remnants). Old rows keyed by a V doc or a batch-deleted id drop;
+    * V re-elects per coalesced new component with quality from the
+    * pruned history membership buckets ∪ the O(arrivals) quality
+    * ledger carried per generation. Idempotent over the affected
+    * universe ⇒ replays and any batching converge. Returns the
+    * standing manifest row count. */
+  private[graft] def survivorCdcStep(ccState: String, survState: String,
+      root: String, b: org.apache.spark.sql.DataFrame, id: Long,
+      staticSigs: org.apache.spark.sql.DataFrame,
+      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Long = {
+    val s = b.sparkSession
+    // committed predecessors BEFORE the label fold advances them
+    val basePairs = EventQueries.latestViewGen(s"$root/pairs", below = Some(id))
+    val baseLabels = EventQueries.latestViewGen(s"$root/labels", below = Some(id))
+    val baseM = EventQueries.latestViewGen(s"$root/manifest", below = Some(id))
+    val baseQ = EventQueries.latestViewGen(s"$root/appsq", below = Some(id))
+    componentsCdcStep(ccState, root, b.select("op", "doc_id", "simhash"), id,
+      staticSigs, historyPred)
+    val atRest = s.read.parquet(s"$ccState/labels")
+    val origOf = atRest.select(col("id"), col("component").as("orig"))
+    val bD = b.filter(col("op") === "D").select("doc_id")
+    val bI = b.filter(col("op") === "I").select("doc_id", "quality")
+    val predLabels = baseLabels.map(p => s.read.parquet(p))
+      .getOrElse(atRest.select("id", "component"))
+      .localCheckpoint()
+    val newLabels = s.read.parquet(s"$root/labels/gen-$id").localCheckpoint()
+    val cumDels = s.read.parquet(s"$root/dels/gen-$id").localCheckpoint()
+    val appsQ = baseQ.map(p => s.read.parquet(p)).getOrElse(bI.limit(0))
+      .unionByName(bI).distinct().localCheckpoint()
+    appsQ.write.mode("overwrite").parquet(s"$root/appsq/gen-$id")
+    val manifest = baseM.map(p => s.read.parquet(p))
+      .getOrElse(s.read.parquet(s"$survState/manifest"))
+    // this batch's delta pairs = the pair ledger's growth
+    val newPairs = s.read.parquet(s"$root/pairs/gen-$id")
+    val deltaPairs = basePairs match {
+      case None    => newPairs
+      case Some(p) => newPairs
+        .join(s.read.parquet(p), Seq("id_a", "id_b"), "left_anti")
+    }
+    // delete-side affected docs: old members of the SAME orig-closure
+    // rebuild set the label fold used
+    val touchedComps = predLabels
+      .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
+      .select("component").distinct()
+    val origs = predLabels
+      .join(broadcast(touchedComps), Seq("component"), "leftsemi")
+      .join(origOf, Seq("id")).select("orig").distinct()
+    val rebuildComps = predLabels.join(origOf, Seq("id"))
+      .join(broadcast(origs), Seq("orig"), "leftsemi")
+      .select("component")
+      .unionByName(touchedComps).distinct()
+    val uDel = predLabels
+      .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
+      .select("id")
+    val u = uDel
+      .unionByName(deltaPairs.select(col("id_a").as("id")))
+      .unionByName(deltaPairs.select(col("id_b").as("id")))
+      .unionByName(bI.select(col("doc_id").as("id")))
+      .unionByName(bD.select(col("doc_id").as("id")))
+      .distinct().localCheckpoint()
+    val affectedComps = newLabels
+      .join(broadcast(u), Seq("id"), "leftsemi")
+      .select("component").distinct()
+    val membersAff = newLabels
+      .join(broadcast(affectedComps), Seq("component"), "leftsemi")
+      .select("id")
+    // re-election universe: full members of affected components + any
+    // still-present universe singleton (new arrival, remnant)
+    val v = membersAff
+      .unionByName(u.join(broadcast(cumDels.select(col("doc_id").as("id"))),
+        Seq("id"), "left_anti"))
+      .distinct().localCheckpoint()
+    // quality: history members from pruned membership buckets (bucket
+    // key = the at-rest COALESCED component — singletons under their
+    // own id), arrivals from the quality ledger
+    val vBuckets = v.join(origOf, Seq("id"), "left")
+      .select(pmod(coalesce(col("orig"), col("id")), lit(64)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val vIds = v.select(col("id").as("doc_id"))
+    val qualities = s.read.parquet(s"$survState/membership")
+      .filter(col("bucket").isin(vBuckets: _*))
+      .join(broadcast(vIds), Seq("doc_id"), "leftsemi")
+      .select("doc_id", "quality")
+      .unionByName(appsQ
+        .join(broadcast(vIds), Seq("doc_id"), "leftsemi")
+        .select("doc_id", "quality"))
+    val reElected = qualities
+      .join(broadcast(newLabels.select(col("id").as("doc_id"),
+          col("component").as("__newc"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("__newc"), col("doc_id")).as("component"))
+      .groupBy("component")
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("pick.nid")).as("survivor_id"),
+        col("n_members"), col("pick.quality").as("quality"))
+    val dropKeys = v.select(col("id").as("component"))
+      .unionByName(bD.select(col("doc_id").as("component")))
+      .distinct()
+    manifest.join(broadcast(dropKeys), Seq("component"), "left_anti")
+      .select("component", "survivor_id", "n_members", "quality")
+      .unionByName(reElected)
+      .write.mode("overwrite").parquet(s"$root/manifest/gen-$id")
+    EventQueries.vacuumViewGens(s"$root/manifest", baseM)
+    EventQueries.vacuumViewGens(s"$root/appsq", baseQ)
+    s.read.parquet(s"$root/manifest/gen-$id").count()
   }
 
   /** The survivor-manifest oracle (q174's transitive-closure CTE chain

@@ -112,6 +112,69 @@ class ClusterRetractionSpec extends SparkSpec {
       "deleting the bridge must split the merge and drop the edge-less remnant")
   }
 
+  test("survivorCdcStep replay: a re-delivered batch re-bases on the committed predecessor") {
+    // crash-after-fold, before the checkpoint commit: the batch is
+    // re-delivered with the SAME id, and the step must re-base on the
+    // committed predecessor generation (below id) and land identical
+    // state — q158's recovery discipline for the composed fold. Same
+    // bridge fixture as the CDC step test, plus the survivor state.
+    val dir = Files.createTempDirectory("graft_cdc_replay_state_").toString
+    Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")
+      .write.parquet(s"$dir/labels")
+    Seq((1L, 2L, 1L), (10L, 11L, 10L)).toDF("id_a", "id_b", "component")
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("component"),
+          org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    val sdir = Files.createTempDirectory("graft_cdc_replay_surv_").toString
+    val q = Map(1L -> 0.1, 2L -> 0.3, 10L -> 0.2, 11L -> 0.2, 21L -> 0.4)
+    Seq((1L, 1L, 0.1), (2L, 1L, 0.3), (10L, 10L, 0.2), (11L, 10L, 0.2))
+      .toDF("doc_id", "component", "quality")
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("component"),
+          org.apache.spark.sql.functions.lit(64)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$sdir/membership")
+    Seq((1L, 2L, 2L, 0.3), (10L, 10L, 2L, 0.2))
+      .toDF("component", "survivor_id", "n_members", "quality")
+      .write.parquet(s"$sdir/manifest")
+    val sigs = Seq((1L, 0L), (2L, 0L), (10L, 3L), (11L, 3L), (21L, 1L))
+      .toDF("doc_id", "simhash")
+    val root = Files.createTempDirectory("graft_cdc_replay_root_").toString
+    def step(id: Long, rows: Seq[(String, java.lang.Long)]): Unit = {
+      val b = rows.map { case (op, d0) =>
+        (op, d0,
+          if (op == "I") java.lang.Long.valueOf(sigs.filter($"doc_id" === d0)
+            .head.getLong(1)) else null.asInstanceOf[java.lang.Long],
+          if (op == "I") java.lang.Double.valueOf(q(d0)) else null.asInstanceOf[java.lang.Double])
+      }.toDF("op", "doc_id", "simhash", "quality")
+        .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"),
+          $"quality".cast("double"))
+      DedupQueries.survivorCdcStep(dir, sdir, root, b, id, sigs)
+    }
+    def manifestAt(g: Long): Map[Long, (Long, Long, Double)] =
+      spark.read.parquet(s"$root/manifest/gen-$g")
+        .select("component", "survivor_id", "n_members", "quality")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    step(0, Seq(("I", 21L)))
+    assert(manifestAt(0) == Map(1L -> ((21L, 5L, 0.4))),
+      "the bridge merge must elect the highest-quality arrival")
+    step(1, Seq(("D", 2L)))
+    val after1 = manifestAt(1)
+    step(1, Seq(("D", 2L))) // the re-delivered batch
+    assert(manifestAt(1) == after1,
+      "a replayed batch must land byte-identical manifest state")
+    assert(after1 == Map(1L -> ((21L, 4L, 0.4))), s"got $after1")
+    step(2, Seq(("D", 21L)))
+    assert(manifestAt(2) == Map(1L -> ((1L, 1L, 0.1)), 10L -> ((10L, 2L, 0.2))),
+      "the bridge delete must split the manifest back and re-elect per remnant")
+    val labels = spark.read.parquet(s"$root/labels/gen-2")
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(labels == Map(10L -> 10L, 11L -> 10L))
+  }
+
   test("componentsCdcStep property: random I/D scripts under random batching == closure") {
     // Batching-independence, pinned the way signedPartials was in r14:
     // random corpus sigs (clustered around a few bases ± bit flips),
@@ -156,6 +219,9 @@ class ClusterRetractionSpec extends SparkSpec {
       // deletes target HISTORY only (the q187 fixture's contract — a
       // same-batch I+D of one id is rejected loudly by the step)
       val deleted = ids.filter(id => hist(id) && rnd.nextDouble() < 0.3).toSet
+      // synthetic quality: 5 levels force ties (min-id tiebreak) while
+      // staying the SAME doubles in the reference and the artifacts
+      def quality(id0: Long): Double = (id0 % 5).toDouble / 10.0
       // stage the at-rest state from the reference closure over history
       val dir = Files.createTempDirectory(s"graft_cdc_prop_state_$trial").toString
       val histLabels = closure(hist)
@@ -168,6 +234,25 @@ class ClusterRetractionSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("component"),
             org.apache.spark.sql.functions.lit(16)).cast("int"))
         .write.partitionBy("bucket").parquet(s"$dir/edges")
+      // ... and the survivor state over the same history
+      val sdir = Files.createTempDirectory(s"graft_cdc_prop_surv_$trial").toString
+      val membership = hist.toSeq.map(h =>
+        (h, histLabels.getOrElse(h, h), quality(h)))
+      membership.toDF("doc_id", "component", "quality")
+        .withColumn("bucket",
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("component"),
+            org.apache.spark.sql.functions.lit(64)).cast("int"))
+        .write.partitionBy("bucket").parquet(s"$sdir/membership")
+      def electManifest(rows: Seq[(Long, Long, Double)]): Map[Long, (Long, Long, Double)] =
+        rows.groupBy(_._2).map { case (c, ms) =>
+          val pick = ms.minBy(m => (-m._3, m._1))
+          c -> ((pick._1, ms.size.toLong, pick._3))
+        }
+      electManifest(membership).toSeq
+        .map { case (c, (sid, n, qv)) => (c, sid, n, qv) }
+        .toDF("component", "survivor_id", "n_members", "quality")
+        .write.parquet(s"$sdir/manifest")
       val sigs = sig.toSeq.toDF("doc_id", "simhash")
       // script: arrivals as I and history deletes as D, interleaved in
       // one random order, then cut at random batch boundaries
@@ -183,10 +268,15 @@ class ClusterRetractionSpec extends SparkSpec {
       batches.zipWithIndex.foreach { case (rows, i) =>
         if (rows.nonEmpty) {
           val b = rows.map { case (op, id0) =>
-            (op, id0, if (op == "I") java.lang.Long.valueOf(sig(id0)) else null.asInstanceOf[java.lang.Long])
-          }.toDF("op", "doc_id", "simhash")
-            .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
-          DedupQueries.componentsCdcStep(dir, root, b, i.toLong, sigs,
+            (op, id0,
+              if (op == "I") java.lang.Long.valueOf(sig(id0)) else null.asInstanceOf[java.lang.Long],
+              if (op == "I") java.lang.Double.valueOf(quality(id0)) else null.asInstanceOf[java.lang.Double])
+          }.toDF("op", "doc_id", "simhash", "quality")
+            .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"),
+              $"quality".cast("double"))
+          // survivorCdcStep runs the label fold internally, so ONE
+          // script exercises both maintained artifacts
+          DedupQueries.survivorCdcStep(dir, sdir, root, b, i.toLong, sigs,
             historyPred = org.apache.spark.sql.functions.col("doc_id")
               .isin(hist.toSeq: _*))
           lastGen = Some(i.toLong)
@@ -203,6 +293,21 @@ class ClusterRetractionSpec extends SparkSpec {
         s"trial $trial (n=$n, |hist|=${hist.size}, |del|=${deleted.size}, " +
           s"batches=${batches.map(_.size).mkString("/")}): fold diverged\n" +
           s"  got  ${got.toSeq.sorted}\n  want ${want.toSeq.sorted}")
+      // the maintained MANIFEST must equal the from-scratch election
+      // over exactly the surviving docs under their final labels
+      val present = (ids.toSet -- deleted).toSeq
+      val wantManifest = electManifest(present.map(p =>
+        (p, want.getOrElse(p, p), quality(p))))
+      val gotManifest = (lastGen match {
+        case None => spark.read.parquet(s"$sdir/manifest")
+        case Some(g) => spark.read.parquet(s"$root/manifest/gen-$g")
+      }).select("component", "survivor_id", "n_members", "quality")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotManifest == wantManifest,
+        s"trial $trial: manifest fold diverged\n" +
+          s"  got  ${gotManifest.toSeq.sortBy(_._1)}\n" +
+          s"  want ${wantManifest.toSeq.sortBy(_._1)}")
     }
   }
 
