@@ -459,18 +459,20 @@ object SpineProbe {
           segsN.last._2 == segs1.last._2 && segsN.size <= segs1.size + 1
         println(s"""{"gate":"${q}_view_rows_$tag","ok":$ok,"detail":"view_rows_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} view_rows_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)} batches_1x=${segs1.size} batches_$tag=${segsN.size}"}""")
       }
-      // q185/q187 fold cluster retractions (and, for q187, appends)
-      // per micro-batch: segment COUNT tracks trigger cadence (the
-      // staged range count — 2 for q185, 3 for q187), never data
-      // volume; the ledger rows are the standing label count, which
-      // grows with the corpus (copy-scaling clones every near-dup
-      // clique) and must never shrink below the 1x labeling.
+      // q185/q187/q189 fold cluster retractions (and, for q187/q189,
+      // appends) per micro-batch: segment COUNT tracks trigger cadence
+      // (the staged range count — 2 for q185, 3 for q187/q189), never
+      // data volume; the ledger rows are the maintained artifact's
+      // standing row count (labels for q185/q187, MANIFEST rows for
+      // q189), which grows with the corpus (copy-scaling clones every
+      // near-dup clique) and must never shrink below the 1x state.
       if (decade && (q == "q185_stream_components_retraction" ||
-          q == "q187_stream_components_cdc")) {
+          q == "q187_stream_components_cdc" ||
+          q == "q189_stream_manifest_cdc")) {
         val ok = segs1.nonEmpty && segsN.size <= segs1.size + 1 &&
           segsN.lastOption.map(_._2).getOrElse(-1L) >=
             segs1.lastOption.map(_._2).getOrElse(Long.MaxValue)
-        println(s"""{"gate":"${q}_fold_cadence_$tag","ok":$ok,"detail":"batches_1x=${segs1.size} batches_$tag=${segsN.size} labels_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} labels_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)}"}""")
+        println(s"""{"gate":"${q}_fold_cadence_$tag","ok":$ok,"detail":"batches_1x=${segs1.size} batches_$tag=${segsN.size} state_rows_1x=${segs1.lastOption.map(_._2).getOrElse(-1L)} state_rows_$tag=${segsN.lastOption.map(_._2).getOrElse(-1L)}"}""")
       }
       // q159's whole claim is STATELESSNESS: the gate against the probe
       // set is row-local (plan-literal Bloom + broadcast confirm), so

@@ -206,7 +206,10 @@ object Knn {
       return short.withColumn("score", round(lit(lambda) * col("rel"), 6))
     val mu = 1.0 - lambda // ONE value, interpolated verbatim into oracles
     var cand = short
-    val sims = selected.zipWithIndex.map { case (p, i) =>
+    // toVector: the map mutates `cand` per element, which is only sound
+    // when the traversal is STRICT — a lazy Seq would defer the joins
+    // past their use below
+    val sims = selected.toVector.zipWithIndex.map { case (p, i) =>
       cand = cand.crossJoin(broadcast(
         p.select(col("vec_id").as(s"__sid$i"), col("embedding").as(s"__svec$i"))))
       round(VectorFns.cosine(col("embedding"), col(s"__svec$i")), 6)

@@ -407,14 +407,9 @@ object DedupQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"),
           TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
-        // argmax(quality, tiebreak min id) as ONE hash agg: max of
-        // (quality, -id) — no negated doubles, no window sort
-        .groupBy("component")
-        .agg(
-          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
-          count(lit(1)).as("n_members"))
-        .select(col("component"), (-col("pick.nid")).as("survivor_id"),
-          col("n_members"), col("pick.quality").as("quality"))
+        // argmax(quality, tiebreak min id) as ONE hash agg — the shared
+        // electSurvivors definition every manifest consumer uses
+        .transform(electSurvivors)
     },
 
     // RETRACTION-CAPABLE DEDUP CLUSTERS — the symmetric twin of the
@@ -533,12 +528,7 @@ object DedupQueries {
         .join(broadcast(relabeled), Seq("doc_id"), "left")
         .select(col("doc_id"), col("quality"),
           coalesce(col("__newc"), col("doc_id")).as("component"))
-        .groupBy("component")
-        .agg(
-          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
-          count(lit(1)).as("n_members"))
-        .select(col("component"), (-col("pick.nid")).as("survivor_id"),
-          col("n_members"), col("pick.quality").as("quality"))
+        .transform(electSurvivors)
       manifest.join(broadcast(touched), Seq("component"), "left_anti")
         .select("component", "survivor_id", "n_members", "quality")
         .unionByName(reElected)
@@ -682,6 +672,11 @@ object DedupQueries {
       val sigs = docs.select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
         .localCheckpoint(false) // the static probe side, pinned once
+      // the I side needs quality, which needs the TEXT — so this is one
+      // slice scan computing both row-local expressions, deliberately
+      // NOT a join against the pinned sigs frame (joining corpus-sized
+      // sigs to the 1/7 slice costs more than re-hashing the slice once
+      // at staging time)
       val changelog = docs.filter(col("doc_id") % 7 === 0)
         .select(lit("I").as("op"), col("doc_id"),
           TextDedup.simHashN(col("text"), 60).as("simhash"),
@@ -959,16 +954,52 @@ object DedupQueries {
       .join(broadcast(newLabels), Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))
-      .groupBy("component")
-      .agg(
-        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
-        count(lit(1)).as("n_members"))
-      .select(col("component"), (-col("pick.nid")).as("survivor_id"),
-        col("n_members"), col("pick.quality").as("quality"))
+      .transform(electSurvivors)
     passThrough.unionByName(reElected)
       .write.mode("overwrite").parquet(s"$root/manifest/gen-$id")
     EventQueries.vacuumViewGens(s"$root/manifest", baseM)
     s.read.parquet(s"$root/manifest/gen-$id").count()
+  }
+
+  /** The delete-side rebuild universe under the FULL changelog:
+    * appended bridges can MERGE original components, and successive
+    * merges/splits chain comp↔orig connectivity arbitrarily far — one
+    * hop is NOT enough (round-15 review finding: a remnant of a split
+    * original, bridged into another original's cluster, left that
+    * other original's at-rest edges unread when the first original was
+    * touched again, silently dropping labels). The closure is
+    * connectedComponents over the bipartite (component, orig) relation
+    * — safe in one id space, because a current label can only coincide
+    * with an orig label when the two nodes are connected anyway (a
+    * current comp labeled x contains doc x, and orig(x) = x whenever
+    * x is an at-rest minimum).
+    *
+    * @return (rebuildComps: every current component whose labels must
+    *         be re-derived; origNodes(node): a SUPERSET of the at-rest
+    *         originals whose edge partitions the rebuild reads —
+    *         superset-safe, extra components relabel identically). */
+  private def deleteRebuildUniverse(labels: org.apache.spark.sql.DataFrame,
+      origOf: org.apache.spark.sql.DataFrame,
+      touched: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val compOrig = labels.join(origOf, Seq("id"))
+      .select("component", "orig").distinct()
+    val closure = Components.connectedComponents(compOrig, "component", "orig")
+    val groups = closure
+      .join(touched.withColumnRenamed("component", "id"), Seq("id"), "leftsemi")
+      .select(col("component").as("grp")).distinct()
+    val nodes = closure
+      .join(broadcast(groups.withColumnRenamed("grp", "component")),
+        Seq("component"), "leftsemi")
+      .select(col("id").as("node"))
+      .localCheckpoint() // read by the bucket list, the edge prune, and comps
+    val rebuildComps = labels
+      .join(broadcast(nodes.select(col("node").as("component"))),
+        Seq("component"), "leftsemi")
+      .select("component")
+      .unionByName(touched.select("component")) // all-appended comps have no orig
+      .distinct().localCheckpoint()
+    (rebuildComps, nodes)
   }
 
   /** One q187 maintenance step: fold a mixed I/D micro-batch into the
@@ -1028,22 +1059,15 @@ object DedupQueries {
       .select("component").distinct().localCheckpoint()
     val afterD = if (touched.isEmpty) labels else {
       val origOf = atRest.select(col("id"), col("component").as("orig"))
-      val origs = labels.join(broadcast(touched), Seq("component"), "leftsemi")
-        .join(origOf, Seq("id"))
-        .select("orig").distinct().localCheckpoint()
-      val rebuildComps = labels.join(origOf, Seq("id"))
-        .join(broadcast(origs), Seq("orig"), "leftsemi")
-        .select("component")
-        .unionByName(touched.select("component")) // all-appended comps have no orig
-        .distinct().localCheckpoint()
+      val (rebuildComps, origNodes) = deleteRebuildUniverse(labels, origOf, touched)
       val members = labels
         .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
         .select("id")
-      val buckets = origs.select(pmod(col("orig"), lit(16)).cast("int").as("bucket"))
+      val buckets = origNodes.select(pmod(col("node"), lit(16)).cast("int").as("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val atRestEdges = s.read.parquet(s"$stateDir/edges")
         .filter(col("bucket").isin(buckets: _*))
-        .join(broadcast(origs.select(col("orig").as("component"))),
+        .join(broadcast(origNodes.select(col("node").as("component"))),
           Seq("component"), "leftsemi")
         .select("id_a", "id_b")
       // a ledger pair's live endpoints share one current component, so
@@ -1128,12 +1152,7 @@ object DedupQueries {
           .localCheckpoint() // read by the membership write AND the manifest agg
         membership.write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$stage/membership")
-        membership.groupBy("component")
-          .agg(
-            max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
-            count(lit(1)).as("n_members"))
-          .select(col("component"), (-col("pick.nid")).as("survivor_id"),
-            col("n_members"), col("pick.quality").as("quality"))
+        electSurvivors(membership)
           .write.mode("overwrite").parquet(s"$stage/manifest")
         new java.io.File(stage, "_SUCCESS").createNewFile()
         ()
@@ -1215,18 +1234,14 @@ object DedupQueries {
       case Some(p) => newPairs
         .join(s.read.parquet(p), Seq("id_a", "id_b"), "left_anti")
     }
-    // delete-side affected docs: old members of the SAME orig-closure
-    // rebuild set the label fold used
+    // delete-side affected docs: old members of the SAME rebuild
+    // universe the label fold used — the shared deleteRebuildUniverse
+    // definition, so the manifest repair can never under-cover the
+    // relabel
     val touchedComps = predLabels
       .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
       .select("component").distinct()
-    val origs = predLabels
-      .join(broadcast(touchedComps), Seq("component"), "leftsemi")
-      .join(origOf, Seq("id")).select("orig").distinct()
-    val rebuildComps = predLabels.join(origOf, Seq("id"))
-      .join(broadcast(origs), Seq("orig"), "leftsemi")
-      .select("component")
-      .unionByName(touchedComps).distinct()
+    val (rebuildComps, _) = deleteRebuildUniverse(predLabels, origOf, touchedComps)
     val uDel = predLabels
       .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
       .select("id")
@@ -1268,12 +1283,7 @@ object DedupQueries {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))
-      .groupBy("component")
-      .agg(
-        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
-        count(lit(1)).as("n_members"))
-      .select(col("component"), (-col("pick.nid")).as("survivor_id"),
-        col("n_members"), col("pick.quality").as("quality"))
+      .transform(electSurvivors)
     val dropKeys = v.select(col("id").as("component"))
       .unionByName(bD.select(col("doc_id").as("component")))
       .distinct()
@@ -1285,6 +1295,24 @@ object DedupQueries {
     EventQueries.vacuumViewGens(s"$root/appsq", baseQ)
     s.read.parquet(s"$root/manifest/gen-$id").count()
   }
+
+  /** THE survivor election — argmax(quality) per component, min-id
+    * tiebreak via the negated id, as ONE sort-free max-struct hash agg
+    * (partial-aggregatable; the quality key is already 6dp-rounded so
+    * the argmax is engine-deterministic). Input: (component, doc_id,
+    * quality). Five consumers — q174's from-scratch manifest, q182's
+    * batch re-election, the two streamed repairs, and the staged
+    * baseline — share this single definition so a tie-break or
+    * rounding tweak can never desynchronize a maintained manifest
+    * from the from-scratch election. */
+  private[graft] def electSurvivors(
+      members: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    members.groupBy("component")
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("pick"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("pick.nid")).as("survivor_id"),
+        col("n_members"), col("pick.quality").as("quality"))
 
   /** The survivor-manifest oracle (q174's transitive-closure CTE chain
     * + per-cluster argmax), shared by q174 (from-scratch manifest,

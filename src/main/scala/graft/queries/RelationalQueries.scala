@@ -367,7 +367,7 @@ object RelationalQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_custkey < 150
          GROUP BY c_mktsegment""") { (s, d) =>
-      val dim = statsDim(s, d, "customer_seg",
+      val dim = statsDim(s, d, "customer_seg", "customer",
           Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
         .filter(col("c_custkey") < 150)
       Tables.orders(s, d).select("o_custkey", "o_totalprice")
@@ -392,18 +392,24 @@ object RelationalQueries {
     * threshold on a real cluster. */
   private def joinViewPartial(s: org.apache.spark.sql.SparkSession,
       d: String, orders: org.apache.spark.sql.DataFrame) = orders
-    .join(statsDim(s, d, "customer",
+    .join(statsDim(s, d, "customer", "customer",
         Tables.customer(s, d).select("c_custkey", "c_nationkey")),
       col("o_custkey") === col("c_custkey"))
-    .join(statsDim(s, d, "nation",
+    .join(statsDim(s, d, "nation", "nation",
         Tables.nation(s, d).select("n_nationkey", "n_name")),
       col("c_nationkey") === col("n_nationkey"))
     .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
     .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_value"))
 
-  /** The catalog name [[statsDim]] registers for (`d`, `name`). */
-  private[graft] def statsDimName(d: String, name: String): String =
-    s"graft_dim_${name}_${d.replaceAll("[^a-z0-9]", "_")}"
+  /** The catalog name [[statsDim]] registers for (`d`, `name`,
+    * backing parquet `src`). The suffix carries BOTH the sanitized dir
+    * (readable) and the source CONTENT fingerprint (correct):
+    * sanitization alone can collide (it drops uppercase), and a
+    * regenerated fixture at the same path must miss the cache — the
+    * staged-dir lesson applied to catalog tables. */
+  private[graft] def statsDimName(d: String, name: String, src: String): String =
+    s"graft_dim_${name}_${d.toLowerCase.replaceAll("[^a-z0-9]", "_")}" +
+      s"_${graft.sources.ZOrder.fingerprint(s"$d/$src.parquet")}"
 
   /** Stage a dimension as a CATALOG TABLE with computed statistics and
     * return it — the stats-driven alternative to a broadcast() hint.
@@ -416,8 +422,9 @@ object RelationalQueries {
     * parquet payload under the warehouse dir is rewritten at first
     * touch). */
   private[graft] def statsDim(s: org.apache.spark.sql.SparkSession, d: String,
-      name: String, df: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tbl = statsDimName(d, name)
+      name: String, src: String,
+      df: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tbl = statsDimName(d, name, src)
     if (!s.catalog.tableExists(tbl)) {
       // a previous JVM's managed-table dir is an ORPHAN to this
       // session's in-memory catalog — Spark refuses to adopt the

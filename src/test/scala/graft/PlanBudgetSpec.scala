@@ -573,7 +573,7 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!j.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "q186 must carry no broadcast hint — the decision belongs to the stats")
     // the ANALYZE really landed: the catalog row carries a row count
-    val tbl = graft.queries.RelationalQueries.statsDimName(sf, "customer_seg")
+    val tbl = graft.queries.RelationalQueries.statsDimName(sf, "customer_seg", "customer")
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     assert(meta.stats.exists(_.rowCount.exists(_.toLong > 0)),

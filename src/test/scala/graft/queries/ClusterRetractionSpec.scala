@@ -112,6 +112,51 @@ class ClusterRetractionSpec extends SparkSpec {
       "deleting the bridge must split the merge and drop the edge-less remnant")
   }
 
+  test("componentsCdcStep: split, bridge into ANOTHER original, delete the far fragment") {
+    // The round-15 review scenario: O1 = chain {1,2,3,4}, O2 = chain
+    // {10,11,12}. Batch 0 deletes 2 (O1 splits, doc 1 strands). Batch 1
+    // bridges the stranded 1 to O2's 10 via arrival 21 → merged comp M
+    // spans BOTH originals. Batch 2 deletes 4 — touching only O1's far
+    // fragment {3,4} — and the rebuild of M must still READ O2's
+    // at-rest edges (the comp↔orig closure, not one hop), or docs 11
+    // and 12 silently vanish from the labels.
+    val dir = Files.createTempDirectory("graft_cdc_closure_state_").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("id", "component").write.parquet(s"$dir/labels")
+    Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (10L, 11L, 10L), (11L, 12L, 10L))
+      .toDF("id_a", "id_b", "component")
+      .withColumn("bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("component"),
+          org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    // sigs: the bridge (2) is within hamming 3 of docs 1 (0) and 10 (1)
+    // ONLY; everything else sits in DENSE far regions (20 set bits —
+    // a sparse "far" sig is itself within hamming 3 of the bridge)
+    val farA = ((1L << 20) - 1) << 20
+    val farB = ((1L << 20) - 1) << 38
+    val sigs = Seq((1L, 0L), (2L, farA), (3L, farA | 1L),
+      (4L, farA | 2L), (10L, 1L), (11L, farB), (12L, farB | 1L),
+      (21L, 2L)).toDF("doc_id", "simhash")
+    val hist = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L)
+    val root = Files.createTempDirectory("graft_cdc_closure_root_").toString
+    def step(id: Long, rows: Seq[(String, java.lang.Long, java.lang.Long)]): Map[Long, Long] = {
+      val b = rows.toDF("op", "doc_id", "simhash")
+        .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
+      DedupQueries.componentsCdcStep(dir, root, b, id, sigs,
+        historyPred = org.apache.spark.sql.functions.col("doc_id").isin(hist: _*))
+      spark.read.parquet(s"$root/labels/gen-$id")
+        .select("id", "component").as[(Long, Long)].collect().toMap
+    }
+    assert(step(0, Seq(("D", 2L, null))) ==
+      Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(step(1, Seq(("I", 21L, 2L))) ==
+      Map(1L -> 1L, 21L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L, 3L -> 3L, 4L -> 3L))
+    assert(step(2, Seq(("D", 4L, null))) ==
+      Map(1L -> 1L, 21L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L),
+      "the rebuild must cover the comp-orig CLOSURE: O2's edges feed M's rebuild")
+  }
+
   test("survivorCdcStep replay: a re-delivered batch re-bases on the committed predecessor") {
     // crash-after-fold, before the checkpoint commit: the batch is
     // re-delivered with the SAME id, and the step must re-base on the
@@ -190,12 +235,22 @@ class ClusterRetractionSpec extends SparkSpec {
       val bases = Array.fill(3)(rnd.nextLong() & mask60)
       val n = 24 + rnd.nextInt(12)
       val ids = (1L to n.toLong).toArray
+      // CHAIN-shaped clusters, not just cliques: position p in a base's
+      // chain carries the cumulative 2p-low-bit mask, so hamming between
+      // positions i and j is 2|i−j| — adjacent docs pair (ham 2),
+      // distant ones don't. Chains SPLIT under interior deletes, which
+      // is what surfaces orig-closure bugs (cliques never split — the
+      // r15 review found exactly the case the all-clique corpus missed).
+      // A position repeats with prob ½, giving clique links inside the
+      // chain too.
+      val basePos = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
       val sig = ids.map { id =>
-        val s0 =
-          if (rnd.nextBoolean()) bases(rnd.nextInt(bases.length))
-          else rnd.nextLong() & mask60
-        val flips = rnd.nextInt(3)
-        id -> (0 until flips).foldLeft(s0)((s, _) => s ^ (1L << rnd.nextInt(60)))
+        id -> (if (rnd.nextBoolean()) {
+          val b = rnd.nextInt(bases.length)
+          val pos = basePos(b) % 14
+          if (rnd.nextBoolean()) basePos(b) += 1
+          bases(b) ^ ((1L << (2 * pos)) - 1)
+        } else rnd.nextLong() & mask60)
       }.toMap
       def pairsAmong(docs: Set[Long]): Seq[(Long, Long)] =
         (for {
