@@ -40,9 +40,13 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      try math.min(once(), once())
+      // Option, not a -1.0 sentinel: the sidecar field exists to
+      // NORMALIZE totals (total / calibration), and a numeric consumer
+      // dividing by -1.0 would silently flip signs — absence must read
+      // as JSON null so naive readers fail loudly instead.
+      try Some(math.min(once(), once()))
       catch { case t: Throwable =>
-        System.err.println(s"[bench] calibration failed: $t"); -1.0 }
+        System.err.println(s"[bench] calibration failed: $t"); None }
     }
     // Steady-state methodology: run each query once at the smallest SF
     // before timing it at the target SF, so the measurement charges the
@@ -84,7 +88,8 @@ object Bench {
       // makes that visible instead of silent.
       val r = rescuedNames.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
       val w = new java.io.PrintWriter(timesPath, "UTF-8")
-      try w.println(s"""{"sf":${jstr(sfDir)},"calibration":${fmt(calibration)},"rescued":$r,"queries":$qs}""")
+      val cal = calibration.map(fmt).getOrElse("null")
+      try w.println(s"""{"sf":${jstr(sfDir)},"calibration":$cal,"rescued":$r,"queries":$qs}""")
       finally w.close()
     }
     val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

@@ -927,10 +927,14 @@ object DedupQueries {
       .distinct()
       .localCheckpoint() // bucket list + affected-row filter + member prune
     // manifest rows in the repair set: component → orig via the at-rest
-    // labels (a split comp's key is a member id carrying its original)
+    // labels (a split comp's key is a member id carrying its original).
+    // NO broadcast hint: the at-rest label relation is O(corpus) — at
+    // 100 TB it cannot ride the driver; manifest and labels shuffle on
+    // the shared key (and AQE still broadcasts at bench scale where the
+    // relation is genuinely small).
     val withOrig = manifest
-      .join(broadcast(atRest.select(col("id").as("component"),
-          col("component").as("__o"))),
+      .join(atRest.select(col("id").as("component"),
+          col("component").as("__o")),
         Seq("component"), "left")
       .withColumn("__orig", coalesce(col("__o"), col("component")))
     val passThrough = withOrig
@@ -951,7 +955,10 @@ object DedupQueries {
         Seq("component"), "leftsemi")
       .join(broadcast(cumDels), Seq("doc_id"), "left_anti")
       .drop("component")
-      .join(broadcast(newLabels), Seq("doc_id"), "left")
+      // newLabels is the full standing generation — O(corpus), never
+      // hinted onto the driver; the pruned member side stays small and
+      // AQE broadcast-joins it at runtime when it fits
+      .join(newLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))
       .transform(electSurvivors)
@@ -1038,12 +1045,20 @@ object DedupQueries {
     val emptyPairs = b
       .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
     val bD = b.filter(col("op") === "D").select("doc_id")
+      .localCheckpoint() // batch-sized; read by the guard, touch, ledgers
     val bI = b.filter(col("op") === "I").select("doc_id", "simhash")
+      .localCheckpoint()
+    val hasD = !bD.isEmpty
+    val hasI = !bI.isEmpty
     // the fold applies a batch's deletes BEFORE its appends, so one
     // batch carrying both ops for one id has no defined order — fail
     // loudly (signedPartials' discipline) instead of quietly labeling
-    // a deleted doc through its own probe pairs
-    require(bD.join(bI, "doc_id").isEmpty,
+    // a deleted doc through its own probe pairs. The guard join only
+    // runs when a batch actually carries BOTH op kinds — delete-only
+    // and append-only batches (the common case) skip the extra job on
+    // a path whose per-batch job count is the family's wall-clock
+    // floor.
+    require(!(hasD && hasI) || bD.join(bI, "doc_id").isEmpty,
       s"componentsCdcStep(gen $id): a batch may not append AND delete " +
         "the same doc_id — route the two ops through separate batches")
     val cumDels = baseD.map(p => s.read.parquet(p)).getOrElse(emptyIds)
@@ -1054,10 +1069,15 @@ object DedupQueries {
       .localCheckpoint()
 
     // ---- delete phase ----
-    val touched = labels
-      .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
-      .select("component").distinct().localCheckpoint()
-    val afterD = if (touched.isEmpty) labels else {
+    // touched is only derived when the batch carries deletes at all —
+    // its localCheckpoint is an eager job an append-only batch
+    // shouldn't pay
+    val touched =
+      if (!hasD) bD.withColumnRenamed("doc_id", "component")
+      else labels
+        .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
+        .select("component").distinct().localCheckpoint()
+    val afterD = if (!hasD || touched.isEmpty) labels else {
       val origOf = atRest.select(col("id"), col("component").as("orig"))
       val (rebuildComps, origNodes) = deleteRebuildUniverse(labels, origOf, touched)
       val members = labels
@@ -1082,7 +1102,6 @@ object DedupQueries {
     }
 
     // ---- append phase ----
-    val hasI = !bI.isEmpty
     val deltaPairs = if (!hasI) emptyPairs else {
       val present = staticSigs
         .join(broadcast(cumApps.select(col("doc_id"), lit(1).as("__app"))),
@@ -1163,9 +1182,12 @@ object DedupQueries {
     * manifest rows that must be re-derived. O(deletes) rows. */
   private[graft] def survivorTouchedComps(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
+    // the at-rest labels are O(corpus): no broadcast hint — the
+    // O(deletes) probe side shuffles against them (AQE may still elect
+    // a broadcast at bench scale)
     ccDeletedIds(s, d)
-      .join(broadcast(ccAtRestLabels(s, d)
-          .select(col("id").as("doc_id"), col("component"))),
+      .join(ccAtRestLabels(s, d)
+          .select(col("id").as("doc_id"), col("component")),
         Seq("doc_id"), "left")
       .select(coalesce(col("component"), col("doc_id")).as("component"))
       .distinct()
@@ -1277,9 +1299,12 @@ object DedupQueries {
       .unionByName(appsQ
         .join(broadcast(vIds), Seq("doc_id"), "leftsemi")
         .select("doc_id", "quality"))
+    // newLabels is the standing O(corpus) generation — no broadcast
+    // hint (the bounded qualities side shuffles against it; AQE
+    // broadcasts at bench scale where it fits)
     val reElected = qualities
-      .join(broadcast(newLabels.select(col("id").as("doc_id"),
-          col("component").as("__newc"))),
+      .join(newLabels.select(col("id").as("doc_id"),
+          col("component").as("__newc")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))

@@ -428,7 +428,12 @@ object RelationalQueries {
     if (!s.catalog.tableExists(tbl)) {
       // a previous JVM's managed-table dir is an ORPHAN to this
       // session's in-memory catalog — Spark refuses to adopt the
-      // location (LOCATION_ALREADY_EXISTS), so clear it first
+      // location (LOCATION_ALREADY_EXISTS), so clear it first. The
+      // delete is GUARDED: it only fires when every file in the tree is
+      // a recognizable parquet-table artifact, so a shared warehouse
+      // path that happens to hold something else (or a concurrent
+      // writer's half-staged state) fails loudly instead of being
+      // silently clobbered.
       val wh = s.conf.get("spark.sql.warehouse.dir")
       val whDir =
         if (wh.startsWith("file:")) new java.io.File(java.net.URI.create(wh))
@@ -436,7 +441,19 @@ object RelationalQueries {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(new java.io.File(whDir, tbl))
+      def parquetArtifactsOnly(f: java.io.File): Boolean =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.forall(parquetArtifactsOnly)
+        else {
+          val n = f.getName
+          n == "_SUCCESS" || n.endsWith(".parquet") || n.endsWith(".crc") ||
+            n.startsWith("_started_") || n.startsWith("_committed_") ||
+            n.startsWith(".")
+        }
+      val orphan = new java.io.File(whDir, tbl)
+      require(!orphan.exists() || parquetArtifactsOnly(orphan),
+        s"statsDim: refusing to clear $orphan — it holds non-parquet " +
+          "artifacts, so it is not a graft-created managed table")
+      rm(orphan)
       df.write.mode("overwrite").saveAsTable(tbl)
       s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
     }
