@@ -981,16 +981,38 @@ object DedupQueries {
     * current comp labeled x contains doc x, and orig(x) = x whenever
     * x is an at-rest minimum).
     *
+    * @param ledgerEmpty no appended pair exists (empty cumulative pair
+    *        ledger). Appends are the ONLY source of merges, so with an
+    *        empty ledger every current component sits inside exactly one
+    *        original (deletes only split) — the comp↔orig relation is a
+    *        star forest and ONE HOP each way equals the closure. The
+    *        fast path skips the per-batch connectedComponents job the
+    *        closure otherwise pays on a relation that is O(components)
+    *        at corpus scale. The randomized I/D property test covers
+    *        both regimes (scripts with zero arrivals take this path).
     * @return (rebuildComps: every current component whose labels must
     *         be re-derived; origNodes(node): a SUPERSET of the at-rest
     *         originals whose edge partitions the rebuild reads —
     *         superset-safe, extra components relabel identically). */
   private def deleteRebuildUniverse(labels: org.apache.spark.sql.DataFrame,
       origOf: org.apache.spark.sql.DataFrame,
-      touched: org.apache.spark.sql.DataFrame)
+      touched: org.apache.spark.sql.DataFrame,
+      ledgerEmpty: Boolean)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val compOrig = labels.join(origOf, Seq("id"))
       .select("component", "orig").distinct()
+    if (ledgerEmpty) {
+      val origs = compOrig
+        .join(broadcast(touched), Seq("component"), "leftsemi")
+        .select(col("orig").as("node")).distinct()
+        .localCheckpoint() // read by the bucket list, the edge prune, and comps
+      val rebuildComps = compOrig
+        .join(broadcast(origs.select(col("node").as("orig"))), Seq("orig"), "leftsemi")
+        .select("component")
+        .unionByName(touched.select("component"))
+        .distinct().localCheckpoint()
+      return (rebuildComps, origs)
+    }
     val closure = Components.connectedComponents(compOrig, "component", "orig")
     val groups = closure
       .join(touched.withColumnRenamed("component", "id"), Seq("id"), "leftsemi")
@@ -1079,7 +1101,8 @@ object DedupQueries {
         .select("component").distinct().localCheckpoint()
     val afterD = if (!hasD || touched.isEmpty) labels else {
       val origOf = atRest.select(col("id"), col("component").as("orig"))
-      val (rebuildComps, origNodes) = deleteRebuildUniverse(labels, origOf, touched)
+      val (rebuildComps, origNodes) =
+        deleteRebuildUniverse(labels, origOf, touched, ledger.isEmpty)
       val members = labels
         .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
         .select("id")
@@ -1260,13 +1283,20 @@ object DedupQueries {
     // universe the label fold used — the shared deleteRebuildUniverse
     // definition, so the manifest repair can never under-cover the
     // relabel
-    val touchedComps = predLabels
-      .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
-      .select("component").distinct()
-    val (rebuildComps, _) = deleteRebuildUniverse(predLabels, origOf, touchedComps)
-    val uDel = predLabels
-      .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
-      .select("id")
+    // the delete-affected docs are only derived when the batch carries
+    // deletes at all — an append-only batch skips the universe jobs
+    val uDel = if (bD.isEmpty) predLabels.select("id").limit(0) else {
+      val touchedComps = predLabels
+        .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
+        .select("component").distinct()
+      val preLedgerEmpty =
+        basePairs.forall(p => s.read.parquet(p).isEmpty)
+      val (rebuildComps, _) =
+        deleteRebuildUniverse(predLabels, origOf, touchedComps, preLedgerEmpty)
+      predLabels
+        .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
+        .select("id")
+    }
     val u = uDel
       .unionByName(deltaPairs.select(col("id_a").as("id")))
       .unionByName(deltaPairs.select(col("id_b").as("id")))
