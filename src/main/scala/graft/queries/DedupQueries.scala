@@ -483,10 +483,11 @@ object DedupQueries {
       q.awaitTermination()
       graft.streaming.StreamMetrics.record(sinkName, q)
       EventQueries.dropStaged(in)
-      EventQueries.latestViewGen(s"$root/labels") match {
-        case None      => ccAtRestLabels(s, d) // no delete ever arrived
+      BucketedGens.latest(s"$root/labels") match {
+        case None    => ccAtRestLabels(s, d) // no delete ever arrived
           .select(col("id").as("doc_id"), col("component"))
-        case Some(dir) => s.read.parquet(dir)
+        case Some(g) => BucketedGens
+          .read(s, s"$root/labels", g, atRestLabelGenRows(s, stateDir))
           .select(col("id").as("doc_id"), col("component"))
       }
     },
@@ -574,10 +575,11 @@ object DedupQueries {
       q.awaitTermination()
       graft.streaming.StreamMetrics.record(sinkName, q)
       EventQueries.dropStaged(in)
-      EventQueries.latestViewGen(s"$root/manifest") match {
-        case None      => s.read.parquet(s"$survState/manifest") // no deletes arrived
+      BucketedGens.latest(s"$root/manifest") match {
+        case None    => s.read.parquet(s"$survState/manifest") // no deletes arrived
           .select("component", "survivor_id", "n_members", "quality")
-        case Some(dir) => s.read.parquet(dir)
+        case Some(g) => BucketedGens
+          .read(s, s"$root/manifest", g, atRestManifestGenRows(s, survState))
           .select("component", "survivor_id", "n_members", "quality")
       }
     },
@@ -638,10 +640,12 @@ object DedupQueries {
       q.awaitTermination()
       graft.streaming.StreamMetrics.record(sinkName, q)
       EventQueries.dropStaged(in)
-      EventQueries.latestViewGen(s"$root/labels") match {
-        case None      => s.read.parquet(s"$stateDir/labels") // empty changelog
+      BucketedGens.latest(s"$root/labels") match {
+        case None    => s.read.parquet(s"$stateDir/labels") // empty changelog
           .select(col("id").as("doc_id"), col("component"))
-        case Some(dir) => s.read.parquet(dir)
+        case Some(g) => BucketedGens.read(s, s"$root/labels", g,
+            s.read.parquet(s"$stateDir/labels")
+              .select(col("id"), col("component"), col("bucket")))
           .select(col("id").as("doc_id"), col("component"))
       }
     },
@@ -701,10 +705,76 @@ object DedupQueries {
       q.awaitTermination()
       graft.streaming.StreamMetrics.record(sinkName, q)
       EventQueries.dropStaged(in)
-      EventQueries.latestViewGen(s"$root/manifest") match {
-        case None      => s.read.parquet(s"$survState/manifest") // empty changelog
+      BucketedGens.latest(s"$root/manifest") match {
+        case None    => s.read.parquet(s"$survState/manifest") // empty changelog
           .select("component", "survivor_id", "n_members", "quality")
-        case Some(dir) => s.read.parquet(dir)
+        case Some(g) => BucketedGens.read(s, s"$root/manifest", g,
+            s.read.parquet(s"$survState/manifest"))
+          .select("component", "survivor_id", "n_members", "quality")
+      }
+    },
+
+    // LEDGER COMPACTION UNDER THE FULL CHANGELOG — q189's maintained
+    // manifest with a COMPACTION folded into the middle of the stream:
+    // the cumulative dels/apps/pairs/appsq ledgers are the CDC family's
+    // only unbounded carried state, so after K batches the cadence
+    // re-stages the at-rest state over the present corpus and truncates
+    // them (survivorCompactStep — the q149/q154 "cheapest serve"
+    // discipline applied to the cluster family). The changelog is split
+    // into four ranged batches with the compaction before batch 2:
+    // pre-compaction folds pay the ledger anti-joins, post-compaction
+    // folds read EMPTY ledgers and a fresh bucketed state — and the
+    // final manifest must STILL equal the from-scratch derivation over
+    // the post-CDC corpus: the SAME oracle text as q189, so compaction
+    // is provably invisible to consumers. Generation ids double up
+    // (batch b → gen 2b+1, its preceding compaction → gen 2b) so both
+    // land in one monotone committed-predecessor chain and a replayed
+    // batch re-runs its compaction idempotently before re-folding.
+    QueryDef("q190_stream_manifest_compaction", Seq("A10", "A2", "W6", "F4", "R4"),
+      survivorManifestSql(ccCdcKeepPredSql)) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val ccState = ccHistStateDir(s0, d)
+      val survState = survivorHistStateDir(s0, d)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_stream_manifest_compaction"
+      val docs = Tables.documents(s, d)
+      val sigs = docs.select(col("doc_id"),
+        TextDedup.simHashN(col("text"), 60).as("simhash"))
+        .localCheckpoint(false) // the static probe side, pinned once
+      val changelog = docs.filter(col("doc_id") % 7 === 0)
+        .select(lit("I").as("op"), col("doc_id"),
+          TextDedup.simHashN(col("text"), 60).as("simhash"),
+          TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
+        .unionByName(ccDeletedIds(s, d).filter(col("doc_id") % 7 =!= 0)
+          .select(lit("D").as("op"), col("doc_id"),
+            lit(null).cast("long").as("simhash"),
+            lit(null).cast("double").as("quality")))
+      val in = EventQueries.stageRangedDrain(changelog, 4, "doc_id", "graft_mcmp_")
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (bid == 2L)
+            survivorCompactStep(ccState, survState, root, 2 * bid, sigs)
+          val rows = survivorCdcStep(ccState, survState, root, b, 2 * bid + 1, sigs)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, bid, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      // the manifest resolves AtRest buckets against the COMPACTED
+      // state when one landed — the same resolution the folds use
+      val servedState = effectiveState(s, root, None, survState)
+      BucketedGens.latest(s"$root/manifest") match {
+        case None    => s.read.parquet(s"$servedState/manifest") // empty changelog
+          .select("component", "survivor_id", "n_members", "quality")
+        case Some(g) => BucketedGens.read(s, s"$root/manifest", g,
+            s.read.parquet(s"$servedState/manifest"))
           .select("component", "survivor_id", "n_members", "quality")
       }
     },
@@ -757,11 +827,13 @@ object DedupQueries {
 
   /** The cluster state AT REST — what makes deletes O(affected): ONE
     * staged dir holding `labels` (id, component — the standing q65
-    * labeling) and `edges` (the near-dup pair graph KEYED BY COMPONENT,
-    * partitioned by pmod(component, 16) buckets, so a delete opens only
-    * its clusters' partitions). Built in one pass: pairs → components →
-    * edges re-keyed through the labels. The `_SUCCESS` marker is
-    * written manually because both payloads live in subdirs. */
+    * labeling) and `edges` (the near-dup pair graph KEYED BY COMPONENT),
+    * BOTH partitioned by pmod(component, 16) buckets, so a delete opens
+    * only its clusters' partitions — and a maintained-label generation
+    * ([[BucketedGens]]) can point untouched buckets straight back here.
+    * Built in one pass: pairs → components → edges re-keyed through the
+    * labels. The `_SUCCESS` marker is written manually because both
+    * payloads live in subdirs. */
   private def stagedCcState(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String,
       docs: org.apache.spark.sql.DataFrame): String =
@@ -774,7 +846,8 @@ object DedupQueries {
           .localCheckpoint() // read by the components run AND the edge write
         val labels = Components.connectedComponents(pairs, "id_a", "id_b")
           .localCheckpoint()
-        labels.write.mode("overwrite").parquet(s"$stage/labels")
+        labels.withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels")
         pairs
           .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
             Seq("id_a"))
@@ -788,7 +861,7 @@ object DedupQueries {
   /** Full-corpus cluster state (q181/q182/q185). */
   private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_state_b16", Tables.documents(s, d))
+    stagedCcState(s, d, "graft_cc_state_b16v2", Tables.documents(s, d))
 
   /** HISTORY-ONLY cluster state (q187 — arrivals stream in later, so
     * the standing state must not have seen them). The tag ENCODES the
@@ -797,7 +870,7 @@ object DedupQueries {
     * cache serves the old split forever. */
   private[graft] def ccHistStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_hist7_state_b16",
+    stagedCcState(s, d, "graft_cc_hist7_state_b16v2",
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0))
 
   /** The standing labels (id, component) from [[ccStateDir]]. */
@@ -848,6 +921,15 @@ object DedupQueries {
     Components.connectedComponents(remaining, "id_a", "id_b")
   }
 
+  /** The at-rest labels presented in maintained-generation shape
+    * (orig == component before any fold) — the [[BucketedGens.AtRest]]
+    * resolution target for label generations. */
+  private def atRestLabelGenRows(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$stateDir/labels")
+      .select(col("id"), col("component"), col("component").as("orig"),
+        col("bucket"))
+
   /** One q185 maintenance step: fold delete micro-batch `b` into the
     * standing labels under `$root/labels` — the batch's deletes name
     * their ORIGINAL components (at-rest labels; stable under splits
@@ -855,19 +937,30 @@ object DedupQueries {
     * the pruned at-rest edges minus the CUMULATIVE delete ledger
     * (`$root/dels`, O(deletes) rows carried per generation), and the
     * rebuilt rows replace exactly those original components' label
-    * rows. Generation dirs follow q158's committed-predecessor
-    * recovery + vacuum, so a replayed batch re-bases and converges.
-    * Returns the standing label count. */
+    * rows. State I/O is O(touched), not O(corpus): generations are
+    * BUCKET-PARTITIONED by pmod(orig, 16) ([[BucketedGens]]) — the fold
+    * writes only the buckets holding touched originals and re-points
+    * every other bucket at its predecessor (at-rest for never-touched
+    * buckets), so untouched labels are never rewritten OR re-read.
+    * Commit + vacuum follow the committed-predecessor discipline, so a
+    * replayed batch re-bases and converges. Returns the standing label
+    * count (maintained arithmetically in the owners map — serving it
+    * never re-reads the state). */
   private[graft] def componentsRetractStep(stateDir: String, root: String,
-      b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+      b: org.apache.spark.sql.DataFrame, id: Long): Long =
+    componentsRetractImpl(stateDir, root, b, id)._1
+
+  /** [[componentsRetractStep]] returning also the batch's REBUILT label
+    * rows (pinned) — the manifest repair relabels through exactly these,
+    * sparing a re-read of the generation just written. */
+  private def componentsRetractImpl(stateDir: String, root: String,
+      b: org.apache.spark.sql.DataFrame, id: Long)
+      : (Long, org.apache.spark.sql.DataFrame) = {
     val s = b.sparkSession
+    val labelsRoot = s"$root/labels"
     val atRest = s.read.parquet(s"$stateDir/labels")
-    val baseLabels = EventQueries.latestViewGen(s"$root/labels", below = Some(id))
+    val base = BucketedGens.latest(labelsRoot, below = Some(id))
     val baseDels = EventQueries.latestViewGen(s"$root/dels", below = Some(id))
-    val predLabels = baseLabels match {
-      case None    => atRest.withColumn("orig", col("component"))
-      case Some(p) => s.read.parquet(p)
-    }
     val cumDels = (baseDels match {
         case None    => b.select("doc_id").limit(0)
         case Some(p) => s.read.parquet(p)
@@ -880,44 +973,79 @@ object DedupQueries {
       .localCheckpoint() // ≤ batch rows; prunes, anti-joins, bucket list
     val buckets = touchedOrig
       .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = s.read.parquet(s"$stateDir/edges")
-      .filter(col("bucket").isin(buckets: _*))
-      .join(broadcast(touchedOrig), Seq("component"), "leftsemi")
-      .select("id_a", "id_b")
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val atRestRows = atRestLabelGenRows(s, stateDir)
+    // predecessor content of ONLY the touched buckets — resolved
+    // through the owners map, partition-pruned per owning generation
+    val predTouched = (
+      if (buckets.isEmpty) atRestRows.limit(0)
+      else base match {
+        case None    => atRestRows.filter(col("bucket").isin(buckets.map(Int.box): _*))
+        case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(buckets))
+      }).localCheckpoint() // read by the rewrite AND the count arithmetic
+    val pruned =
+      if (buckets.isEmpty) atRest.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+      else s.read.parquet(s"$stateDir/edges")
+        .filter(col("bucket").isin(buckets.map(Int.box): _*))
+        .join(broadcast(touchedOrig), Seq("component"), "leftsemi")
+        .select("id_a", "id_b")
     val recomputed = retractedTouchedLabels(pruned, cumDels)
       .join(atRest.select(col("id"), col("component").as("orig")), Seq("id"))
-    val next = predLabels
+      .localCheckpoint() // read by the bucket rewrite AND the manifest repair
+    val nextTouched = predTouched
       .join(broadcast(touchedOrig.select(col("component").as("orig"))),
         Seq("orig"), "left_anti")
       .select("id", "component", "orig")
       .unionByName(recomputed.select("id", "component", "orig"))
-    next.write.mode("overwrite").parquet(s"$root/labels/gen-$id")
+      .withColumn("bucket", pmod(col("orig"), lit(16)).cast("int"))
+      .localCheckpoint() // written AND counted; never recomputes the rebuild
+    nextTouched.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$labelsRoot/gen-$id")
     cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
-    EventQueries.vacuumViewGens(s"$root/labels", baseLabels)
+    val baseRows = base.map(_.rows).getOrElse(atRest.count())
+    val rows = baseRows - predTouched.count() + nextTouched.count()
+    // a touched bucket the rewrite left EMPTY (every cluster in it
+    // dissolved) has no parquet dir — record it as Empty, not gen-id
+    val written = nextTouched.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(16)) ++
+      buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
+    BucketedGens.commit(labelsRoot, id, owners, rows)
+    BucketedGens.vacuum(labelsRoot, base, id)
     EventQueries.vacuumViewGens(s"$root/dels", baseDels)
-    s.read.parquet(s"$root/labels/gen-$id").count()
+    (rows, recomputed)
   }
+
+  /** The at-rest manifest presented in maintained-generation shape
+    * (orig == component before any fold) — the [[BucketedGens.AtRest]]
+    * resolution target for manifest generations. */
+  private def atRestManifestGenRows(s: org.apache.spark.sql.SparkSession,
+      survState: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$survState/manifest")
+      .select(col("component"), col("survivor_id"), col("n_members"),
+        col("quality"), col("component").as("orig"), col("bucket"))
 
   /** One q188 maintenance step: q185's label fold (shared verbatim),
     * then the manifest repair. The repair set is keyed by ORIGINAL
-    * component — every manifest row whose component maps (via the
-    * at-rest labels; identity for singletons) into an original touched
-    * by THIS batch's deletes is re-derived from the pruned membership
-    * buckets, relabeled through the labels generation just written;
-    * everything else passes through from the committed predecessor.
-    * Idempotent per original ⇒ replays and any batching converge.
-    * Returns the standing manifest row count. */
+    * component — every manifest row whose original (carried on the row
+    * since the row was last derived; identity at rest) is touched by
+    * THIS batch's deletes is re-derived from the pruned membership
+    * buckets, relabeled through the batch's rebuilt labels. Manifest
+    * generations are BUCKET-PARTITIONED by pmod(orig, 64)
+    * ([[BucketedGens]]): the repair writes only the touched originals'
+    * buckets and re-points every other bucket at its predecessor, so
+    * pass-through rows are never rewritten or re-read — per-batch
+    * manifest I/O is O(touched), not O(standing manifest). Idempotent
+    * per original ⇒ replays and any batching converge. Returns the
+    * standing manifest row count (owners-map arithmetic, no re-read). */
   private[graft] def survivorRetractStep(ccState: String, survState: String,
       root: String, b: org.apache.spark.sql.DataFrame, id: Long): Long = {
     val s = b.sparkSession
-    componentsRetractStep(ccState, root, b, id)
+    val (_, rebuilt) = componentsRetractImpl(ccState, root, b, id)
+    val manRoot = s"$root/manifest"
     val atRest = s.read.parquet(s"$ccState/labels")
-    val baseM = EventQueries.latestViewGen(s"$root/manifest", below = Some(id))
-    val manifest = baseM match {
-      case None    => s.read.parquet(s"$survState/manifest")
-      case Some(p) => s.read.parquet(p)
-    }
+    val baseM = BucketedGens.latest(manRoot, below = Some(id))
+    val atRestRows = atRestManifestGenRows(s, survState)
     // THIS batch's touched originals — singleton deletes are their own
     // component (exactly the manifest's key rule)
     val touchedOrig = b.select(col("doc_id"))
@@ -925,47 +1053,62 @@ object DedupQueries {
         Seq("doc_id"), "left")
       .select(coalesce(col("component"), col("doc_id")).as("orig"))
       .distinct()
-      .localCheckpoint() // bucket list + affected-row filter + member prune
-    // manifest rows in the repair set: component → orig via the at-rest
-    // labels (a split comp's key is a member id carrying its original).
-    // NO broadcast hint: the at-rest label relation is O(corpus) — at
-    // 100 TB it cannot ride the driver; manifest and labels shuffle on
-    // the shared key (and AQE still broadcasts at bench scale where the
-    // relation is genuinely small).
-    val withOrig = manifest
-      .join(atRest.select(col("id").as("component"),
-          col("component").as("__o")),
-        Seq("component"), "left")
-      .withColumn("__orig", coalesce(col("__o"), col("component")))
-    val passThrough = withOrig
-      .join(broadcast(touchedOrig.select(col("orig").as("__orig"))),
-        Seq("__orig"), "left_anti")
-      .select("component", "survivor_id", "n_members", "quality")
-    // re-elect over the touched originals' full remaining membership,
-    // under the labels generation just written
-    val cumDels = s.read.parquet(s"$root/dels/gen-$id")
-    val newLabels = s.read.parquet(s"$root/labels/gen-$id")
-      .select(col("id").as("doc_id"), col("component").as("__newc"))
+      .localCheckpoint() // bucket list + pass-through anti + member prune
     val buckets = touchedOrig
       .select(pmod(col("orig"), lit(64)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // predecessor manifest rows of ONLY the touched buckets
+    val predTouched = (
+      if (buckets.isEmpty) atRestRows.limit(0)
+      else baseM match {
+        case None    => atRestRows.filter(col("bucket").isin(buckets.map(Int.box): _*))
+        case Some(g) => BucketedGens.read(s, manRoot, g, atRestRows, Some(buckets))
+      }).localCheckpoint() // read by the rewrite AND the count arithmetic
+    val passThrough = predTouched
+      .join(broadcast(touchedOrig), Seq("orig"), "left_anti")
+      .select("component", "survivor_id", "n_members", "quality", "orig")
+    // re-elect over the touched originals' full remaining membership,
+    // relabeled through the batch's REBUILT labels (exactly the touched
+    // originals' post-delete closure — edge-less members coalesce to
+    // their own id, the singleton rule)
+    val cumDels = s.read.parquet(s"$root/dels/gen-$id")
+    val newLabels = rebuilt
+      .select(col("id").as("doc_id"), col("component").as("__newc"))
     val reElected = s.read.parquet(s"$survState/membership")
-      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .join(broadcast(touchedOrig.select(col("orig").as("component"))),
         Seq("component"), "leftsemi")
       .join(broadcast(cumDels), Seq("doc_id"), "left_anti")
       .drop("component")
-      // newLabels is the full standing generation — O(corpus), never
-      // hinted onto the driver; the pruned member side stays small and
-      // AQE broadcast-joins it at runtime when it fits
       .join(newLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))
       .transform(electSurvivors)
-    passThrough.unionByName(reElected)
-      .write.mode("overwrite").parquet(s"$root/manifest/gen-$id")
-    EventQueries.vacuumViewGens(s"$root/manifest", baseM)
-    s.read.parquet(s"$root/manifest/gen-$id").count()
+    // a re-elected component is a member id of a touched original, so
+    // its orig resolves through the at-rest labels (self for remnant
+    // singletons) and lands INSIDE the touched bucket set. The at-rest
+    // relation is O(corpus) — no broadcast hint; the tiny re-elected
+    // side shuffles against it (AQE still broadcasts at bench scale).
+    val reElectedO = reElected
+      .join(atRest.select(col("id").as("component"), col("component").as("__ro")),
+        Seq("component"), "left")
+      .select(col("component"), col("survivor_id"), col("n_members"),
+        col("quality"), coalesce(col("__ro"), col("component")).as("orig"))
+    val nextTouched = passThrough.unionByName(reElectedO)
+      .withColumn("bucket", pmod(col("orig"), lit(64)).cast("int"))
+      .localCheckpoint() // written AND counted
+    nextTouched.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$manRoot/gen-$id")
+    val baseRows = baseM.map(_.rows)
+      .getOrElse(s.read.parquet(s"$survState/manifest").count())
+    val rows = baseRows - predTouched.count() + nextTouched.count()
+    val written = nextTouched.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(64)) ++
+      buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
+    BucketedGens.commit(manRoot, id, owners, rows)
+    BucketedGens.vacuum(manRoot, baseM, id)
+    rows
   }
 
   /** The delete-side rebuild universe under the FULL changelog:
@@ -1033,129 +1176,252 @@ object DedupQueries {
 
   /** One q187 maintenance step: fold a mixed I/D micro-batch into the
     * standing labels. State carried per generation, all O(delta):
-    * `labels` (id, component), `dels`/`apps` (cumulative id ledgers),
-    * `pairs` (cumulative APPENDED-pair ledger — arrival edges exist
-    * nowhere at rest). DELETES FIRST: rebuild the ORIG-CLOSURE of the
-    * touched components (an appended bridge may have merged several
-    * original components — every current component sharing an at-rest
-    * orig with a touched one rejoins the rebuild, so pass-through and
-    * rebuild partition the label set exactly) from pruned at-rest
-    * edges + the pair ledger, minus the cumulative deletes. THEN
-    * APPENDS: the batch's sigs probe the PRESENT corpus (history ∪
-    * appends-so-far, minus deletes-so-far — the probe is asymmetric
-    * and band-bucketed, the corpus side scans but never shuffles) and
-    * the delta pairs contract into the labels (CC(contract(L) ∪ Δ) =
-    * CC(edges(L) ∪ Δ)). Replays re-base on committed predecessors and
-    * converge: rebuilds re-derive from immutable evidence, appends
-    * are monotone. Returns the standing label count. */
+    * `labels` (BUCKET-PARTITIONED by pmod(component, 16) via
+    * [[BucketedGens]] — each fold writes ONLY the buckets whose
+    * components changed and re-points every other bucket at its
+    * predecessor), `dels`/`apps` (cumulative ledgers; apps carry the
+    * appended simhash so a re-appended doc's signature is the ledger's,
+    * never the static frame's), `pairs` (cumulative APPENDED-pair
+    * ledger — arrival edges exist nowhere at rest; pairs with an
+    * endpoint deleted this batch are PURGED, dead evidence must not
+    * resurrect under a later re-append).
+    *
+    * D-THEN-I upsert order: one batch may delete AND (re-)append the
+    * same doc_id — a content update. The delete side forgets the doc
+    * (its at-rest edges die via the superseded set, its ledger pairs
+    * via the purge); the append side re-admits it through fresh probe
+    * pairs carrying the batch's row-local simhash. A bare I for an
+    * already-present doc re-probes but does NOT retract old evidence —
+    * an edit that changes the signature must arrive as D+I.
+    *
+    * The recompute is LOCAL to the affected components: the delete
+    * side's ORIG-CLOSURE universe (pruned at-rest edge buckets + the
+    * pair ledger) and the append side's delta-incident components
+    * (re-entering as contraction edges — CC(contract(L) ∪ Δ) =
+    * CC(edges(L) ∪ Δ)) feed ONE components run over batch-sized
+    * evidence; untouched components are neither recomputed NOR
+    * rewritten. Replays re-base on committed predecessors and
+    * converge. Returns the standing label count (owners-map
+    * arithmetic — never a full re-read). */
   private[graft] def componentsCdcStep(stateDir: String, root: String,
       b: org.apache.spark.sql.DataFrame, id: Long,
       staticSigs: org.apache.spark.sql.DataFrame,
       /** which doc_ids the at-rest state already covers (present before
         * any append) — q187 passes its % 7 split; the property test an
         * arbitrary membership */
-      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Long = {
-    val s = b.sparkSession
+      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Long =
+    componentsCdcImpl(stateDir, root, b, id, staticSigs, historyPred).rows
+
+  /** What [[componentsCdcImpl]] hands the manifest repair: the fold's
+    * standing count, the affected docs' NEW labels (exactly the
+    * components the batch rebuilt or merged), the affected docs' OLD
+    * ids (label rows dropped this batch), and the cumulative deletes —
+    * so [[survivorCdcStep]] never re-derives the rebuild universe. */
+  private final case class CdcFold(rows: Long,
+      newLocal: org.apache.spark.sql.DataFrame,
+      oldAffected: org.apache.spark.sql.DataFrame,
+      cumDels: org.apache.spark.sql.DataFrame)
+
+  /** Normalize an ORDERED changelog batch — a `seq` column carrying
+    * each row's changelog position — to per-doc NET ops: the max-seq
+    * row per doc wins, intermediate incarnations inside one batch
+    * cancel (I,D ⇒ net delete; D,I,D,I ⇒ net append with the LAST
+    * sig/quality). Without `seq` the batch passes through as-is and
+    * reads as op SETS under the documented D-then-I order — sufficient
+    * when each doc appears at most once per side, ambiguous beyond
+    * that (which is why ordered producers should ship `seq`). */
+  private def netOps(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (!b.columns.contains("seq")) b
+    else b.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("seq").desc)))
+      .filter(col("__r") === 1).drop("__r", "seq")
+
+  /** The at-rest state a CDC fold reads: the latest COMPACTED state
+    * generation under `$root/state` (strictly below `id` — the fold's
+    * committed-predecessor rule), falling back to the initial staged
+    * dir. [[survivorCompactStep]] lands these; a compacted generation
+    * carries both the cluster state (labels/edges) and the survivor
+    * state (membership/manifest), so one resolution serves both. */
+  private def effectiveState(s: org.apache.spark.sql.SparkSession,
+      root: String, below: Option[Long], initial: String): String =
+    EventQueries.latestViewGen(s"$root/state", below).getOrElse(initial)
+
+  private def componentsCdcImpl(stateDir0: String, root: String,
+      b0: org.apache.spark.sql.DataFrame, id: Long,
+      staticSigs: org.apache.spark.sql.DataFrame,
+      historyPred: org.apache.spark.sql.Column): CdcFold = {
+    val s = b0.sparkSession
+    val b = netOps(b0)
+    val labelsRoot = s"$root/labels"
+    val stateDir = effectiveState(s, root, Some(id), stateDir0)
     val atRest = s.read.parquet(s"$stateDir/labels")
-    def base(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
-    val (baseL, baseD, baseA, baseP) =
-      (base("labels"), base("dels"), base("apps"), base("pairs"))
-    val labels = baseL.map(p => s.read.parquet(p))
-      .getOrElse(atRest.select("id", "component"))
-      .localCheckpoint() // read by touch/rebuild/pass-through/contract
+    def atRestRows = atRest.select(col("id"), col("component"), col("bucket"))
+    val base = BucketedGens.latest(labelsRoot, below = Some(id))
+    def ledgerBase(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
+    val (baseD, baseA, baseP) = (ledgerBase("dels"), ledgerBase("apps"), ledgerBase("pairs"))
     val emptyIds = b.select(col("doc_id")).limit(0)
     val emptyPairs = b
       .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
-    val bD = b.filter(col("op") === "D").select("doc_id")
-      .localCheckpoint() // batch-sized; read by the guard, touch, ledgers
-    val bI = b.filter(col("op") === "I").select("doc_id", "simhash")
+    val bD = b.filter(col("op") === "D").select("doc_id").distinct()
+      .localCheckpoint() // batch-sized; ledgers, touch, purge
+    val bI = b.filter(col("op") === "I").select("doc_id", "simhash").distinct()
       .localCheckpoint()
     val hasD = !bD.isEmpty
     val hasI = !bI.isEmpty
-    // the fold applies a batch's deletes BEFORE its appends, so one
-    // batch carrying both ops for one id has no defined order — fail
-    // loudly (signedPartials' discipline) instead of quietly labeling
-    // a deleted doc through its own probe pairs. The guard join only
-    // runs when a batch actually carries BOTH op kinds — delete-only
-    // and append-only batches (the common case) skip the extra job on
-    // a path whose per-batch job count is the family's wall-clock
-    // floor.
-    require(!(hasD && hasI) || bD.join(bI, "doc_id").isEmpty,
-      s"componentsCdcStep(gen $id): a batch may not append AND delete " +
-        "the same doc_id — route the two ops through separate batches")
+    val bIids = bI.select("doc_id")
     val cumDels = baseD.map(p => s.read.parquet(p)).getOrElse(emptyIds)
-      .unionByName(bD).distinct().localCheckpoint()
-    val cumApps = baseA.map(p => s.read.parquet(p)).getOrElse(emptyIds)
-      .unionByName(bI.select("doc_id")).distinct().localCheckpoint()
-    val ledger = baseP.map(p => s.read.parquet(p)).getOrElse(emptyPairs)
+      .unionByName(bD).distinct()
+      .join(bIids, Seq("doc_id"), "left_anti") // re-appended ⇒ present again
+      .localCheckpoint()
+    val cumApps = baseA.map(p => s.read.parquet(p)).getOrElse(bI.limit(0))
+      .join(bIids, Seq("doc_id"), "left_anti") // last append wins
+      .join(bD, Seq("doc_id"), "left_anti")    // deleted (unless re-appended)
+      .unionByName(bI)
+      .localCheckpoint()
+    // EVERY touched doc's standing evidence dies: a delete forgets the
+    // doc, and any (re-)append supersedes its previous incarnation —
+    // its old pairs are purged and its component rebuilt, with fresh
+    // probe pairs (below) re-defining it. This makes a bare I on a
+    // present doc a full upsert, not a probe-only patch.
+    val touchedIds = bD.unionByName(bIids).distinct()
+      .localCheckpoint() // purge keys + the component-touch probe
+    val ledger0 = baseP.map(p => s.read.parquet(p)).getOrElse(emptyPairs)
+    val ledger = (if (!hasD && !hasI) ledger0
+      else ledger0
+        .join(touchedIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(touchedIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti"))
+      .localCheckpoint()
+    // the standing labels — a SCAN (lookups are by id, buckets by
+    // component); pinned lazily so the several semi-joins below pay the
+    // resolution once
+    val labels = (base match {
+        case None    => atRest.select("id", "component")
+        case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows)
+          .select("id", "component")
+      }).localCheckpoint(false)
+
+    // ---- retract side: the orig-closure rebuild universe, seeded by
+    // every component holding a doc this batch deletes OR re-defines ----
+    val touched = labels
+      .join(touchedIds.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
+      .select("component").distinct().localCheckpoint()
+    val hasTouched = !touched.isEmpty
+    val origOf = atRest.select(col("id"), col("component").as("orig"))
+    val (rebuildComps, origNodes) =
+      if (!hasTouched)
+        (emptyIds.withColumnRenamed("doc_id", "component"),
+          emptyIds.withColumnRenamed("doc_id", "node"))
+      else deleteRebuildUniverse(labels, origOf, touched, ledger.isEmpty)
+
+    // ---- append side: probe pairs against the PRESENT corpus ----
+    // at-rest evidence superseded by a delete OR a (re-)append — those
+    // docs' standing edges come from the pair ledger + fresh probes
+    val supersededAtRest = cumDels.unionByName(cumApps.select("doc_id")).distinct()
+      .localCheckpoint()
+    val deltaPairs = if (!hasI) emptyPairs else {
+      // the probe's base corpus is whatever the at-rest state COVERS: the
+      // historyPred slice of the static frame initially, the compacted
+      // state's own sig snapshot after a compaction (it absorbed every
+      // earlier arrival — historyPred no longer describes coverage)
+      val baseCorpus =
+        if (stateDir == stateDir0) staticSigs.filter(historyPred)
+        else s.read.parquet(s"$stateDir/sigs")
+      val present = baseCorpus
+        .join(broadcast(supersededAtRest), Seq("doc_id"), "left_anti")
+        .unionByName(cumApps.select("doc_id", "simhash"))
+      TextDedup.simHashNearDupAgainst(bI, present, "doc_id", "simhash", 3)
+        .select("id_a", "id_b")
+        .localCheckpoint() // read by the merge AND the ledger write
+    }
+    // components incident to the delta (under pred labels) that the
+    // delete side is NOT already rebuilding re-enter as contractions
+    val aAppOnly = (if (!hasI) touched.limit(0) else {
+        val aApp = labels
+          .join(deltaPairs.select(col("id_a").as("id"))
+              .unionByName(deltaPairs.select(col("id_b").as("id"))).distinct(),
+            Seq("id"), "leftsemi")
+          .select("component").distinct()
+        if (!hasTouched) aApp
+        else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti")
+      }).localCheckpoint()
+    val mRebuild = (if (!hasTouched) labels.limit(0) else labels
+        .join(broadcast(rebuildComps), Seq("component"), "leftsemi"))
+      .localCheckpoint()
+    val mContract = (if (!hasI) labels.limit(0) else labels
+        .join(broadcast(aAppOnly), Seq("component"), "leftsemi"))
       .localCheckpoint()
 
-    // ---- delete phase ----
-    // touched is only derived when the batch carries deletes at all —
-    // its localCheckpoint is an eager job an append-only batch
-    // shouldn't pay
-    val touched =
-      if (!hasD) bD.withColumnRenamed("doc_id", "component")
-      else labels
-        .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
-        .select("component").distinct().localCheckpoint()
-    val afterD = if (!hasD || touched.isEmpty) labels else {
-      val origOf = atRest.select(col("id"), col("component").as("orig"))
-      val (rebuildComps, origNodes) =
-        deleteRebuildUniverse(labels, origOf, touched, ledger.isEmpty)
-      val members = labels
-        .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
-        .select("id")
-      val buckets = origNodes.select(pmod(col("node"), lit(16)).cast("int").as("bucket"))
+    // ---- ONE local components run over batch-sized evidence ----
+    val atRestEdges = if (!hasTouched) emptyPairs else {
+      val buckets = origNodes
+        .select(pmod(col("node"), lit(16)).cast("int").as("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val atRestEdges = s.read.parquet(s"$stateDir/edges")
-        .filter(col("bucket").isin(buckets: _*))
+      if (buckets.isEmpty) emptyPairs
+      else s.read.parquet(s"$stateDir/edges")
+        .filter(col("bucket").isin(buckets.map(Int.box): _*))
         .join(broadcast(origNodes.select(col("node").as("component"))),
           Seq("component"), "leftsemi")
         .select("id_a", "id_b")
-      // a ledger pair's live endpoints share one current component, so
-      // the id_a witness suffices; pairs with a deleted endpoint are
-      // dropped by the rebuild's anti-join either way
-      val ledgerEdges = ledger
-        .join(broadcast(members.select(col("id").as("id_a"))), Seq("id_a"), "leftsemi")
-      val rebuilt = retractedTouchedLabels(
-        atRestEdges.unionByName(ledgerEdges.select("id_a", "id_b")), cumDels)
-      labels.join(broadcast(rebuildComps), Seq("component"), "left_anti")
-        .unionByName(rebuilt.select("id", "component"))
+        .join(broadcast(supersededAtRest.select(col("doc_id").as("id_a"))),
+          Seq("id_a"), "left_anti")
+        .join(broadcast(supersededAtRest.select(col("doc_id").as("id_b"))),
+          Seq("id_b"), "left_anti")
     }
+    // a ledger pair's live endpoints share one current component, so
+    // the id_a witness suffices (the purge above already dropped pairs
+    // with a deleted endpoint)
+    val ledgerEdges = if (!hasTouched) emptyPairs else ledger
+      .join(broadcast(mRebuild.select(col("id").as("id_a"))), Seq("id_a"), "leftsemi")
+      .select("id_a", "id_b")
+    val contractEdges = mContract
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    val localE = atRestEdges.unionByName(ledgerEdges)
+      .unionByName(contractEdges).unionByName(deltaPairs)
+    val newLocal = (
+      if (!hasTouched && !hasI) labels.limit(0)
+      else Components.connectedComponents(localE, "id_a", "id_b")
+        .select(col("id"), col("component")))
+      .localCheckpoint() // written, counted, read by the manifest repair
+    val oldAffected = mRebuild.select("id").unionByName(mContract.select("id"))
+      .localCheckpoint() // dropped from touched buckets; repair universe
 
-    // ---- append phase ----
-    val deltaPairs = if (!hasI) emptyPairs else {
-      val present = staticSigs
-        .join(broadcast(cumApps.select(col("doc_id"), lit(1).as("__app"))),
-          Seq("doc_id"), "left")
-        .filter(historyPred || col("__app").isNotNull)
-        .drop("__app")
-        .join(broadcast(cumDels), Seq("doc_id"), "left_anti")
-      TextDedup.simHashNearDupAgainst(bI, present, "doc_id", "simhash", 3)
-        .select("id_a", "id_b")
-        .localCheckpoint() // read by the contract merge AND the ledger write
-    }
-    val next = if (!hasI) afterD else
-      Components.connectedComponents(
-          afterD.select(col("id").as("id_a"), col("component").as("id_b"))
-            .unionByName(deltaPairs),
-          "id_a", "id_b")
-
-    // normalize column ORDER before landing: the pass-through branch's
-    // USING join moves the key first, and a positional reader of the
-    // generation dir would silently swap (id, component)
-    next.select("id", "component")
-      .write.mode("overwrite").parquet(s"$root/labels/gen-$id")
+    // ---- bucket-local rewrite: old homes of affected rows ∪ new ----
+    val buckets = rebuildComps.select("component")
+      .unionByName(aAppOnly.select("component"))
+      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .unionByName(newLocal
+        .select(pmod(col("component"), lit(16)).cast("int").as("bucket")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val predTouched = (
+      if (buckets.isEmpty) atRestRows.limit(0)
+      else base match {
+        case None    => atRestRows.filter(col("bucket").isin(buckets.map(Int.box): _*))
+        case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(buckets))
+      }).localCheckpoint() // read by the rewrite AND the count arithmetic
+    val nextTouched = predTouched.select("id", "component")
+      .join(broadcast(oldAffected), Seq("id"), "left_anti")
+      .unionByName(newLocal)
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .localCheckpoint() // written AND counted; never recomputes the CC
+    nextTouched.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$labelsRoot/gen-$id")
     cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
     cumApps.write.mode("overwrite").parquet(s"$root/apps/gen-$id")
     ledger.unionByName(deltaPairs).distinct()
       .write.mode("overwrite").parquet(s"$root/pairs/gen-$id")
-    EventQueries.vacuumViewGens(s"$root/labels", baseL)
+    val baseRows = base.map(_.rows).getOrElse(atRest.count())
+    val rows = baseRows - predTouched.count() + nextTouched.count()
+    val written = nextTouched.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(16)) ++
+      buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
+    BucketedGens.commit(labelsRoot, id, owners, rows)
+    BucketedGens.vacuum(labelsRoot, base, id)
     EventQueries.vacuumViewGens(s"$root/dels", baseD)
     EventQueries.vacuumViewGens(s"$root/apps", baseA)
     EventQueries.vacuumViewGens(s"$root/pairs", baseP)
-    s.read.parquet(s"$root/labels/gen-$id").count()
+    CdcFold(rows, newLocal, oldAffected, cumDels)
   }
 
   /** The survivor-manifest state AT REST (q182): `membership`
@@ -1166,7 +1432,7 @@ object DedupQueries {
     * because it IS the output's pass-through side). */
   private[graft] def survivorStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedSurvivorState(s, d, "graft_survivor_state_b64",
+    stagedSurvivorState(s, d, "graft_survivor_state_b64v2",
       Tables.documents(s, d), ccStateDir(s, d))
 
   /** HISTORY-ONLY survivor state (q189 — manifest maintained under the
@@ -1174,7 +1440,7 @@ object DedupQueries {
     * Tag encodes the % 7 split rule, same reason as [[ccHistStateDir]]. */
   private[graft] def survivorHistStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedSurvivorState(s, d, "graft_survivor_hist7_state_b64",
+    stagedSurvivorState(s, d, "graft_survivor_hist7_state_b64v2",
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0),
       ccHistStateDir(s, d))
 
@@ -1194,8 +1460,12 @@ object DedupQueries {
           .localCheckpoint() // read by the membership write AND the manifest agg
         membership.write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$stage/membership")
+        // the manifest keyed by the same component buckets, so a
+        // maintained-manifest generation can reference untouched
+        // buckets here instead of re-materializing them
         electSurvivors(membership)
-          .write.mode("overwrite").parquet(s"$stage/manifest")
+          .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/manifest")
         new java.io.File(stage, "_SUCCESS").createNewFile()
         ()
       }
@@ -1234,121 +1504,232 @@ object DedupQueries {
     (members, buckets)
   }
 
-  /** One q189 maintenance step: q187's label fold (shared verbatim),
-    * then the manifest repair under the FULL changelog. The repaired
-    * universe V is every doc whose manifest standing can change this
-    * batch: members (new labels) of every component touched by the
-    * batch's delta pairs, arrivals, or the delete side's orig-closure
-    * rebuild, plus any still-present universe singleton (new arrivals,
-    * remnants). Old rows keyed by a V doc or a batch-deleted id drop;
-    * V re-elects per coalesced new component with quality from the
-    * pruned history membership buckets ∪ the O(arrivals) quality
-    * ledger carried per generation. Idempotent over the affected
-    * universe ⇒ replays and any batching converge. Returns the
-    * standing manifest row count. */
-  private[graft] def survivorCdcStep(ccState: String, survState: String,
-      root: String, b: org.apache.spark.sql.DataFrame, id: Long,
+  /** One q189 maintenance step: q187's label fold (shared verbatim —
+    * the fold hands back exactly its affected universe), then the
+    * manifest repair under the FULL changelog. The repaired universe V
+    * is every doc whose manifest standing can change this batch: the
+    * fold's NEW labels (members of every rebuilt or delta-merged
+    * component), its dropped OLD members (remnant singletons), and the
+    * batch's arrivals — minus the deletes. Old rows keyed by a V doc or
+    * a batch-deleted id drop; V re-elects per coalesced new component
+    * with quality from the pruned history membership buckets ∪ the
+    * O(arrivals) quality ledger (ledger WINS for re-appended docs —
+    * their membership rows are superseded evidence; the ledger applies
+    * the same D-then-I upsert order as the id ledgers). Manifest
+    * generations are BUCKET-PARTITIONED by pmod(component, 64)
+    * ([[BucketedGens]]): only buckets holding retired or re-elected
+    * keys are written, so pass-through rows are never rewritten or
+    * re-read — per-batch manifest I/O is O(affected). Idempotent over
+    * the affected universe ⇒ replays and any batching converge.
+    * Returns the standing manifest row count. */
+  private[graft] def survivorCdcStep(ccState: String, survState0: String,
+      root: String, b0: org.apache.spark.sql.DataFrame, id: Long,
       staticSigs: org.apache.spark.sql.DataFrame,
       historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Long = {
-    val s = b.sparkSession
-    // committed predecessors BEFORE the label fold advances them
-    val basePairs = EventQueries.latestViewGen(s"$root/pairs", below = Some(id))
-    val baseLabels = EventQueries.latestViewGen(s"$root/labels", below = Some(id))
-    val baseM = EventQueries.latestViewGen(s"$root/manifest", below = Some(id))
+    val s = b0.sparkSession
+    val b = netOps(b0) // ordered batches reduce to per-doc net ops ONCE
+    val manRoot = s"$root/manifest"
+    val survState = effectiveState(s, root, Some(id), survState0)
+    val baseM = BucketedGens.latest(manRoot, below = Some(id))
     val baseQ = EventQueries.latestViewGen(s"$root/appsq", below = Some(id))
-    componentsCdcStep(ccState, root, b.select("op", "doc_id", "simhash"), id,
-      staticSigs, historyPred)
-    val atRest = s.read.parquet(s"$ccState/labels")
+    val fold = componentsCdcImpl(ccState, root,
+      b.select("op", "doc_id", "simhash"), id, staticSigs, historyPred)
+    val atRest = s.read.parquet(
+      s"${effectiveState(s, root, Some(id), ccState)}/labels")
     val origOf = atRest.select(col("id"), col("component").as("orig"))
-    val bD = b.filter(col("op") === "D").select("doc_id")
-    val bI = b.filter(col("op") === "I").select("doc_id", "quality")
-    val predLabels = baseLabels.map(p => s.read.parquet(p))
-      .getOrElse(atRest.select("id", "component"))
-      .localCheckpoint()
-    val newLabels = s.read.parquet(s"$root/labels/gen-$id").localCheckpoint()
-    val cumDels = s.read.parquet(s"$root/dels/gen-$id").localCheckpoint()
+    val bD = b.filter(col("op") === "D").select("doc_id").distinct()
+    val bI = b.filter(col("op") === "I").select("doc_id", "quality").distinct()
+    val bIids = bI.select("doc_id")
     val appsQ = baseQ.map(p => s.read.parquet(p)).getOrElse(bI.limit(0))
-      .unionByName(bI).distinct().localCheckpoint()
+      .join(bIids, Seq("doc_id"), "left_anti") // last append wins
+      .join(bD, Seq("doc_id"), "left_anti")    // deleted (unless re-appended)
+      .unionByName(bI)
+      .localCheckpoint()
     appsQ.write.mode("overwrite").parquet(s"$root/appsq/gen-$id")
-    val manifest = baseM.map(p => s.read.parquet(p))
-      .getOrElse(s.read.parquet(s"$survState/manifest"))
-    // this batch's delta pairs = the pair ledger's growth
-    val newPairs = s.read.parquet(s"$root/pairs/gen-$id")
-    val deltaPairs = basePairs match {
-      case None    => newPairs
-      case Some(p) => newPairs
-        .join(s.read.parquet(p), Seq("id_a", "id_b"), "left_anti")
-    }
-    // delete-side affected docs: old members of the SAME rebuild
-    // universe the label fold used — the shared deleteRebuildUniverse
-    // definition, so the manifest repair can never under-cover the
-    // relabel
-    // the delete-affected docs are only derived when the batch carries
-    // deletes at all — an append-only batch skips the universe jobs
-    val uDel = if (bD.isEmpty) predLabels.select("id").limit(0) else {
-      val touchedComps = predLabels
-        .join(bD.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
-        .select("component").distinct()
-      val preLedgerEmpty =
-        basePairs.forall(p => s.read.parquet(p).isEmpty)
-      val (rebuildComps, _) =
-        deleteRebuildUniverse(predLabels, origOf, touchedComps, preLedgerEmpty)
-      predLabels
-        .join(broadcast(rebuildComps), Seq("component"), "leftsemi")
-        .select("id")
-    }
-    val u = uDel
-      .unionByName(deltaPairs.select(col("id_a").as("id")))
-      .unionByName(deltaPairs.select(col("id_b").as("id")))
-      .unionByName(bI.select(col("doc_id").as("id")))
-      .unionByName(bD.select(col("doc_id").as("id")))
-      .distinct().localCheckpoint()
-    val affectedComps = newLabels
-      .join(broadcast(u), Seq("id"), "leftsemi")
-      .select("component").distinct()
-    val membersAff = newLabels
-      .join(broadcast(affectedComps), Seq("component"), "leftsemi")
-      .select("id")
-    // re-election universe: full members of affected components + any
-    // still-present universe singleton (new arrival, remnant)
-    val v = membersAff
-      .unionByName(u.join(broadcast(cumDels.select(col("doc_id").as("id"))),
-        Seq("id"), "left_anti"))
-      .distinct().localCheckpoint()
-    // quality: history members from pruned membership buckets (bucket
-    // key = the at-rest COALESCED component — singletons under their
-    // own id), arrivals from the quality ledger
-    val vBuckets = v.join(origOf, Seq("id"), "left")
+    val cumDels = fold.cumDels
+    // re-election universe V: the fold's affected docs (new labels ∪
+    // dropped old members) + arrivals, minus the deletes
+    val v = fold.newLocal.select("id")
+      .unionByName(fold.oldAffected.select("id"))
+      .unionByName(bIids.select(col("doc_id").as("id")))
+      .distinct()
+      .join(broadcast(cumDels.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val vIds = v.select(col("id").as("doc_id"))
+    val appsQv = appsQ.join(broadcast(vIds), Seq("doc_id"), "leftsemi")
+      .select("doc_id", "quality")
+    // history quality from pruned membership buckets (bucket key = the
+    // at-rest COALESCED component — singletons under their own id);
+    // docs in the quality ledger are anti-joined off — for a
+    // re-appended doc the ledger row is current, the membership stale.
+    // The bucket list covers exactly the v ids the ledger does NOT
+    // carry — correct in both regimes (before a compaction those are
+    // the history docs; after one, everything the compacted membership
+    // absorbed, arrivals included)
+    val vBuckets = vIds.join(appsQ.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumnRenamed("doc_id", "id").join(origOf, Seq("id"), "left")
       .select(pmod(coalesce(col("orig"), col("id")), lit(64)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val vIds = v.select(col("id").as("doc_id"))
-    val qualities = s.read.parquet(s"$survState/membership")
-      .filter(col("bucket").isin(vBuckets: _*))
-      .join(broadcast(vIds), Seq("doc_id"), "leftsemi")
-      .select("doc_id", "quality")
-      .unionByName(appsQ
+    val memberQ = (
+      if (vBuckets.isEmpty) appsQ.limit(0).select("doc_id", "quality")
+      else s.read.parquet(s"$survState/membership")
+        .filter(col("bucket").isin(vBuckets.map(Int.box): _*))
         .join(broadcast(vIds), Seq("doc_id"), "leftsemi")
         .select("doc_id", "quality"))
-    // newLabels is the standing O(corpus) generation — no broadcast
-    // hint (the bounded qualities side shuffles against it; AQE
-    // broadcasts at bench scale where it fits)
-    val reElected = qualities
-      .join(newLabels.select(col("id").as("doc_id"),
+      .join(broadcast(appsQ.select("doc_id")), Seq("doc_id"), "left_anti")
+    val reElected = memberQ.unionByName(appsQv)
+      .join(fold.newLocal.select(col("id").as("doc_id"),
           col("component").as("__newc")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))
       .transform(electSurvivors)
+    // old manifest keys to retire: V ids (an affected comp's old key is
+    // a member id, a singleton's key its own id) ∪ this batch's deletes
     val dropKeys = v.select(col("id").as("component"))
       .unionByName(bD.select(col("doc_id").as("component")))
       .distinct()
-    manifest.join(broadcast(dropKeys), Seq("component"), "left_anti")
+      .localCheckpoint() // bucket list + the pass-through anti-join
+    val manBuckets = dropKeys
+      .select(pmod(col("component"), lit(64)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // the at-rest manifest is component-keyed and already carries the
+    // same bucket column — it resolves AtRest buckets directly
+    def atRestMan = s.read.parquet(s"$survState/manifest")
+    val predTouched = (
+      if (manBuckets.isEmpty) atRestMan.limit(0)
+      else baseM match {
+        case None    => atRestMan.filter(col("bucket").isin(manBuckets.map(Int.box): _*))
+        case Some(g) => BucketedGens.read(s, manRoot, g, atRestMan, Some(manBuckets))
+      }).localCheckpoint() // read by the rewrite AND the count arithmetic
+    val nextTouched = predTouched
+      .join(broadcast(dropKeys), Seq("component"), "left_anti")
       .select("component", "survivor_id", "n_members", "quality")
       .unionByName(reElected)
-      .write.mode("overwrite").parquet(s"$root/manifest/gen-$id")
-    EventQueries.vacuumViewGens(s"$root/manifest", baseM)
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .localCheckpoint() // written AND counted
+    nextTouched.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$manRoot/gen-$id")
+    val baseRows = baseM.map(_.rows)
+      .getOrElse(s.read.parquet(s"$survState/manifest").count())
+    val rows = baseRows - predTouched.count() + nextTouched.count()
+    val written = nextTouched.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(64)) ++
+      manBuckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
+    BucketedGens.commit(manRoot, id, owners, rows)
+    BucketedGens.vacuum(manRoot, baseM, id)
     EventQueries.vacuumViewGens(s"$root/appsq", baseQ)
-    s.read.parquet(s"$root/manifest/gen-$id").count()
+    rows
+  }
+
+  /** COMPACTION CADENCE for the CDC fold family (q190): fold the
+    * cumulative ledgers into a RE-STAGED at-rest state and truncate
+    * them. The ledgers (`dels`/`apps`/`pairs`/`appsq`) are the fold's
+    * only unbounded carried state — correct forever, but each batch
+    * re-broadcasts them and re-pays their anti-joins, a scale-killer
+    * after enough churn. Compaction derives the PRESENT corpus
+    * (history minus superseded, plus the apps ledger with its current
+    * sigs), re-runs the full banded pair → components → bucketed
+    * edges/labels build plus the survivor membership/manifest, lands
+    * it all under `$root/state/gen-<id>`, and commits full-snapshot
+    * label/manifest generations whose owners point every bucket at the
+    * NEW at-rest state — with EMPTY ledgers beside them. Post-
+    * compaction folds resolve this state ([[effectiveState]]) and pay
+    * no cumulative anti-join: the serve-cost discipline q149/q154
+    * proved for the ANN index, applied to the cluster family.
+    * Idempotent under replay: a re-delivered batch re-runs the
+    * compaction from the same committed predecessors (every vacuum
+    * happens only after all commits) and overwrites the same dirs. */
+  private[graft] def survivorCompactStep(ccInit: String, survInit: String,
+      root: String, id: Long, staticSigs: org.apache.spark.sql.DataFrame,
+      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Unit = {
+    val s = staticSigs.sparkSession
+    val survPrev = effectiveState(s, root, Some(id), survInit)
+    val baseState = EventQueries.latestViewGen(s"$root/state", below = Some(id))
+    def lv(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
+    val (baseL, baseM) = (BucketedGens.latest(s"$root/labels", below = Some(id)),
+      BucketedGens.latest(s"$root/manifest", below = Some(id)))
+    val (baseD, baseA, baseP, baseQ) = (lv("dels"), lv("apps"), lv("pairs"), lv("appsq"))
+    val emptyIds = staticSigs.select("doc_id").limit(0)
+    val cumDels = baseD.map(p => s.read.parquet(p)).getOrElse(emptyIds)
+      .localCheckpoint()
+    val cumApps = baseA.map(p => s.read.parquet(p))
+      .getOrElse(staticSigs.limit(0)).localCheckpoint()
+    val appsQ = baseQ.map(p => s.read.parquet(p))
+      .getOrElse(emptyIds.withColumn("quality", lit(0.0d))).localCheckpoint()
+    val superseded = cumDels.unionByName(cumApps.select("doc_id")).distinct()
+    // the base corpus chains: first compaction from the historyPred
+    // slice, later ones from the previous compaction's own snapshot
+    val baseCorpus = baseState match {
+      case None    => staticSigs.filter(historyPred)
+      case Some(p) => s.read.parquet(s"$p/sigs")
+    }
+    val present = baseCorpus
+      .join(broadcast(superseded), Seq("doc_id"), "left_anti")
+      .unionByName(cumApps.select("doc_id", "simhash"))
+      .localCheckpoint()
+    val stateDir = s"$root/state/gen-$id"
+    // the state's COVERAGE snapshot: post-compaction probes use this as
+    // their base corpus (historyPred no longer describes what the
+    // at-rest state absorbed)
+    present.write.mode("overwrite").parquet(s"$stateDir/sigs")
+    // rebuild the cluster state over the present corpus — the same
+    // shape stagedCcState stages from scratch
+    val pairs = TextDedup.simHashNearDup(present, "doc_id", "simhash", 3)
+      .select("id_a", "id_b")
+      .localCheckpoint() // read by the components run AND the edge write
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+      .localCheckpoint()
+    labels.withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels")
+    pairs
+      .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
+        Seq("id_a"))
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/edges")
+    // ... and the survivor state: present docs' quality from the
+    // predecessor membership (still valid for untouched history) ∪ the
+    // quality ledger (appended docs, re-scored upserts)
+    val presentQ = s.read.parquet(s"$survPrev/membership")
+      .join(broadcast(superseded), Seq("doc_id"), "left_anti")
+      .select("doc_id", "quality")
+      .unionByName(appsQ.select("doc_id", "quality"))
+    val membership = presentQ
+      .join(labels.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col("quality"))
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .localCheckpoint() // membership write + manifest agg + counts
+    membership.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$stateDir/membership")
+    val manifest = electSurvivors(membership)
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .localCheckpoint()
+    manifest.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$stateDir/manifest")
+    new java.io.File(stateDir, "_SUCCESS").createNewFile()
+    // truncate the ledgers: post-compaction folds read empty frames
+    cumDels.limit(0).write.mode("overwrite").parquet(s"$root/dels/gen-$id")
+    cumApps.limit(0).write.mode("overwrite").parquet(s"$root/apps/gen-$id")
+    staticSigs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
+      .write.mode("overwrite").parquet(s"$root/pairs/gen-$id")
+    appsQ.limit(0).write.mode("overwrite").parquet(s"$root/appsq/gen-$id")
+    // full-snapshot generation pointers: every bucket at the NEW rest
+    BucketedGens.commit(s"$root/labels", id, BucketedGens.initialOwners(16),
+      labels.count())
+    BucketedGens.commit(s"$root/manifest", id, BucketedGens.initialOwners(64),
+      manifest.count())
+    // vacuums LAST — a replayed compaction must find its predecessors
+    BucketedGens.vacuum(s"$root/labels", baseL, id)
+    BucketedGens.vacuum(s"$root/manifest", baseM, id)
+    EventQueries.vacuumViewGens(s"$root/dels", baseD)
+    EventQueries.vacuumViewGens(s"$root/apps", baseA)
+    EventQueries.vacuumViewGens(s"$root/pairs", baseP)
+    EventQueries.vacuumViewGens(s"$root/appsq", baseQ)
+    EventQueries.vacuumViewGens(s"$root/state", baseState)
   }
 
   /** THE survivor election — argmax(quality) per component, min-id

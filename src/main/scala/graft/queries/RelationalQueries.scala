@@ -157,7 +157,12 @@ object RelationalQueries {
     },
 
     // J1/J2/J7: broadcast lookup chain — fact table never shuffles; the
-    // three dims are broadcast. Revenue by region.
+    // three dims are broadcast. Revenue by region. HINT-FREE since
+    // round 16: the dims are ANALYZE'd [[statsDim]] catalog tables and
+    // the planner elects each broadcast from CatalogStatistics — the
+    // same code flips to a shuffle join the day a dim outgrows the
+    // threshold, which a hint would override forever (q186's rationale
+    // applied to the highest-traffic enrichment chain).
     QueryDef("q11_broadcast_chain", Seq("J1", "J2", "J7"),
       """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
          count(*) AS n_lines
@@ -166,11 +171,13 @@ object RelationalQueries {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""") { (s, d) =>
       Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice", "l_discount")
-        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        .join(statsDim(s, d, "supplier_nk", "supplier",
+            Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+        .join(statsDim(s, d, "nation_rk", "nation",
+            Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
           col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)),
+        .join(statsDim(s, d, "region", "region", Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(

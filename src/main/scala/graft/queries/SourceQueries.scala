@@ -29,8 +29,14 @@ object SourceQueries {
         .filter(col("o_totalprice") > 200000)
         .select("o_custkey").distinct()
         .withColumn("big_spender", lit(true))
+      // the RAW dim is a stats-driven catalog table (hint-free — q186's
+      // discipline; shares q186's ANALYZE'd customer_seg table); the
+      // high-spender side is a DERIVED frame with no catalog stats, so
+      // its broadcast stays an explicit hint
       orders.select("o_orderkey", "o_custkey")
-        .join(broadcast(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        .join(RelationalQueries.statsDim(s, d, "customer_seg", "customer",
+            Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
           Seq("o_custkey"), "left")
         .join(broadcast(highSpenders), Seq("o_custkey"), "left")
         .withColumn("big_spender", coalesce(col("big_spender"), lit(false)))
@@ -84,10 +90,15 @@ object SourceQueries {
            round(coalesce(s.amount_f, 0.0) / a.amount, 6) AS f_share,
            round((SELECT composite FROM ratio), 6) AS composite
          FROM allagg a FULL OUTER JOIN slice s ON a.n_name = s.n_name""") { (s, d) =>
+      // stats-driven dims (hint-free): the SAME ANALYZE'd catalog tables
+      // q160/q170's join view enriches through
       def base = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+        .join(RelationalQueries.statsDim(s, d, "customer", "customer",
+            Tables.customer(s, d).select("c_custkey", "c_nationkey"))
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
           Seq("o_custkey"))
-        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        .join(RelationalQueries.statsDim(s, d, "nation", "nation",
+            Tables.nation(s, d).select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))
       val allAgg = base.groupBy("n_name").agg(round(sum("o_totalprice"), 4).as("amount"))
       val slice = base.filter(col("o_orderstatus") === "F")

@@ -39,12 +39,23 @@ class PlanBudgetSpec extends SparkSpec {
   }
 
   test("enrichment joins broadcast — the fact side never shuffles pre-agg") {
+    def hints(df: DataFrame): Int =
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).size
     val chain = q("q11_broadcast_chain")
     assert(broadcasts(chain) == 3)
     assert(shuffles(chain) == 1) // only the final aggregate
+    // stats-driven since round 16: all three broadcasts are the
+    // planner's own choice from ANALYZE'd catalog stats, zero hints
+    assert(hints(chain) == 0, "q11's dim joins must be hint-free (stats-driven)")
     val enrich = q("q46_left_enrich")
     assert(broadcasts(enrich) >= 2)
     assert(shuffles(enrich) <= 1)
+    // the raw customer dim is stats-driven; the ONE remaining hint is
+    // the derived high-spender frame (no catalog stats exist for it)
+    assert(hints(enrich) <= 1, "q46 may hint only the derived frame")
+    val rollup = q("q48_rollup_compare")
+    assert(broadcasts(rollup) >= 2)
+    assert(hints(rollup) <= 1, "q48 may hint only the derived 1-row composite")
   }
 
   test("round-2 queries stay inside the budget") {
@@ -658,6 +669,42 @@ class PlanBudgetSpec extends SparkSpec {
     assert(memberBuckets.nonEmpty && memberBuckets.size < 64,
       s"fixture degenerate: deletes touch ${memberBuckets.size} of 64 membership buckets")
     prunedScanPartitions(members, "survivor_state", memberBuckets.size)
+  }
+
+  test("bucketed generations (q185/q188): a 1-delete batch writes a strict subset of buckets") {
+    // the state-I/O contract: a fold's generation dir holds ONLY the
+    // bucket partitions the batch touched — a gen that materializes all
+    // 16 label (or 64 manifest) buckets is a full-snapshot rewrite in
+    // disguise, O(corpus) write I/O per micro-batch at scale
+    import graft.queries.{BucketedGens, DedupQueries}
+    import org.apache.spark.sql.functions.{col, min}
+    val ccState = DedupQueries.ccStateDir(spark, sf)
+    val survState = DedupQueries.survivorStateDir(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_bucketgen_").toString
+    // one CLUSTERED deleted doc (a singleton would leave the label gen
+    // legitimately empty and prove nothing about subset writes)
+    val one = spark.read.parquet(s"$ccState/labels")
+      .join(DedupQueries.ccDeletedIds(spark, sf).withColumnRenamed("doc_id", "id"),
+        Seq("id"), "leftsemi")
+      .select(min(col("id")).as("doc_id"))
+    DedupQueries.survivorRetractStep(ccState, survState, root, one, 0L)
+    def bucketDirs(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    val lb = bucketDirs(s"$root/labels/gen-0")
+    assert(lb.nonEmpty && lb.size < 16,
+      s"label gen-0 wrote ${lb.size} of 16 buckets — the fold rewrote untouched state")
+    val mb = bucketDirs(s"$root/manifest/gen-0")
+    assert(mb.nonEmpty && mb.size < 64,
+      s"manifest gen-0 wrote ${mb.size} of 64 buckets — the repair rewrote untouched state")
+    // every untouched bucket must still resolve to the at-rest state
+    val lOwners = BucketedGens.latest(s"$root/labels").get.owners
+    assert(lOwners.values.count(_ == BucketedGens.AtRest) == 16 - lb.size -
+      lOwners.values.count(_ == BucketedGens.Empty),
+      s"untouched label buckets not referenced at rest: $lOwners")
+    val mOwners = BucketedGens.latest(s"$root/manifest").get.owners
+    assert(mOwners.values.count(_ == BucketedGens.AtRest) >= 64 - mb.size - 4,
+      s"untouched manifest buckets not referenced at rest: $mOwners")
   }
 
   test("as-of snapshot (q157): generation filter prunes partitions at file level") {

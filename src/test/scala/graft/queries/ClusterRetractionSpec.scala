@@ -13,9 +13,49 @@ import java.nio.file.Files
   * deleted survivor is RE-ELECTED from the remainder by quality. */
 class ClusterRetractionSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit, pmod}
 
   private def q(name: String, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
+
+  /** Synthetic at-rest labels in the staged layout: bucket-partitioned
+    * by pmod(component, 16), the scheme every fold's generation dirs
+    * share. */
+  private def writeAtRestLabels(dir: String, rows: Seq[(Long, Long)]): Unit =
+    rows.toDF("id", "component")
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/labels")
+
+  private def writeAtRestManifest(sdir: String,
+      rows: Seq[(Long, Long, Long, Double)]): Unit =
+    rows.toDF("component", "survivor_id", "n_members", "quality")
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$sdir/manifest")
+
+  /** The maintained labels as of generation `g`, resolved through the
+    * owners map (gen dirs hold only touched buckets); AtRest buckets
+    * resolve against the compacted state when one landed below `g`. */
+  private def labelsAt(dir: String, root: String, g: Long): Map[Long, Long] = {
+    val stateDir = EventQueries.latestViewGen(s"$root/state", below = Some(g + 1))
+      .getOrElse(dir)
+    val gen = BucketedGens.latest(s"$root/labels", below = Some(g + 1)).get
+    BucketedGens.read(spark, s"$root/labels", gen,
+        spark.read.parquet(s"$stateDir/labels")
+          .select(col("id"), col("component"), col("bucket")))
+      .select("id", "component").as[(Long, Long)].collect().toMap
+  }
+
+  private def manifestAtGen(sdir: String, root: String, g: Long)
+      : Map[Long, (Long, Long, Double)] = {
+    val stateDir = EventQueries.latestViewGen(s"$root/state", below = Some(g + 1))
+      .getOrElse(sdir)
+    val gen = BucketedGens.latest(s"$root/manifest", below = Some(g + 1)).get
+    BucketedGens.read(spark, s"$root/manifest", gen,
+        spark.read.parquet(s"$stateDir/manifest"))
+      .select("component", "survivor_id", "n_members", "quality")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 
   test("retractedTouchedLabels: deleting a cut vertex splits the chain") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
@@ -82,13 +122,9 @@ class ClusterRetractionSpec extends SparkSpec {
     // alive. Batch 2 deletes the bridge itself — the merged cluster
     // must split back, doc 1 dropping out edge-less.
     val dir = Files.createTempDirectory("graft_cdc_step_spec_").toString
-    Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")
-      .write.parquet(s"$dir/labels")
+    writeAtRestLabels(dir, Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)))
     Seq((1L, 2L, 1L), (10L, 11L, 10L)).toDF("id_a", "id_b", "component")
-      .withColumn("bucket",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("component"),
-          org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
       .write.partitionBy("bucket").parquet(s"$dir/edges")
     val sigs = Seq((1L, 0L), (2L, 0L), (10L, 3L), (11L, 3L), (21L, 1L))
       .toDF("doc_id", "simhash")
@@ -97,9 +133,7 @@ class ClusterRetractionSpec extends SparkSpec {
       val b = rows.toDF("op", "doc_id", "simhash")
         .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
       DedupQueries.componentsCdcStep(dir, root, b, id, sigs)
-      spark.read.parquet(s"$root/labels/gen-$id")
-        .select("id", "component") // read by NAME — gen column order is storage detail
-        .as[(Long, Long)].collect().toMap
+      labelsAt(dir, root, id)
     }
     assert(step(0, Seq(("I", 21L, 1L))) ==
       Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 21L -> 1L),
@@ -121,14 +155,11 @@ class ClusterRetractionSpec extends SparkSpec {
     // at-rest edges (the comp↔orig closure, not one hop), or docs 11
     // and 12 silently vanish from the labels.
     val dir = Files.createTempDirectory("graft_cdc_closure_state_").toString
-    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L), (12L, 10L))
-      .toDF("id", "component").write.parquet(s"$dir/labels")
+    writeAtRestLabels(dir,
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
     Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (10L, 11L, 10L), (11L, 12L, 10L))
       .toDF("id_a", "id_b", "component")
-      .withColumn("bucket",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("component"),
-          org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
       .write.partitionBy("bucket").parquet(s"$dir/edges")
     // sigs: the bridge (2) is within hamming 3 of docs 1 (0) and 10 (1)
     // ONLY; everything else sits in DENSE far regions (20 set bits —
@@ -144,9 +175,8 @@ class ClusterRetractionSpec extends SparkSpec {
       val b = rows.toDF("op", "doc_id", "simhash")
         .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
       DedupQueries.componentsCdcStep(dir, root, b, id, sigs,
-        historyPred = org.apache.spark.sql.functions.col("doc_id").isin(hist: _*))
-      spark.read.parquet(s"$root/labels/gen-$id")
-        .select("id", "component").as[(Long, Long)].collect().toMap
+        historyPred = col("doc_id").isin(hist: _*))
+      labelsAt(dir, root, id)
     }
     assert(step(0, Seq(("D", 2L, null))) ==
       Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
@@ -164,26 +194,17 @@ class ClusterRetractionSpec extends SparkSpec {
     // state — q158's recovery discipline for the composed fold. Same
     // bridge fixture as the CDC step test, plus the survivor state.
     val dir = Files.createTempDirectory("graft_cdc_replay_state_").toString
-    Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")
-      .write.parquet(s"$dir/labels")
+    writeAtRestLabels(dir, Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)))
     Seq((1L, 2L, 1L), (10L, 11L, 10L)).toDF("id_a", "id_b", "component")
-      .withColumn("bucket",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("component"),
-          org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
       .write.partitionBy("bucket").parquet(s"$dir/edges")
     val sdir = Files.createTempDirectory("graft_cdc_replay_surv_").toString
     val q = Map(1L -> 0.1, 2L -> 0.3, 10L -> 0.2, 11L -> 0.2, 21L -> 0.4)
     Seq((1L, 1L, 0.1), (2L, 1L, 0.3), (10L, 10L, 0.2), (11L, 10L, 0.2))
       .toDF("doc_id", "component", "quality")
-      .withColumn("bucket",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("component"),
-          org.apache.spark.sql.functions.lit(64)).cast("int"))
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
       .write.partitionBy("bucket").parquet(s"$sdir/membership")
-    Seq((1L, 2L, 2L, 0.3), (10L, 10L, 2L, 0.2))
-      .toDF("component", "survivor_id", "n_members", "quality")
-      .write.parquet(s"$sdir/manifest")
+    writeAtRestManifest(sdir, Seq((1L, 2L, 2L, 0.3), (10L, 10L, 2L, 0.2)))
     val sigs = Seq((1L, 0L), (2L, 0L), (10L, 3L), (11L, 3L), (21L, 1L))
       .toDF("doc_id", "simhash")
     val root = Files.createTempDirectory("graft_cdc_replay_root_").toString
@@ -199,10 +220,7 @@ class ClusterRetractionSpec extends SparkSpec {
       DedupQueries.survivorCdcStep(dir, sdir, root, b, id, sigs)
     }
     def manifestAt(g: Long): Map[Long, (Long, Long, Double)] =
-      spark.read.parquet(s"$root/manifest/gen-$g")
-        .select("component", "survivor_id", "n_members", "quality")
-        .as[(Long, Long, Long, Double)].collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      manifestAtGen(sdir, root, g)
     step(0, Seq(("I", 21L)))
     assert(manifestAt(0) == Map(1L -> ((21L, 5L, 0.4))),
       "the bridge merge must elect the highest-quality arrival")
@@ -215,20 +233,52 @@ class ClusterRetractionSpec extends SparkSpec {
     step(2, Seq(("D", 21L)))
     assert(manifestAt(2) == Map(1L -> ((1L, 1L, 0.1)), 10L -> ((10L, 2L, 0.2))),
       "the bridge delete must split the manifest back and re-elect per remnant")
-    val labels = spark.read.parquet(s"$root/labels/gen-2")
-      .select("id", "component").as[(Long, Long)].collect().toMap
-    assert(labels == Map(10L -> 10L, 11L -> 10L))
+    assert(labelsAt(dir, root, 2) == Map(10L -> 10L, 11L -> 10L))
   }
 
-  test("componentsCdcStep property: random I/D scripts under random batching == closure") {
+  test("componentsCdcStep: same-batch delete+append (upsert) applies D-then-I") {
+    // history pair {1, 2} at sig 0. Batch 0 upserts doc 2 to a FAR
+    // signature — the delete side must kill its at-rest edge (both
+    // docs strand edge-less), and the re-append must probe with the
+    // NEW sig. Batch 1 upserts doc 2 back to sig 0 — the probe against
+    // the present corpus re-forms the pair, and crucially the at-rest
+    // edge stays dead (doc 2's evidence is now ledger-only): the label
+    // comes from the fresh probe pair, not resurrection.
+    val dir = Files.createTempDirectory("graft_cdc_upsert_state_").toString
+    writeAtRestLabels(dir, Seq((1L, 1L), (2L, 1L)))
+    Seq((1L, 2L, 1L)).toDF("id_a", "id_b", "component")
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    val far = ((1L << 20) - 1) << 20
+    val sigs = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "simhash")
+    val root = Files.createTempDirectory("graft_cdc_upsert_root_").toString
+    def step(id: Long, rows: Seq[(String, java.lang.Long, java.lang.Long)]): Map[Long, Long] = {
+      val b = rows.toDF("op", "doc_id", "simhash")
+        .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
+      DedupQueries.componentsCdcStep(dir, root, b, id, sigs,
+        historyPred = col("doc_id").isin(1L, 2L))
+      labelsAt(dir, root, id)
+    }
+    assert(step(0, Seq(("D", 2L, null), ("I", 2L, far))) == Map.empty,
+      "upserting doc 2 away must dissolve the pair (both docs edge-less)")
+    assert(step(1, Seq(("D", 2L, null), ("I", 2L, 0L))) == Map(1L -> 1L, 2L -> 1L),
+      "upserting doc 2 back must re-form the pair through a fresh probe")
+  }
+
+  test("componentsCdcStep property: random I/D/U scripts under random batching == closure") {
     // Batching-independence, pinned the way signedPartials was in r14:
     // random corpus sigs (clustered around a few bases ± bit flips),
-    // random history/arrival split, random deletes, random batch
-    // boundaries — the fold's final labels must equal the from-scratch
-    // closure over exactly the surviving docs. The pair rule is
-    // hamming ≤ 3 with NO band check: threshold 3 < 4 bands means the
-    // pigeonhole guarantees banding full recall, so the reference can
-    // use the pure rule.
+    // random history/arrival split, then a STATEFUL random script —
+    // fresh arrivals (I), deletes of any present doc (D), re-appends of
+    // deleted docs (I again), and UPSERTS (adjacent D+I of a present
+    // doc with a NEWLY DRAWN signature and quality — a content edit),
+    // cut at random batch boundaries so a D+I pair sometimes shares a
+    // batch (the upsert path) and sometimes splits. The fold's final
+    // labels must equal the from-scratch closure over exactly the
+    // surviving docs UNDER THEIR CURRENT signatures, and the manifest
+    // the from-scratch election under current qualities. The pair rule
+    // is hamming ≤ 3 with NO band check: threshold 3 < 4 bands means
+    // the pigeonhole guarantees banding full recall.
     val rnd = new scala.util.Random(20250815L)
     val mask60 = (1L << 60) - 1
     for (trial <- 1 to 6) {
@@ -242,27 +292,34 @@ class ClusterRetractionSpec extends SparkSpec {
       // is what surfaces orig-closure bugs (cliques never split — the
       // r15 review found exactly the case the all-clique corpus missed).
       // A position repeats with prob ½, giving clique links inside the
-      // chain too.
+      // chain too. drawSig is reused by upserts so edits re-cluster
+      // instead of always stranding.
       val basePos = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
-      val sig = ids.map { id =>
-        id -> (if (rnd.nextBoolean()) {
+      def drawSig(): Long =
+        if (rnd.nextBoolean()) {
           val b = rnd.nextInt(bases.length)
           val pos = basePos(b) % 14
           if (rnd.nextBoolean()) basePos(b) += 1
           bases(b) ^ ((1L << (2 * pos)) - 1)
-        } else rnd.nextLong() & mask60)
-      }.toMap
-      def pairsAmong(docs: Set[Long]): Seq[(Long, Long)] =
+        } else rnd.nextLong() & mask60
+      val sigCur = scala.collection.mutable.Map(ids.map(id => id -> drawSig()): _*)
+      val initialSig = sigCur.toMap
+      // synthetic quality: 5 levels force ties (min-id tiebreak) while
+      // staying the SAME doubles in the reference and the artifacts;
+      // an upsert re-draws it (a content edit changes the score)
+      val qualityCur = scala.collection.mutable.Map(
+        ids.map(id => id -> (id % 5).toDouble / 10.0): _*)
+      def pairsAmong(docs: Set[Long], sig: collection.Map[Long, Long]): Seq[(Long, Long)] =
         (for {
           a <- docs.toSeq; b <- docs.toSeq if a < b
           if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
         } yield (a, b)).sorted
-      def closure(docs: Set[Long]): Map[Long, Long] = {
+      def closure(docs: Set[Long], sig: collection.Map[Long, Long]): Map[Long, Long] = {
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
           var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
         }
-        pairsAmong(docs).foreach { case (a, b) =>
+        pairsAmong(docs, sig).foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
@@ -270,99 +327,120 @@ class ClusterRetractionSpec extends SparkSpec {
         parent.keys.map(v => v -> find(v)).toMap
       }
       val hist = ids.filter(_ => rnd.nextDouble() < 0.6).toSet
-      val arrivals = ids.filterNot(hist).toSeq
-      // deletes target HISTORY only (the q187 fixture's contract — a
-      // same-batch I+D of one id is rejected loudly by the step)
-      val deleted = ids.filter(id => hist(id) && rnd.nextDouble() < 0.3).toSet
-      // synthetic quality: 5 levels force ties (min-id tiebreak) while
-      // staying the SAME doubles in the reference and the artifacts
-      def quality(id0: Long): Double = (id0 % 5).toDouble / 10.0
       // stage the at-rest state from the reference closure over history
       val dir = Files.createTempDirectory(s"graft_cdc_prop_state_$trial").toString
-      val histLabels = closure(hist)
-      histLabels.toSeq.toDF("id", "component").write.parquet(s"$dir/labels")
-      pairsAmong(hist)
+      val histLabels = closure(hist, initialSig)
+      writeAtRestLabels(dir, histLabels.toSeq)
+      pairsAmong(hist, initialSig)
         .map { case (a, b) => (a, b, histLabels(a)) }
         .toDF("id_a", "id_b", "component")
-        .withColumn("bucket",
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.col("component"),
-            org.apache.spark.sql.functions.lit(16)).cast("int"))
+        .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
         .write.partitionBy("bucket").parquet(s"$dir/edges")
       // ... and the survivor state over the same history
       val sdir = Files.createTempDirectory(s"graft_cdc_prop_surv_$trial").toString
       val membership = hist.toSeq.map(h =>
-        (h, histLabels.getOrElse(h, h), quality(h)))
+        (h, histLabels.getOrElse(h, h), qualityCur(h)))
       membership.toDF("doc_id", "component", "quality")
-        .withColumn("bucket",
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.col("component"),
-            org.apache.spark.sql.functions.lit(64)).cast("int"))
+        .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
         .write.partitionBy("bucket").parquet(s"$sdir/membership")
       def electManifest(rows: Seq[(Long, Long, Double)]): Map[Long, (Long, Long, Double)] =
         rows.groupBy(_._2).map { case (c, ms) =>
           val pick = ms.minBy(m => (-m._3, m._1))
           c -> ((pick._1, ms.size.toLong, pick._3))
         }
-      electManifest(membership).toSeq
-        .map { case (c, (sid, n, qv)) => (c, sid, n, qv) }
-        .toDF("component", "survivor_id", "n_members", "quality")
-        .write.parquet(s"$sdir/manifest")
-      val sigs = sig.toSeq.toDF("doc_id", "simhash")
-      // script: arrivals as I and history deletes as D, interleaved in
-      // one random order, then cut at random batch boundaries
-      val script = new scala.util.Random(rnd.nextLong()).shuffle(
-        arrivals.map(a => ("I", a)) ++ deleted.toSeq.map(del => ("D", del)))
+      writeAtRestManifest(sdir, electManifest(membership).toSeq
+        .map { case (c, (sid, nm, qv)) => (c, sid, nm, qv) })
+      // the STATIC frame carries the INITIAL sigs — an upserted doc's
+      // current sig must flow through the apps ledger, never from here
+      val sigs = initialSig.toSeq.toDF("doc_id", "simhash")
+      // stateful script: each emitted I records the sig/quality CURRENT
+      // at emission time (the changelog row is the evidence)
+      var present = hist
+      val notYetArrived = scala.collection.mutable.Set(ids.filterNot(hist): _*)
+      val script = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Double)]()
+      def emitI(id0: Long): Unit = { script += (("I", id0, sigCur(id0), qualityCur(id0))); present += id0 }
+      def emitD(id0: Long): Unit = { script += (("D", id0, 0L, 0.0)); present -= id0 }
+      def pick(s0: collection.Set[Long]): Long = {
+        val seq = s0.toSeq.sorted; seq(rnd.nextInt(seq.size))
+      }
+      for (_ <- 1 to n) rnd.nextInt(5) match {
+        case 0 | 1 if notYetArrived.nonEmpty => // fresh arrival
+          val a = pick(notYetArrived); notYetArrived -= a; emitI(a)
+        case 2 if present.nonEmpty =>           // forget (history OR arrival)
+          emitD(pick(present))
+        case 3 if (ids.toSet -- present -- notYetArrived).nonEmpty => // re-append of a deleted doc
+          val x = pick(ids.toSet -- present -- notYetArrived)
+          sigCur(x) = drawSig(); qualityCur(x) = (x % 5 + 1).toDouble / 12.0
+          emitI(x)
+        case 4 if present.nonEmpty =>           // upsert: adjacent D+I, new content
+          val x = pick(present)
+          emitD(x)
+          sigCur(x) = drawSig(); qualityCur(x) = (x % 7).toDouble / 14.0
+          emitI(x)
+        case _ => ()
+      }
       val nBatches = 1 + rnd.nextInt(4)
       val cuts = Seq.fill(nBatches - 1)(rnd.nextInt(script.size + 1)).sorted
+      // each row keeps its changelog position — the `seq` column is the
+      // batch contract that makes multi-op-per-doc batches well-defined
       val batches = (Seq(0) ++ cuts ++ Seq(script.size)).sliding(2).collect {
-        case Seq(a, b) => script.slice(a, b)
+        case Seq(a, b) =>
+          script.slice(a, b).toSeq.zipWithIndex.map { case (r, k) => (r, (a + k).toLong) }
       }.toSeq
       val root = Files.createTempDirectory(s"graft_cdc_prop_root_$trial").toString
+      // half the trials fold a LEDGER COMPACTION before a random batch
+      // (gen ids double up: compaction 2i, batch 2i+1) — the maintained
+      // artifacts must be invisible to it
+      val compactBefore = if (rnd.nextBoolean()) Some(rnd.nextInt(batches.size)) else None
       var lastGen: Option[Long] = None
       batches.zipWithIndex.foreach { case (rows, i) =>
+        if (compactBefore.contains(i) && lastGen.isDefined)
+          DedupQueries.survivorCompactStep(dir, sdir, root, 2L * i, sigs,
+            historyPred = col("doc_id").isin(hist.toSeq: _*))
         if (rows.nonEmpty) {
-          val b = rows.map { case (op, id0) =>
+          val b = rows.map { case ((op, id0, sg, qv), seq) =>
             (op, id0,
-              if (op == "I") java.lang.Long.valueOf(sig(id0)) else null.asInstanceOf[java.lang.Long],
-              if (op == "I") java.lang.Double.valueOf(quality(id0)) else null.asInstanceOf[java.lang.Double])
-          }.toDF("op", "doc_id", "simhash", "quality")
+              if (op == "I") java.lang.Long.valueOf(sg) else null.asInstanceOf[java.lang.Long],
+              if (op == "I") java.lang.Double.valueOf(qv) else null.asInstanceOf[java.lang.Double],
+              seq)
+          }.toDF("op", "doc_id", "simhash", "quality", "seq")
             .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"),
-              $"quality".cast("double"))
+              $"quality".cast("double"), $"seq".cast("long"))
           // survivorCdcStep runs the label fold internally, so ONE
           // script exercises both maintained artifacts
-          DedupQueries.survivorCdcStep(dir, sdir, root, b, i.toLong, sigs,
-            historyPred = org.apache.spark.sql.functions.col("doc_id")
-              .isin(hist.toSeq: _*))
-          lastGen = Some(i.toLong)
+          DedupQueries.survivorCdcStep(dir, sdir, root, b, 2L * i + 1, sigs,
+            historyPred = col("doc_id").isin(hist.toSeq: _*))
+          lastGen = Some(2L * i + 1)
         }
       }
       val got = lastGen match {
         case None => spark.read.parquet(s"$dir/labels")
           .select("id", "component").as[(Long, Long)].collect().toMap
-        case Some(g) => spark.read.parquet(s"$root/labels/gen-$g")
-          .select("id", "component").as[(Long, Long)].collect().toMap
+        case Some(g) => labelsAt(dir, root, g)
       }
-      val want = closure(ids.toSet -- deleted)
+      val want = closure(present, sigCur)
       assert(got == want,
-        s"trial $trial (n=$n, |hist|=${hist.size}, |del|=${deleted.size}, " +
+        s"trial $trial (n=$n, |hist|=${hist.size}, |present|=${present.size}, " +
           s"batches=${batches.map(_.size).mkString("/")}): fold diverged\n" +
-          s"  got  ${got.toSeq.sorted}\n  want ${want.toSeq.sorted}")
+          s"  got  ${got.toSeq.sorted}\n  want ${want.toSeq.sorted}\n" +
+          s"  script ${script.toSeq}")
       // the maintained MANIFEST must equal the from-scratch election
-      // over exactly the surviving docs under their final labels
-      val present = (ids.toSet -- deleted).toSeq
-      val wantManifest = electManifest(present.map(p =>
-        (p, want.getOrElse(p, p), quality(p))))
+      // over exactly the surviving docs under their final labels and
+      // CURRENT qualities (upserts re-scored)
+      val wantManifest = electManifest(present.toSeq.map(p =>
+        (p, want.getOrElse(p, p), qualityCur(p))))
       val gotManifest = (lastGen match {
         case None => spark.read.parquet(s"$sdir/manifest")
-        case Some(g) => spark.read.parquet(s"$root/manifest/gen-$g")
-      }).select("component", "survivor_id", "n_members", "quality")
-        .as[(Long, Long, Long, Double)].collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+          .select("component", "survivor_id", "n_members", "quality")
+          .as[(Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        case Some(g) => manifestAtGen(sdir, root, g)
+      })
       assert(gotManifest == wantManifest,
         s"trial $trial: manifest fold diverged\n" +
           s"  got  ${gotManifest.toSeq.sortBy(_._1)}\n" +
-          s"  want ${wantManifest.toSeq.sortBy(_._1)}")
+          s"  want ${wantManifest.toSeq.sortBy(_._1)}\n" +
+          s"  script ${script.toSeq}")
     }
   }
 
