@@ -126,6 +126,7 @@ object SpineProbe {
         ("q187_stream_components_cdc", Set("documents")),
         ("q188_stream_survivor_reelection", Set("documents")),
         ("q189_stream_manifest_cdc", Set("documents")),
+        ("q190_stream_manifest_compaction", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -190,6 +191,7 @@ object SpineProbe {
         ("q187_stream_components_cdc", Set("documents")),
         ("q188_stream_survivor_reelection", Set("documents")),
         ("q189_stream_manifest_cdc", Set("documents")),
+        ("q190_stream_manifest_compaction", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -390,6 +392,7 @@ object SpineProbe {
       "q187_stream_components_cdc",
       "q188_stream_survivor_reelection",
       "q189_stream_manifest_cdc",
+      "q190_stream_manifest_compaction",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -418,7 +421,8 @@ object SpineProbe {
       "q185_stream_components_retraction" -> "graft_stream_cc_retraction",
       "q187_stream_components_cdc" -> "graft_stream_cc_cdc",
       "q188_stream_survivor_reelection" -> "graft_stream_survivor",
-      "q189_stream_manifest_cdc" -> "graft_stream_manifest_cdc")
+      "q189_stream_manifest_cdc" -> "graft_stream_manifest_cdc",
+      "q190_stream_manifest_compaction" -> "graft_stream_manifest_compaction")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153
@@ -468,7 +472,8 @@ object SpineProbe {
       // near-dup clique) and must never shrink below the 1x state.
       if (decade && (q == "q185_stream_components_retraction" ||
           q == "q187_stream_components_cdc" ||
-          q == "q189_stream_manifest_cdc")) {
+          q == "q189_stream_manifest_cdc" ||
+          q == "q190_stream_manifest_compaction")) {
         val ok = segs1.nonEmpty && segsN.size <= segs1.size + 1 &&
           segsN.lastOption.map(_._2).getOrElse(-1L) >=
             segs1.lastOption.map(_._2).getOrElse(Long.MaxValue)

@@ -1345,10 +1345,26 @@ object DedupQueries {
         if (!hasTouched) aApp
         else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti")
       }).localCheckpoint()
-    val mRebuild = (if (!hasTouched) labels.limit(0) else labels
+    // member reads are COMPONENT-keyed, so they resolve through the
+    // bucket scheme: only the affected components' label buckets open
+    // (file-level pruning) — never another pass over the full relation
+    def bucketsOf(comps: org.apache.spark.sql.DataFrame): Seq[Int] = comps
+      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def prunedLabels(bks: Seq[Int]): org.apache.spark.sql.DataFrame =
+      if (bks.isEmpty) labels.limit(0)
+      else (base match {
+          case None    => atRestRows.filter(col("bucket").isin(bks.map(Int.box): _*))
+          case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(bks))
+        }).select("id", "component")
+    val rebuildBuckets = if (hasTouched) bucketsOf(rebuildComps) else Nil
+    val appBuckets = if (hasI) bucketsOf(aAppOnly) else Nil
+    val mRebuild = (if (!hasTouched) labels.limit(0)
+      else prunedLabels(rebuildBuckets)
         .join(broadcast(rebuildComps), Seq("component"), "leftsemi"))
       .localCheckpoint()
-    val mContract = (if (!hasI) labels.limit(0) else labels
+    val mContract = (if (!hasI) labels.limit(0)
+      else prunedLabels(appBuckets)
         .join(broadcast(aAppOnly), Seq("component"), "leftsemi"))
       .localCheckpoint()
 
@@ -1387,12 +1403,8 @@ object DedupQueries {
       .localCheckpoint() // dropped from touched buckets; repair universe
 
     // ---- bucket-local rewrite: old homes of affected rows ∪ new ----
-    val buckets = rebuildComps.select("component")
-      .unionByName(aAppOnly.select("component"))
-      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
-      .unionByName(newLocal
-        .select(pmod(col("component"), lit(16)).cast("int").as("bucket")))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val buckets = (rebuildBuckets ++ appBuckets ++ bucketsOf(newLocal))
+      .distinct.sorted
     val predTouched = (
       if (buckets.isEmpty) atRestRows.limit(0)
       else base match {
