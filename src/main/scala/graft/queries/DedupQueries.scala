@@ -778,6 +778,57 @@ object DedupQueries {
           .select("component", "survivor_id", "n_members", "quality")
       }
     },
+
+    // AS-OF SERVING FOR THE MAINTAINED MANIFEST — time travel the
+    // generation store gives for FREE: every committed generation's
+    // owners map is a complete, immutable snapshot description (each
+    // bucket → the gen dir holding its content as of that fold), so
+    // "the manifest as it stood after batch k" is just a resolution
+    // against gen k's owners — no rebuild, no log replay, the q157
+    // as-of discipline applied to the maintained artifact (the audit
+    // question a forget-request pipeline actually gets asked: what was
+    // the trainer served BEFORE yesterday's deletes landed?). The
+    // changelog is two EXPLICITLY-split delete batches (even doc_ids,
+    // then odd — stageOrderedDrain, a deterministic boundary the oracle
+    // replays, unlike the range sampler's); the query folds BOTH but
+    // returns the gen-0 resolution, so the oracle is the from-scratch
+    // derivation over the corpus with ONLY the even deletes applied.
+    // Vacuum keeps gen 0 alive by construction: it is the committed
+    // predecessor in batch 1's replay window.
+    QueryDef("q191_manifest_asof", Seq("A10", "A2", "W6", "F4"),
+      survivorManifestSql("(doc_id % 13 <> 3 OR doc_id % 2 <> 0)")) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val ccState = ccStateDir(s0, d)
+      val survState = survivorStateDir(s0, d)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_manifest_asof"
+      val deleted = ccDeletedIds(s, d)
+      val in = EventQueries.stageOrderedDrain("graft_asof_", Seq(
+        deleted.filter(col("doc_id") % 2 === 0),
+        deleted.filter(col("doc_id") % 2 =!= 0)))
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(deleted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = survivorRetractStep(ccState, survState, root, b, id)
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      // the AS-OF read: resolve generation 0's owners — the manifest
+      // after the EVEN deletes only, served while gen 1 is current
+      val gen0 = BucketedGens.latest(s"$root/manifest", below = Some(1L))
+        .getOrElse(sys.error("q191: generation 0 missing — the first batch never committed"))
+      BucketedGens.read(s, s"$root/manifest", gen0,
+          atRestManifestGenRows(s, survState))
+        .select("component", "survivor_id", "n_members", "quality")
+    },
   )
 
 

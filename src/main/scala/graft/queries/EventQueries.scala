@@ -111,6 +111,29 @@ object EventQueries {
     s"$tmp/in"
   }
 
+  /** Stage an EXPLICITLY-BATCHED drain: each frame lands as exactly one
+    * parquet file = one micro-batch, processed in the given order
+    * (drain-order stamps, like [[stageRangedDrain]] — but the batch
+    * boundary is the CALLER'S deterministic rule, not the range
+    * sampler's, so an oracle can replay which rows each batch held). */
+  private[queries] def stageOrderedDrain(prefix: String,
+      frames: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val in = new java.io.File(tmp, "in"); in.mkdirs()
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val stage = s"$tmp/stage-$i"
+      f.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"stageOrderedDrain: batch $i is empty — " +
+          "an empty micro-batch has no file to order"))
+      val dst = new java.io.File(in, f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L + i * 60000L); ()
+    }
+    in.getPath
+  }
+
   /** Recursive delete of exactly the tree given. */
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))

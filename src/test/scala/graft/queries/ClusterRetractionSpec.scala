@@ -265,6 +265,64 @@ class ClusterRetractionSpec extends SparkSpec {
       "upserting doc 2 back must re-form the pair through a fresh probe")
   }
 
+  test("survivorCompactStep truncates the ledgers and is invisible to later folds") {
+    // history pairs {1,2} (comp 1) and {10,11} (comp 10); batch 0
+    // bridges them via arrival 21 and deletes 2. Compaction (gen 2)
+    // must fold those ledgers into a re-staged state — EMPTY
+    // dels/apps/pairs beside full-snapshot owners — and batch 1's
+    // delete of the bridge must then split the merge using at-rest
+    // evidence alone (the bridge's pairs are at rest post-compaction).
+    val dir = Files.createTempDirectory("graft_compact_state_").toString
+    writeAtRestLabels(dir, Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)))
+    Seq((1L, 2L, 1L), (10L, 11L, 10L)).toDF("id_a", "id_b", "component")
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    val sdir = Files.createTempDirectory("graft_compact_surv_").toString
+    Seq((1L, 1L, 0.1), (2L, 1L, 0.3), (10L, 10L, 0.2), (11L, 10L, 0.2))
+      .toDF("doc_id", "component", "quality")
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$sdir/membership")
+    writeAtRestManifest(sdir, Seq((1L, 2L, 2L, 0.3), (10L, 10L, 2L, 0.2)))
+    // sigs CONSISTENT with the synthetic at-rest edges (compaction
+    // re-derives pairs from sigs, so the fixture must agree with
+    // itself): clusters at 0 and 63 (hamming 6 — no pair), bridge 21
+    // at 7 (hamming 3 to both sides)
+    val sigs = Seq((1L, 0L), (2L, 0L), (10L, 63L), (11L, 63L), (21L, 7L))
+      .toDF("doc_id", "simhash")
+    val hist = col("doc_id").isin(1L, 2L, 10L, 11L)
+    val root = Files.createTempDirectory("graft_compact_root_").toString
+    def step(id: Long, rows: Seq[(String, java.lang.Long, java.lang.Long, java.lang.Double)]): Unit = {
+      val b = rows.toDF("op", "doc_id", "simhash", "quality")
+        .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"),
+          $"quality".cast("double"))
+      DedupQueries.survivorCdcStep(dir, sdir, root, b, id, sigs, historyPred = hist)
+      ()
+    }
+    step(1, Seq(("I", 21L, 7L, 0.4), ("D", 2L, null, null)))
+    assert(labelsAt(dir, root, 1) == Map(1L -> 1L, 10L -> 1L, 11L -> 1L, 21L -> 1L))
+    assert(spark.read.parquet(s"$root/pairs/gen-1").count() > 0,
+      "pre-compaction: the bridge's probe pairs ride the ledger")
+    DedupQueries.survivorCompactStep(dir, sdir, root, 2L, sigs, historyPred = hist)
+    // ledgers truncated — the post-compaction serve carries no history
+    for (k <- Seq("dels", "apps", "pairs", "appsq"))
+      assert(spark.read.parquet(s"$root/$k/gen-2").isEmpty,
+        s"compaction must truncate $k")
+    // full-snapshot pointers: every bucket at the NEW rest
+    val owners = BucketedGens.latest(s"$root/labels").get.owners
+    assert(owners.values.forall(_ == BucketedGens.AtRest), s"got $owners")
+    assert(labelsAt(dir, root, 2) == Map(1L -> 1L, 10L -> 1L, 11L -> 1L, 21L -> 1L),
+      "compaction must be invisible to the served labels")
+    assert(manifestAtGen(sdir, root, 2) == Map(1L -> ((21L, 4L, 0.4))),
+      "compaction must be invisible to the served manifest")
+    // post-compaction fold: deleting the bridge splits the merge from
+    // the COMPACTED at-rest evidence (the old ledger is gone)
+    step(3, Seq(("D", 21L, null, null)))
+    assert(labelsAt(dir, root, 3) == Map(10L -> 10L, 11L -> 10L),
+      "post-compaction delete must split using the re-staged edges")
+    assert(manifestAtGen(sdir, root, 3) ==
+      Map(1L -> ((1L, 1L, 0.1)), 10L -> ((10L, 2L, 0.2))))
+  }
+
   test("componentsCdcStep property: random I/D/U scripts under random batching == closure") {
     // Batching-independence, pinned the way signedPartials was in r14:
     // random corpus sigs (clustered around a few bases ± bit flips),
