@@ -129,11 +129,6 @@ private[graft] object BucketedGens {
         if (new java.io.File(f, "_owners.json").exists())
           base.exists(id < _.genId) && !keep(id)
         else id < nextId
-      }.foreach(rm)
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
+      }.foreach(EventQueries.rm)
   }
 }

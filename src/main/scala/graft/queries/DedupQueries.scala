@@ -1054,11 +1054,13 @@ object DedupQueries {
       .parquet(s"$labelsRoot/gen-$id")
     cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
     val baseRows = base.map(_.rows).getOrElse(atRest.count())
-    val rows = baseRows - predTouched.count() + nextTouched.count()
-    // a touched bucket the rewrite left EMPTY (every cluster in it
-    // dissolved) has no parquet dir — record it as Empty, not gen-id
-    val written = nextTouched.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // ONE pass gives both the count arithmetic and the written-bucket
+    // set (a touched bucket the rewrite left EMPTY — every cluster in
+    // it dissolved — has no parquet dir, so emptiness must be recorded
+    // in the owners map, not inferred from the filesystem)
+    val perBucket = nextTouched.groupBy("bucket").count().collect()
+    val written = perBucket.map(_.getInt(0)).toSet
+    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
     val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(16)) ++
       buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
     BucketedGens.commit(labelsRoot, id, owners, rows)
@@ -1152,9 +1154,9 @@ object DedupQueries {
       .parquet(s"$manRoot/gen-$id")
     val baseRows = baseM.map(_.rows)
       .getOrElse(s.read.parquet(s"$survState/manifest").count())
-    val rows = baseRows - predTouched.count() + nextTouched.count()
-    val written = nextTouched.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    val perBucket = nextTouched.groupBy("bucket").count().collect()
+    val written = perBucket.map(_.getInt(0)).toSet
+    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
     val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(64)) ++
       buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
     BucketedGens.commit(manRoot, id, owners, rows)
@@ -1242,8 +1244,9 @@ object DedupQueries {
     * (its at-rest edges die via the superseded set, its ledger pairs
     * via the purge); the append side re-admits it through fresh probe
     * pairs carrying the batch's row-local simhash. A bare I for an
-    * already-present doc re-probes but does NOT retract old evidence —
-    * an edit that changes the signature must arrive as D+I.
+    * already-present doc is ALSO a full upsert: any touched doc's old
+    * evidence is retracted and its fresh probe re-defines it, so a
+    * signature-changing edit may arrive as D+I or as a bare I alike.
     *
     * The recompute is LOCAL to the affected components: the delete
     * side's ORIG-CLOSURE universe (pruned at-rest edge buckets + the
@@ -1450,8 +1453,8 @@ object DedupQueries {
       else Components.connectedComponents(localE, "id_a", "id_b")
         .select(col("id"), col("component")))
       .localCheckpoint() // written, counted, read by the manifest repair
+    // union of two PINNED frames — cheap to re-derive, no checkpoint job
     val oldAffected = mRebuild.select("id").unionByName(mContract.select("id"))
-      .localCheckpoint() // dropped from touched buckets; repair universe
 
     // ---- bucket-local rewrite: old homes of affected rows ∪ new ----
     val buckets = (rebuildBuckets ++ appBuckets ++ bucketsOf(newLocal))
@@ -1474,9 +1477,9 @@ object DedupQueries {
     ledger.unionByName(deltaPairs).distinct()
       .write.mode("overwrite").parquet(s"$root/pairs/gen-$id")
     val baseRows = base.map(_.rows).getOrElse(atRest.count())
-    val rows = baseRows - predTouched.count() + nextTouched.count()
-    val written = nextTouched.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    val perBucket = nextTouched.groupBy("bucket").count().collect()
+    val written = perBucket.map(_.getInt(0)).toSet
+    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
     val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(16)) ++
       buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(labelsRoot, id, owners, rows)
@@ -1675,9 +1678,9 @@ object DedupQueries {
       .parquet(s"$manRoot/gen-$id")
     val baseRows = baseM.map(_.rows)
       .getOrElse(s.read.parquet(s"$survState/manifest").count())
-    val rows = baseRows - predTouched.count() + nextTouched.count()
-    val written = nextTouched.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    val perBucket = nextTouched.groupBy("bucket").count().collect()
+    val written = perBucket.map(_.getInt(0)).toSet
+    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
     val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(64)) ++
       manBuckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(manRoot, id, owners, rows)
@@ -1701,13 +1704,22 @@ object DedupQueries {
     * compaction folds resolve this state ([[effectiveState]]) and pay
     * no cumulative anti-join: the serve-cost discipline q149/q154
     * proved for the ANN index, applied to the cluster family.
-    * Idempotent under replay: a re-delivered batch re-runs the
-    * compaction from the same committed predecessors (every vacuum
-    * happens only after all commits) and overwrites the same dirs. */
+    * Replay-safe by SKIP, not by re-run: the state dir's `_SUCCESS`
+    * is the compaction's overall commit marker, written after every
+    * other artifact (ledgers, generation pointers) — a re-delivered
+    * batch that finds it set returns immediately. This matters because
+    * the FOLD that follows the compaction inside the same micro-batch
+    * vacuums the pre-compaction ledger generations; a replay that
+    * tried to RE-RUN the compaction after that vacuum would find its
+    * inputs gone and silently rebuild from the history slice alone.
+    * Before the marker lands, no vacuum has run, so a partial
+    * compaction replays from intact predecessors and overwrites. */
   private[graft] def survivorCompactStep(ccInit: String, survInit: String,
       root: String, id: Long, staticSigs: org.apache.spark.sql.DataFrame,
       historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Unit = {
     val s = staticSigs.sparkSession
+    if (new java.io.File(s"$root/state/gen-$id/_SUCCESS").exists())
+      return // committed by a previous delivery of this batch — skip
     val survPrev = effectiveState(s, root, Some(id), survInit)
     val baseState = EventQueries.latestViewGen(s"$root/state", below = Some(id))
     def lv(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
@@ -1773,7 +1785,6 @@ object DedupQueries {
       .localCheckpoint()
     manifest.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/manifest")
-    new java.io.File(stateDir, "_SUCCESS").createNewFile()
     // truncate the ledgers: post-compaction folds read empty frames
     cumDels.limit(0).write.mode("overwrite").parquet(s"$root/dels/gen-$id")
     cumApps.limit(0).write.mode("overwrite").parquet(s"$root/apps/gen-$id")
@@ -1785,6 +1796,10 @@ object DedupQueries {
       labels.count())
     BucketedGens.commit(s"$root/manifest", id, BucketedGens.initialOwners(64),
       manifest.count())
+    // the OVERALL commit marker, after every artifact above: a replay
+    // that finds it skips; one that does not re-runs from predecessors
+    // that are still intact (no vacuum has run yet)
+    new java.io.File(stateDir, "_SUCCESS").createNewFile()
     // vacuums LAST — a replayed compaction must find its predecessors
     BucketedGens.vacuum(s"$root/labels", baseL, id)
     BucketedGens.vacuum(s"$root/manifest", baseM, id)

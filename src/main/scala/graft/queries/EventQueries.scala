@@ -123,10 +123,12 @@ object EventQueries {
     frames.zipWithIndex.foreach { case (f, i) =>
       val stage = s"$tmp/stage-$i"
       f.coalesce(1).write.mode("overwrite").parquet(stage)
+      // an EMPTY frame still stages: coalesce(1) commits one
+      // schema-only part file, so the batch arrives (and folds no-op)
+      // rather than shifting later batches' ordinals
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"stageOrderedDrain: batch $i is empty — " +
-          "an empty micro-batch has no file to order"))
+        .getOrElse(sys.error(s"stageOrderedDrain: no part file staged for batch $i"))
       val dst = new java.io.File(in, f"batch-$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1000000L + i * 60000L); ()
@@ -135,7 +137,7 @@ object EventQueries {
   }
 
   /** Recursive delete of exactly the tree given. */
-  private def rm(f: java.io.File): Unit = {
+  private[queries] def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))
     f.delete(); ()
   }

@@ -438,9 +438,11 @@ object RelationalQueries {
       // location (LOCATION_ALREADY_EXISTS), so clear it first. The
       // delete is GUARDED: it only fires when every file in the tree is
       // a recognizable parquet-table artifact, so a shared warehouse
-      // path that happens to hold something else (or a concurrent
-      // writer's half-staged state) fails loudly instead of being
-      // silently clobbered.
+      // path that happens to hold FOREIGN (non-parquet) content fails
+      // loudly instead of being silently clobbered. A concurrent Spark
+      // writer's half-staged tree still matches the pattern — the
+      // guard is not a lock; concurrent JVMs sharing one warehouse
+      // remain each other's hazard (single-JVM sessions here).
       val wh = s.conf.get("spark.sql.warehouse.dir")
       val whDir =
         if (wh.startsWith("file:")) new java.io.File(java.net.URI.create(wh))
