@@ -421,7 +421,7 @@ class ClusterRetractionSpec extends SparkSpec {
       def pick(s0: collection.Set[Long]): Long = {
         val seq = s0.toSeq.sorted; seq(rnd.nextInt(seq.size))
       }
-      for (_ <- 1 to n) rnd.nextInt(5) match {
+      for (step0 <- 1 to n) rnd.nextInt(6) match {
         case 0 | 1 if notYetArrived.nonEmpty => // fresh arrival
           val a = pick(notYetArrived); notYetArrived -= a; emitI(a)
         case 2 if present.nonEmpty =>           // forget (history OR arrival)
@@ -434,6 +434,12 @@ class ClusterRetractionSpec extends SparkSpec {
           val x = pick(present)
           emitD(x)
           sigCur(x) = drawSig(); qualityCur(x) = (x % 7).toDouble / 14.0
+          emitI(x)
+        case 5 if present.nonEmpty =>           // BARE I on a present doc —
+          // also a full upsert: old evidence retracted, fresh probe
+          // re-defines it under the re-drawn signature/quality
+          val x = pick(present)
+          sigCur(x) = drawSig(); qualityCur(x) = (x % 6 + step0 % 3).toDouble / 16.0
           emitI(x)
         case _ => ()
       }
