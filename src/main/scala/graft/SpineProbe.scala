@@ -127,6 +127,7 @@ object SpineProbe {
         ("q188_stream_survivor_reelection", Set("documents")),
         ("q189_stream_manifest_cdc", Set("documents")),
         ("q190_stream_manifest_compaction", Set("documents")),
+        ("q191_manifest_asof", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -192,6 +193,7 @@ object SpineProbe {
         ("q188_stream_survivor_reelection", Set("documents")),
         ("q189_stream_manifest_cdc", Set("documents")),
         ("q190_stream_manifest_compaction", Set("documents")),
+        ("q191_manifest_asof", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -393,6 +395,7 @@ object SpineProbe {
       "q188_stream_survivor_reelection",
       "q189_stream_manifest_cdc",
       "q190_stream_manifest_compaction",
+      "q191_manifest_asof",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -422,7 +425,8 @@ object SpineProbe {
       "q187_stream_components_cdc" -> "graft_stream_cc_cdc",
       "q188_stream_survivor_reelection" -> "graft_stream_survivor",
       "q189_stream_manifest_cdc" -> "graft_stream_manifest_cdc",
-      "q190_stream_manifest_compaction" -> "graft_stream_manifest_compaction")
+      "q190_stream_manifest_compaction" -> "graft_stream_manifest_compaction",
+      "q191_manifest_asof" -> "graft_manifest_asof")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153
