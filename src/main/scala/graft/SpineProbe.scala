@@ -629,6 +629,62 @@ object SpineProbe {
         f"worst_error_over_bound=$qWorst%.3f")
       }
 
+      if (needed("documents_sfx")) {
+      // READ-FLOOR GATE (round 17): fold ONE FIXED-SIZE delete batch
+      // into the maintained labels at 1× and at 10× corpus and meter
+      // the fold's task input bytes. The r16 fold pinned the FULL
+      // standing label relation every micro-batch (bytes ∝ corpus —
+      // 10× across this decade) plus a corpus-sized labels⋈origOf
+      // derivation; the r17 doc-keyed companion index + closure walk
+      // make every state read a pruned bucket point read, and with the
+      // bucket count following the production rule nb ∝ corpus
+      // (constant target bucket SIZE — 64 at 1×, 64·N at N×), a fixed
+      // batch's fold bytes stay ~flat while the corpus grows a decade.
+      // The SUFFIXED corpus keeps cluster shapes constant (verbatim
+      // copies share simhashes and would merge cross-copy cliques,
+      // growing the affected set itself — a data effect, not an
+      // architecture one).
+      def foldBytes(dir: String, nb: Int,
+          batch: DataFrame): Long = {
+        val st = graft.queries.DedupQueries.ccGateStateDir(spark, dir, nb)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_readfloor_").toString
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null) {
+              bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead); ()
+            }
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          graft.queries.DedupQueries.componentsCdcStep(st, root, batch, 0L,
+            batch.select(col("doc_id"), lit(0L).as("simhash")).limit(0),
+            historyPred = lit(true))
+          // the listener bus is async — settle until the counter stops
+          var prev = -1L
+          while (bytes.get != prev) { prev = bytes.get; Thread.sleep(300) }
+        } finally spark.sparkContext.removeSparkListener(l)
+        bytes.get
+      }
+      // the fixed batch: the 24 smallest CLUSTERED doc ids of the base
+      // corpus — present verbatim (copy 0) in the scaled corpus, where
+      // the suffix trick keeps their clusters the same size
+      val st1 = graft.queries.DedupQueries.ccGateStateDir(spark, sfDir, 64)
+      val fixedBatch = spark.read.parquet(s"$st1/labels")
+        .select(col("id").as("doc_id")).orderBy("doc_id").limit(24)
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("long").as("simhash"))
+        .localCheckpoint()
+      val nbN = (64 * factor).toInt
+      val b1 = foldBytes(sfDir, 64, fixedBatch)
+      val bN = foldBytes(scaledSfx, nbN, fixedBatch)
+      gate(s"q187_readfloor_bytes_flat_$tag",
+        b1 > 0 && bN <= b1 * 5 / 2 + (1L << 20),
+        f"fixed 24-delete fold bytes_1x=$b1 bytes_$tag=$bN ratio=${bN.toDouble / math.max(b1, 1)}%.2f nb=64->$nbN")
+      }
+
       if (needed("embeddings")) {
       // ANN recall at 10×: the composed IVFADC stack re-gated on a
       // planted-cluster blend of the SCALED corpus (20k vectors, 32

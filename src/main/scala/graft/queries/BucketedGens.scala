@@ -114,21 +114,100 @@ private[graft] object BucketedGens {
     parts.reduceOption(_.unionByName(_)).getOrElse(atRest.limit(0))
   }
 
+  /** Write a fold's generation payload with the count arithmetic riding
+    * the WRITE action itself (observe() metrics) — one Spark job where
+    * the r16 shape paid four per fold (localCheckpoint pins on the
+    * predecessor and next frames plus two separate count actions).
+    * `pred` is the predecessor content of the touched buckets; `build`
+    * derives the next content FROM the observed predecessor (so the
+    * pred-side metric sits inside the written plan and both counts
+    * collect when the write runs). Returns (buckets the write actually
+    * landed — a touched bucket absent here dissolved to Empty; next
+    * rows; predecessor rows), i.e. everything the owners-map commit
+    * arithmetic needs, with zero re-reads.
+    *
+    * `buckets` is the fold's touched-bucket list (bounded by the bucket
+    * count), one metric per bucket — cheap, and file-system-independent
+    * where listing the written dir would race eventual-consistency on
+    * object stores. One aggregate expression per touched bucket is the
+    * right shape while batches touch ≲10³ buckets (micro-batches by
+    * design); a deployment whose single batch legitimately touches more
+    * should flip the written-set side to a groupBy("bucket") pass — the
+    * owners-map arithmetic is unchanged either way. */
+  def observedWrite(pred: DataFrame, buckets: Seq[Int], dest: String)(
+      build: DataFrame => DataFrame): (Set[Int], Long, Long) = {
+    val oPred = org.apache.spark.sql.Observation()
+    val oNext = org.apache.spark.sql.Observation()
+    val perBucket = buckets.map(b =>
+      count(when(col("bucket") === b, 1)).as(s"b$b"))
+    val next = build(pred.observe(oPred, count(lit(1)).as("n")))
+      .observe(oNext, count(lit(1)).as("n"), perBucket: _*)
+    next.write.partitionBy("bucket").mode("overwrite").parquet(dest)
+    val (mN, mP) = (oNext.get, oPred.get)
+    val written = buckets.filter(b => mN(s"b$b").asInstanceOf[Long] > 0L).toSet
+    (written, mN("n").asInstanceOf[Long], mP("n").asInstanceOf[Long])
+  }
+
+  /** The owners CLOSURE of a committed generation: the gen itself plus
+    * every generation its owners map references — the full set of dirs
+    * a [[read]] against it can open. Retention must be transitive:
+    * keeping a gen's own dir while deleting a dir its owners point at
+    * leaves a snapshot that parses but cannot resolve. */
+  private def ownersClosure(root: String, genId: Long): Set[Long] =
+    if (!ownersFile(root, genId).exists()) Set.empty
+    else parse(root, genId).owners.values.toSet + genId
+
   /** Vacuum after committing `nextId` on predecessor `base`: a
     * committed generation strictly below `base` that owns no bucket in
-    * base's map is unreachable (a replay of the in-flight batch
-    * re-bases on `base`, whose reads resolve only through its own
-    * owners); an uncommitted dir below `nextId` is a torn write. Gens
-    * still owning buckets stay — that is the point of sharing. */
-  def vacuum(root: String, base: Option[Gen], nextId: Long): Unit = {
-    val keep: Set[Long] = base.map(g => g.owners.values.toSet + g.genId).getOrElse(Set.empty)
+    * any RETAINED generation's map is unreachable (a replay of the
+    * in-flight batch re-bases on `base`, whose reads resolve only
+    * through its own owners); an uncommitted dir below `nextId` is a
+    * torn write. Gens still owning buckets stay — that is the point of
+    * sharing.
+    *
+    * Retention is a POLICY, not an accident of bucket sharing:
+    * `keepLast` retains the newest K committed generations (each with
+    * its full owners closure — the snapshots an as-of audit like q191
+    * can still resolve), and `pins` names generation ids retained
+    * unconditionally (a legal hold on "the manifest as served at gen
+    * k"), again closure-included. The default `keepLast = 2` is the
+    * replay window (predecessor + current) — prior behavior. The keep
+    * set ALWAYS includes `nextId`'s own committed owners closure, so a
+    * caller committing an owners map that references a generation
+    * absent from `base`'s map (legal — base is just the re-base point)
+    * can never have a still-referenced dir deleted under it. */
+  /** [[vacuum]] with retention read from the session conf — the knob an
+    * operator turns without touching fold code: `graft.gens.keepLast`
+    * (how many committed snapshots stay as-of-servable; default 2 = the
+    * replay window) and `graft.gens.pins` (comma-separated generation
+    * ids under legal hold, kept until unpinned). Every fold-step vacuum
+    * routes through here. */
+  def vacuum(s: SparkSession, root: String, base: Option[Gen], nextId: Long): Unit = {
+    val keepLast = s.conf.get("graft.gens.keepLast", "2").toInt
+    val pins = s.conf.get("graft.gens.pins", "").split(",")
+      .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+    vacuum(root, base, nextId, keepLast, pins)
+  }
+
+  def vacuum(root: String, base: Option[Gen], nextId: Long,
+      keepLast: Int = 2, pins: Set[Long] = Set.empty): Unit = {
+    val committed = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("gen-") &&
+        new java.io.File(f, "_owners.json").exists())
+      .map(genNumOf).sorted
+    val roots: Set[Long] =
+      base.map(_.genId).toSet ++ pins ++
+        committed.takeRight(math.max(keepLast, 1)).toSet + nextId
+    val keep: Set[Long] =
+      base.map(g => g.owners.values.toSet + g.genId).getOrElse(Set.empty) ++
+        roots.flatMap(ownersClosure(root, _))
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("gen-"))
       .filter { f =>
         val id = genNumOf(f)
         if (new java.io.File(f, "_owners.json").exists())
           base.exists(id < _.genId) && !keep(id)
-        else id < nextId
+        else id < nextId // uncommitted = torn write; pins cover committed gens only
       }.foreach(EventQueries.rm)
   }
 }

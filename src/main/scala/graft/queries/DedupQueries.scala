@@ -737,6 +737,7 @@ object DedupQueries {
       val survState = survivorHistStateDir(s0, d)
       val s = EventQueries.streamSession(s0)
       val sinkName = "graft_stream_manifest_compaction"
+      graft.streaming.StreamMetrics.resetSegments(s"${sinkName}_compactions")
       val docs = Tables.documents(s, d)
       val sigs = docs.select(col("doc_id"),
         TextDedup.simHashN(col("text"), 60).as("simhash"))
@@ -758,8 +759,26 @@ object DedupQueries {
         .writeStream.queryName(sinkName)
         .option("checkpointLocation", s"$root/cp")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
-          if (bid == 2L)
+          // SIZE-DRIVEN cadence (r17 — was a hardcoded `bid == 2`):
+          // compact when the ledger segments outweigh 18% of the
+          // standing manifest. The policy decides the splice point; the
+          // oracle (same text as q189) proves whichever point it picks
+          // invisible. On this fixture one batch accrues ~12% of the
+          // manifest in segments (ops + opsq ≈ 2 × changelog quarter,
+          // scale-invariant — measured 0.122 at sf0.01 AND sf0.1), so
+          // 0.18 fires exactly once, before batch 2, and stays quiet
+          // after the truncation. Gen ids still double up (compaction
+          // 2b, batch 2b+1) and the decision replays idempotently
+          // (skip by marker; truncation is the ledger read FLOOR, so a
+          // replay that re-counts pre-vacuum segments only re-enters
+          // the skip path).
+          if (shouldCompact(root, 2 * bid, frac = 0.18)) {
             survivorCompactStep(ccState, survState, root, 2 * bid, sigs)
+            // observable beside the fold ledger (separate key — the
+            // fold-cadence gates read the plain sink name)
+            graft.streaming.StreamMetrics.recordSegment(
+              s"${sinkName}_compactions", bid, 1L)
+          }
           val rows = survivorCdcStep(ccState, survState, root, b, 2 * bid + 1, sigs)
           graft.streaming.StreamMetrics.recordSegment(sinkName, bid, rows)
         }
@@ -882,12 +901,18 @@ object DedupQueries {
     * BOTH partitioned by pmod(component, 16) buckets, so a delete opens
     * only its clusters' partitions — and a maintained-label generation
     * ([[BucketedGens]]) can point untouched buckets straight back here.
-    * Built in one pass: pairs → components → edges re-keyed through the
-    * labels. The `_SUCCESS` marker is written manually because both
-    * payloads live in subdirs. */
+    * Round 17 adds `labels_byid`: the SAME label rows partitioned by
+    * pmod(id, 16) — the doc-keyed companion index that turns every
+    * id-keyed probe ("which component holds doc X", "what was doc X's
+    * original at-rest cluster") into a ~|batch|-bucket point read
+    * where r16 paid a full label-relation scan per micro-batch (the
+    * read floor). Built in one pass: pairs → components → edges
+    * re-keyed through the labels, labels mirrored under both keyings.
+    * The `_SUCCESS` marker is written manually because the payloads
+    * live in subdirs. */
   private def stagedCcState(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String,
-      docs: org.apache.spark.sql.DataFrame): String =
+      docs: org.apache.spark.sql.DataFrame, nb: Int = 16): String =
     graft.sources.ZOrder.ensureStagedDir(tag, d, s"$d/documents.parquet") { target =>
       EventQueries.multiWriteStage(target) { stage =>
         val sig = docs.select(col("doc_id"),
@@ -897,22 +922,90 @@ object DedupQueries {
           .localCheckpoint() // read by the components run AND the edge write
         val labels = Components.connectedComponents(pairs, "id_a", "id_b")
           .localCheckpoint()
-        labels.withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+        labels.withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels")
+        labels.withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels_byid")
         pairs
           .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
             Seq("id_a"))
-          .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+          .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/edges")
+        writeStateMeta(stage, "labels", nb, labels.count())
         new java.io.File(stage, "_SUCCESS").createNewFile()
         ()
       }
     }
 
+  /** Per-relation staged-state META ({"buckets":B,"rows":N}), written
+    * beside every staged and compacted state so the folds (a) agree
+    * with the state's bucket layout without a hardcoded count — the
+    * production rule is nb ∝ corpus (constant target bucket SIZE), and
+    * the fold must follow whatever the state was staged with — and (b)
+    * never re-scan the full relation for a first-fold base row count.
+    * Absent (synthetic pre-r17 fixtures) → the historical defaults
+    * (16 label / 64 manifest buckets, count() fallback). */
+  private def writeStateMeta(dir: String, rel: String, buckets: Int,
+      rows: Long): Unit = {
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, s"_graft_meta_$rel.json"), "UTF-8")
+    try w.print(s"""{"buckets":$buckets,"rows":$rows}""") finally w.close()
+    ()
+  }
+
+  private def stateMeta(dir: String, rel: String): Option[(Int, Long)] = {
+    val f = new java.io.File(dir, s"_graft_meta_$rel.json")
+    if (!f.exists()) None
+    else {
+      val t = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      for {
+        b <- """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(t).map(_.group(1).toInt)
+        r <- """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(t).map(_.group(1).toLong)
+      } yield (b, r)
+    }
+  }
+
+  private def labelBuckets(dir: String): Int =
+    stateMeta(dir, "labels").map(_._1).getOrElse(16)
+  private def manifestBuckets(dir: String): Int =
+    stateMeta(dir, "manifest").map(_._1).getOrElse(64)
+  private def labelRows(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    stateMeta(dir, "labels").map(_._2)
+      .getOrElse(s.read.parquet(s"$dir/labels").count())
+  private def manifestRows(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    stateMeta(dir, "manifest").map(_._2)
+      .getOrElse(s.read.parquet(s"$dir/manifest").count())
+
+  /** A cc state staged at an explicit bucket count — the decade probe's
+    * handle for the nb ∝ corpus rule (the gate stages 1× and N× states
+    * at proportional counts and asserts a FIXED batch's fold reads stay
+    * ~flat). */
+  private[graft] def ccGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String, nb: Int): String =
+    stagedCcState(s, d, s"graft_cc_gate_b${nb}v1", Tables.documents(s, d), nb)
+
+  /** At-rest labels for a batch-sized id frame (col `id`) — a doc-keyed
+    * pruned read of the staged `labels_byid` mirror: only pmod(id, 16)
+    * buckets open, never the full label relation. Rows absent from the
+    * result are unclustered at rest (callers left-join + coalesce where
+    * the singleton rule applies). */
+  private def atRestLabelsForIds(s: org.apache.spark.sql.SparkSession,
+      stateDir: String, ids: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nb = labelBuckets(stateDir)
+    val bks = ids.select(pmod(col("id"), lit(nb)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val byid = s.read.parquet(s"$stateDir/labels_byid")
+    (if (bks.isEmpty) byid.limit(0)
+     else byid.filter(col("bucket").isin(bks.map(Int.box): _*)))
+      .join(broadcast(ids), Seq("id"), "leftsemi")
+      .select("id", "component")
+  }
+
   /** Full-corpus cluster state (q181/q182/q185). */
   private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_state_b16v2", Tables.documents(s, d))
+    stagedCcState(s, d, "graft_cc_state_b16v3", Tables.documents(s, d))
 
   /** HISTORY-ONLY cluster state (q187 — arrivals stream in later, so
     * the standing state must not have seen them). The tag ENCODES the
@@ -921,7 +1014,7 @@ object DedupQueries {
     * cache serves the old split forever. */
   private[graft] def ccHistStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_hist7_state_b16v2",
+    stagedCcState(s, d, "graft_cc_hist7_state_b16v3",
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0))
 
   /** The standing labels (id, component) from [[ccStateDir]]. */
@@ -950,7 +1043,7 @@ object DedupQueries {
     val stateDir = ccStateDir(s, d)
     // bounded driver list: 16 buckets exist in total
     val buckets = touched
-      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .select(pmod(col("component"), lit(labelBuckets(stateDir))).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val pruned = s.read.parquet(s"$stateDir/edges")
       .filter(col("bucket").isin(buckets: _*))
@@ -967,8 +1060,8 @@ object DedupQueries {
       prunedEdges: org.apache.spark.sql.DataFrame,
       deleted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val remaining = prunedEdges
-      .join(broadcast(deleted.select(col("doc_id").as("id_a"))), Seq("id_a"), "left_anti")
-      .join(broadcast(deleted.select(col("doc_id").as("id_b"))), Seq("id_b"), "left_anti")
+      .join(deleted.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(deleted.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
     Components.connectedComponents(remaining, "id_a", "id_b")
   }
 
@@ -1009,63 +1102,72 @@ object DedupQueries {
       : (Long, org.apache.spark.sql.DataFrame) = {
     val s = b.sparkSession
     val labelsRoot = s"$root/labels"
+    val nb = labelBuckets(stateDir)
     val atRest = s.read.parquet(s"$stateDir/labels")
     val base = BucketedGens.latest(labelsRoot, below = Some(id))
-    val baseDels = EventQueries.latestViewGen(s"$root/dels", below = Some(id))
-    val cumDels = (baseDels match {
-        case None    => b.select("doc_id").limit(0)
-        case Some(p) => s.read.parquet(p)
-      })
+    // the cumulative delete set reconstructed from O(batch) SEGMENTS
+    // (r17): each fold appends only its own doc ids; deletes never
+    // retract in this family, so the union IS the cumulative state
+    val cumDels = SegLedger.read(s, s"$root/dels", id, b.select("doc_id").limit(0))
+      .select("doc_id")
       .unionByName(b.select("doc_id")).distinct()
-      .localCheckpoint() // read by the ledger write AND both anti-joins
-    val touchedOrig = atRest
-      .join(b.select(col("doc_id").as("id")), Seq("id"), "leftsemi")
+      .localCheckpoint() // read by both anti-joins
+    // the batch's ORIGINAL components — a doc-keyed pruned point read
+    // (r17: the r16 shape semi-joined the full at-rest label relation,
+    // an O(corpus) scan per micro-batch)
+    val touchedOrig = atRestLabelsForIds(s, stateDir, b.select(col("doc_id").as("id")))
       .select("component").distinct()
       .localCheckpoint() // ≤ batch rows; prunes, anti-joins, bucket list
     val buckets = touchedOrig
-      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .select(pmod(col("component"), lit(nb)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val atRestRows = atRestLabelGenRows(s, stateDir)
     // predecessor content of ONLY the touched buckets — resolved
-    // through the owners map, partition-pruned per owning generation
-    val predTouched = (
+    // through the owners map, partition-pruned per owning generation,
+    // consumed exactly once inside the observed generation write (no pin)
+    val predTouched =
       if (buckets.isEmpty) atRestRows.limit(0)
       else base match {
         case None    => atRestRows.filter(col("bucket").isin(buckets.map(Int.box): _*))
         case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(buckets))
-      }).localCheckpoint() // read by the rewrite AND the count arithmetic
+      }
     val pruned =
       if (buckets.isEmpty) atRest.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
       else s.read.parquet(s"$stateDir/edges")
         .filter(col("bucket").isin(buckets.map(Int.box): _*))
         .join(broadcast(touchedOrig), Seq("component"), "leftsemi")
         .select("id_a", "id_b")
+    // every recomputed id is an at-rest member of a touched original, so
+    // its orig comes from the SAME pruned bucket set the edges use —
+    // never a join against the full at-rest relation
+    val touchedAtRestOrig =
+      if (buckets.isEmpty) atRest.select(col("id"), col("component").as("orig")).limit(0)
+      else atRest.filter(col("bucket").isin(buckets.map(Int.box): _*))
+        .join(broadcast(touchedOrig), Seq("component"), "leftsemi")
+        .select(col("id"), col("component").as("orig"))
     val recomputed = retractedTouchedLabels(pruned, cumDels)
-      .join(atRest.select(col("id"), col("component").as("orig")), Seq("id"))
+      .join(touchedAtRestOrig, Seq("id"))
       .localCheckpoint() // read by the bucket rewrite AND the manifest repair
-    val nextTouched = predTouched
-      .join(broadcast(touchedOrig.select(col("component").as("orig"))),
-        Seq("orig"), "left_anti")
-      .select("id", "component", "orig")
-      .unionByName(recomputed.select("id", "component", "orig"))
-      .withColumn("bucket", pmod(col("orig"), lit(16)).cast("int"))
-      .localCheckpoint() // written AND counted; never recomputes the rebuild
-    nextTouched.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$labelsRoot/gen-$id")
-    cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
-    val baseRows = base.map(_.rows).getOrElse(atRest.count())
-    // ONE pass gives both the count arithmetic and the written-bucket
-    // set (a touched bucket the rewrite left EMPTY — every cluster in
-    // it dissolved — has no parquet dir, so emptiness must be recorded
-    // in the owners map, not inferred from the filesystem)
-    val perBucket = nextTouched.groupBy("bucket").count().collect()
-    val written = perBucket.map(_.getInt(0)).toSet
-    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
-    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(16)) ++
+    // ONE action: the generation write carries the per-bucket counts (a
+    // touched bucket the rewrite left EMPTY — every cluster in it
+    // dissolved — has no parquet dir, so emptiness must be recorded in
+    // the owners map, not inferred from the filesystem) AND both sides
+    // of the standing-count arithmetic as observe() metrics
+    val (written, nextRows, predRows) = BucketedGens.observedWrite(
+        predTouched, buckets, s"$labelsRoot/gen-$id") { pred =>
+      pred.join(broadcast(touchedOrig.select(col("component").as("orig"))),
+          Seq("orig"), "left_anti")
+        .select("id", "component", "orig")
+        .unionByName(recomputed.select("id", "component", "orig"))
+        .withColumn("bucket", pmod(col("orig"), lit(nb)).cast("int"))
+    }
+    SegLedger.append(b.select("doc_id").distinct(), s"$root/dels", id)
+    val baseRows = base.map(_.rows).getOrElse(labelRows(s, stateDir))
+    val rows = baseRows - predRows + nextRows
+    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
     BucketedGens.commit(labelsRoot, id, owners, rows)
-    BucketedGens.vacuum(labelsRoot, base, id)
-    EventQueries.vacuumViewGens(s"$root/dels", baseDels)
+    BucketedGens.vacuum(s, labelsRoot, base, id)
     (rows, recomputed)
   }
 
@@ -1096,148 +1198,93 @@ object DedupQueries {
     val s = b.sparkSession
     val (_, rebuilt) = componentsRetractImpl(ccState, root, b, id)
     val manRoot = s"$root/manifest"
-    val atRest = s.read.parquet(s"$ccState/labels")
+    val nbM = manifestBuckets(survState)
     val baseM = BucketedGens.latest(manRoot, below = Some(id))
     val atRestRows = atRestManifestGenRows(s, survState)
     // THIS batch's touched originals — singleton deletes are their own
-    // component (exactly the manifest's key rule)
+    // component (exactly the manifest's key rule). Doc-keyed pruned
+    // point read (r17): the r16 shape left-joined the full at-rest
+    // label relation, an O(corpus) scan per micro-batch.
     val touchedOrig = b.select(col("doc_id"))
-      .join(atRest.select(col("id").as("doc_id"), col("component")),
+      .join(atRestLabelsForIds(s, ccState, b.select(col("doc_id").as("id")))
+          .withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left")
       .select(coalesce(col("component"), col("doc_id")).as("orig"))
       .distinct()
       .localCheckpoint() // bucket list + pass-through anti + member prune
     val buckets = touchedOrig
-      .select(pmod(col("orig"), lit(64)).cast("int").as("bucket"))
+      .select(pmod(col("orig"), lit(nbM)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    // predecessor manifest rows of ONLY the touched buckets
-    val predTouched = (
+    // predecessor manifest rows of ONLY the touched buckets — consumed
+    // once, inside the observed generation write below
+    val predTouched =
       if (buckets.isEmpty) atRestRows.limit(0)
       else baseM match {
         case None    => atRestRows.filter(col("bucket").isin(buckets.map(Int.box): _*))
         case Some(g) => BucketedGens.read(s, manRoot, g, atRestRows, Some(buckets))
-      }).localCheckpoint() // read by the rewrite AND the count arithmetic
-    val passThrough = predTouched
-      .join(broadcast(touchedOrig), Seq("orig"), "left_anti")
-      .select("component", "survivor_id", "n_members", "quality", "orig")
+      }
     // re-elect over the touched originals' full remaining membership,
     // relabeled through the batch's REBUILT labels (exactly the touched
     // originals' post-delete closure — edge-less members coalesce to
     // their own id, the singleton rule)
-    val cumDels = s.read.parquet(s"$root/dels/gen-$id")
+    val cumDels = SegLedger.read(s, s"$root/dels", id + 1,
+        b.select("doc_id").limit(0))
+      .select("doc_id").distinct()
     val newLabels = rebuilt
       .select(col("id").as("doc_id"), col("component").as("__newc"))
     val reElected = s.read.parquet(s"$survState/membership")
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .join(broadcast(touchedOrig.select(col("orig").as("component"))),
         Seq("component"), "leftsemi")
-      .join(broadcast(cumDels), Seq("doc_id"), "left_anti")
+      .join(cumDels, Seq("doc_id"), "left_anti")
       .drop("component")
       .join(newLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))
       .transform(electSurvivors)
+      .localCheckpoint() // batch-affected rows; the orig lookup + the write
     // a re-elected component is a member id of a touched original, so
     // its orig resolves through the at-rest labels (self for remnant
-    // singletons) and lands INSIDE the touched bucket set. The at-rest
-    // relation is O(corpus) — no broadcast hint; the tiny re-elected
-    // side shuffles against it (AQE still broadcasts at bench scale).
+    // singletons) and lands INSIDE the touched bucket set — a doc-keyed
+    // pruned point read of the byid mirror (r17: was a per-batch join
+    // against the full O(corpus) at-rest relation)
     val reElectedO = reElected
-      .join(atRest.select(col("id").as("component"), col("component").as("__ro")),
+      .join(atRestLabelsForIds(s, ccState, reElected.select(col("component").as("id")))
+          .select(col("id").as("component"), col("component").as("__ro")),
         Seq("component"), "left")
       .select(col("component"), col("survivor_id"), col("n_members"),
         col("quality"), coalesce(col("__ro"), col("component")).as("orig"))
-    val nextTouched = passThrough.unionByName(reElectedO)
-      .withColumn("bucket", pmod(col("orig"), lit(64)).cast("int"))
-      .localCheckpoint() // written AND counted
-    nextTouched.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$manRoot/gen-$id")
+    // ONE action: write + per-bucket counts + both count-arithmetic
+    // sides as observe() metrics (see componentsRetractImpl)
+    val (written, nextRows, predRows) = BucketedGens.observedWrite(
+        predTouched, buckets, s"$manRoot/gen-$id") { pred =>
+      pred.join(broadcast(touchedOrig), Seq("orig"), "left_anti")
+        .select("component", "survivor_id", "n_members", "quality", "orig")
+        .unionByName(reElectedO)
+        .withColumn("bucket", pmod(col("orig"), lit(nbM)).cast("int"))
+    }
     val baseRows = baseM.map(_.rows)
-      .getOrElse(s.read.parquet(s"$survState/manifest").count())
-    val perBucket = nextTouched.groupBy("bucket").count().collect()
-    val written = perBucket.map(_.getInt(0)).toSet
-    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
-    val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(64)) ++
+      .getOrElse(manifestRows(s, survState))
+    val rows = baseRows - predRows + nextRows
+    val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(nbM)) ++
       buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
     BucketedGens.commit(manRoot, id, owners, rows)
-    BucketedGens.vacuum(manRoot, baseM, id)
+    BucketedGens.vacuum(s, manRoot, baseM, id)
     rows
   }
 
-  /** The delete-side rebuild universe under the FULL changelog:
-    * appended bridges can MERGE original components, and successive
-    * merges/splits chain comp↔orig connectivity arbitrarily far — one
-    * hop is NOT enough (round-15 review finding: a remnant of a split
-    * original, bridged into another original's cluster, left that
-    * other original's at-rest edges unread when the first original was
-    * touched again, silently dropping labels). The closure is
-    * connectedComponents over the bipartite (component, orig) relation
-    * — safe in one id space, because a current label can only coincide
-    * with an orig label when the two nodes are connected anyway (a
-    * current comp labeled x contains doc x, and orig(x) = x whenever
-    * x is an at-rest minimum).
-    *
-    * @param ledgerEmpty no appended pair exists (empty cumulative pair
-    *        ledger). Appends are the ONLY source of merges, so with an
-    *        empty ledger every current component sits inside exactly one
-    *        original (deletes only split) — the comp↔orig relation is a
-    *        star forest and ONE HOP each way equals the closure. The
-    *        fast path skips the per-batch connectedComponents job the
-    *        closure otherwise pays on a relation that is O(components)
-    *        at corpus scale. The randomized I/D property test covers
-    *        both regimes (scripts with zero arrivals take this path).
-    * @return (rebuildComps: every current component whose labels must
-    *         be re-derived; origNodes(node): a SUPERSET of the at-rest
-    *         originals whose edge partitions the rebuild reads —
-    *         superset-safe, extra components relabel identically). */
-  private def deleteRebuildUniverse(labels: org.apache.spark.sql.DataFrame,
-      origOf: org.apache.spark.sql.DataFrame,
-      touched: org.apache.spark.sql.DataFrame,
-      ledgerEmpty: Boolean)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val compOrig = labels.join(origOf, Seq("id"))
-      .select("component", "orig").distinct()
-    if (ledgerEmpty) {
-      val origs = compOrig
-        .join(broadcast(touched), Seq("component"), "leftsemi")
-        .select(col("orig").as("node")).distinct()
-        .localCheckpoint() // read by the bucket list, the edge prune, and comps
-      val rebuildComps = compOrig
-        .join(broadcast(origs.select(col("node").as("orig"))), Seq("orig"), "leftsemi")
-        .select("component")
-        .unionByName(touched.select("component"))
-        .distinct().localCheckpoint()
-      return (rebuildComps, origs)
-    }
-    val closure = Components.connectedComponents(compOrig, "component", "orig")
-    val groups = closure
-      .join(touched.withColumnRenamed("component", "id"), Seq("id"), "leftsemi")
-      .select(col("component").as("grp")).distinct()
-    val nodes = closure
-      .join(broadcast(groups.withColumnRenamed("grp", "component")),
-        Seq("component"), "leftsemi")
-      .select(col("id").as("node"))
-      .localCheckpoint() // read by the bucket list, the edge prune, and comps
-    val rebuildComps = labels
-      .join(broadcast(nodes.select(col("node").as("component"))),
-        Seq("component"), "leftsemi")
-      .select("component")
-      .unionByName(touched.select("component")) // all-appended comps have no orig
-      .distinct().localCheckpoint()
-    (rebuildComps, nodes)
-  }
-
   /** One q187 maintenance step: fold a mixed I/D micro-batch into the
-    * standing labels. State carried per generation, all O(delta):
-    * `labels` (BUCKET-PARTITIONED by pmod(component, 16) via
-    * [[BucketedGens]] — each fold writes ONLY the buckets whose
-    * components changed and re-points every other bucket at its
-    * predecessor), `dels`/`apps` (cumulative ledgers; apps carry the
-    * appended simhash so a re-appended doc's signature is the ledger's,
-    * never the static frame's), `pairs` (cumulative APPENDED-pair
-    * ledger — arrival edges exist nowhere at rest; pairs with an
-    * endpoint deleted this batch are PURGED, dead evidence must not
-    * resurrect under a later re-append).
+    * standing labels. State carried per batch, all O(delta) ON BOTH
+    * SIDES of the I/O: `labels` + its doc-keyed `labels_byid` mirror
+    * (BUCKET-PARTITIONED via [[BucketedGens]] — each fold writes ONLY
+    * the buckets whose rows changed and re-points every other bucket at
+    * its predecessor), `ops` (delta SEGMENTS of per-batch net I/D ops —
+    * the I rows carry the appended simhash so a re-appended doc's
+    * signature is the ledger's, never the static frame's; cumulative
+    * delete/append state resolves last-writer-wins at read time), and
+    * `pairs` (delta segments of APPENDED pairs — arrival edges exist
+    * nowhere at rest; a pair dies when any LATER segment touches an
+    * endpoint, so dead evidence never resurrects under a re-append).
     *
     * D-THEN-I upsert order: one batch may delete AND (re-)append the
     * same doc_id — a content update. The delete side forgets the doc
@@ -1280,16 +1327,51 @@ object DedupQueries {
     * each row's changelog position — to per-doc NET ops: the max-seq
     * row per doc wins, intermediate incarnations inside one batch
     * cancel (I,D ⇒ net delete; D,I,D,I ⇒ net append with the LAST
-    * sig/quality). Without `seq` the batch passes through as-is and
-    * reads as op SETS under the documented D-then-I order — sufficient
-    * when each doc appears at most once per side, ambiguous beyond
-    * that (which is why ordered producers should ship `seq`). */
+    * sig/quality). Without `seq` the batch passes through and reads as
+    * op SETS under the documented D-then-I order — sufficient when each
+    * doc appears at most once per side, AMBIGUOUS beyond that (two I
+    * rows for one doc with different sigs would both survive the
+    * downstream distinct and land conflicting signatures in the apps
+    * ledger). Seq-less producers that violate the contract fail LOUDLY:
+    * [[requireUnambiguous]] asserts one distinct row per (doc, side)
+    * where the fold's I side is already pinned, so the check costs one
+    * aggregate over cached batch-sized blocks, not an extra shuffle. */
   private def netOps(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     if (!b.columns.contains("seq")) b
     else b.withColumn("__r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("seq").desc)))
       .filter(col("__r") === 1).drop("__r", "seq")
+
+  /** The seq-less batch contract, enforced (see [[netOps]]): `distinctI`
+    * is the batch's DISTINCT I rows (doc_id + payload) — more rows than
+    * distinct doc_ids means one doc shipped conflicting payloads with no
+    * order to resolve them, which would corrupt the ledger silently. */
+  private def requireUnambiguous(distinctI: org.apache.spark.sql.DataFrame,
+      what: String): Unit = {
+    val a = distinctI
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("d")).head()
+    require(a.getLong(0) == a.getLong(1),
+      s"seq-less batch carries conflicting I payloads ($what) for one doc_id — " +
+        "the op order is ambiguous; ordered producers must ship a `seq` column")
+  }
+
+  /** Ledger-size compaction TRIGGER (q190 — the policy in place of
+    * r16's hardcoded cadence): compact when the accumulated ledger
+    * segment rows exceed `frac` of the standing manifest rows. Both
+    * sides are already on hand — segment `_meta` row counts and the
+    * manifest owners map's `rows` — so the decision costs ZERO Spark
+    * jobs. The standing side is the MANIFEST (one row per present
+    * component, singletons included): the cluster labels cover only
+    * clustered docs and can be arbitrarily small next to the corpus,
+    * which would make a labels-relative trigger fire every batch. */
+  private[graft] def shouldCompact(root: String, below: Long, frac: Double): Boolean =
+    BucketedGens.latest(s"$root/manifest", below = Some(below)).exists { m =>
+      val floor = segFloor(root, Some(below))
+      m.rows > 0 &&
+        Seq("ops", "pairs", "opsq")
+          .map(k => SegLedger.rows(s"$root/$k", below, floor)).sum > frac * m.rows
+    }
 
   /** The at-rest state a CDC fold reads: the latest COMPACTED state
     * generation under `$root/state` (strictly below `id` — the fold's
@@ -1301,6 +1383,15 @@ object DedupQueries {
       root: String, below: Option[Long], initial: String): String =
     EventQueries.latestViewGen(s"$root/state", below).getOrElse(initial)
 
+  /** The ledger-segment READ FLOOR paired with [[effectiveState]]: the
+    * compacted state's generation id (segments at or below it are
+    * absorbed into that state and must never be re-read), or no floor
+    * when the fold still reads the initial staged dir. */
+  private def segFloor(root: String, below: Option[Long]): Long =
+    EventQueries.latestViewGen(s"$root/state", below)
+      .map(p => p.substring(p.lastIndexOf("gen-") + 4).toLong)
+      .getOrElse(Long.MinValue)
+
   private def componentsCdcImpl(stateDir0: String, root: String,
       b0: org.apache.spark.sql.DataFrame, id: Long,
       staticSigs: org.apache.spark.sql.DataFrame,
@@ -1309,11 +1400,11 @@ object DedupQueries {
     val b = netOps(b0)
     val labelsRoot = s"$root/labels"
     val stateDir = effectiveState(s, root, Some(id), stateDir0)
+    val nb = labelBuckets(stateDir)
+    val ledgerFloor = segFloor(root, Some(id))
     val atRest = s.read.parquet(s"$stateDir/labels")
     def atRestRows = atRest.select(col("id"), col("component"), col("bucket"))
     val base = BucketedGens.latest(labelsRoot, below = Some(id))
-    def ledgerBase(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
-    val (baseD, baseA, baseP) = (ledgerBase("dels"), ledgerBase("apps"), ledgerBase("pairs"))
     val emptyIds = b.select(col("doc_id")).limit(0)
     val emptyPairs = b
       .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
@@ -1321,18 +1412,33 @@ object DedupQueries {
       .localCheckpoint() // batch-sized; ledgers, touch, purge
     val bI = b.filter(col("op") === "I").select("doc_id", "simhash").distinct()
       .localCheckpoint()
+    if (!b0.columns.contains("seq")) requireUnambiguous(bI, "simhash")
     val hasD = !bD.isEmpty
     val hasI = !bI.isEmpty
     val bIids = bI.select("doc_id")
-    val cumDels = baseD.map(p => s.read.parquet(p)).getOrElse(emptyIds)
-      .unionByName(bD).distinct()
-      .join(bIids, Seq("doc_id"), "left_anti") // re-appended ⇒ present again
+    // THE BATCH'S NET OPS — this (and only this) lands as the batch's
+    // `ops` ledger SEGMENT: per-batch ledger write I/O is O(batch), not
+    // O(churn-since-compaction) (r17 — r16 rewrote the full cumulative
+    // frames every fold). I beats D within a batch (the D-then-I upsert
+    // order), so a doc carries exactly one row per segment.
+    val batchOps = bD.join(bIids, Seq("doc_id"), "left_anti")
+      .select(lit("D").as("op"), col("doc_id"), lit(null).cast("long").as("simhash"))
+      .unionByName(bI.select(lit("I").as("op"), col("doc_id"), col("simhash")))
+      .localCheckpoint() // written as the segment AND folded into winners
+    // cumulative state RECONSTRUCTED from the segments: last-writer-wins
+    // per doc over segment ordinals (within a segment the net op is
+    // unique). One window over O(churn-since-compaction) rows — the
+    // same read volume the r16 cumulative frames paid, with none of the
+    // per-batch full rewrites.
+    val allOps = SegLedger.read(s, s"$root/ops", id, batchOps.limit(0), ledgerFloor)
+      .unionByName(batchOps.withColumn("__seg", lit(id)))
+    val winners = allOps.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("__seg").desc)))
+      .filter(col("__r") === 1)
       .localCheckpoint()
-    val cumApps = baseA.map(p => s.read.parquet(p)).getOrElse(bI.limit(0))
-      .join(bIids, Seq("doc_id"), "left_anti") // last append wins
-      .join(bD, Seq("doc_id"), "left_anti")    // deleted (unless re-appended)
-      .unionByName(bI)
-      .localCheckpoint()
+    val cumDels = winners.filter(col("op") === "D").select("doc_id")
+    val cumApps = winners.filter(col("op") === "I").select("doc_id", "simhash")
     // EVERY touched doc's standing evidence dies: a delete forgets the
     // doc, and any (re-)append supersedes its previous incarnation —
     // its old pairs are purged and its component rebuilt, with fresh
@@ -1340,33 +1446,121 @@ object DedupQueries {
     // present doc a full upsert, not a probe-only patch.
     val touchedIds = bD.unionByName(bIids).distinct()
       .localCheckpoint() // purge keys + the component-touch probe
-    val ledger0 = baseP.map(p => s.read.parquet(p)).getOrElse(emptyPairs)
-    val ledger = (if (!hasD && !hasI) ledger0
-      else ledger0
-        .join(touchedIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
-        .join(touchedIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti"))
+    // the standing APPENDED-pair ledger: a pair from segment k is alive
+    // iff no LATER segment carries any op for either endpoint (the
+    // purge, resolved at read time — same-batch probe pairs survive
+    // their own batch's ops because the comparison is strict)
+    val segPairs = SegLedger.read(s, s"$root/pairs", id, emptyPairs, ledgerFloor)
+    val opsTouchA = allOps.select(col("doc_id").as("__ta"), col("__seg").as("__tsa"))
+    val opsTouchB = allOps.select(col("doc_id").as("__tb"), col("__seg").as("__tsb"))
+    val ledger = segPairs
+      .join(opsTouchA, col("id_a") === col("__ta") && col("__tsa") > col("__seg"),
+        "left_anti")
+      .join(opsTouchB, col("id_b") === col("__tb") && col("__tsb") > col("__seg"),
+        "left_anti")
+      .select("id_a", "id_b")
       .localCheckpoint()
-    // the standing labels — a SCAN (lookups are by id, buckets by
-    // component); pinned lazily so the several semi-joins below pay the
-    // resolution once
-    val labels = (base match {
-        case None    => atRest.select("id", "component")
-        case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows)
-          .select("id", "component")
-      }).localCheckpoint(false)
+    // THE DOC-KEYED LABEL MIRROR (r17): every id-keyed probe below
+    // resolves through pmod(id, 16) point reads of the `labels_byid`
+    // generations — r16 pinned the FULL standing label relation here, an
+    // O(corpus) scan per micro-batch (the read floor). Component-keyed
+    // member reads resolve through the component-keyed generations under
+    // the same pruning discipline.
+    val byidRoot = s"$root/labels_byid"
+    val baseBy = BucketedGens.latest(byidRoot, below = Some(id))
+    def atRestById = s.read.parquet(s"$stateDir/labels_byid")
+      .select(col("id"), col("component"), col("bucket"))
+    def bucketsOf(df: org.apache.spark.sql.DataFrame, key: String): Seq[Int] =
+      df.select(pmod(col(key), lit(nb)).cast("int").as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // CURRENT label rows for a batch-sized id frame (col `id`)
+    def labelsForIds(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val bks = bucketsOf(ids, "id")
+      (if (bks.isEmpty) atRestById.limit(0)
+       else baseBy match {
+         case None    => atRestById.filter(col("bucket").isin(bks.map(Int.box): _*))
+         case Some(g) => BucketedGens.read(s, byidRoot, g, atRestById, Some(bks))
+       })
+        .join(broadcast(ids), Seq("id"), "leftsemi").select("id", "component")
+    }
+    // CURRENT member rows of a batch-affected component frame (col `component`)
+    def membersOf(comps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val bks = bucketsOf(comps, "component")
+      (if (bks.isEmpty) atRestRows.limit(0)
+       else base match {
+         case None    => atRestRows.filter(col("bucket").isin(bks.map(Int.box): _*))
+         case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(bks))
+       })
+        .join(broadcast(comps), Seq("component"), "leftsemi").select("id", "component")
+    }
+    // at-rest ORIGINALS of a batch-affected id frame — the staged byid mirror
+    def origsForIds(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      atRestLabelsForIds(s, stateDir, ids)
+        .select(col("component").as("orig")).distinct()
+    // at-rest MEMBER ids of an orig frame (col `orig`) — staged labels, pruned
+    def atRestMembersOf(origs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val bks = bucketsOf(origs, "orig")
+      (if (bks.isEmpty) atRest.limit(0)
+       else atRest.filter(col("bucket").isin(bks.map(Int.box): _*)))
+        .join(broadcast(origs.select(col("orig").as("component"))),
+          Seq("component"), "leftsemi")
+        .select("id")
+    }
 
     // ---- retract side: the orig-closure rebuild universe, seeded by
     // every component holding a doc this batch deletes OR re-defines ----
-    val touched = labels
-      .join(touchedIds.withColumnRenamed("doc_id", "id"), Seq("id"), "leftsemi")
+    val touched = labelsForIds(touchedIds.withColumnRenamed("doc_id", "id"))
       .select("component").distinct().localCheckpoint()
     val hasTouched = !touched.isEmpty
-    val origOf = atRest.select(col("id"), col("component").as("orig"))
-    val (rebuildComps, origNodes) =
+    // The closure WALK (replaces the per-batch connectedComponents over
+    // a corpus-derived comp↔orig relation): appended bridges can MERGE
+    // original components and successive merges/splits chain comp↔orig
+    // connectivity arbitrarily far — one hop is NOT enough (the r15
+    // review finding, still pinned by ClusterRetractionSpec's far-
+    // fragment test). Adjacency: current component c touches at-rest
+    // original o iff some CURRENT member of c lies in o's at-rest
+    // cluster. The frontier BFS walks exactly the connected region
+    // containing the touched components; each hop is two pruned point
+    // reads (current members → their origs; the new origs' at-rest
+    // members → their current comps) — O(affected) rows and buckets per
+    // hop, never a corpus scan, and it accumulates the member rows so
+    // the rebuild below re-reads nothing. Terminates: the component set
+    // grows monotonically inside a finite corpus. Star-forest batches
+    // (no appended pair in play) converge in one round + one empty
+    // check — the r16 fast path, without a separate code path.
+    val emptyComps = emptyIds.withColumnRenamed("doc_id", "component")
+    val (rebuildComps, closureOrigs, mRebuild) =
       if (!hasTouched)
-        (emptyIds.withColumnRenamed("doc_id", "component"),
-          emptyIds.withColumnRenamed("doc_id", "node"))
-      else deleteRebuildUniverse(labels, origOf, touched, ledger.isEmpty)
+        (emptyComps, emptyIds.withColumnRenamed("doc_id", "orig"),
+          atRestById.select("id", "component").limit(0))
+      else {
+        var comps = touched
+        var mAll = membersOf(touched).localCheckpoint()
+        var origs = origsForIds(mAll.select("id")).localCheckpoint()
+        var origFrontier = origs
+        var grow = !origFrontier.isEmpty
+        while (grow) {
+          val fresh = labelsForIds(atRestMembersOf(origFrontier))
+            .select("component").distinct()
+            .join(broadcast(comps), Seq("component"), "left_anti")
+            .localCheckpoint()
+          if (fresh.isEmpty) grow = false
+          else {
+            comps = comps.unionByName(fresh).localCheckpoint()
+            val mNew = membersOf(fresh).localCheckpoint()
+            mAll = mAll.unionByName(mNew).localCheckpoint()
+            val oNew = origsForIds(mNew.select("id"))
+              .join(broadcast(origs), Seq("orig"), "left_anti")
+              .localCheckpoint()
+            if (oNew.isEmpty) grow = false
+            else {
+              origs = origs.unionByName(oNew).localCheckpoint()
+              origFrontier = oNew
+            }
+          }
+        }
+        (comps, origs, mAll)
+      }
 
     // ---- append side: probe pairs against the PRESENT corpus ----
     // at-rest evidence superseded by a delete OR a (re-)append — those
@@ -1382,49 +1576,42 @@ object DedupQueries {
         if (stateDir == stateDir0) staticSigs.filter(historyPred)
         else s.read.parquet(s"$stateDir/sigs")
       val present = baseCorpus
-        .join(broadcast(supersededAtRest), Seq("doc_id"), "left_anti")
+        .join(supersededAtRest, Seq("doc_id"), "left_anti")
         .unionByName(cumApps.select("doc_id", "simhash"))
       TextDedup.simHashNearDupAgainst(bI, present, "doc_id", "simhash", 3)
         .select("id_a", "id_b")
         .localCheckpoint() // read by the merge AND the ledger write
     }
     // components incident to the delta (under pred labels) that the
-    // delete side is NOT already rebuilding re-enter as contractions
+    // delete side is NOT already rebuilding re-enter as contractions —
+    // the incident ids are batch-derived, so this is a doc-keyed point
+    // read like every other id probe
     val aAppOnly = (if (!hasI) touched.limit(0) else {
-        val aApp = labels
-          .join(deltaPairs.select(col("id_a").as("id"))
-              .unionByName(deltaPairs.select(col("id_b").as("id"))).distinct(),
-            Seq("id"), "leftsemi")
+        val aApp = labelsForIds(deltaPairs.select(col("id_a").as("id"))
+            .unionByName(deltaPairs.select(col("id_b").as("id"))).distinct())
           .select("component").distinct()
         if (!hasTouched) aApp
         else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti")
       }).localCheckpoint()
-    // member lookups reuse the ALREADY-PINNED label relation: the
-    // id-keyed probes above forced its one materialization per batch,
-    // so these semi-joins read cached blocks — a bucket-pruned parquet
-    // re-read here would DUPLICATE I/O the pin already paid (measured:
-    // +60% on q187 when these went through per-call pruned reads)
-    val mRebuild = (if (!hasTouched) labels.limit(0) else labels
-        .join(broadcast(rebuildComps), Seq("component"), "leftsemi"))
-      .localCheckpoint()
-    val mContract = (if (!hasI) labels.limit(0) else labels
-        .join(broadcast(aAppOnly), Seq("component"), "leftsemi"))
+    // mRebuild accumulated during the closure walk (zero extra reads);
+    // the contract side is one pruned member read of its own components
+    // (the r16 note about pruned re-reads duplicating the pinned scan's
+    // I/O is moot — the full pin no longer exists)
+    val mContract = (if (!hasI) mRebuild.limit(0) else membersOf(aAppOnly))
       .localCheckpoint()
 
     // ---- ONE local components run over batch-sized evidence ----
     val atRestEdges = if (!hasTouched) emptyPairs else {
-      val buckets = origNodes
-        .select(pmod(col("node"), lit(16)).cast("int").as("bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      if (buckets.isEmpty) emptyPairs
+      val bks = bucketsOf(closureOrigs, "orig")
+      if (bks.isEmpty) emptyPairs
       else s.read.parquet(s"$stateDir/edges")
-        .filter(col("bucket").isin(buckets.map(Int.box): _*))
-        .join(broadcast(origNodes.select(col("node").as("component"))),
+        .filter(col("bucket").isin(bks.map(Int.box): _*))
+        .join(broadcast(closureOrigs.select(col("orig").as("component"))),
           Seq("component"), "leftsemi")
         .select("id_a", "id_b")
-        .join(broadcast(supersededAtRest.select(col("doc_id").as("id_a"))),
+        .join(supersededAtRest.select(col("doc_id").as("id_a")),
           Seq("id_a"), "left_anti")
-        .join(broadcast(supersededAtRest.select(col("doc_id").as("id_b"))),
+        .join(supersededAtRest.select(col("doc_id").as("id_b")),
           Seq("id_b"), "left_anti")
     }
     // a ledger pair's live endpoints share one current component, so
@@ -1438,7 +1625,7 @@ object DedupQueries {
     val localE = atRestEdges.unionByName(ledgerEdges)
       .unionByName(contractEdges).unionByName(deltaPairs)
     val newLocal = (
-      if (!hasTouched && !hasI) labels.limit(0)
+      if (!hasTouched && !hasI) mRebuild.limit(0)
       else Components.connectedComponents(localE, "id_a", "id_b")
         .select(col("id"), col("component")))
       .localCheckpoint() // written, counted, read by the manifest repair
@@ -1449,36 +1636,66 @@ object DedupQueries {
     val buckets = rebuildComps.select("component")
       .unionByName(aAppOnly.select("component"))
       .unionByName(newLocal.select("component"))
-      .select(pmod(col("component"), lit(16)).cast("int").as("bucket"))
+      .select(pmod(col("component"), lit(nb)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val predTouched = (
+    // predecessor content of the touched buckets — consumed once,
+    // inside the observed generation write (no pin)
+    val predTouched =
       if (buckets.isEmpty) atRestRows.limit(0)
       else base match {
         case None    => atRestRows.filter(col("bucket").isin(buckets.map(Int.box): _*))
         case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(buckets))
-      }).localCheckpoint() // read by the rewrite AND the count arithmetic
-    val nextTouched = predTouched.select("id", "component")
-      .join(broadcast(oldAffected), Seq("id"), "left_anti")
-      .unionByName(newLocal)
-      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
-      .localCheckpoint() // written AND counted; never recomputes the CC
-    nextTouched.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$labelsRoot/gen-$id")
-    cumDels.write.mode("overwrite").parquet(s"$root/dels/gen-$id")
-    cumApps.write.mode("overwrite").parquet(s"$root/apps/gen-$id")
-    ledger.unionByName(deltaPairs).distinct()
-      .write.mode("overwrite").parquet(s"$root/pairs/gen-$id")
-    val baseRows = base.map(_.rows).getOrElse(atRest.count())
-    val perBucket = nextTouched.groupBy("bucket").count().collect()
-    val written = perBucket.map(_.getInt(0)).toSet
-    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
-    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(16)) ++
+      }
+    // ONE action: the generation write carries the per-bucket counts
+    // and both sides of the count arithmetic as observe() metrics —
+    // newLocal stays pinned (the manifest repair reads it), so the CC
+    // never recomputes
+    val (written, nextRows, predRows) = BucketedGens.observedWrite(
+        predTouched, buckets, s"$labelsRoot/gen-$id") { pred =>
+      pred.select("id", "component")
+        .join(broadcast(oldAffected), Seq("id"), "left_anti")
+        .unionByName(newLocal)
+        .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
+    }
+    // O(batch) ledger segments — the batch's own contribution, nothing
+    // cumulative is ever rewritten (the purge happens at read time)
+    SegLedger.append(batchOps, s"$root/ops", id)
+    if (hasI) SegLedger.append(deltaPairs, s"$root/pairs", id)
+    val baseRows = base.map(_.rows).getOrElse(labelRows(s, stateDir))
+    val rows = baseRows - predRows + nextRows
+    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(labelsRoot, id, owners, rows)
-    BucketedGens.vacuum(labelsRoot, base, id)
-    EventQueries.vacuumViewGens(s"$root/dels", baseD)
-    EventQueries.vacuumViewGens(s"$root/apps", baseA)
-    EventQueries.vacuumViewGens(s"$root/pairs", baseP)
+    BucketedGens.vacuum(s, labelsRoot, base, id)
+    // the byid mirror's own generation: the SAME affected rows under the
+    // doc keying — touched buckets are pmod(affected ids, 16), write I/O
+    // O(affected) like the component-keyed write it mirrors. Committed
+    // after the labels generation; a crash between the two commits
+    // replays the whole batch, which re-bases BOTH roots strictly below
+    // `id` (their predecessors always pair up — they commit together)
+    // and overwrites both dirs whole.
+    val byBuckets = bucketsOf(
+      oldAffected.select("id").unionByName(newLocal.select("id")), "id")
+    val predBy =
+      if (byBuckets.isEmpty) atRestById.limit(0)
+      else baseBy match {
+        case None    => atRestById.filter(col("bucket").isin(byBuckets.map(Int.box): _*))
+        case Some(g) => BucketedGens.read(s, byidRoot, g, atRestById, Some(byBuckets))
+      }
+    val (writtenBy, _, _) = BucketedGens.observedWrite(
+        predBy, byBuckets, s"$byidRoot/gen-$id") { pred =>
+      pred.select("id", "component")
+        .join(broadcast(oldAffected), Seq("id"), "left_anti")
+        .unionByName(newLocal)
+        .withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
+    }
+    val ownersBy = baseBy.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
+      byBuckets.map(bk => bk -> (if (writtenBy(bk)) id else BucketedGens.Empty))
+    BucketedGens.commit(byidRoot, id, ownersBy, rows)
+    BucketedGens.vacuum(s, byidRoot, baseBy, id)
+    // no per-batch ledger vacuum: segments ACCUMULATE until a
+    // compaction truncates the family (that is the trade — O(batch)
+    // writes now, one bulk fold when the size policy fires)
     CdcFold(rows, newLocal, oldAffected, cumDels)
   }
 
@@ -1504,7 +1721,7 @@ object DedupQueries {
 
   private def stagedSurvivorState(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String, docs: org.apache.spark.sql.DataFrame,
-      ccState: String): String =
+      ccState: String, nbM: Int = 64): String =
     graft.sources.ZOrder.ensureStagedDir(tag, d, s"$d/documents.parquet") { target =>
       EventQueries.multiWriteStage(target) { stage =>
         val labels = s.read.parquet(s"$ccState/labels")
@@ -1514,16 +1731,19 @@ object DedupQueries {
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"),
             TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
-          .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+          .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
           .localCheckpoint() // read by the membership write AND the manifest agg
         membership.write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$stage/membership")
         // the manifest keyed by the same component buckets, so a
         // maintained-manifest generation can reference untouched
         // buckets here instead of re-materializing them
-        electSurvivors(membership)
-          .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
-          .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/manifest")
+        val manifest = electSurvivors(membership)
+          .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
+          .localCheckpoint() // written AND meta-counted
+        manifest.write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$stage/manifest")
+        writeStateMeta(stage, "manifest", nbM, manifest.count())
         new java.io.File(stage, "_SUCCESS").createNewFile()
         ()
       }
@@ -1553,7 +1773,7 @@ object DedupQueries {
       : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
     val stateDir = survivorStateDir(s, d)
     val buckets = touched
-      .select(pmod(col("component"), lit(64)).cast("int").as("bucket"))
+      .select(pmod(col("component"), lit(manifestBuckets(stateDir))).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val members = s.read.parquet(s"$stateDir/membership")
       .filter(col("bucket").isin(buckets: _*))
@@ -1588,22 +1808,33 @@ object DedupQueries {
     val b = netOps(b0) // ordered batches reduce to per-doc net ops ONCE
     val manRoot = s"$root/manifest"
     val survState = effectiveState(s, root, Some(id), survState0)
+    val nbM = manifestBuckets(survState)
     val baseM = BucketedGens.latest(manRoot, below = Some(id))
-    val baseQ = EventQueries.latestViewGen(s"$root/appsq", below = Some(id))
     val fold = componentsCdcImpl(ccState, root,
       b.select("op", "doc_id", "simhash"), id, staticSigs, historyPred)
-    val atRest = s.read.parquet(
-      s"${effectiveState(s, root, Some(id), ccState)}/labels")
-    val origOf = atRest.select(col("id"), col("component").as("orig"))
+    val ccStateEff = effectiveState(s, root, Some(id), ccState)
     val bD = b.filter(col("op") === "D").select("doc_id").distinct()
     val bI = b.filter(col("op") === "I").select("doc_id", "quality").distinct()
+      .localCheckpoint() // batch-sized; the ambiguity check + the ledger fold
+    if (!b0.columns.contains("seq")) requireUnambiguous(bI, "quality")
     val bIids = bI.select("doc_id")
-    val appsQ = baseQ.map(p => s.read.parquet(p)).getOrElse(bI.limit(0))
-      .join(bIids, Seq("doc_id"), "left_anti") // last append wins
-      .join(bD, Seq("doc_id"), "left_anti")    // deleted (unless re-appended)
-      .unionByName(bI)
+    // the quality ledger in SEGMENT form (r17, same discipline as the
+    // fold's op/pair ledgers): the batch lands only its net ops, the
+    // cumulative "live append qualities" resolve last-writer-wins
+    val batchOpsQ = bD.join(bIids, Seq("doc_id"), "left_anti")
+      .select(lit("D").as("op"), col("doc_id"), lit(null).cast("double").as("quality"))
+      .unionByName(bI.select(lit("I").as("op"), col("doc_id"), col("quality")))
+      .localCheckpoint() // written as the segment AND folded into winners
+    val appsQ = SegLedger.read(s, s"$root/opsq", id, batchOpsQ.limit(0),
+        segFloor(root, Some(id)))
+      .unionByName(batchOpsQ.withColumn("__seg", lit(id)))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("__seg").desc)))
+      .filter(col("__r") === 1 && col("op") === "I")
+      .select("doc_id", "quality")
       .localCheckpoint()
-    appsQ.write.mode("overwrite").parquet(s"$root/appsq/gen-$id")
+    SegLedger.append(batchOpsQ, s"$root/opsq", id)
     val cumDels = fold.cumDels
     // re-election universe V: the fold's affected docs (new labels ∪
     // dropped old members) + arrivals, minus the deletes
@@ -1611,7 +1842,7 @@ object DedupQueries {
       .unionByName(fold.oldAffected.select("id"))
       .unionByName(bIids.select(col("doc_id").as("id")))
       .distinct()
-      .join(broadcast(cumDels.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+      .join(cumDels.select(col("doc_id").as("id")), Seq("id"), "left_anti")
       .localCheckpoint()
     val vIds = v.select(col("id").as("doc_id"))
     val appsQv = appsQ.join(broadcast(vIds), Seq("doc_id"), "leftsemi")
@@ -1623,10 +1854,15 @@ object DedupQueries {
     // The bucket list covers exactly the v ids the ledger does NOT
     // carry — correct in both regimes (before a compaction those are
     // the history docs; after one, everything the compacted membership
-    // absorbed, arrivals included)
-    val vBuckets = vIds.join(appsQ.select("doc_id"), Seq("doc_id"), "left_anti")
-      .withColumnRenamed("doc_id", "id").join(origOf, Seq("id"), "left")
-      .select(pmod(coalesce(col("orig"), col("id")), lit(64)).cast("int").as("bucket"))
+    // absorbed, arrivals included). The orig lookup is a doc-keyed
+    // pruned point read of the byid mirror (r17: was a per-batch join
+    // against the full at-rest relation).
+    val vHist = vIds.join(appsQ.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumnRenamed("doc_id", "id")
+    val vBuckets = vHist
+      .join(atRestLabelsForIds(s, ccStateEff, vHist)
+          .select(col("id"), col("component").as("orig")), Seq("id"), "left")
+      .select(pmod(coalesce(col("orig"), col("id")), lit(nbM)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val memberQ = (
       if (vBuckets.isEmpty) appsQ.limit(0).select("doc_id", "quality")
@@ -1634,7 +1870,7 @@ object DedupQueries {
         .filter(col("bucket").isin(vBuckets.map(Int.box): _*))
         .join(broadcast(vIds), Seq("doc_id"), "leftsemi")
         .select("doc_id", "quality"))
-      .join(broadcast(appsQ.select("doc_id")), Seq("doc_id"), "left_anti")
+      .join(appsQ.select("doc_id"), Seq("doc_id"), "left_anti")
     val reElected = memberQ.unionByName(appsQv)
       .join(fold.newLocal.select(col("id").as("doc_id"),
           col("component").as("__newc")),
@@ -1649,63 +1885,59 @@ object DedupQueries {
       .distinct()
       .localCheckpoint() // bucket list + the pass-through anti-join
     val manBuckets = dropKeys
-      .select(pmod(col("component"), lit(64)).cast("int").as("bucket"))
+      .select(pmod(col("component"), lit(nbM)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     // the at-rest manifest is component-keyed and already carries the
     // same bucket column — it resolves AtRest buckets directly
     def atRestMan = s.read.parquet(s"$survState/manifest")
-    val predTouched = (
+    val predTouched =
       if (manBuckets.isEmpty) atRestMan.limit(0)
       else baseM match {
         case None    => atRestMan.filter(col("bucket").isin(manBuckets.map(Int.box): _*))
         case Some(g) => BucketedGens.read(s, manRoot, g, atRestMan, Some(manBuckets))
-      }).localCheckpoint() // read by the rewrite AND the count arithmetic
-    val nextTouched = predTouched
-      .join(broadcast(dropKeys), Seq("component"), "left_anti")
-      .select("component", "survivor_id", "n_members", "quality")
-      .unionByName(reElected)
-      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
-      .localCheckpoint() // written AND counted
-    nextTouched.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$manRoot/gen-$id")
+      }
+    // ONE action: write + per-bucket counts + count arithmetic as
+    // observe() metrics (see componentsRetractImpl)
+    val (written, nextRows, predRows) = BucketedGens.observedWrite(
+        predTouched, manBuckets, s"$manRoot/gen-$id") { pred =>
+      pred.join(broadcast(dropKeys), Seq("component"), "left_anti")
+        .select("component", "survivor_id", "n_members", "quality")
+        .unionByName(reElected)
+        .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
+    }
     val baseRows = baseM.map(_.rows)
-      .getOrElse(s.read.parquet(s"$survState/manifest").count())
-    val perBucket = nextTouched.groupBy("bucket").count().collect()
-    val written = perBucket.map(_.getInt(0)).toSet
-    val rows = baseRows - predTouched.count() + perBucket.map(_.getLong(1)).sum
-    val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(64)) ++
+      .getOrElse(manifestRows(s, survState))
+    val rows = baseRows - predRows + nextRows
+    val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(nbM)) ++
       manBuckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(manRoot, id, owners, rows)
-    BucketedGens.vacuum(manRoot, baseM, id)
-    EventQueries.vacuumViewGens(s"$root/appsq", baseQ)
+    BucketedGens.vacuum(s, manRoot, baseM, id)
     rows
   }
 
-  /** COMPACTION CADENCE for the CDC fold family (q190): fold the
-    * cumulative ledgers into a RE-STAGED at-rest state and truncate
-    * them. The ledgers (`dels`/`apps`/`pairs`/`appsq`) are the fold's
-    * only unbounded carried state — correct forever, but each batch
-    * re-broadcasts them and re-pays their anti-joins, a scale-killer
-    * after enough churn. Compaction derives the PRESENT corpus
-    * (history minus superseded, plus the apps ledger with its current
-    * sigs), re-runs the full banded pair → components → bucketed
-    * edges/labels build plus the survivor membership/manifest, lands
-    * it all under `$root/state/gen-<id>`, and commits full-snapshot
-    * label/manifest generations whose owners point every bucket at the
-    * NEW at-rest state — with EMPTY ledgers beside them. Post-
-    * compaction folds resolve this state ([[effectiveState]]) and pay
-    * no cumulative anti-join: the serve-cost discipline q149/q154
-    * proved for the ANN index, applied to the cluster family.
-    * Replay-safe by SKIP, not by re-run: the state dir's `_SUCCESS`
-    * is the compaction's overall commit marker, written after every
-    * other artifact (ledgers, generation pointers) — a re-delivered
-    * batch that finds it set returns immediately. This matters because
-    * the FOLD that follows the compaction inside the same micro-batch
-    * vacuums the pre-compaction ledger generations; a replay that
-    * tried to RE-RUN the compaction after that vacuum would find its
-    * inputs gone and silently rebuild from the history slice alone.
-    * Before the marker lands, no vacuum has run, so a partial
-    * compaction replays from intact predecessors and overwrites. */
+  /** COMPACTION for the CDC fold family (q190): fold the accumulated
+    * ledger SEGMENTS into a RE-STAGED at-rest state and truncate them.
+    * The segment families (`ops`/`pairs`/`opsq`) are the fold's only
+    * unbounded carried state — correct forever, but each batch re-pays
+    * their read-side reconstruction, a scale-killer after enough churn.
+    * Compaction derives the PRESENT corpus (history minus superseded,
+    * plus the live appends with their current sigs), re-runs the full
+    * banded pair → components → bucketed edges/labels(+byid mirror)
+    * build plus the survivor membership/manifest, lands it all under
+    * `$root/state/gen-<id>`, and commits full-snapshot label/byid/
+    * manifest generations whose owners point every bucket at the NEW
+    * at-rest state. Truncation is a READ RULE, not a filesystem fact:
+    * every ledger read floors at the latest compacted state's gen id
+    * ([[segFloor]]), so post-compaction folds see empty ledgers even
+    * before the segment vacuum lands — a crash between the marker and
+    * the vacuum can never resurrect absorbed ledger state. The cadence
+    * is [[shouldCompact]]'s size policy, not a hardcoded batch id.
+    * Replay-safe by SKIP, not by re-run: the state dir's `_SUCCESS` is
+    * the compaction's overall commit marker, written after every other
+    * artifact — a re-delivered batch that finds it set returns
+    * immediately. Before the marker lands, no vacuum has run, so a
+    * partial compaction replays from intact predecessors and
+    * overwrites. */
   private[graft] def survivorCompactStep(ccInit: String, survInit: String,
       root: String, id: Long, staticSigs: org.apache.spark.sql.DataFrame,
       historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Unit = {
@@ -1714,17 +1946,37 @@ object DedupQueries {
       return // committed by a previous delivery of this batch — skip
     val survPrev = effectiveState(s, root, Some(id), survInit)
     val baseState = EventQueries.latestViewGen(s"$root/state", below = Some(id))
-    def lv(kind: String) = EventQueries.latestViewGen(s"$root/$kind", below = Some(id))
     val (baseL, baseM) = (BucketedGens.latest(s"$root/labels", below = Some(id)),
       BucketedGens.latest(s"$root/manifest", below = Some(id)))
-    val (baseD, baseA, baseP, baseQ) = (lv("dels"), lv("apps"), lv("pairs"), lv("appsq"))
+    val baseBy = BucketedGens.latest(s"$root/labels_byid", below = Some(id))
+    val ledgerFloor = segFloor(root, Some(id))
+    // bucket counts CARRY FORWARD from the states being compacted — the
+    // standing generations were written under them and the serve-side
+    // resolution must stay consistent across the splice
+    val nbL = labelBuckets(effectiveState(s, root, Some(id), ccInit))
+    val nbM = manifestBuckets(survPrev)
     val emptyIds = staticSigs.select("doc_id").limit(0)
-    val cumDels = baseD.map(p => s.read.parquet(p)).getOrElse(emptyIds)
+    // the cumulative ledgers reconstructed ONCE from their segments —
+    // the bulk fold this compaction exists to amortize
+    val emptyOps = emptyIds
+      .select(lit("D").as("op"), col("doc_id"), lit(null).cast("long").as("simhash"))
+    val winners = SegLedger.read(s, s"$root/ops", id, emptyOps, ledgerFloor)
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("__seg").desc)))
+      .filter(col("__r") === 1)
       .localCheckpoint()
-    val cumApps = baseA.map(p => s.read.parquet(p))
-      .getOrElse(staticSigs.limit(0)).localCheckpoint()
-    val appsQ = baseQ.map(p => s.read.parquet(p))
-      .getOrElse(emptyIds.withColumn("quality", lit(0.0d))).localCheckpoint()
+    val cumDels = winners.filter(col("op") === "D").select("doc_id")
+    val cumApps = winners.filter(col("op") === "I").select("doc_id", "simhash")
+    val emptyOpsQ = emptyIds
+      .select(lit("D").as("op"), col("doc_id"), lit(null).cast("double").as("quality"))
+    val appsQ = SegLedger.read(s, s"$root/opsq", id, emptyOpsQ, ledgerFloor)
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("__seg").desc)))
+      .filter(col("__r") === 1 && col("op") === "I")
+      .select("doc_id", "quality")
+      .localCheckpoint()
     val superseded = cumDels.unionByName(cumApps.select("doc_id")).distinct()
     // the base corpus chains: first compaction from the historyPred
     // slice, later ones from the previous compaction's own snapshot
@@ -1733,7 +1985,7 @@ object DedupQueries {
       case Some(p) => s.read.parquet(s"$p/sigs")
     }
     val present = baseCorpus
-      .join(broadcast(superseded), Seq("doc_id"), "left_anti")
+      .join(superseded, Seq("doc_id"), "left_anti")
       .unionByName(cumApps.select("doc_id", "simhash"))
       .localCheckpoint()
     val stateDir = s"$root/state/gen-$id"
@@ -1748,18 +2000,20 @@ object DedupQueries {
       .localCheckpoint() // read by the components run AND the edge write
     val labels = Components.connectedComponents(pairs, "id_a", "id_b")
       .localCheckpoint()
-    labels.withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+    labels.withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels")
+    labels.withColumn("bucket", pmod(col("id"), lit(nbL)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels_byid")
     pairs
       .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
         Seq("id_a"))
-      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/edges")
     // ... and the survivor state: present docs' quality from the
     // predecessor membership (still valid for untouched history) ∪ the
     // quality ledger (appended docs, re-scored upserts)
     val presentQ = s.read.parquet(s"$survPrev/membership")
-      .join(broadcast(superseded), Seq("doc_id"), "left_anti")
+      .join(superseded, Seq("doc_id"), "left_anti")
       .select("doc_id", "quality")
       .unionByName(appsQ.select("doc_id", "quality"))
     val membership = presentQ
@@ -1768,37 +2022,39 @@ object DedupQueries {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"),
         col("quality"))
-      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
       .localCheckpoint() // membership write + manifest agg + counts
     membership.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/membership")
     val manifest = electSurvivors(membership)
-      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
       .localCheckpoint()
     manifest.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/manifest")
-    // truncate the ledgers: post-compaction folds read empty frames
-    cumDels.limit(0).write.mode("overwrite").parquet(s"$root/dels/gen-$id")
-    cumApps.limit(0).write.mode("overwrite").parquet(s"$root/apps/gen-$id")
-    staticSigs.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
-      .write.mode("overwrite").parquet(s"$root/pairs/gen-$id")
-    appsQ.limit(0).write.mode("overwrite").parquet(s"$root/appsq/gen-$id")
+    // ledger truncation is the SEGMENT VACUUM below (after the marker):
+    // post-compaction folds list no segment below their id and read
+    // empty frames — nothing is written here
     // full-snapshot generation pointers: every bucket at the NEW rest
-    BucketedGens.commit(s"$root/labels", id, BucketedGens.initialOwners(16),
-      labels.count())
-    BucketedGens.commit(s"$root/manifest", id, BucketedGens.initialOwners(64),
-      manifest.count())
+    // (the byid mirror carries the same standing count by construction)
+    val nLabels = labels.count()
+    val nManifest = manifest.count()
+    writeStateMeta(stateDir, "labels", nbL, nLabels)
+    writeStateMeta(stateDir, "manifest", nbM, nManifest)
+    BucketedGens.commit(s"$root/labels", id, BucketedGens.initialOwners(nbL), nLabels)
+    BucketedGens.commit(s"$root/labels_byid", id, BucketedGens.initialOwners(nbL), nLabels)
+    BucketedGens.commit(s"$root/manifest", id, BucketedGens.initialOwners(nbM),
+      nManifest)
     // the OVERALL commit marker, after every artifact above: a replay
     // that finds it skips; one that does not re-runs from predecessors
     // that are still intact (no vacuum has run yet)
     new java.io.File(stateDir, "_SUCCESS").createNewFile()
     // vacuums LAST — a replayed compaction must find its predecessors
-    BucketedGens.vacuum(s"$root/labels", baseL, id)
-    BucketedGens.vacuum(s"$root/manifest", baseM, id)
-    EventQueries.vacuumViewGens(s"$root/dels", baseD)
-    EventQueries.vacuumViewGens(s"$root/apps", baseA)
-    EventQueries.vacuumViewGens(s"$root/pairs", baseP)
-    EventQueries.vacuumViewGens(s"$root/appsq", baseQ)
+    BucketedGens.vacuum(s, s"$root/labels", baseL, id)
+    BucketedGens.vacuum(s, s"$root/labels_byid", baseBy, id)
+    BucketedGens.vacuum(s, s"$root/manifest", baseM, id)
+    SegLedger.vacuum(s"$root/ops", id)
+    SegLedger.vacuum(s"$root/pairs", id)
+    SegLedger.vacuum(s"$root/opsq", id)
     EventQueries.vacuumViewGens(s"$root/state", baseState)
   }
 

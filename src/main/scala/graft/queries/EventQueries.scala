@@ -122,10 +122,13 @@ object EventQueries {
     val in = new java.io.File(tmp, "in"); in.mkdirs()
     frames.zipWithIndex.foreach { case (f, i) =>
       val stage = s"$tmp/stage-$i"
-      f.coalesce(1).write.mode("overwrite").parquet(stage)
-      // an EMPTY frame still stages: coalesce(1) commits one
-      // schema-only part file, so the batch arrives (and folds no-op)
-      // rather than shifting later batches' ordinals
+      // repartition(1), NOT coalesce(1): coalesce on a zero-partition
+      // frame (e.g. derived from spark.emptyDataFrame) writes no part
+      // file at all, while repartition always yields exactly one
+      // partition — so an EMPTY frame still stages one schema-only part
+      // file and the batch arrives (and folds no-op) rather than
+      // shifting later batches' ordinals
+      f.repartition(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"stageOrderedDrain: no part file staged for batch $i"))

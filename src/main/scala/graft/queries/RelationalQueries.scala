@@ -217,8 +217,12 @@ object RelationalQueries {
          SELECT n_name, st.o_orderstatus, coalesce(n_orders, 0) AS n_orders
          FROM nation CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
          LEFT JOIN counts ON c_nationkey = n_nationkey AND counts.o_orderstatus = st.o_orderstatus""") { (s, d) =>
+      // hint-free since round 17: the raw customer dim goes through the
+      // ANALYZE'd statsDim catalog table (q11/q46/q48's discipline) and
+      // the planner elects the broadcast from CatalogStatistics
       val counts = Tables.orders(s, d).select("o_custkey", "o_orderstatus")
-        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        .join(statsDim(s, d, "customer", "customer",
+            Tables.customer(s, d).select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_nationkey", "o_orderstatus")
         .agg(count(lit(1)).as("n_orders"))
@@ -336,12 +340,18 @@ object RelationalQueries {
         ins.unionByName(upd).unionByName(del)
           .write.mode("overwrite").parquet(target)
       }
-      // enrichment first (broadcast dims, delta rows only), THEN the
-      // signed fold on the enriched keys
+      // enrichment first (dims joined to delta rows only), THEN the
+      // signed fold on the enriched keys. Hint-free since round 17: the
+      // dims are the SAME statsDim catalog tables joinViewPartial
+      // (q160) registers, so the planner's broadcast decision comes
+      // from their ANALYZE'd statistics and the two refresh paths can
+      // never plan against different dim snapshots.
       val enriched = s.read.parquet(deltaDir)
-        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        .join(statsDim(s, d, "customer", "customer",
+            Tables.customer(s, d).select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        .join(statsDim(s, d, "nation", "nation",
+            Tables.nation(s, d).select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
           col("op"), col("value_old"), col("value_new"))

@@ -610,6 +610,31 @@ class PlanBudgetSpec extends SparkSpec {
       "q170's refresh plan rescans orders.parquet instead of folding signed partials")
     assert(broadcasts(q) == 2)
     assert(!plan.contains("SortMergeJoin"))
+    // round 17: the delta enrichment dims went through statsDim — the
+    // two broadcasts above are the planner's own stats-driven choice
+    assert(!q.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q170's dim joins must stay hint-free (stats-driven)")
+  }
+
+  test("no raw-table broadcast hints remain in query code (stats-driven sweep)") {
+    // the round-15/16/17 sweep's end state, pinned at source level: a
+    // broadcast() hint on a RAW dimension table is an unconditional
+    // override that can't flip to shuffle when the dim outgrows the
+    // threshold on a real cluster — raw dims go through statsDim
+    // (ANALYZE'd catalog stats); explicit hints are reserved for
+    // DERIVED frames, where the hint IS the statistics.
+    val qdir = new java.io.File("src/main/scala/graft/queries")
+    val offenders = Option(qdir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".scala"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val hits = try src.getLines().zipWithIndex.collect {
+          case (l, i) if l.contains("broadcast(Tables.") => s"${f.getName}:${i + 1}"
+        }.toList finally src.close()
+        hits
+      }
+    assert(offenders.isEmpty,
+      s"raw-table broadcast hints must go through statsDim: ${offenders.mkString(", ")}")
   }
 
   test("incremental SCD2 (q169): the rebuild reads only touched buckets") {
@@ -705,6 +730,10 @@ class PlanBudgetSpec extends SparkSpec {
     val mOwners = BucketedGens.latest(s"$root/manifest").get.owners
     assert(mOwners.values.count(_ == BucketedGens.AtRest) >= 64 - mb.size - 4,
       s"untouched manifest buckets not referenced at rest: $mOwners")
+    // r17: the delete ledger lands as an O(batch) SEGMENT — exactly one
+    // row for the 1-delete batch, never a cumulative-frame rewrite
+    assert(graft.queries.SegLedger.rows(s"$root/dels", 1L) == 1L,
+      "the dels ledger segment must hold only the batch's own contribution")
   }
 
   test("as-of snapshot (q157): generation filter prunes partitions at file level") {

@@ -94,14 +94,93 @@ class BucketedGensSpec extends SparkSpec {
     assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 2L))
   }
 
+  test("vacuum retention: pins and keepLast survive full-bucket rewrites, owners closure included") {
+    // The as-of hazard the policy closes: a generation survives the
+    // default vacuum only while a NEWER owners map still references it —
+    // a batch that rewrites EVERY bucket (or a compaction's
+    // full-snapshot commit) erases all history. Retention must also be
+    // TRANSITIVE: keeping a pinned gen's own dir is useless if the dirs
+    // its owners point at are deleted.
+    def build(): (String, String) = {
+      val rest = atRestDir(Seq((10L, 0L), (11L, 1L), (12L, 2L), (13L, 3L)))
+      val root = Files.createTempDirectory("graft_bg_retain_").toString
+      writeGen(root, 0, Seq((11L, 5L))) // bucket 1 only
+      BucketedGens.commit(root, 0, BucketedGens.initialOwners(4) + (1 -> 0L), 4L)
+      writeGen(root, 1, Seq((12L, 6L))) // bucket 2 only; owners still reference gen 0
+      BucketedGens.commit(root, 1,
+        BucketedGens.latest(root).get.owners + (2 -> 1L), 4L)
+      // gens 2 and 3 rewrite EVERY bucket — nothing references 0/1 anymore
+      for (g <- 2L to 3L) {
+        writeGen(root, g, Seq((10L, 0L), (11L, 1L), (12L, 2L), (13L, 3L)))
+        BucketedGens.commit(root, g, Map(0 -> g, 1 -> g, 2 -> g, 3 -> g), 4L)
+      }
+      (rest, root)
+    }
+    def gens(root: String) = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("gen-")).sorted
+    // default policy: the full rewrites erase the history
+    val (_, rootDef) = build()
+    BucketedGens.vacuum(rootDef, BucketedGens.latest(rootDef, below = Some(3L)), 3L)
+    assert(gens(rootDef) == Seq("gen-2", "gen-3"), s"got ${gens(rootDef)}")
+    // pinned gen 1: survives AND its closure (gen 0, which it references
+    // for bucket 1) survives with it — the snapshot still RESOLVES
+    val (rest, root) = build()
+    BucketedGens.vacuum(root, BucketedGens.latest(root, below = Some(3L)), 3L,
+      pins = Set(1L))
+    assert(gens(root) == Seq("gen-0", "gen-1", "gen-2", "gen-3"), s"got ${gens(root)}")
+    val g1 = BucketedGens.latest(root, below = Some(2L)).get
+    val got = BucketedGens.read(spark, root, g1, atRest(rest))
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 11L -> 5L, 12L -> 6L, 13L -> 3L),
+      s"the pinned snapshot must resolve through its own owners: $got")
+    // keepLast horizon: the newest K committed generations stay servable
+    val (_, rootK) = build()
+    BucketedGens.vacuum(rootK, BucketedGens.latest(rootK, below = Some(3L)), 3L,
+      keepLast = 4)
+    assert(gens(rootK) == Seq("gen-0", "gen-1", "gen-2", "gen-3"),
+      s"got ${gens(rootK)}")
+  }
+
+  test("shouldCompact: ledger-size policy flips at the threshold, floored at the compacted state") {
+    // pure file-level fixture: segment metas + a manifest owners map —
+    // the policy must cost zero Spark jobs, so its test needs none
+    val root = Files.createTempDirectory("graft_policy_").toString
+    def seg(kind: String, id: Long, rows: Long): Unit = {
+      val d = new java.io.File(s"$root/$kind/seg-$id"); d.mkdirs()
+      new java.io.File(d, "_SUCCESS").createNewFile()
+      val w = new java.io.PrintWriter(new java.io.File(d, "_meta.json"), "UTF-8")
+      try w.print(s"""{"rows":$rows}""") finally w.close()
+    }
+    seg("ops", 1, 100)
+    assert(!DedupQueries.shouldCompact(root, 10, 0.05),
+      "no committed manifest generation → nothing to compact against")
+    BucketedGens.commit(s"$root/manifest", 3, BucketedGens.initialOwners(4), 1000)
+    assert(DedupQueries.shouldCompact(root, 10, 0.05), "100 rows > 5% of 1000")
+    assert(!DedupQueries.shouldCompact(root, 10, 0.15), "100 rows < 15% of 1000")
+    seg("opsq", 5, 100)
+    assert(DedupQueries.shouldCompact(root, 10, 0.15),
+      "families sum: 200 rows > 15% of 1000")
+    // a committed compacted state FLOORS the count — absorbed segments
+    // (ids ≤ the state's gen) must never re-trigger the cadence
+    new java.io.File(s"$root/state/gen-5").mkdirs()
+    new java.io.File(s"$root/state/gen-5/_SUCCESS").createNewFile()
+    assert(!DedupQueries.shouldCompact(root, 10, 0.05),
+      "segments at or below the compacted state are absorbed, not pending")
+    seg("ops", 7, 100)
+    assert(DedupQueries.shouldCompact(root, 10, 0.05),
+      "fresh post-compaction churn counts again")
+  }
+
   test("componentsRetractStep replay: same batch id re-bases and lands identical state") {
     // the q158 recovery discipline on the BUCKETED store: a re-delivered
     // delete batch must resolve the same predecessor owners and converge
     // to byte-identical owners + content
     val dir = Files.createTempDirectory("graft_bg_replay_state_").toString
-    Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "component")
-      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+    val lbl = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "component")
+    lbl.withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
       .write.partitionBy("bucket").parquet(s"$dir/labels")
+    lbl.withColumn("bucket", pmod(col("id"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/labels_byid")
     Seq((1L, 2L, 1L), (3L, 4L, 3L)).toDF("id_a", "id_b", "component")
       .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
       .write.partitionBy("bucket").parquet(s"$dir/edges")

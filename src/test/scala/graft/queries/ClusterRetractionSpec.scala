@@ -19,12 +19,15 @@ class ClusterRetractionSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir)
 
   /** Synthetic at-rest labels in the staged layout: bucket-partitioned
-    * by pmod(component, 16), the scheme every fold's generation dirs
-    * share. */
-  private def writeAtRestLabels(dir: String, rows: Seq[(Long, Long)]): Unit =
-    rows.toDF("id", "component")
-      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+    * by pmod(component, 16) PLUS the doc-keyed `labels_byid` mirror
+    * (pmod(id, 16)) — the pair every staged state carries since r17. */
+  private def writeAtRestLabels(dir: String, rows: Seq[(Long, Long)]): Unit = {
+    val df = rows.toDF("id", "component")
+    df.withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
       .write.partitionBy("bucket").parquet(s"$dir/labels")
+    df.withColumn("bucket", pmod(col("id"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/labels_byid")
+  }
 
   private def writeAtRestManifest(sdir: String,
       rows: Seq[(Long, Long, Long, Double)]): Unit =
@@ -300,13 +303,18 @@ class ClusterRetractionSpec extends SparkSpec {
     }
     step(1, Seq(("I", 21L, 7L, 0.4), ("D", 2L, null, null)))
     assert(labelsAt(dir, root, 1) == Map(1L -> 1L, 10L -> 1L, 11L -> 1L, 21L -> 1L))
-    assert(spark.read.parquet(s"$root/pairs/gen-1").count() > 0,
-      "pre-compaction: the bridge's probe pairs ride the ledger")
+    assert(spark.read.parquet(s"$root/pairs/seg-1").count() > 0,
+      "pre-compaction: the bridge's probe pairs ride the ledger segment")
+    // per-batch ledger writes are O(batch) SEGMENTS: batch 1's ops
+    // segment carries exactly its own 2 net ops, nothing cumulative
+    assert(SegLedger.rows(s"$root/ops", 2L) == 2L,
+      "the ops segment must hold only batch 1's net contribution")
     DedupQueries.survivorCompactStep(dir, sdir, root, 2L, sigs, historyPred = hist)
-    // ledgers truncated — the post-compaction serve carries no history
-    for (k <- Seq("dels", "apps", "pairs", "appsq"))
-      assert(spark.read.parquet(s"$root/$k/gen-2").isEmpty,
-        s"compaction must truncate $k")
+    // ledgers truncated — the segment vacuum dropped everything the
+    // compacted state absorbed
+    for (k <- Seq("ops", "pairs", "opsq"))
+      assert(SegLedger.dirs(s"$root/$k", Long.MaxValue).forall(_._1 > 2L),
+        s"compaction must truncate the $k segments it absorbed")
     // full-snapshot pointers: every bucket at the NEW rest
     val owners = BucketedGens.latest(s"$root/labels").get.owners
     assert(owners.values.forall(_ == BucketedGens.AtRest), s"got $owners")
@@ -315,12 +323,25 @@ class ClusterRetractionSpec extends SparkSpec {
     assert(manifestAtGen(sdir, root, 2) == Map(1L -> ((21L, 4L, 0.4))),
       "compaction must be invisible to the served manifest")
     // post-compaction fold: deleting the bridge splits the merge from
-    // the COMPACTED at-rest evidence (the old ledger is gone)
-    step(3, Seq(("D", 21L, null, null)))
+    // the COMPACTED at-rest evidence (the old ledger is gone). The
+    // PRE-compaction generation is PINNED (retention policy): without
+    // the pin, this fold's vacuum would erase gen-1 — the compaction's
+    // full-snapshot owners reference nothing older — and the as-of
+    // promise would be an accident of bucket sharing, not a guarantee.
+    val preCompactManifest = manifestAtGen(sdir, root, 1)
+    val preCompactLabels = labelsAt(dir, root, 1)
+    spark.conf.set("graft.gens.pins", "1")
+    try {
+      step(3, Seq(("D", 21L, null, null)))
+    } finally spark.conf.unset("graft.gens.pins")
     assert(labelsAt(dir, root, 3) == Map(10L -> 10L, 11L -> 10L),
       "post-compaction delete must split using the re-staged edges")
     assert(manifestAtGen(sdir, root, 3) ==
       Map(1L -> ((1L, 1L, 0.1)), 10L -> ((10L, 2L, 0.2))))
+    assert(manifestAtGen(sdir, root, 1) == preCompactManifest,
+      "the pinned pre-compaction manifest generation must stay as-of-servable")
+    assert(labelsAt(dir, root, 1) == preCompactLabels,
+      "the pinned pre-compaction label generation must stay as-of-servable")
   }
 
   test("componentsCdcStep property: random I/D/U scripts under random batching == closure") {
@@ -443,7 +464,13 @@ class ClusterRetractionSpec extends SparkSpec {
           emitI(x)
         case _ => ()
       }
-      val nBatches = 1 + rnd.nextInt(4)
+      // all three compaction regimes EVERY run: trial ≡ 0 mod 3 → none,
+      // ≡ 1 → one, ≡ 2 → two (the chained-state path — the second
+      // compaction's base corpus is the first's own sigs snapshot, with
+      // real churn folded in between); two-compaction trials force
+      // enough batches for two distinct splice points after batch 0
+      val nCompact = trial % 3
+      val nBatches = math.max(1 + rnd.nextInt(4), if (nCompact == 2) 3 else 1)
       val cuts = Seq.fill(nBatches - 1)(rnd.nextInt(script.size + 1)).sorted
       // each row keeps its changelog position — the `seq` column is the
       // batch contract that makes multi-op-per-doc batches well-defined
@@ -452,10 +479,12 @@ class ClusterRetractionSpec extends SparkSpec {
           script.slice(a, b).toSeq.zipWithIndex.map { case (r, k) => (r, (a + k).toLong) }
       }.toSeq
       val root = Files.createTempDirectory(s"graft_cdc_prop_root_$trial").toString
-      // half the trials fold a LEDGER COMPACTION before a random batch
-      // (gen ids double up: compaction 2i, batch 2i+1) — the maintained
-      // artifacts must be invisible to it
-      val compactBefore = if (rnd.nextBoolean()) Some(rnd.nextInt(batches.size)) else None
+      // compaction splice points (gen ids double up: compaction 2i,
+      // batch 2i+1) — the maintained artifacts must be invisible to
+      // them; points start at batch 1 (before batch 0 there is no
+      // committed generation to compact)
+      val compactBefore: Set[Int] =
+        rnd.shuffle((1 until batches.size).toList).take(nCompact).toSet
       var lastGen: Option[Long] = None
       batches.zipWithIndex.foreach { case (rows, i) =>
         if (compactBefore.contains(i) && lastGen.isDefined)
@@ -506,6 +535,24 @@ class ClusterRetractionSpec extends SparkSpec {
           s"  want ${wantManifest.toSeq.sortBy(_._1)}\n" +
           s"  script ${script.toSeq}")
     }
+  }
+
+  test("q190: the size policy fires mid-stream and the manifest still matches q189") {
+    // on the micro corpus one batch's segments are ~25% of the standing
+    // manifest — the 0.18 policy fires (possibly more than once: ratio
+    // re-crosses after each truncation here), and however many splices
+    // land, the maintained manifest must equal q189's over the same
+    // changelog. This is the policy-decides-the-splice-point guarantee;
+    // the sf-scale oracle (same SQL text as q189) re-proves it per run.
+    val dir = retractionCorpus()
+    def rows(name: String) = q(name, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaCompaction = rows("q190_stream_manifest_compaction")
+    assert(graft.streaming.StreamMetrics
+        .segments("graft_stream_manifest_compaction_compactions").nonEmpty,
+      "the size policy never fired — q190 degenerated to q189")
+    assert(viaCompaction == rows("q189_stream_manifest_cdc"),
+      "compaction must be invisible: q190 and q189 disagree on the manifest")
   }
 
   test("q182: a deleted survivor is re-elected; untouched manifest rows pass through") {
