@@ -142,10 +142,22 @@ private[graft] object BucketedGens {
       count(when(col("bucket") === b, 1)).as(s"b$b"))
     val next = build(pred.observe(oPred, count(lit(1)).as("n")))
       .observe(oNext, count(lit(1)).as("n"), perBucket: _*)
-    next.write.partitionBy("bucket").mode("overwrite").parquet(dest)
+    // ONE file per bucket: a 32-partition frame sprayed through
+    // partitionBy writes up to 32 near-empty files per touched bucket,
+    // and tiny-file overhead then dominates every later pruned read of
+    // this generation (the batch-sized repartition shuffle is noise)
+    next.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dest)
+    // AQE may replace a PROVABLY-EMPTY subtree with an empty relation
+    // once an upstream stage materializes empty — dropping the
+    // CollectMetrics node with it, so its Observation resolves to an
+    // EMPTY map. Empty-by-proof means the true aggregate is zero, which
+    // is exactly what the arithmetic needs; read missing metrics as 0.
     val (mN, mP) = (oNext.get, oPred.get)
-    val written = buckets.filter(b => mN(s"b$b").asInstanceOf[Long] > 0L).toSet
-    (written, mN("n").asInstanceOf[Long], mP("n").asInstanceOf[Long])
+    def metric(mm: Map[String, Any], k: String): Long =
+      mm.get(k).fold(0L)(_.asInstanceOf[Long])
+    val written = buckets.filter(b => metric(mN, s"b$b") > 0L).toSet
+    (written, metric(mN, "n"), metric(mP, "n"))
   }
 
   /** The owners CLOSURE of a committed generation: the gen itself plus

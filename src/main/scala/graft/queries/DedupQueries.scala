@@ -922,14 +922,22 @@ object DedupQueries {
           .localCheckpoint() // read by the components run AND the edge write
         val labels = Components.connectedComponents(pairs, "id_a", "id_b")
           .localCheckpoint()
+        // repartition BY BUCKET before every bucketed write: a
+        // 32-partition frame sprayed through partitionBy writes up to
+        // 32 near-empty files per bucket, and tiny-file overhead (not
+        // row bytes) then dominates every pruned read — ONE file per
+        // bucket keeps point-read bytes proportional to rows
         labels.withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
+          .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels")
         labels.withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
+          .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels_byid")
         pairs
           .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
             Seq("id_a"))
           .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
+          .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/edges")
         writeStateMeta(stage, "labels", nb, labels.count())
         new java.io.File(stage, "_SUCCESS").createNewFile()
@@ -982,7 +990,7 @@ object DedupQueries {
     * ~flat). */
   private[graft] def ccGateStateDir(s: org.apache.spark.sql.SparkSession,
       d: String, nb: Int): String =
-    stagedCcState(s, d, s"graft_cc_gate_b${nb}v1", Tables.documents(s, d), nb)
+    stagedCcState(s, d, s"graft_cc_gate_b${nb}v2", Tables.documents(s, d), nb)
 
   /** At-rest labels for a batch-sized id frame (col `id`) — a doc-keyed
     * pruned read of the staged `labels_byid` mirror: only pmod(id, 16)
@@ -1005,7 +1013,7 @@ object DedupQueries {
   /** Full-corpus cluster state (q181/q182/q185). */
   private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_state_b16v3", Tables.documents(s, d))
+    stagedCcState(s, d, "graft_cc_state_b16v4", Tables.documents(s, d))
 
   /** HISTORY-ONLY cluster state (q187 — arrivals stream in later, so
     * the standing state must not have seen them). The tag ENCODES the
@@ -1014,7 +1022,7 @@ object DedupQueries {
     * cache serves the old split forever. */
   private[graft] def ccHistStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_hist7_state_b16v3",
+    stagedCcState(s, d, "graft_cc_hist7_state_b16v4",
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0))
 
   /** The standing labels (id, component) from [[ccStateDir]]. */
@@ -1707,7 +1715,7 @@ object DedupQueries {
     * because it IS the output's pass-through side). */
   private[graft] def survivorStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedSurvivorState(s, d, "graft_survivor_state_b64v2",
+    stagedSurvivorState(s, d, "graft_survivor_state_b64v3",
       Tables.documents(s, d), ccStateDir(s, d))
 
   /** HISTORY-ONLY survivor state (q189 — manifest maintained under the
@@ -1715,7 +1723,7 @@ object DedupQueries {
     * Tag encodes the % 7 split rule, same reason as [[ccHistStateDir]]. */
   private[graft] def survivorHistStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedSurvivorState(s, d, "graft_survivor_hist7_state_b64v2",
+    stagedSurvivorState(s, d, "graft_survivor_hist7_state_b64v3",
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0),
       ccHistStateDir(s, d))
 
@@ -1733,7 +1741,8 @@ object DedupQueries {
             TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
           .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
           .localCheckpoint() // read by the membership write AND the manifest agg
-        membership.write.partitionBy("bucket").mode("overwrite")
+        membership.repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$stage/membership")
         // the manifest keyed by the same component buckets, so a
         // maintained-manifest generation can reference untouched
@@ -1741,7 +1750,8 @@ object DedupQueries {
         val manifest = electSurvivors(membership)
           .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
           .localCheckpoint() // written AND meta-counted
-        manifest.write.partitionBy("bucket").mode("overwrite")
+        manifest.repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$stage/manifest")
         writeStateMeta(stage, "manifest", nbM, manifest.count())
         new java.io.File(stage, "_SUCCESS").createNewFile()
@@ -2001,13 +2011,16 @@ object DedupQueries {
     val labels = Components.connectedComponents(pairs, "id_a", "id_b")
       .localCheckpoint()
     labels.withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels")
     labels.withColumn("bucket", pmod(col("id"), lit(nbL)).cast("int"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels_byid")
     pairs
       .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
         Seq("id_a"))
       .withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/edges")
     // ... and the survivor state: present docs' quality from the
     // predecessor membership (still valid for untouched history) ∪ the
@@ -2024,12 +2037,14 @@ object DedupQueries {
         col("quality"))
       .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
       .localCheckpoint() // membership write + manifest agg + counts
-    membership.write.partitionBy("bucket").mode("overwrite")
+    membership.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/membership")
     val manifest = electSurvivors(membership)
       .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
       .localCheckpoint()
-    manifest.write.partitionBy("bucket").mode("overwrite")
+    manifest.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/manifest")
     // ledger truncation is the SEGMENT VACUUM below (after the marker):
     // post-compaction folds list no segment below their id and read

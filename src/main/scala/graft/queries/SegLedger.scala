@@ -52,8 +52,11 @@ private[graft] object SegLedger {
     df.observe(o, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$root/seg-$id")
     val meta = new java.io.File(s"$root/seg-$id/_meta.json")
+    // a provably-empty batch frame can lose its CollectMetrics node to
+    // AQE empty-propagation — missing metric ⟹ zero rows
+    val rows = o.get.get("n").fold(0L)(_.asInstanceOf[Long])
     val w = new java.io.PrintWriter(meta, "UTF-8")
-    try w.print(s"""{"rows":${o.get("n").asInstanceOf[Long]}}""") finally w.close()
+    try w.print(s"""{"rows":$rows}""") finally w.close()
     ()
   }
 
