@@ -603,9 +603,11 @@ object DedupQueries {
     // APPENDS: the batch's sigs probe the PRESENT corpus (history ∪
     // appends-so-far, minus deletes-so-far) asymmetrically and the
     // delta pairs contract into the standing labels. Every piece of
-    // carried state is O(delta): delete/append id ledgers and the
-    // appended-pair ledger ride generation dirs beside the labels with
-    // q158's recovery + vacuum. The fold is batching-independent —
+    // carried state is O(delta) on BOTH I/O sides (r17): the op/pair
+    // ledgers land as per-batch delta SEGMENTS beside bucket-pruned
+    // label generations + their doc-keyed byid mirror, and every
+    // id-keyed probe is a bucket point read — never a label-relation
+    // scan. The fold is batching-independent —
     // rebuilds re-derive from immutable evidence, contraction
     // preserves connectivity and min-ids — so the final labels equal
     // the from-scratch closure over exactly the post-CDC corpus:
@@ -716,20 +718,23 @@ object DedupQueries {
 
     // LEDGER COMPACTION UNDER THE FULL CHANGELOG — q189's maintained
     // manifest with a COMPACTION folded into the middle of the stream:
-    // the cumulative dels/apps/pairs/appsq ledgers are the CDC family's
-    // only unbounded carried state, so after K batches the cadence
-    // re-stages the at-rest state over the present corpus and truncates
-    // them (survivorCompactStep — the q149/q154 "cheapest serve"
-    // discipline applied to the cluster family). The changelog is split
-    // into four ranged batches with the compaction before batch 2:
-    // pre-compaction folds pay the ledger anti-joins, post-compaction
-    // folds read EMPTY ledgers and a fresh bucketed state — and the
-    // final manifest must STILL equal the from-scratch derivation over
-    // the post-CDC corpus: the SAME oracle text as q189, so compaction
-    // is provably invisible to consumers. Generation ids double up
-    // (batch b → gen 2b+1, its preceding compaction → gen 2b) so both
-    // land in one monotone committed-predecessor chain and a replayed
-    // batch re-runs its compaction idempotently before re-folding.
+    // the ops/pairs/opsq ledger SEGMENTS are the CDC family's only
+    // unbounded carried state, so when they outgrow the standing
+    // manifest (shouldCompact's size policy — the r17 replacement for
+    // a hardcoded batch cadence) the step re-stages the at-rest state
+    // over the present corpus and truncates them (survivorCompactStep —
+    // the q149/q154 "cheapest serve" discipline applied to the cluster
+    // family). The changelog is split into four ranged batches; on
+    // this fixture the policy fires before batch 2: pre-compaction
+    // folds pay the segment reconstruction, post-compaction folds see
+    // no segments above the read floor and a fresh bucketed state —
+    // and the final manifest must STILL equal the from-scratch
+    // derivation over the post-CDC corpus: the SAME oracle text as
+    // q189, so compaction is provably invisible to consumers wherever
+    // the policy splices it. Generation ids double up (batch b → gen
+    // 2b+1, its preceding compaction → gen 2b) so both land in one
+    // monotone committed-predecessor chain and a replayed batch
+    // re-runs its compaction decision idempotently before re-folding.
     QueryDef("q190_stream_manifest_compaction", Seq("A10", "A2", "W6", "F4", "R4"),
       survivorManifestSql(ccCdcKeepPredSql)) { (s0, d) =>
       import org.apache.spark.sql.streaming.Trigger
@@ -1437,14 +1442,19 @@ object DedupQueries {
     // per doc over segment ordinals (within a segment the net op is
     // unique). One window over O(churn-since-compaction) rows — the
     // same read volume the r16 cumulative frames paid, with none of the
-    // per-batch full rewrites.
+    // per-batch full rewrites. A fold with NO standing segments (first
+    // batch, or right after a compaction — a DRIVER-side listing, no
+    // job) skips the window: its own net ops ARE the winners.
+    val hasOpsSegs = SegLedger.dirs(s"$root/ops", id, ledgerFloor).nonEmpty
     val allOps = SegLedger.read(s, s"$root/ops", id, batchOps.limit(0), ledgerFloor)
       .unionByName(batchOps.withColumn("__seg", lit(id)))
-    val winners = allOps.withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("__seg").desc)))
-      .filter(col("__r") === 1)
-      .localCheckpoint()
+    val winners =
+      if (!hasOpsSegs) batchOps // already one net row per doc, and pinned
+      else allOps.withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("__seg").desc)))
+        .filter(col("__r") === 1)
+        .localCheckpoint()
     val cumDels = winners.filter(col("op") === "D").select("doc_id")
     val cumApps = winners.filter(col("op") === "I").select("doc_id", "simhash")
     // EVERY touched doc's standing evidence dies: a delete forgets the
@@ -1457,17 +1467,22 @@ object DedupQueries {
     // the standing APPENDED-pair ledger: a pair from segment k is alive
     // iff no LATER segment carries any op for either endpoint (the
     // purge, resolved at read time — same-batch probe pairs survive
-    // their own batch's ops because the comparison is strict)
+    // their own batch's ops because the comparison is strict). No
+    // standing pair segment (driver-side listing) ⇒ empty ledger, no
+    // anti-join jobs.
+    val pairSegs = SegLedger.dirs(s"$root/pairs", id, ledgerFloor)
     val segPairs = SegLedger.read(s, s"$root/pairs", id, emptyPairs, ledgerFloor)
     val opsTouchA = allOps.select(col("doc_id").as("__ta"), col("__seg").as("__tsa"))
     val opsTouchB = allOps.select(col("doc_id").as("__tb"), col("__seg").as("__tsb"))
-    val ledger = segPairs
-      .join(opsTouchA, col("id_a") === col("__ta") && col("__tsa") > col("__seg"),
-        "left_anti")
-      .join(opsTouchB, col("id_b") === col("__tb") && col("__tsb") > col("__seg"),
-        "left_anti")
-      .select("id_a", "id_b")
-      .localCheckpoint()
+    val ledger =
+      if (pairSegs.isEmpty) emptyPairs
+      else segPairs
+        .join(opsTouchA, col("id_a") === col("__ta") && col("__tsa") > col("__seg"),
+          "left_anti")
+        .join(opsTouchB, col("id_b") === col("__tb") && col("__tsb") > col("__seg"),
+          "left_anti")
+        .select("id_a", "id_b")
+        .localCheckpoint()
     // THE DOC-KEYED LABEL MIRROR (r17): every id-keyed probe below
     // resolves through pmod(id, 16) point reads of the `labels_byid`
     // generations — r16 pinned the FULL standing label relation here, an
@@ -1835,15 +1850,20 @@ object DedupQueries {
       .select(lit("D").as("op"), col("doc_id"), lit(null).cast("double").as("quality"))
       .unionByName(bI.select(lit("I").as("op"), col("doc_id"), col("quality")))
       .localCheckpoint() // written as the segment AND folded into winners
-    val appsQ = SegLedger.read(s, s"$root/opsq", id, batchOpsQ.limit(0),
-        segFloor(root, Some(id)))
-      .unionByName(batchOpsQ.withColumn("__seg", lit(id)))
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("__seg").desc)))
-      .filter(col("__r") === 1 && col("op") === "I")
-      .select("doc_id", "quality")
-      .localCheckpoint()
+    // no standing opsq segment (driver-side listing) ⇒ the batch's own
+    // net I rows ARE the live qualities — skip the window + pin
+    val appsQ =
+      if (SegLedger.dirs(s"$root/opsq", id, segFloor(root, Some(id))).isEmpty)
+        batchOpsQ.filter(col("op") === "I").select("doc_id", "quality")
+      else SegLedger.read(s, s"$root/opsq", id, batchOpsQ.limit(0),
+          segFloor(root, Some(id)))
+        .unionByName(batchOpsQ.withColumn("__seg", lit(id)))
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("__seg").desc)))
+        .filter(col("__r") === 1 && col("op") === "I")
+        .select("doc_id", "quality")
+        .localCheckpoint()
     SegLedger.append(batchOpsQ, s"$root/opsq", id)
     val cumDels = fold.cumDels
     // re-election universe V: the fold's affected docs (new labels ∪
