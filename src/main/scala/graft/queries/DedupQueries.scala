@@ -217,10 +217,12 @@ object DedupQueries {
       q.awaitTermination()
       graft.streaming.StreamMetrics.record(sinkName, q)
       EventQueries.dropStaged(in)
-      EventQueries.latestViewGen(root) match {
-        case None      => batch.limit(0)
+      BucketedGens.latest(s"$root/labels") match {
+        case None    => batch.limit(0)
           .select(col("id_a").as("doc_id"), col("id_b").as("component"))
-        case Some(dir) => s.read.parquet(dir)
+        case Some(g) => BucketedGens.read(s, s"$root/labels", g,
+            batch.limit(0).select(col("id_a").as("id"),
+              col("id_b").as("component"), lit(0).cast("int").as("bucket")))
           .select(col("id").as("doc_id"), col("component"))
       }
     },
@@ -856,28 +858,82 @@ object DedupQueries {
   )
 
 
-  /** One q172 maintenance step: fold edge micro-batch `b` into the
-    * standing labels under `root` — contract the committed predecessor
-    * generation (labels re-enter as edges), union the batch's edges,
-    * re-run components, land gen-`id` (q158's recovery/vacuum
-    * discipline via EventQueries.latestViewGen: replays re-base on the
-    * committed predecessor and converge). Returns the label count. */
+  /** One q172 maintenance step (r17 shape): fold edge micro-batch `b`
+    * into the standing labels with O(delta) I/O on BOTH sides — the CDC
+    * fold's append side specialized to a merge-only stream that starts
+    * from an EMPTY standing state. The batch's incident components
+    * resolve through the doc-keyed byid mirror (bucket point reads),
+    * their members re-enter as contraction edges (CC(contract(L) ∪ Δ) =
+    * CC(edges(L) ∪ Δ); merge-only, so the incident components ARE the
+    * whole affected universe — no orig-closure), ONE components run
+    * covers batch-sized evidence, and only the touched buckets are
+    * rewritten (observed writes, owners-map count arithmetic). The r16
+    * shape re-contracted and rewrote the FULL standing relation every
+    * batch — O(standing) compute and write per fold. Replays re-base
+    * both keyings on their committed predecessors strictly below `id`
+    * and converge. Returns the standing label count. */
   private[graft] def componentsMergeStep(root: String,
       b: org.apache.spark.sql.DataFrame, id: Long): Long = {
     val s = b.sparkSession
-    val base = EventQueries.latestViewGen(root, below = Some(id))
-    val edges = base match {
-      case None => b.select(col("id_a"), col("id_b"))
-      case Some(p) => s.read.parquet(p)
-        .select(col("id").as("id_a"), col("component").as("id_b"))
-        .unionByName(b.select(col("id_a"), col("id_b")))
+    val nb = 16
+    val labelsRoot = s"$root/labels"
+    val byidRoot = s"$root/labels_byid"
+    val base = BucketedGens.latest(labelsRoot, below = Some(id))
+    val baseBy = BucketedGens.latest(byidRoot, below = Some(id))
+    val bE = b.select("id_a", "id_b").localCheckpoint()
+    // the standing state starts EMPTY — AtRest buckets resolve to no rows
+    def atRestEmpty = bE
+      .select(col("id_a").as("id"), col("id_a").as("component"),
+        pmod(col("id_a"), lit(nb)).cast("int").as("bucket"))
+      .limit(0)
+    def bucketsOf(df: org.apache.spark.sql.DataFrame, key: String): Seq[Int] =
+      df.select(pmod(col(key), lit(nb)).cast("int").as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    def readGen(r: String, g: Option[BucketedGens.Gen], bks: Seq[Int]) =
+      if (bks.isEmpty || g.isEmpty) atRestEmpty
+      else BucketedGens.read(s, r, g.get, atRestEmpty, Some(bks))
+    val incident = bE.select(col("id_a").as("id"))
+      .unionByName(bE.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint()
+    val touched = readGen(byidRoot, baseBy, bucketsOf(incident, "id"))
+      .join(broadcast(incident), Seq("id"), "leftsemi")
+      .select("component").distinct().localCheckpoint()
+    val mTouched = readGen(labelsRoot, base, bucketsOf(touched, "component"))
+      .join(broadcast(touched), Seq("component"), "leftsemi")
+      .select("id", "component").localCheckpoint()
+    val newLocal = Components.connectedComponents(
+        mTouched.select(col("id").as("id_a"), col("component").as("id_b"))
+          .unionByName(bE), "id_a", "id_b")
+      .localCheckpoint() // written under BOTH keyings
+    val oldAffected = mTouched.select("id")
+    val buckets = bucketsOf(
+      touched.select("component").unionByName(newLocal.select("component")),
+      "component")
+    val (written, nextRows, predRows) = BucketedGens.observedWrite(
+        readGen(labelsRoot, base, buckets), buckets, s"$labelsRoot/gen-$id") { p =>
+      p.select("id", "component")
+        .join(broadcast(oldAffected), Seq("id"), "left_anti")
+        .unionByName(newLocal)
+        .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
     }
-    val merged = graft.dedup.Components
-      .connectedComponents(edges, "id_a", "id_b")
-    val next = s"$root/gen-$id"
-    merged.write.mode("overwrite").parquet(next)
-    EventQueries.vacuumViewGens(root, base)
-    s.read.parquet(next).count()
+    val rows = base.map(_.rows).getOrElse(0L) - predRows + nextRows
+    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
+      buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
+    BucketedGens.commit(labelsRoot, id, owners, rows)
+    BucketedGens.vacuum(s, labelsRoot, base, id)
+    val byBuckets = bucketsOf(oldAffected.unionByName(newLocal.select("id")), "id")
+    val (writtenBy, _, _) = BucketedGens.observedWrite(
+        readGen(byidRoot, baseBy, byBuckets), byBuckets, s"$byidRoot/gen-$id") { p =>
+      p.select("id", "component")
+        .join(broadcast(oldAffected), Seq("id"), "left_anti")
+        .unionByName(newLocal)
+        .withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
+    }
+    val ownersBy = baseBy.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
+      byBuckets.map(bk => bk -> (if (writtenBy(bk)) id else BucketedGens.Empty))
+    BucketedGens.commit(byidRoot, id, ownersBy, rows)
+    BucketedGens.vacuum(s, byidRoot, baseBy, id)
+    rows
   }
 
   // ---- retraction state (q181/q182/q185) --------------------------------

@@ -163,23 +163,37 @@ class TextDedupSpec extends SparkSpec {
     assert(inc(20L) == 20L && inc(21L) == 20L && inc(201L) == 200L)
   }
 
-  test("q172 merge step: replayed batch ids converge, vacuum keeps base + next") {
+  test("q172 merge step: replayed batch ids converge, folds write only touched buckets") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
     val root = java.nio.file.Files.createTempDirectory("graft_cc_stream_spec_").toString
     def edges(rows: (Long, Long)*) = rows.toSeq.toDF("id_a", "id_b")
     graft.queries.DedupQueries.componentsMergeStep(root, edges((1L, 2L), (10L, 11L)), 0L)
     graft.queries.DedupQueries.componentsMergeStep(root, edges((2L, 10L)), 1L) // bridge
-    def served: Map[Long, Long] = spark.read
-      .parquet(graft.queries.EventQueries.latestViewGen(root).get)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def served: Map[Long, Long] = {
+      val g = graft.queries.BucketedGens.latest(s"$root/labels").get
+      graft.queries.BucketedGens.read(spark, s"$root/labels", g,
+          edges().select(col("id_a").as("id"), col("id_b").as("component"),
+            lit(0).cast("int").as("bucket")).limit(0))
+        .select("id", "component")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     val after = served
     assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L), s"got $after")
+    // the bridge merged comp 10 into comp 1: bucket 10 dissolved and
+    // must carry the EMPTY sentinel, never a full-snapshot rewrite
+    val owners1 = graft.queries.BucketedGens.latest(s"$root/labels").get.owners
+    assert(owners1(10) == graft.queries.BucketedGens.Empty, s"got $owners1")
     // foreachBatch restart contract: batch 1 replays, labels converge
     graft.queries.DedupQueries.componentsMergeStep(root, edges((2L, 10L)), 1L)
     assert(served == after, "replayed batch diverged the labels")
-    // vacuum: a third batch supersedes gen-0
+    // a third batch touches ONLY bucket 4 (comp 20) — untouched buckets
+    // keep their predecessors in the owners map, and gen-0 is vacuumed
+    // once nothing references it
     graft.queries.DedupQueries.componentsMergeStep(root, edges((20L, 21L)), 2L)
-    val gens = new java.io.File(root).listFiles().map(_.getName)
+    val owners2 = graft.queries.BucketedGens.latest(s"$root/labels").get.owners
+    assert(owners2(4) == 2L && owners2(1) == 1L, s"got $owners2")
+    val gens = new java.io.File(s"$root/labels").listFiles().map(_.getName)
       .filter(_.startsWith("gen-")).sorted
     assert(gens.toSeq == Seq("gen-1", "gen-2"), s"vacuum kept: ${gens.mkString(",")}")
     assert(served == after + (20L -> 20L) + (21L -> 20L))
