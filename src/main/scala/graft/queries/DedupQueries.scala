@@ -1518,8 +1518,9 @@ object DedupQueries {
     // its old pairs are purged and its component rebuilt, with fresh
     // probe pairs (below) re-defining it. This makes a bare I on a
     // present doc a full upsert, not a probe-only patch.
-    val touchedIds = bD.unionByName(bIids).distinct()
-      .localCheckpoint() // purge keys + the component-touch probe
+    // union of two pinned frames, consumed only by a semi-join probe —
+    // duplicates are harmless there, so no distinct shuffle, no pin
+    val touchedIds = bD.unionByName(bIids)
     // the standing APPENDED-pair ledger: a pair from segment k is alive
     // iff no LATER segment carries any op for either endpoint (the
     // purge, resolved at read time — same-batch probe pairs survive
@@ -1644,8 +1645,9 @@ object DedupQueries {
     // ---- append side: probe pairs against the PRESENT corpus ----
     // at-rest evidence superseded by a delete OR a (re-)append — those
     // docs' standing edges come from the pair ledger + fresh probes
-    val supersededAtRest = cumDels.unionByName(cumApps.select("doc_id")).distinct()
-      .localCheckpoint()
+    // derived from the pinned winners, consumed only by anti-joins —
+    // duplicates are harmless, so no distinct shuffle, no pin
+    val supersededAtRest = cumDels.unionByName(cumApps.select("doc_id"))
     val deltaPairs = if (!hasI) emptyPairs else {
       // the probe's base corpus is whatever the at-rest state COVERS: the
       // historyPred slice of the static frame initially, the compacted
@@ -1966,10 +1968,10 @@ object DedupQueries {
       .transform(electSurvivors)
     // old manifest keys to retire: V ids (an affected comp's old key is
     // a member id, a singleton's key its own id) ∪ this batch's deletes
+    // union of pinned/batch frames, consumed by an anti-join and a
+    // bucket list (itself distinct) — duplicates harmless, no shuffle/pin
     val dropKeys = v.select(col("id").as("component"))
       .unionByName(bD.select(col("doc_id").as("component")))
-      .distinct()
-      .localCheckpoint() // bucket list + the pass-through anti-join
     val manBuckets = dropKeys
       .select(pmod(col("component"), lit(nbM)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
