@@ -2148,7 +2148,32 @@ object DedupQueries {
     SegLedger.vacuum(s"$root/ops", id)
     SegLedger.vacuum(s"$root/pairs", id)
     SegLedger.vacuum(s"$root/opsq", id)
-    EventQueries.vacuumViewGens(s"$root/state", baseState)
+    // the state vacuum is RETENTION-AWARE: a pinned (or keepLast-held)
+    // generation's AtRest buckets resolve against the compacted state
+    // that was current when it committed — deleting that snapshot would
+    // leave a retained generation that parses but cannot resolve. Keep
+    // every state some retained generation re-bases on (both the
+    // fold-side below-g and the serve-side below-g+1 reads), drop the
+    // rest strictly below the compaction base as before.
+    def genNum(p: String): Long = p.substring(p.lastIndexOf("gen-") + 4).toLong
+    def retained(r: String): Seq[Long] =
+      Option(new java.io.File(r).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("gen-") &&
+          new java.io.File(f, "_owners.json").exists())
+        .map(f => genNum(f.getName))
+    val referencedStates: Set[Long] =
+      (retained(s"$root/labels") ++ retained(s"$root/labels_byid") ++
+        retained(s"$root/manifest"))
+        .flatMap(g => Seq(g, g + 1)
+          .flatMap(b => EventQueries.latestViewGen(s"$root/state", Some(b))))
+        .map(genNum).toSet
+    val baseNum = baseState.map(genNum)
+    Option(new java.io.File(s"$root/state").listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        n.startsWith("gen-") && baseNum.exists(genNum(n) < _) &&
+          !referencedStates(genNum(n))
+      }.foreach(EventQueries.rm)
   }
 
   /** THE survivor election — argmax(quality) per component, min-id

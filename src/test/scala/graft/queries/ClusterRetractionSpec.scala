@@ -342,6 +342,23 @@ class ClusterRetractionSpec extends SparkSpec {
       "the pinned pre-compaction manifest generation must stay as-of-servable")
     assert(labelsAt(dir, root, 1) == preCompactLabels,
       "the pinned pre-compaction label generation must stay as-of-servable")
+    // MULTI-COMPACTION retention: pin gen 3 too — its AtRest buckets
+    // resolve against the state snapshot compaction 2 landed, and two
+    // FURTHER compactions later that snapshot must still exist: the
+    // state vacuum is retention-aware (keeps every state a retained
+    // generation re-bases on), not a blind below-base sweep.
+    val atGen3 = manifestAtGen(sdir, root, 3)
+    spark.conf.set("graft.gens.pins", "1,3")
+    try {
+      DedupQueries.survivorCompactStep(dir, sdir, root, 6L, sigs, historyPred = hist)
+      step(7, Seq(("D", 11L, null, null)))
+      DedupQueries.survivorCompactStep(dir, sdir, root, 10L, sigs, historyPred = hist)
+    } finally spark.conf.unset("graft.gens.pins")
+    assert(new java.io.File(s"$root/state/gen-2").exists(),
+      "the state snapshot a pinned generation re-bases on was vacuumed away")
+    assert(manifestAtGen(sdir, root, 3) == atGen3,
+      "the pinned post-compaction generation must stay as-of-servable " +
+        "across later compactions")
   }
 
   test("componentsCdcStep property: random I/D/U scripts under random batching == closure") {
