@@ -163,6 +163,57 @@ class TextDedupSpec extends SparkSpec {
     assert(inc(20L) == 20L && inc(21L) == 20L && inc(201L) == 200L)
   }
 
+  test("componentsMergeStep property: random edge streams under random batching == closure") {
+    // batching-independence for the r17 localized merge fold: however a
+    // random edge stream is cut into micro-batches, the maintained
+    // labels must equal the union-find closure over ALL edges — the
+    // contract that makes incident-component contraction safe across
+    // arbitrary interleavings of bridges, repeats, and fresh cliques
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(15)
+      val allEdges = Seq.fill(n)(
+          (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+        .filter(p => p._1 != p._2)
+      val nB = 1 + rnd.nextInt(4)
+      val cuts = Seq.fill(nB - 1)(rnd.nextInt(allEdges.size + 1)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(allEdges.size)).sliding(2)
+        .map { case Seq(a, b) => allEdges.slice(a, b) }.toSeq
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_merge_prop_$trial").toString
+      var last = -1L
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        if (rows.nonEmpty) {
+          graft.queries.DedupQueries.componentsMergeStep(
+            root, rows.toDF("id_a", "id_b"), i.toLong)
+          last = i.toLong
+        }
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      allEdges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      val g = graft.queries.BucketedGens.latest(s"$root/labels").get
+      val got = graft.queries.BucketedGens.read(spark, s"$root/labels", g,
+          allEdges.toDF("id_a", "id_b").select(col("id_a").as("id"),
+            col("id_b").as("component"), lit(0).cast("int").as("bucket")).limit(0))
+        .select("id", "component")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"trial $trial (${batches.map(_.size).mkString("/")}): merge fold diverged\n" +
+          s"  got  ${got.toSeq.sorted}\n  want ${want.toSeq.sorted}\n  edges $allEdges")
+      assert(last >= 0)
+    }
+  }
+
   test("q172 merge step: replayed batch ids converge, folds write only touched buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
