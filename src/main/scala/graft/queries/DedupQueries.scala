@@ -1071,6 +1071,20 @@ object DedupQueries {
       .select("id", "component")
   }
 
+  /** [[atRestLabelsForIds]] against the staged full-corpus state, with
+    * the bucket list exposed — PlanBudgetSpec's file-level seam for
+    * asserting the doc-keyed point read opens ONLY pmod(id, nb)
+    * partitions of the byid mirror. */
+  private[graft] def ccLabelsForIdsRead(s: org.apache.spark.sql.SparkSession,
+      d: String, ids: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
+    val stateDir = ccStateDir(s, d)
+    val nb = labelBuckets(stateDir)
+    val bks = ids.select(pmod(col("id"), lit(nb)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    (atRestLabelsForIds(s, stateDir, ids), bks)
+  }
+
   /** Full-corpus cluster state (q181/q182/q185). */
   private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =

@@ -694,6 +694,55 @@ class PlanBudgetSpec extends SparkSpec {
     assert(memberBuckets.nonEmpty && memberBuckets.size < 64,
       s"fixture degenerate: deletes touch ${memberBuckets.size} of 64 membership buckets")
     prunedScanPartitions(members, "survivor_state", memberBuckets.size)
+    // r17: the doc-keyed companion index — an id-keyed probe opens only
+    // pmod(id, nb) partitions of the byid mirror, never the full label
+    // relation (the r16 read floor). A probe bucket holding no labels
+    // has no partition dir, so the expected file count is the probe
+    // buckets' intersection with the dirs that exist.
+    import org.apache.spark.sql.functions.col
+    val probeIds = spark.range(1, 40, 7).select(col("id"))
+    val (byidRead, idBuckets) = DedupQueries.ccLabelsForIdsRead(spark, sf, probeIds)
+    assert(idBuckets.nonEmpty && idBuckets.size < 16,
+      s"fixture degenerate: probe ids land in ${idBuckets.size} of 16 byid buckets")
+    val byidDirs = Option(new java.io.File(
+        s"${DedupQueries.ccStateDir(spark, sf)}/labels_byid").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).toSet
+    val expectByid = idBuckets.count(byidDirs)
+    assert(expectByid > 0 && expectByid < byidDirs.size,
+      s"fixture degenerate: probe covers $expectByid of ${byidDirs.size} existing byid buckets")
+    prunedScanPartitions(byidRead, "labels_byid", expectByid)
+  }
+
+  test("CDC fold (q187): a 1-doc batch writes a strict subset of BOTH label keyings") {
+    // the r17 byid mirror must follow the same subset-write contract as
+    // the component-keyed generations — a gen materializing all 16
+    // buckets under either keying is a full-snapshot rewrite in disguise
+    import graft.queries.{BucketedGens, DedupQueries}
+    import org.apache.spark.sql.functions.{col, lit, min}
+    val ccState = DedupQueries.ccStateDir(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcgen_").toString
+    val one = spark.read.parquet(s"$ccState/labels")
+      .agg(min(col("id")).as("doc_id"))
+      .select(lit("D").as("op"), col("doc_id"),
+        lit(null).cast("long").as("simhash"))
+    val sigs = one.select(col("doc_id"), lit(0L).as("simhash")).limit(0)
+    DedupQueries.componentsCdcStep(ccState, root, one, 0L, sigs,
+      historyPred = lit(true))
+    def bucketDirs(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    val lb = bucketDirs(s"$root/labels/gen-0")
+    assert(lb.size < 16,
+      s"label gen-0 wrote ${lb.size} of 16 buckets — the fold rewrote untouched state")
+    val bb = bucketDirs(s"$root/labels_byid/gen-0")
+    assert(bb.nonEmpty && bb.size < 16,
+      s"byid gen-0 wrote ${bb.size} of 16 buckets — the mirror rewrote untouched state")
+    // both keyings commit the same standing count
+    assert(BucketedGens.latest(s"$root/labels").get.rows ==
+      BucketedGens.latest(s"$root/labels_byid").get.rows)
+    // the ops ledger segment is O(batch): exactly the one delete row
+    assert(graft.queries.SegLedger.rows(s"$root/ops", 1L) == 1L)
   }
 
   test("bucketed generations (q185/q188): a 1-delete batch writes a strict subset of buckets") {
