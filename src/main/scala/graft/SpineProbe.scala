@@ -644,11 +644,7 @@ object SpineProbe {
       // copies share simhashes and would merge cross-copy cliques,
       // growing the affected set itself — a data effect, not an
       // architecture one).
-      def foldBytes(dir: String, nb: Int,
-          batch: DataFrame): Long = {
-        val st = graft.queries.DedupQueries.ccGateStateDir(spark, dir, nb)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_readfloor_").toString
+      def meteredBytes(body: => Unit): Long = {
         val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
         val l = new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
@@ -659,14 +655,37 @@ object SpineProbe {
         }
         spark.sparkContext.addSparkListener(l)
         try {
-          graft.queries.DedupQueries.componentsCdcStep(st, root, batch, 0L,
-            batch.select(col("doc_id"), lit(0L).as("simhash")).limit(0),
-            historyPred = lit(true))
+          body
           // the listener bus is async — settle until the counter stops
           var prev = -1L
           while (bytes.get != prev) { prev = bytes.get; Thread.sleep(300) }
         } finally spark.sparkContext.removeSparkListener(l)
         bytes.get
+      }
+      def labelFoldBytes(dir: String, nb: Int, batch: DataFrame): Long = {
+        val st = graft.queries.DedupQueries.ccGateStateDir(spark, dir, nb)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_readfloor_").toString
+        meteredBytes {
+          graft.queries.DedupQueries.componentsCdcStep(st, root, batch, 0L,
+            batch.select(col("doc_id"), lit(0L).as("simhash")).limit(0),
+            historyPred = lit(true)); ()
+        }
+      }
+      // the q189 twin: the SAME fixed batch through the composed
+      // label-fold + manifest-repair step, survivor state staged at the
+      // proportional manifest bucket count
+      def manifestFoldBytes(dir: String, nb: Int, batch: DataFrame): Long = {
+        val cc = graft.queries.DedupQueries.ccGateStateDir(spark, dir, nb)
+        val sv = graft.queries.DedupQueries.survivorGateStateDir(spark, dir, cc, nb)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_readfloor_m_").toString
+        meteredBytes {
+          graft.queries.DedupQueries.survivorCdcStep(cc, sv, root,
+            batch.withColumn("quality", lit(null).cast("double")), 0L,
+            batch.select(col("doc_id"), lit(0L).as("simhash")).limit(0),
+            historyPred = lit(true)); ()
+        }
       }
       // the fixed batch: the 24 smallest CLUSTERED doc ids of the base
       // corpus — present verbatim (copy 0) in the scaled corpus, where
@@ -678,11 +697,16 @@ object SpineProbe {
           lit(null).cast("long").as("simhash"))
         .localCheckpoint()
       val nbN = (64 * factor).toInt
-      val b1 = foldBytes(sfDir, 64, fixedBatch)
-      val bN = foldBytes(scaledSfx, nbN, fixedBatch)
+      val b1 = labelFoldBytes(sfDir, 64, fixedBatch)
+      val bN = labelFoldBytes(scaledSfx, nbN, fixedBatch)
       gate(s"q187_readfloor_bytes_flat_$tag",
         b1 > 0 && bN <= b1 * 5 / 2 + (1L << 20),
         f"fixed 24-delete fold bytes_1x=$b1 bytes_$tag=$bN ratio=${bN.toDouble / math.max(b1, 1)}%.2f nb=64->$nbN")
+      val m1 = manifestFoldBytes(sfDir, 64, fixedBatch)
+      val mN = manifestFoldBytes(scaledSfx, nbN, fixedBatch)
+      gate(s"q189_readfloor_bytes_flat_$tag",
+        m1 > 0 && mN <= m1 * 5 / 2 + (2L << 20),
+        f"fixed 24-delete manifest fold bytes_1x=$m1 bytes_$tag=$mN ratio=${mN.toDouble / math.max(m1, 1)}%.2f nb=64->$nbN")
       }
 
       if (needed("embeddings")) {

@@ -1053,6 +1053,14 @@ object DedupQueries {
       d: String, nb: Int): String =
     stagedCcState(s, d, s"graft_cc_gate_b${nb}v2", Tables.documents(s, d), nb)
 
+  /** The manifest-side twin of [[ccGateStateDir]]: a survivor state
+    * staged at an explicit manifest bucket count over the given cluster
+    * state — the decade gate's handle for the q189 fold. */
+  private[graft] def survivorGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String, ccState: String, nbM: Int): String =
+    stagedSurvivorState(s, d, s"graft_survivor_gate_b${nbM}v1",
+      Tables.documents(s, d), ccState, nbM)
+
   /** At-rest labels for a batch-sized id frame (col `id`) — a doc-keyed
     * pruned read of the staged `labels_byid` mirror: only pmod(id, 16)
     * buckets open, never the full label relation. Rows absent from the
