@@ -1689,19 +1689,22 @@ object DedupQueries {
     // delete side is NOT already rebuilding re-enter as contractions —
     // the incident ids are batch-derived, so this is a doc-keyed point
     // read like every other id probe
-    val aAppOnly = (if (!hasI) touched.limit(0) else {
+    // delete-only batches skip the checkpoint jobs entirely — pinning a
+    // statically-empty frame is a wasted action per micro-batch
+    val aAppOnly = if (!hasI) touched.limit(0) else {
         val aApp = labelsForIds(deltaPairs.select(col("id_a").as("id"))
             .unionByName(deltaPairs.select(col("id_b").as("id"))).distinct())
           .select("component").distinct()
-        if (!hasTouched) aApp
-        else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti")
-      }).localCheckpoint()
+        (if (!hasTouched) aApp
+         else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti"))
+          .localCheckpoint()
+      }
     // mRebuild accumulated during the closure walk (zero extra reads);
     // the contract side is one pruned member read of its own components
     // (the r16 note about pruned re-reads duplicating the pinned scan's
     // I/O is moot — the full pin no longer exists)
-    val mContract = (if (!hasI) mRebuild.limit(0) else membersOf(aAppOnly))
-      .localCheckpoint()
+    val mContract = if (!hasI) mRebuild.limit(0)
+      else membersOf(aAppOnly).localCheckpoint()
 
     // ---- ONE local components run over batch-sized evidence ----
     val atRestEdges = if (!hasTouched) emptyPairs else {
