@@ -190,6 +190,64 @@ class ClusterRetractionSpec extends SparkSpec {
       "the rebuild must cover the comp-orig CLOSURE: O2's edges feed M's rebuild")
   }
 
+  test("componentsCdcStep: THREE-hop comp/orig closure — the walk iterates past one round") {
+    // One level deeper than the far-fragment test: O1 = chain
+    // {1,2,3,4}, O2 = chain {10,11,12}, O3 = pair {30,31}. Splits and
+    // bridges chain them: comp{3,4} shares O1 with comp{1,50,10}
+    // (bridge 50), which shares O2 with comp{12,60,30,31} (bridge 60),
+    // which spans O3. Deleting doc 4 touches ONLY comp{3,4}; the walk
+    // must traverse O1 → comp1 → O2 → comp12 → O3 (two full BFS
+    // iterations) or O3's at-rest edge (30,31) goes unread and docs
+    // 30/31 silently vanish from the rebuilt labels.
+    val dir = Files.createTempDirectory("graft_cdc_3hop_state_").toString
+    writeAtRestLabels(dir, Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (30L, 30L), (31L, 30L)))
+    Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (10L, 11L, 10L), (11L, 12L, 10L), (30L, 31L, 30L))
+      .toDF("id_a", "id_b", "component")
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    // sigs: bridge 50 (sig 2) pairs exactly {1 (0), 10 (4)}; bridge 60
+    // (H^1) pairs exactly {12 (H), 30 (H^2), 31 (H^3)}; every other
+    // history doc sits in its own far region (no probe reaches it)
+    val G = ((1L << 10) - 1) << 20
+    val K = ((1L << 10) - 1) << 34
+    val H = ((1L << 10) - 1) << 46
+    val sigs = Seq((1L, 0L), (2L, G), (3L, G ^ 1L), (4L, G ^ 2L),
+      (10L, 4L), (11L, K), (12L, H), (30L, H ^ 2L), (31L, H ^ 3L),
+      (50L, 2L), (60L, H ^ 1L)).toDF("doc_id", "simhash")
+    val hist = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 30L, 31L)
+    val root = Files.createTempDirectory("graft_cdc_3hop_root_").toString
+    def step(id: Long, rows: Seq[(String, java.lang.Long, java.lang.Long)]): Map[Long, Long] = {
+      val b = rows.toDF("op", "doc_id", "simhash")
+        .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"))
+      DedupQueries.componentsCdcStep(dir, root, b, id, sigs,
+        historyPred = col("doc_id").isin(hist: _*))
+      labelsAt(dir, root, id)
+    }
+    assert(step(0, Seq(("D", 2L, null))) ==
+      Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+        30L -> 30L, 31L -> 30L),
+      "O1 must split, doc 1 stranding edge-less")
+    assert(step(1, Seq(("I", 50L, 2L))) ==
+      Map(3L -> 3L, 4L -> 3L, 1L -> 1L, 50L -> 1L, 10L -> 1L,
+        11L -> 1L, 12L -> 1L, 30L -> 30L, 31L -> 30L),
+      "bridge 50 must merge stranded 1 with O2's cluster")
+    assert(step(2, Seq(("D", 11L, null))) ==
+      Map(3L -> 3L, 4L -> 3L, 1L -> 1L, 50L -> 1L, 10L -> 1L,
+        30L -> 30L, 31L -> 30L),
+      "deleting 11 must strand 12 while the 50-bridge keeps {1,50,10}")
+    assert(step(3, Seq(("I", 60L, H ^ 1L))) ==
+      Map(3L -> 3L, 4L -> 3L, 1L -> 1L, 50L -> 1L, 10L -> 1L,
+        12L -> 12L, 60L -> 12L, 30L -> 12L, 31L -> 12L),
+      "bridge 60 must merge stranded 12 with O3's pair")
+    assert(step(4, Seq(("D", 4L, null))) ==
+      Map(1L -> 1L, 50L -> 1L, 10L -> 1L,
+        12L -> 12L, 60L -> 12L, 30L -> 12L, 31L -> 12L),
+      "the 3-hop closure: deleting 4 must still read O3's at-rest edge " +
+        "through O1 → comp1 → O2 → comp12 → O3")
+  }
+
   test("survivorCdcStep replay: a re-delivered batch re-bases on the committed predecessor") {
     // crash-after-fold, before the checkpoint commit: the batch is
     // re-delivered with the SAME id, and the step must re-base on the
