@@ -1449,19 +1449,26 @@ object DedupQueries {
 
   /** Ledger-size compaction TRIGGER (q190 — the policy in place of
     * r16's hardcoded cadence): compact when the accumulated ledger
-    * segment rows exceed `frac` of the standing manifest rows. Both
-    * sides are already on hand — segment `_meta` row counts and the
-    * manifest owners map's `rows` — so the decision costs ZERO Spark
-    * jobs. The standing side is the MANIFEST (one row per present
-    * component, singletons included): the cluster labels cover only
-    * clustered docs and can be arbitrarily small next to the corpus,
-    * which would make a labels-relative trigger fire every batch. */
-  private[graft] def shouldCompact(root: String, below: Long, frac: Double): Boolean =
+    * segment rows exceed `frac` of the standing manifest rows, OR when
+    * any family's SEGMENT COUNT exceeds `maxSegments` — the rows bound
+    * caps read volume, the count bound caps the reconstruction plan's
+    * width (a long run of tiny batches accrues many near-empty
+    * segments whose union would otherwise grow the per-fold plan
+    * unboundedly). Both sides are already on hand — segment `_meta`
+    * row counts and the manifest owners map's `rows` — so the decision
+    * costs ZERO Spark jobs. The standing side is the MANIFEST (one row
+    * per present component, singletons included): the cluster labels
+    * cover only clustered docs and can be arbitrarily small next to
+    * the corpus, which would make a labels-relative trigger fire every
+    * batch. */
+  private[graft] def shouldCompact(root: String, below: Long, frac: Double,
+      maxSegments: Int = 64): Boolean =
     BucketedGens.latest(s"$root/manifest", below = Some(below)).exists { m =>
       val floor = segFloor(root, Some(below))
-      m.rows > 0 &&
-        Seq("ops", "pairs", "opsq")
-          .map(k => SegLedger.rows(s"$root/$k", below, floor)).sum > frac * m.rows
+      val fams = Seq("ops", "pairs", "opsq").map(k => s"$root/$k")
+      m.rows > 0 && (
+        fams.map(SegLedger.rows(_, below, floor)).sum > frac * m.rows ||
+        fams.map(SegLedger.dirs(_, below, floor).size).max > maxSegments)
     }
 
   /** The at-rest state a CDC fold reads: the latest COMPACTED state

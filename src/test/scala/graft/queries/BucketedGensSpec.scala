@@ -169,6 +169,13 @@ class BucketedGensSpec extends SparkSpec {
     seg("ops", 7, 100)
     assert(DedupQueries.shouldCompact(root, 10, 0.05),
       "fresh post-compaction churn counts again")
+    // the SEGMENT-COUNT bound: many tiny batches trigger even while the
+    // row fraction stays low (caps the reconstruction plan's width)
+    for (i <- 8L to 12L) seg("ops", i, 1)
+    assert(!DedupQueries.shouldCompact(root, 20, 0.99, maxSegments = 64),
+      "six small segments under both bounds must not fire")
+    assert(DedupQueries.shouldCompact(root, 20, 0.99, maxSegments = 5),
+      "crossing the segment-count bound must fire regardless of rows")
   }
 
   test("componentsRetractStep replay: same batch id re-bases and lands identical state") {
