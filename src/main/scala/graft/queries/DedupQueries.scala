@@ -1434,6 +1434,21 @@ object DedupQueries {
           .partitionBy("doc_id").orderBy(col("seq").desc)))
       .filter(col("__r") === 1).drop("__r", "seq")
 
+  /** Pin a batch-sized frame and read its row count off the SAME
+    * action: the count rides the localCheckpoint as an observe()
+    * metric, so the emptiness probes that gate the fold's branches
+    * cost zero extra jobs (r16 paid an isEmpty action per probe). AQE
+    * may replace a statically-empty observed subtree with an empty
+    * relation and drop the CollectMetrics node — the metrics map comes
+    * back EMPTY, which means the true count is zero (the fold default,
+    * per the round-17 observe lesson). */
+  private def pinCounted(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val p = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    (p, obs.get.get("n").fold(0L)(_.asInstanceOf[Long]))
+  }
+
   /** The seq-less batch contract, enforced (see [[netOps]]): `distinctI`
     * is the batch's DISTINCT I rows (doc_id + payload) — more rows than
     * distinct doc_ids means one doc shipped conflicting payloads with no
@@ -1510,9 +1525,23 @@ object DedupQueries {
       .localCheckpoint() // batch-sized; ledgers, touch, purge
     val bI = b.filter(col("op") === "I").select("doc_id", "simhash").distinct()
       .localCheckpoint()
-    if (!b0.columns.contains("seq")) requireUnambiguous(bI, "simhash")
-    val hasD = !bD.isEmpty
-    val hasI = !bI.isEmpty
+    // ONE batch-stats aggregate in place of three per-fold actions
+    // (isEmpty ×2 + the ambiguity head): op presence and the seq-less
+    // ambiguity counts come from a single job over the batch. distinct
+    // aggregates can't ride observe(), so this stays its own action.
+    val bStats = b.agg(
+      count(when(col("op") === "D", 1)).as("nD"),
+      count(when(col("op") === "I", 1)).as("nI"),
+      count_distinct(when(col("op") === "I", col("doc_id"))).as("dI"),
+      count_distinct(when(col("op") === "I",
+        struct(col("doc_id"), col("simhash")))).as("rI")).head()
+    if (!b0.columns.contains("seq"))
+      require(bStats.getLong(3) == bStats.getLong(2),
+        "seq-less batch carries conflicting I payloads (simhash) for one " +
+          "doc_id — the op order is ambiguous; ordered producers must " +
+          "ship a `seq` column")
+    val hasD = bStats.getLong(0) > 0
+    val hasI = bStats.getLong(1) > 0
     val bIids = bI.select("doc_id")
     // THE BATCH'S NET OPS — this (and only this) lands as the batch's
     // `ops` ledger SEGMENT: per-batch ledger write I/O is O(batch), not
@@ -1618,9 +1647,10 @@ object DedupQueries {
 
     // ---- retract side: the orig-closure rebuild universe, seeded by
     // every component holding a doc this batch deletes OR re-defines ----
-    val touched = labelsForIds(touchedIds.withColumnRenamed("doc_id", "id"))
-      .select("component").distinct().localCheckpoint()
-    val hasTouched = !touched.isEmpty
+    val (touched, nTouched) = pinCounted(
+      labelsForIds(touchedIds.withColumnRenamed("doc_id", "id"))
+        .select("component").distinct())
+    val hasTouched = nTouched > 0
     // The closure WALK (replaces the per-batch connectedComponents over
     // a corpus-derived comp↔orig relation): appended bridges can MERGE
     // original components and successive merges/splits chain comp↔orig
@@ -1645,23 +1675,23 @@ object DedupQueries {
       else {
         var comps = touched
         var mAll = membersOf(touched).localCheckpoint()
-        var origs = origsForIds(mAll.select("id")).localCheckpoint()
-        var origFrontier = origs
-        var grow = !origFrontier.isEmpty
+        val (origs0, nOrigs0) = pinCounted(origsForIds(mAll.select("id")))
+        var origs = origs0
+        var origFrontier = origs0
+        var grow = nOrigs0 > 0
         while (grow) {
-          val fresh = labelsForIds(atRestMembersOf(origFrontier))
-            .select("component").distinct()
-            .join(broadcast(comps), Seq("component"), "left_anti")
-            .localCheckpoint()
-          if (fresh.isEmpty) grow = false
+          val (fresh, nFresh) = pinCounted(
+            labelsForIds(atRestMembersOf(origFrontier))
+              .select("component").distinct()
+              .join(broadcast(comps), Seq("component"), "left_anti"))
+          if (nFresh == 0) grow = false
           else {
             comps = comps.unionByName(fresh).localCheckpoint()
             val mNew = membersOf(fresh).localCheckpoint()
             mAll = mAll.unionByName(mNew).localCheckpoint()
-            val oNew = origsForIds(mNew.select("id"))
-              .join(broadcast(origs), Seq("orig"), "left_anti")
-              .localCheckpoint()
-            if (oNew.isEmpty) grow = false
+            val (oNew, nONew) = pinCounted(origsForIds(mNew.select("id"))
+              .join(broadcast(origs), Seq("orig"), "left_anti"))
+            if (nONew == 0) grow = false
             else {
               origs = origs.unionByName(oNew).localCheckpoint()
               origFrontier = oNew

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Per-micro-batch Spark JOB budget for the CDC fold family — the
+  * round-17 overhead diet's regression tripwire. The fold's sf-scale
+  * wall cost is dominated by fixed per-batch driver actions (pins,
+  * isEmpty probes, bucket-list collects, the observed generation
+  * writes, ledger segment appends), not data volume; r16 paid four
+  * actions where one write sufficed, and the diet collapsed them
+  * (observe() metrics on the write, skip-on-statically-empty branches,
+  * no distinct+checkpoint on anti/semi-only frames). Those wins are
+  * invisible to PlanBudgetSpec (shuffles) and the decade gates (bytes)
+  * — a reintroduced per-fold count() or checkpoint changes neither,
+  * but it adds a JOB. This spec meters jobs per fold on the bridge
+  * fixture and pins them under measured+headroom ceilings.
+  *
+  * Budgets are UPPER bounds with ~40% headroom over measured (local[4],
+  * AQE on): job counts are structural — plan-shape-deterministic, not
+  * timing- or host-dependent — so a breach means a code change added
+  * driver actions to the fold path, exactly what the diet removed.
+  */
+class FoldJobBudgetSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit, pmod}
+
+  private def meteredJobs(body: => Unit): Int = {
+    val jobs = new AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // the listener bus is async — settle until the counter stops
+      var prev = -1
+      while (jobs.get != prev) { prev = jobs.get; Thread.sleep(300) }
+    } finally spark.sparkContext.removeSparkListener(l)
+    jobs.get
+  }
+
+  test("survivorCdcStep: per-fold job count stays under the diet budget") {
+    // the bridge fixture (ClusterRetractionSpec's): history clusters
+    // A = {1,2} and B = {10,11}; batch 0 bridges them via arrival 21,
+    // batch 1 deletes a history member, batch 2 deletes the bridge.
+    // Three profiles: append-with-merge, delete-with-closure-walk,
+    // delete-with-split — the fold family's costliest shapes.
+    val dir = Files.createTempDirectory("graft_jobbudget_state_").toString
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")
+    labels.withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/labels")
+    labels.withColumn("bucket", pmod(col("id"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/labels_byid")
+    Seq((1L, 2L, 1L), (10L, 11L, 10L)).toDF("id_a", "id_b", "component")
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    val sdir = Files.createTempDirectory("graft_jobbudget_surv_").toString
+    Seq((1L, 1L, 0.1), (2L, 1L, 0.3), (10L, 10L, 0.2), (11L, 10L, 0.2))
+      .toDF("doc_id", "component", "quality")
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$sdir/membership")
+    Seq((1L, 2L, 2L, 0.3), (10L, 10L, 2L, 0.2))
+      .toDF("component", "survivor_id", "n_members", "quality")
+      .withColumn("bucket", pmod(col("component"), lit(64)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$sdir/manifest")
+    val sigs = Seq((1L, 0L), (2L, 0L), (10L, 3L), (11L, 3L), (21L, 1L))
+      .toDF("doc_id", "simhash").localCheckpoint()
+    val root = Files.createTempDirectory("graft_jobbudget_root_").toString
+    def step(id: Long, op: String, doc: Long): Int = {
+      val b = Seq((op, doc,
+          if (op == "I") java.lang.Long.valueOf(1L) else null.asInstanceOf[java.lang.Long],
+          if (op == "I") java.lang.Double.valueOf(0.4) else null.asInstanceOf[java.lang.Double]))
+        .toDF("op", "doc_id", "simhash", "quality")
+        .select($"op", $"doc_id".cast("long"), $"simhash".cast("long"),
+          $"quality".cast("double"))
+      meteredJobs { DedupQueries.survivorCdcStep(dir, sdir, root, b, id, sigs); () }
+    }
+    val jAppend = step(0, "I", 21L) // bridge merge: the append profile
+    val jDelete = step(1, "D", 2L)  // history delete: closure walk + re-election
+    val jSplit  = step(2, "D", 21L) // bridge delete: split + two re-elections
+    info(s"fold jobs — append=$jAppend delete=$jDelete split=$jSplit")
+    // measured on the diet'd r17 fold: append=79, delete=96, split=98
+    // (local[4], AQE on — ~2.7 jobs per driver action from query-stage
+    // materialization). Budgets = measured + ~35% headroom; tighten
+    // only by REMOVING actions — a breach means a code change added
+    // per-batch driver actions, exactly what the diet removed.
+    assert(jAppend <= 110, s"append-profile fold ran $jAppend jobs — over budget")
+    assert(jDelete <= 130, s"delete-profile fold ran $jDelete jobs — over budget")
+    assert(jSplit <= 135, s"split-profile fold ran $jSplit jobs — over budget")
+  }
+}
