@@ -1067,11 +1067,15 @@ object DedupQueries {
     * result are unclustered at rest (callers left-join + coalesce where
     * the singleton rule applies). */
   private def atRestLabelsForIds(s: org.apache.spark.sql.SparkSession,
-      stateDir: String, ids: org.apache.spark.sql.DataFrame)
+      stateDir: String, ids: org.apache.spark.sql.DataFrame,
+      /** pmod(id, labelBuckets(stateDir)) set when the caller already
+        * holds it (observed off a pin) — skips the collect action */
+      bksOpt: Option[Seq[Int]] = None)
       : org.apache.spark.sql.DataFrame = {
     val nb = labelBuckets(stateDir)
-    val bks = ids.select(pmod(col("id"), lit(nb)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val bks = bksOpt.getOrElse(
+      ids.select(pmod(col("id"), lit(nb)).cast("int").as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
     val byid = s.read.parquet(s"$stateDir/labels_byid")
     (if (bks.isEmpty) byid.limit(0)
      else byid.filter(col("bucket").isin(bks.map(Int.box): _*)))
@@ -1206,12 +1210,12 @@ object DedupQueries {
     // the batch's ORIGINAL components — a doc-keyed pruned point read
     // (r17: the r16 shape semi-joined the full at-rest label relation,
     // an O(corpus) scan per micro-batch)
-    val touchedOrig = atRestLabelsForIds(s, stateDir, b.select(col("doc_id").as("id")))
-      .select("component").distinct()
-      .localCheckpoint() // ≤ batch rows; prunes, anti-joins, bucket list
-    val buckets = touchedOrig
-      .select(pmod(col("component"), lit(nb)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val touchedOrigP = pinMetered(
+      atRestLabelsForIds(s, stateDir, b.select(col("doc_id").as("id")))
+        .select("component").distinct(),
+      "cbk" -> pmod(col("component"), lit(nb)))
+    val touchedOrig = touchedOrigP.df // ≤ batch rows; prunes, anti-joins
+    val buckets = touchedOrigP.bks("cbk")
     val atRestRows = atRestLabelGenRows(s, stateDir)
     // predecessor content of ONLY the touched buckets — resolved
     // through the owners map, partition-pruned per owning generation,
@@ -1296,16 +1300,15 @@ object DedupQueries {
     // component (exactly the manifest's key rule). Doc-keyed pruned
     // point read (r17): the r16 shape left-joined the full at-rest
     // label relation, an O(corpus) scan per micro-batch.
-    val touchedOrig = b.select(col("doc_id"))
+    val touchedOrigP = pinMetered(b.select(col("doc_id"))
       .join(atRestLabelsForIds(s, ccState, b.select(col("doc_id").as("id")))
           .withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left")
       .select(coalesce(col("component"), col("doc_id")).as("orig"))
-      .distinct()
-      .localCheckpoint() // bucket list + pass-through anti + member prune
-    val buckets = touchedOrig
-      .select(pmod(col("orig"), lit(nbM)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .distinct(),
+      "mbk" -> pmod(col("orig"), lit(nbM)))
+    val touchedOrig = touchedOrigP.df // pass-through anti + member prune
+    val buckets = touchedOrigP.bks("mbk")
     // predecessor manifest rows of ONLY the touched buckets — consumed
     // once, inside the observed generation write below
     val predTouched =
@@ -1424,9 +1427,9 @@ object DedupQueries {
     * rows for one doc with different sigs would both survive the
     * downstream distinct and land conflicting signatures in the apps
     * ledger). Seq-less producers that violate the contract fail LOUDLY:
-    * [[requireUnambiguous]] asserts one distinct row per (doc, side)
-    * where the fold's I side is already pinned, so the check costs one
-    * aggregate over cached batch-sized blocks, not an extra shuffle. */
+    * each fold's batch-stats aggregate asserts one distinct I row per
+    * (doc, payload) — the check rides an aggregate the fold pays
+    * anyway, not an extra action. */
   private def netOps(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     if (!b.columns.contains("seq")) b
     else b.withColumn("__r", row_number().over(
@@ -1434,34 +1437,37 @@ object DedupQueries {
           .partitionBy("doc_id").orderBy(col("seq").desc)))
       .filter(col("__r") === 1).drop("__r", "seq")
 
-  /** Pin a batch-sized frame and read its row count off the SAME
-    * action: the count rides the localCheckpoint as an observe()
-    * metric, so the emptiness probes that gate the fold's branches
-    * cost zero extra jobs (r16 paid an isEmpty action per probe). AQE
-    * may replace a statically-empty observed subtree with an empty
-    * relation and drop the CollectMetrics node — the metrics map comes
-    * back EMPTY, which means the true count is zero (the fold default,
-    * per the round-17 observe lesson). */
-  private def pinCounted(df: org.apache.spark.sql.DataFrame)
-      : (org.apache.spark.sql.DataFrame, Long) = {
+  /** A pinned batch-sized frame with its row count and the bucket
+    * list(s) its downstream consumers prune by — ALL read off the one
+    * localCheckpoint action as observe() metrics, so neither the
+    * emptiness probes that gate the fold's branches nor the bucket-list
+    * collects cost extra jobs (r16 paid an isEmpty action per probe
+    * and a distinct+collect action per bucket list). collect_set is
+    * agg-legal in observed metrics; the sets are EXACT — a driver-side
+    * union of per-piece observed sets equals the collect the r16 shape
+    * ran over the unioned frame. AQE may replace a statically-empty
+    * observed subtree with an empty relation and drop the
+    * CollectMetrics node — the metrics map comes back EMPTY, which
+    * means the true count/sets are zero/empty (the fold defaults, per
+    * the round-17 observe lesson). */
+  private final case class Pin(df: org.apache.spark.sql.DataFrame,
+      n: Long, bkSets: Map[String, Seq[Int]]) {
+    def bks(k: String): Seq[Int] = bkSets.getOrElse(k, Nil)
+  }
+  private def pinMetered(df: org.apache.spark.sql.DataFrame,
+      bucketOf: (String, org.apache.spark.sql.Column)*): Pin = {
     val obs = org.apache.spark.sql.Observation()
-    val p = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
-    (p, obs.get.get("n").fold(0L)(_.asInstanceOf[Long]))
+    val metrics = count(lit(1)).as("n") +: bucketOf.map { case (k, c) =>
+      collect_set(c.cast("int")).as(k) }
+    val p = df.observe(obs, metrics.head, metrics.tail: _*).localCheckpoint()
+    val m = obs.get
+    Pin(p, m.get("n").fold(0L)(_.asInstanceOf[Long]),
+      bucketOf.map { case (k, _) =>
+        k -> m.get(k).fold(Seq.empty[Int])(
+          _.asInstanceOf[scala.collection.Seq[Any]]
+            .map(_.asInstanceOf[Int]).toSeq.sorted)
+      }.toMap)
   }
-
-  /** The seq-less batch contract, enforced (see [[netOps]]): `distinctI`
-    * is the batch's DISTINCT I rows (doc_id + payload) — more rows than
-    * distinct doc_ids means one doc shipped conflicting payloads with no
-    * order to resolve them, which would corrupt the ledger silently. */
-  private def requireUnambiguous(distinctI: org.apache.spark.sql.DataFrame,
-      what: String): Unit = {
-    val a = distinctI
-      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("d")).head()
-    require(a.getLong(0) == a.getLong(1),
-      s"seq-less batch carries conflicting I payloads ($what) for one doc_id — " +
-        "the op order is ambiguous; ordered producers must ship a `seq` column")
-  }
-
   /** Ledger-size compaction TRIGGER (q190 — the policy in place of
     * r16's hardcoded cadence): compact when the accumulated ledger
     * segment rows exceed `frac` of the standing manifest rows, OR when
@@ -1521,10 +1527,16 @@ object DedupQueries {
     val emptyIds = b.select(col("doc_id")).limit(0)
     val emptyPairs = b
       .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
-    val bD = b.filter(col("op") === "D").select("doc_id").distinct()
-      .localCheckpoint() // batch-sized; ledgers, touch, purge
-    val bI = b.filter(col("op") === "I").select("doc_id", "simhash").distinct()
-      .localCheckpoint()
+    // batch-sized pins (ledgers, touch, purge) — each carries its
+    // pmod(doc_id, nb) bucket set so the touched-seed point read below
+    // prunes without its own collect
+    val bDp = pinMetered(b.filter(col("op") === "D").select("doc_id").distinct(),
+      "ibk" -> pmod(col("doc_id"), lit(nb)))
+    val bD = bDp.df
+    val bIp = pinMetered(
+      b.filter(col("op") === "I").select("doc_id", "simhash").distinct(),
+      "ibk" -> pmod(col("doc_id"), lit(nb)))
+    val bI = bIp.df
     // ONE batch-stats aggregate in place of three per-fold actions
     // (isEmpty ×2 + the ambiguity head): op presence and the seq-less
     // ambiguity counts come from a single job over the batch. distinct
@@ -1611,9 +1623,14 @@ object DedupQueries {
     def bucketsOf(df: org.apache.spark.sql.DataFrame, key: String): Seq[Int] =
       df.select(pmod(col(key), lit(nb)).cast("int").as("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // Each helper takes the caller's OBSERVED bucket set when one is on
+    // hand (ridden on a pin — see [[pinMetered]]); the collect fallback
+    // covers the frames with no pin to ride (one consumer, pinning
+    // would cost the action it saves).
     // CURRENT label rows for a batch-sized id frame (col `id`)
-    def labelsForIds(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val bks = bucketsOf(ids, "id")
+    def labelsForIds(ids: org.apache.spark.sql.DataFrame,
+        bksOpt: Option[Seq[Int]] = None): org.apache.spark.sql.DataFrame = {
+      val bks = bksOpt.getOrElse(bucketsOf(ids, "id"))
       (if (bks.isEmpty) atRestById.limit(0)
        else baseBy match {
          case None    => atRestById.filter(col("bucket").isin(bks.map(Int.box): _*))
@@ -1622,8 +1639,9 @@ object DedupQueries {
         .join(broadcast(ids), Seq("id"), "leftsemi").select("id", "component")
     }
     // CURRENT member rows of a batch-affected component frame (col `component`)
-    def membersOf(comps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val bks = bucketsOf(comps, "component")
+    def membersOf(comps: org.apache.spark.sql.DataFrame,
+        bksOpt: Option[Seq[Int]] = None): org.apache.spark.sql.DataFrame = {
+      val bks = bksOpt.getOrElse(bucketsOf(comps, "component"))
       (if (bks.isEmpty) atRestRows.limit(0)
        else base match {
          case None    => atRestRows.filter(col("bucket").isin(bks.map(Int.box): _*))
@@ -1632,12 +1650,14 @@ object DedupQueries {
         .join(broadcast(comps), Seq("component"), "leftsemi").select("id", "component")
     }
     // at-rest ORIGINALS of a batch-affected id frame — the staged byid mirror
-    def origsForIds(ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      atRestLabelsForIds(s, stateDir, ids)
+    def origsForIds(ids: org.apache.spark.sql.DataFrame,
+        bksOpt: Option[Seq[Int]] = None): org.apache.spark.sql.DataFrame =
+      atRestLabelsForIds(s, stateDir, ids, bksOpt)
         .select(col("component").as("orig")).distinct()
     // at-rest MEMBER ids of an orig frame (col `orig`) — staged labels, pruned
-    def atRestMembersOf(origs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val bks = bucketsOf(origs, "orig")
+    def atRestMembersOf(origs: org.apache.spark.sql.DataFrame,
+        bksOpt: Option[Seq[Int]] = None): org.apache.spark.sql.DataFrame = {
+      val bks = bksOpt.getOrElse(bucketsOf(origs, "orig"))
       (if (bks.isEmpty) atRest.limit(0)
        else atRest.filter(col("bucket").isin(bks.map(Int.box): _*)))
         .join(broadcast(origs.select(col("orig").as("component"))),
@@ -1647,10 +1667,13 @@ object DedupQueries {
 
     // ---- retract side: the orig-closure rebuild universe, seeded by
     // every component holding a doc this batch deletes OR re-defines ----
-    val (touched, nTouched) = pinCounted(
-      labelsForIds(touchedIds.withColumnRenamed("doc_id", "id"))
-        .select("component").distinct())
-    val hasTouched = nTouched > 0
+    val touchedP = pinMetered(
+      labelsForIds(touchedIds.withColumnRenamed("doc_id", "id"),
+        Some((bDp.bks("ibk") ++ bIp.bks("ibk")).distinct.sorted))
+        .select("component").distinct(),
+      "cbk" -> pmod(col("component"), lit(nb)))
+    val touched = touchedP.df
+    val hasTouched = touchedP.n > 0
     // The closure WALK (replaces the per-batch connectedComponents over
     // a corpus-derived comp↔orig relation): appended bridges can MERGE
     // original components and successive merges/splits chain comp↔orig
@@ -1667,38 +1690,58 @@ object DedupQueries {
     // grows monotonically inside a finite corpus. Star-forest batches
     // (no appended pair in play) converge in one round + one empty
     // check — the r16 fast path, without a separate code path.
+    // Each walk frame's pin carries the bucket set(s) the NEXT hop
+    // prunes by, and the running comps/origs/mAll unions stay unpinned
+    // (unions of pinned pieces — trivial lineage, re-pinning each hop
+    // was an action per frame per hop); their bucket sets accumulate
+    // driver-side, exactly the sets the r16 shape collected per use.
     val emptyComps = emptyIds.withColumnRenamed("doc_id", "component")
-    val (rebuildComps, closureOrigs, mRebuild) =
+    val (rebuildComps, closureOrigs, mRebuild, compsBksAll, mRebuildBks, closureOrigBks) =
       if (!hasTouched)
         (emptyComps, emptyIds.withColumnRenamed("doc_id", "orig"),
-          atRestById.select("id", "component").limit(0))
+          atRestById.select("id", "component").limit(0),
+          Seq.empty[Int], Seq.empty[Int], Seq.empty[Int])
       else {
         var comps = touched
-        var mAll = membersOf(touched).localCheckpoint()
-        val (origs0, nOrigs0) = pinCounted(origsForIds(mAll.select("id")))
-        var origs = origs0
-        var origFrontier = origs0
-        var grow = nOrigs0 > 0
+        var compsBks = touchedP.bks("cbk")
+        val mAll0 = pinMetered(membersOf(touched, Some(compsBks)),
+          "ibk" -> pmod(col("id"), lit(nb)))
+        var mAll = mAll0.df
+        var mAllBks = mAll0.bks("ibk")
+        val origs0 = pinMetered(
+          origsForIds(mAll0.df.select("id"), Some(mAll0.bks("ibk"))),
+          "obk" -> pmod(col("orig"), lit(nb)))
+        var origs = origs0.df
+        var origsBks = origs0.bks("obk")
+        var frontier = origs0
+        var grow = origs0.n > 0
         while (grow) {
-          val (fresh, nFresh) = pinCounted(
-            labelsForIds(atRestMembersOf(origFrontier))
+          val fresh = pinMetered(
+            labelsForIds(atRestMembersOf(frontier.df, Some(frontier.bks("obk"))))
               .select("component").distinct()
-              .join(broadcast(comps), Seq("component"), "left_anti"))
-          if (nFresh == 0) grow = false
+              .join(broadcast(comps), Seq("component"), "left_anti"),
+            "cbk" -> pmod(col("component"), lit(nb)))
+          if (fresh.n == 0) grow = false
           else {
-            comps = comps.unionByName(fresh).localCheckpoint()
-            val mNew = membersOf(fresh).localCheckpoint()
-            mAll = mAll.unionByName(mNew).localCheckpoint()
-            val (oNew, nONew) = pinCounted(origsForIds(mNew.select("id"))
-              .join(broadcast(origs), Seq("orig"), "left_anti"))
-            if (nONew == 0) grow = false
+            comps = comps.unionByName(fresh.df)
+            compsBks = (compsBks ++ fresh.bks("cbk")).distinct.sorted
+            val mNew = pinMetered(membersOf(fresh.df, Some(fresh.bks("cbk"))),
+              "ibk" -> pmod(col("id"), lit(nb)))
+            mAll = mAll.unionByName(mNew.df)
+            mAllBks = (mAllBks ++ mNew.bks("ibk")).distinct.sorted
+            val oNew = pinMetered(
+              origsForIds(mNew.df.select("id"), Some(mNew.bks("ibk")))
+                .join(broadcast(origs), Seq("orig"), "left_anti"),
+              "obk" -> pmod(col("orig"), lit(nb)))
+            if (oNew.n == 0) grow = false
             else {
-              origs = origs.unionByName(oNew).localCheckpoint()
-              origFrontier = oNew
+              origs = origs.unionByName(oNew.df)
+              origsBks = (origsBks ++ oNew.bks("obk")).distinct.sorted
+              frontier = oNew
             }
           }
         }
-        (comps, origs, mAll)
+        (comps, origs, mAll, compsBks, mAllBks, origsBks)
       }
 
     // ---- append side: probe pairs against the PRESENT corpus ----
@@ -1728,24 +1771,28 @@ object DedupQueries {
     // read like every other id probe
     // delete-only batches skip the checkpoint jobs entirely — pinning a
     // statically-empty frame is a wasted action per micro-batch
-    val aAppOnly = if (!hasI) touched.limit(0) else {
+    val aAppOnlyP = if (!hasI) Pin(touched.limit(0), 0L, Map.empty) else {
         val aApp = labelsForIds(deltaPairs.select(col("id_a").as("id"))
             .unionByName(deltaPairs.select(col("id_b").as("id"))).distinct())
           .select("component").distinct()
-        (if (!hasTouched) aApp
-         else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti"))
-          .localCheckpoint()
+        pinMetered(
+          if (!hasTouched) aApp
+          else aApp.join(broadcast(rebuildComps), Seq("component"), "left_anti"),
+          "cbk" -> pmod(col("component"), lit(nb)))
       }
+    val aAppOnly = aAppOnlyP.df
     // mRebuild accumulated during the closure walk (zero extra reads);
     // the contract side is one pruned member read of its own components
     // (the r16 note about pruned re-reads duplicating the pinned scan's
     // I/O is moot — the full pin no longer exists)
-    val mContract = if (!hasI) mRebuild.limit(0)
-      else membersOf(aAppOnly).localCheckpoint()
+    val mContractP = if (!hasI) Pin(mRebuild.limit(0), 0L, Map.empty)
+      else pinMetered(membersOf(aAppOnly, Some(aAppOnlyP.bks("cbk"))),
+        "ibk" -> pmod(col("id"), lit(nb)))
+    val mContract = mContractP.df
 
     // ---- ONE local components run over batch-sized evidence ----
     val atRestEdges = if (!hasTouched) emptyPairs else {
-      val bks = bucketsOf(closureOrigs, "orig")
+      val bks = closureOrigBks
       if (bks.isEmpty) emptyPairs
       else s.read.parquet(s"$stateDir/edges")
         .filter(col("bucket").isin(bks.map(Int.box): _*))
@@ -1767,20 +1814,25 @@ object DedupQueries {
       .select(col("id").as("id_a"), col("component").as("id_b"))
     val localE = atRestEdges.unionByName(ledgerEdges)
       .unionByName(contractEdges).unionByName(deltaPairs)
-    val newLocal = (
-      if (!hasTouched && !hasI) mRebuild.limit(0)
-      else Components.connectedComponents(localE, "id_a", "id_b")
-        .select(col("id"), col("component")))
-      .localCheckpoint() // written, counted, read by the manifest repair
+    // pinned (written, counted, read by the manifest repair) with BOTH
+    // bucket keyings observed — its component set feeds the label
+    // generation's bucket list, its id set the byid mirror's
+    val newLocalP =
+      if (!hasTouched && !hasI) Pin(mRebuild.limit(0), 0L, Map.empty)
+      else pinMetered(Components.connectedComponents(localE, "id_a", "id_b")
+          .select(col("id"), col("component")),
+        "cbk" -> pmod(col("component"), lit(nb)),
+        "ibk" -> pmod(col("id"), lit(nb)))
+    val newLocal = newLocalP.df
     // union of two PINNED frames — cheap to re-derive, no checkpoint job
     val oldAffected = mRebuild.select("id").unionByName(mContract.select("id"))
 
     // ---- bucket-local rewrite: old homes of affected rows ∪ new ----
-    val buckets = rebuildComps.select("component")
-      .unionByName(aAppOnly.select("component"))
-      .unionByName(newLocal.select("component"))
-      .select(pmod(col("component"), lit(nb)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // a driver-side union of the walk/append/CC pins' observed
+    // component-bucket sets — exactly the set the r16 collect computed
+    // over the unioned frames, with zero extra actions
+    val buckets = (compsBksAll ++ aAppOnlyP.bks("cbk") ++ newLocalP.bks("cbk"))
+      .distinct.sorted
     // predecessor content of the touched buckets — consumed once,
     // inside the observed generation write (no pin)
     val predTouched =
@@ -1817,8 +1869,10 @@ object DedupQueries {
     // replays the whole batch, which re-bases BOTH roots strictly below
     // `id` (their predecessors always pair up — they commit together)
     // and overwrites both dirs whole.
-    val byBuckets = bucketsOf(
-      oldAffected.select("id").unionByName(newLocal.select("id")), "id")
+    // oldAffected = mRebuild ∪ mContract, so its id-bucket set is the
+    // walk/contract pins' observed sets — driver union, no collect
+    val byBuckets = (mRebuildBks ++ mContractP.bks("ibk") ++ newLocalP.bks("ibk"))
+      .distinct.sorted
     val predBy =
       if (byBuckets.isEmpty) atRestById.limit(0)
       else baseBy match {
@@ -1960,8 +2014,22 @@ object DedupQueries {
     val ccStateEff = effectiveState(s, root, Some(id), ccState)
     val bD = b.filter(col("op") === "D").select("doc_id").distinct()
     val bI = b.filter(col("op") === "I").select("doc_id", "quality").distinct()
-      .localCheckpoint() // batch-sized; the ambiguity check + the ledger fold
-    if (!b0.columns.contains("seq")) requireUnambiguous(bI, "quality")
+      .localCheckpoint() // batch-sized; the ledger fold
+    // ONE aggregate carries the seq-less quality-ambiguity counts AND
+    // the delete side's manifest bucket set — manBuckets below needs
+    // pmod(bD, nbM) and would otherwise pay its own collect action
+    val qStats = b.agg(
+      count_distinct(when(col("op") === "I", col("doc_id"))).as("dI"),
+      count_distinct(when(col("op") === "I",
+        struct(col("doc_id"), col("quality")))).as("rI"),
+      collect_set(when(col("op") === "D",
+        pmod(col("doc_id"), lit(nbM))).cast("int")).as("dbk")).head()
+    if (!b0.columns.contains("seq"))
+      require(qStats.getLong(1) == qStats.getLong(0),
+        "seq-less batch carries conflicting I payloads (quality) for one " +
+          "doc_id — the op order is ambiguous; ordered producers must " +
+          "ship a `seq` column")
+    val bDManBks = qStats.getSeq[Int](2)
     val bIids = bI.select("doc_id")
     // the quality ledger in SEGMENT form (r17, same discipline as the
     // fold's op/pair ledgers): the batch lands only its net ops, the
@@ -1988,12 +2056,14 @@ object DedupQueries {
     val cumDels = fold.cumDels
     // re-election universe V: the fold's affected docs (new labels ∪
     // dropped old members) + arrivals, minus the deletes
-    val v = fold.newLocal.select("id")
+    val vP = pinMetered(fold.newLocal.select("id")
       .unionByName(fold.oldAffected.select("id"))
       .unionByName(bIids.select(col("doc_id").as("id")))
       .distinct()
-      .join(cumDels.select(col("doc_id").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint()
+      .join(cumDels.select(col("doc_id").as("id")), Seq("id"), "left_anti"),
+      "mbk" -> pmod(col("id"), lit(nbM)),
+      "ibk" -> pmod(col("id"), lit(labelBuckets(ccStateEff))))
+    val v = vP.df
     val vIds = v.select(col("id").as("doc_id"))
     val appsQv = appsQ.join(broadcast(vIds), Seq("doc_id"), "leftsemi")
       .select("doc_id", "quality")
@@ -2009,8 +2079,11 @@ object DedupQueries {
     // against the full at-rest relation).
     val vHist = vIds.join(appsQ.select("doc_id"), Seq("doc_id"), "left_anti")
       .withColumnRenamed("doc_id", "id")
+    // vHist ⊆ v, so v's pin-observed id-bucket set is a correct
+    // (superset) prune for the byid point read — a few extra bucket
+    // files at worst, one collect action saved per fold
     val vBuckets = vHist
-      .join(atRestLabelsForIds(s, ccStateEff, vHist)
+      .join(atRestLabelsForIds(s, ccStateEff, vHist, Some(vP.bks("ibk")))
           .select(col("id"), col("component").as("orig")), Seq("id"), "left")
       .select(pmod(coalesce(col("orig"), col("id")), lit(nbM)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -2034,9 +2107,9 @@ object DedupQueries {
     // bucket list (itself distinct) — duplicates harmless, no shuffle/pin
     val dropKeys = v.select(col("id").as("component"))
       .unionByName(bD.select(col("doc_id").as("component")))
-    val manBuckets = dropKeys
-      .select(pmod(col("component"), lit(nbM)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // dropKeys = v ∪ bD, so its bucket set is v's pin-observed set ∪
+    // the batch aggregate's delete set — driver union, no collect
+    val manBuckets = (vP.bks("mbk") ++ bDManBks).distinct.sorted
     // the at-rest manifest is component-keyed and already carries the
     // same bucket column — it resolves AtRest buckets directly
     def atRestMan = s.read.parquet(s"$survState/manifest")
