@@ -1527,16 +1527,8 @@ object DedupQueries {
     val emptyIds = b.select(col("doc_id")).limit(0)
     val emptyPairs = b
       .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
-    // batch-sized pins (ledgers, touch, purge) — each carries its
-    // pmod(doc_id, nb) bucket set so the touched-seed point read below
-    // prunes without its own collect
-    val bDp = pinMetered(b.filter(col("op") === "D").select("doc_id").distinct(),
-      "ibk" -> pmod(col("doc_id"), lit(nb)))
-    val bD = bDp.df
-    val bIp = pinMetered(
-      b.filter(col("op") === "I").select("doc_id", "simhash").distinct(),
-      "ibk" -> pmod(col("doc_id"), lit(nb)))
-    val bI = bIp.df
+    val bD0 = b.filter(col("op") === "D").select("doc_id").distinct()
+    val bI0 = b.filter(col("op") === "I").select("doc_id", "simhash").distinct()
     // ONE batch-stats aggregate in place of three per-fold actions
     // (isEmpty ×2 + the ambiguity head): op presence and the seq-less
     // ambiguity counts come from a single job over the batch. distinct
@@ -1554,16 +1546,22 @@ object DedupQueries {
           "ship a `seq` column")
     val hasD = bStats.getLong(0) > 0
     val hasI = bStats.getLong(1) > 0
-    val bIids = bI.select("doc_id")
     // THE BATCH'S NET OPS — this (and only this) lands as the batch's
     // `ops` ledger SEGMENT: per-batch ledger write I/O is O(batch), not
     // O(churn-since-compaction) (r17 — r16 rewrote the full cumulative
     // frames every fold). I beats D within a batch (the D-then-I upsert
-    // order), so a doc carries exactly one row per segment.
-    val batchOps = bD.join(bIids, Seq("doc_id"), "left_anti")
-      .select(lit("D").as("op"), col("doc_id"), lit(null).cast("long").as("simhash"))
-      .unionByName(bI.select(lit("I").as("op"), col("doc_id"), col("simhash")))
-      .localCheckpoint() // written as the segment AND folded into winners
+    // order), so a doc carries exactly one row per segment. This is the
+    // fold's ONE batch pin: the delete/append slices and the touched id
+    // set are filters/projections of it (a doc appears exactly once),
+    // and its observed id-bucket set prunes the touched-seed point read.
+    val batchOpsP = pinMetered(
+      bD0.join(bI0.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("long").as("simhash"))
+        .unionByName(bI0.select(lit("I").as("op"), col("doc_id"), col("simhash"))),
+      "ibk" -> pmod(col("doc_id"), lit(nb)))
+    val batchOps = batchOpsP.df
+    val bI = batchOps.filter(col("op") === "I").select("doc_id", "simhash")
     // cumulative state RECONSTRUCTED from the segments: last-writer-wins
     // per doc over segment ordinals (within a segment the net op is
     // unique). One window over O(churn-since-compaction) rows — the
@@ -1588,9 +1586,9 @@ object DedupQueries {
     // its old pairs are purged and its component rebuilt, with fresh
     // probe pairs (below) re-defining it. This makes a bare I on a
     // present doc a full upsert, not a probe-only patch.
-    // union of two pinned frames, consumed only by a semi-join probe —
-    // duplicates are harmless there, so no distinct shuffle, no pin
-    val touchedIds = bD.unionByName(bIids)
+    // the touched docs are exactly the net-op docs (D ∪ I as a set) —
+    // a projection of the one batch pin, one row per doc
+    val touchedIds = batchOps.select("doc_id")
     // the standing APPENDED-pair ledger: a pair from segment k is alive
     // iff no LATER segment carries any op for either endpoint (the
     // purge, resolved at read time — same-batch probe pairs survive
@@ -1669,7 +1667,7 @@ object DedupQueries {
     // every component holding a doc this batch deletes OR re-defines ----
     val touchedP = pinMetered(
       labelsForIds(touchedIds.withColumnRenamed("doc_id", "id"),
-        Some((bDp.bks("ibk") ++ bIp.bks("ibk")).distinct.sorted))
+        Some(batchOpsP.bks("ibk")))
         .select("component").distinct(),
       "cbk" -> pmod(col("component"), lit(nb)))
     val touched = touchedP.df
@@ -2013,8 +2011,7 @@ object DedupQueries {
       b.select("op", "doc_id", "simhash"), id, staticSigs, historyPred)
     val ccStateEff = effectiveState(s, root, Some(id), ccState)
     val bD = b.filter(col("op") === "D").select("doc_id").distinct()
-    val bI = b.filter(col("op") === "I").select("doc_id", "quality").distinct()
-      .localCheckpoint() // batch-sized; the ledger fold
+    val bI0 = b.filter(col("op") === "I").select("doc_id", "quality").distinct()
     // ONE aggregate carries the seq-less quality-ambiguity counts AND
     // the delete side's manifest bucket set — manBuckets below needs
     // pmod(bD, nbM) and would otherwise pay its own collect action
@@ -2030,14 +2027,15 @@ object DedupQueries {
           "doc_id — the op order is ambiguous; ordered producers must " +
           "ship a `seq` column")
     val bDManBks = qStats.getSeq[Int](2)
-    val bIids = bI.select("doc_id")
     // the quality ledger in SEGMENT form (r17, same discipline as the
     // fold's op/pair ledgers): the batch lands only its net ops, the
-    // cumulative "live append qualities" resolve last-writer-wins
-    val batchOpsQ = bD.join(bIids, Seq("doc_id"), "left_anti")
+    // cumulative "live append qualities" resolve last-writer-wins.
+    // The step's one batch pin — the I slice below is a filter of it.
+    val batchOpsQ = bD.join(bI0.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(lit("D").as("op"), col("doc_id"), lit(null).cast("double").as("quality"))
-      .unionByName(bI.select(lit("I").as("op"), col("doc_id"), col("quality")))
+      .unionByName(bI0.select(lit("I").as("op"), col("doc_id"), col("quality")))
       .localCheckpoint() // written as the segment AND folded into winners
+    val bIids = batchOpsQ.filter(col("op") === "I").select("doc_id")
     // no standing opsq segment (driver-side listing) ⇒ the batch's own
     // net I rows ARE the live qualities — skip the window + pin
     val appsQ =

@@ -84,14 +84,14 @@ class FoldJobBudgetSpec extends SparkSpec {
     val jDelete = step(1, "D", 2L)  // history delete: closure walk + re-election
     val jSplit  = step(2, "D", 21L) // bridge delete: split + two re-elections
     info(s"fold jobs — append=$jAppend delete=$jDelete split=$jSplit")
-    // measured on the diet'd r17 fold: append=66, delete=77, split=79
+    // measured on the diet'd r17 fold: append=63, delete=74, split=76
     // (local[4], AQE on — ~2.7 jobs per driver action from query-stage
     // materialization; r16's shape measured 82/100/102 on this same
     // fixture). Budgets = measured + ~35% headroom; tighten only by
     // REMOVING actions — a breach means a code change added per-batch
     // driver actions, exactly what the diet removed.
-    assert(jAppend <= 90, s"append-profile fold ran $jAppend jobs — over budget")
-    assert(jDelete <= 105, s"delete-profile fold ran $jDelete jobs — over budget")
-    assert(jSplit <= 108, s"split-profile fold ran $jSplit jobs — over budget")
+    assert(jAppend <= 85, s"append-profile fold ran $jAppend jobs — over budget")
+    assert(jDelete <= 100, s"delete-profile fold ran $jDelete jobs — over budget")
+    assert(jSplit <= 103, s"split-profile fold ran $jSplit jobs — over budget")
   }
 }
