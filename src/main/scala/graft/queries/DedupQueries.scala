@@ -886,29 +886,33 @@ object DedupQueries {
       .select(col("id_a").as("id"), col("id_a").as("component"),
         pmod(col("id_a"), lit(nb)).cast("int").as("bucket"))
       .limit(0)
-    def bucketsOf(df: org.apache.spark.sql.DataFrame, key: String): Seq[Int] =
-      df.select(pmod(col(key), lit(nb)).cast("int").as("bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
     def readGen(r: String, g: Option[BucketedGens.Gen], bks: Seq[Int]) =
       if (bks.isEmpty || g.isEmpty) atRestEmpty
       else BucketedGens.read(s, r, g.get, atRestEmpty, Some(bks))
-    val incident = bE.select(col("id_a").as("id"))
-      .unionByName(bE.select(col("id_b").as("id"))).distinct()
-      .localCheckpoint()
-    val touched = readGen(byidRoot, baseBy, bucketsOf(incident, "id"))
-      .join(broadcast(incident), Seq("id"), "leftsemi")
-      .select("component").distinct().localCheckpoint()
-    val mTouched = readGen(labelsRoot, base, bucketsOf(touched, "component"))
-      .join(broadcast(touched), Seq("component"), "leftsemi")
-      .select("id", "component").localCheckpoint()
-    val newLocal = Components.connectedComponents(
+    // every pruning bucket set rides its frame's pin as an observe()
+    // metric (pinMetered) — the merge fold pays zero collect actions
+    val incidentP = pinMetered(bE.select(col("id_a").as("id"))
+        .unionByName(bE.select(col("id_b").as("id"))).distinct(),
+      "ibk" -> pmod(col("id"), lit(nb)))
+    val incident = incidentP.df
+    val touchedP = pinMetered(readGen(byidRoot, baseBy, incidentP.bks("ibk"))
+        .join(broadcast(incident), Seq("id"), "leftsemi")
+        .select("component").distinct(),
+      "cbk" -> pmod(col("component"), lit(nb)))
+    val touched = touchedP.df
+    val mTouchedP = pinMetered(readGen(labelsRoot, base, touchedP.bks("cbk"))
+        .join(broadcast(touched), Seq("component"), "leftsemi")
+        .select("id", "component"),
+      "ibk" -> pmod(col("id"), lit(nb)))
+    val mTouched = mTouchedP.df
+    val newLocalP = pinMetered(Components.connectedComponents(
         mTouched.select(col("id").as("id_a"), col("component").as("id_b"))
-          .unionByName(bE), "id_a", "id_b")
-      .localCheckpoint() // written under BOTH keyings
+          .unionByName(bE), "id_a", "id_b"),
+      "cbk" -> pmod(col("component"), lit(nb)),
+      "ibk" -> pmod(col("id"), lit(nb))) // written under BOTH keyings
+    val newLocal = newLocalP.df
     val oldAffected = mTouched.select("id")
-    val buckets = bucketsOf(
-      touched.select("component").unionByName(newLocal.select("component")),
-      "component")
+    val buckets = (touchedP.bks("cbk") ++ newLocalP.bks("cbk")).distinct.sorted
     val (written, nextRows, predRows) = BucketedGens.observedWrite(
         readGen(labelsRoot, base, buckets), buckets, s"$labelsRoot/gen-$id") { p =>
       p.select("id", "component")
@@ -921,7 +925,7 @@ object DedupQueries {
       buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(labelsRoot, id, owners, rows)
     BucketedGens.vacuum(s, labelsRoot, base, id)
-    val byBuckets = bucketsOf(oldAffected.unionByName(newLocal.select("id")), "id")
+    val byBuckets = (mTouchedP.bks("ibk") ++ newLocalP.bks("ibk")).distinct.sorted
     val (writtenBy, _, _) = BucketedGens.observedWrite(
         readGen(byidRoot, baseBy, byBuckets), byBuckets, s"$byidRoot/gen-$id") { p =>
       p.select("id", "component")
