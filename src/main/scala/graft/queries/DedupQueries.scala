@@ -1330,7 +1330,7 @@ object DedupQueries {
       .select("doc_id").distinct()
     val newLabels = rebuilt
       .select(col("id").as("doc_id"), col("component").as("__newc"))
-    val reElected = s.read.parquet(s"$survState/membership")
+    val reElectedP = pinMetered(s.read.parquet(s"$survState/membership")
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .join(broadcast(touchedOrig.select(col("orig").as("component"))),
         Seq("component"), "leftsemi")
@@ -1339,15 +1339,19 @@ object DedupQueries {
       .join(newLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"),
         coalesce(col("__newc"), col("doc_id")).as("component"))
-      .transform(electSurvivors)
-      .localCheckpoint() // batch-affected rows; the orig lookup + the write
+      .transform(electSurvivors),
+      // the orig lookup's byid bucket set rides the pin (batch-affected
+      // rows; the pin also feeds the generation write)
+      "ibk" -> pmod(col("component"), lit(labelBuckets(ccState))))
+    val reElected = reElectedP.df
     // a re-elected component is a member id of a touched original, so
     // its orig resolves through the at-rest labels (self for remnant
     // singletons) and lands INSIDE the touched bucket set — a doc-keyed
     // pruned point read of the byid mirror (r17: was a per-batch join
     // against the full O(corpus) at-rest relation)
     val reElectedO = reElected
-      .join(atRestLabelsForIds(s, ccState, reElected.select(col("component").as("id")))
+      .join(atRestLabelsForIds(s, ccState, reElected.select(col("component").as("id")),
+          Some(reElectedP.bks("ibk")))
           .select(col("id").as("component"), col("component").as("__ro")),
         Seq("component"), "left")
       .select(col("component"), col("survivor_id"), col("n_members"),
