@@ -94,4 +94,22 @@ class FoldJobBudgetSpec extends SparkSpec {
     assert(jDelete <= 100, s"delete-profile fold ran $jDelete jobs — over budget")
     assert(jSplit <= 103, s"split-profile fold ran $jSplit jobs — over budget")
   }
+
+  test("componentsMergeStep: per-fold job count stays under the diet budget") {
+    // the q172 merge fold: batch 0 seeds two pairs, batch 1 bridges
+    // them (touched-state read + merge), the costliest merge profile.
+    val root = Files.createTempDirectory("graft_jobbudget_merge_").toString
+    def step(id: Long, edges: Seq[(Long, Long)]): Int = {
+      val b = edges.toDF("id_a", "id_b")
+      meteredJobs { DedupQueries.componentsMergeStep(root, b, id); () }
+    }
+    val jSeed = step(0, Seq((1L, 2L), (10L, 11L)))
+    val jMerge = step(1, Seq((2L, 10L)))
+    info(s"merge fold jobs — seed=$jSeed merge=$jMerge")
+    // measured post-diet: seed=14, merge=23 (zero collect actions —
+    // every pruning bucket set rides a pin). Same rule: measured +
+    // ~35% headroom, tighten only by removing actions.
+    assert(jSeed <= 19, s"seed-profile merge fold ran $jSeed jobs — over budget")
+    assert(jMerge <= 31, s"merge-profile fold ran $jMerge jobs — over budget")
+  }
 }
