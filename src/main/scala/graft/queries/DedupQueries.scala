@@ -1458,11 +1458,11 @@ object DedupQueries {
     * CollectMetrics node — the metrics map comes back EMPTY, which
     * means the true count/sets are zero/empty (the fold defaults, per
     * the round-17 observe lesson). */
-  private final case class Pin(df: org.apache.spark.sql.DataFrame,
+  private[queries] final case class Pin(df: org.apache.spark.sql.DataFrame,
       n: Long, bkSets: Map[String, Seq[Int]]) {
     def bks(k: String): Seq[Int] = bkSets.getOrElse(k, Nil)
   }
-  private def pinMetered(df: org.apache.spark.sql.DataFrame,
+  private[queries] def pinMetered(df: org.apache.spark.sql.DataFrame,
       bucketOf: (String, org.apache.spark.sql.Column)*): Pin = {
     val obs = org.apache.spark.sql.Observation()
     val metrics = count(lit(1)).as("n") +: bucketOf.map { case (k, c) =>
