@@ -656,9 +656,11 @@ object SpineProbe {
         spark.sparkContext.addSparkListener(l)
         try {
           body
-          // the listener bus is async — settle until the counter stops
-          var prev = -1L
-          while (bytes.get != prev) { prev = bytes.get; Thread.sleep(300) }
+          // the listener bus is async — drain it (not a fixed sleep
+          // poll, which undercounts when the bus stalls past one
+          // interval on a loaded host)
+          org.apache.spark.GraftListenerBridge
+            .waitListenerBusEmpty(spark.sparkContext)
         } finally spark.sparkContext.removeSparkListener(l)
         bytes.get
       }
@@ -707,6 +709,56 @@ object SpineProbe {
       gate(s"q189_readfloor_bytes_flat_$tag",
         m1 > 0 && mN <= m1 * 5 / 2 + (2L << 20),
         f"fixed 24-delete manifest fold bytes_1x=$m1 bytes_$tag=$mN ratio=${mN.toDouble / math.max(m1, 1)}%.2f nb=64->$nbN")
+
+      // IN-PLACE GROWTH + RE-BUCKETING GATE (round 18): the two gates
+      // above prove nb ∝ corpus for FRESHLY STAGED states (64 buckets
+      // staged at 1×, 64·N staged at N×). This one proves it for a
+      // state that grew IN PLACE: the N× corpus arrives as one CDC
+      // APPEND onto the 1×-staged 64-bucket state (standing rows grow
+      // ~N× under the original bucket count), the size policy fires,
+      // compaction RE-BUCKETS at the staged density
+      // (DedupQueries.rescaleBuckets), and the SAME fixed 24-delete
+      // batch's composed fold bytes must return to ~flat vs the 1×
+      // measurement — without the re-bucket, every "pruned point read"
+      // would open 1/64 of an N×-bigger relation and the ratio would
+      // track N.
+      locally {
+        val cc1 = graft.queries.DedupQueries.ccGateStateDir(spark, sfDir, 64)
+        val sv1 = graft.queries.DedupQueries
+          .survivorGateStateDir(spark, sfDir, cc1, 64)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_rebucket_").toString
+        val sfx = spark.read.parquet(s"$scaledSfx/documents.parquet")
+        val allSigs = sfx.select(col("doc_id"),
+          graft.dedup.TextDedup.simHashN(col("text"), 60).as("simhash"))
+          .localCheckpoint()
+        val basePred = col("doc_id") < docsOff // the 1×-staged coverage
+        val appends = sfx.filter(col("doc_id") >= docsOff)
+          .select(lit("I").as("op"), col("doc_id"),
+            graft.dedup.TextDedup.simHashN(col("text"), 60).as("simhash"),
+            (pmod(col("doc_id"), lit(100)) / 100.0).as("quality"))
+        graft.queries.DedupQueries.survivorCdcStep(cc1, sv1, root, appends,
+          1L, allSigs, historyPred = basePred)
+        val fired = graft.queries.DedupQueries.shouldCompact(root, 2L, frac = 0.18)
+        if (fired)
+          graft.queries.DedupQueries.survivorCompactStep(cc1, sv1, root, 2L,
+            allSigs, historyPred = basePred)
+        val nbAfter = graft.queries.EventQueries
+          .latestViewGen(s"$root/state", Some(3L))
+          .flatMap(p => graft.queries.DedupQueries.stateMeta(p, "labels"))
+          .map(_._1).getOrElse(-1)
+        val bIn = meteredBytes {
+          graft.queries.DedupQueries.survivorCdcStep(cc1, sv1, root,
+            fixedBatch.withColumn("quality", lit(null).cast("double")), 3L,
+            fixedBatch.select(col("doc_id"), lit(0L).as("simhash")).limit(0),
+            historyPred = basePred); ()
+        }
+        gate(s"q190_rebucket_inplace_flat_$tag",
+          fired && nbAfter >= 64 * 4 && bIn <= m1 * 5 / 2 + (2L << 20),
+          f"policy_fired=$fired nb=64->$nbAfter fixed 24-delete fold " +
+            f"bytes_1x=$m1 bytes_inplace=$bIn " +
+            f"ratio=${bIn.toDouble / math.max(m1, 1)}%.2f")
+      }
       }
 
       if (needed("embeddings")) {

@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * Layout under `root`:
   * {{{
   *   gen-<id>/bucket=<b>/…parquet   // the buckets batch <id> rewrote
-  *   gen-<id>/_owners.json          // {"rows":N,"owners":{"<b>":<gen>,…}}
+  *   gen-<id>/_owners.json          // {"rows":N,"ts":T,"owners":{"<b>":<gen>,…}}
   * }}}
   * The owners map names, for EVERY bucket, the generation dir holding
   * its current content; [[AtRest]] (-1) means the bucket is still the
   * staged at-rest state, untouched by any fold. `rows` carries the
-  * standing row count so serving a count never re-reads the state.
+  * standing row count so serving a count never re-reads the state;
+  * `ts` (optional) is the batch's event-time watermark or a
+  * caller-supplied commit timestamp — the [[genAsOf]] key that turns
+  * "the manifest as of 2026-06-01" into a generation resolution.
   *
   * Commit discipline (q158's committed-predecessor rules, adapted):
   * the `_owners.json` file is the COMMIT MARKER, written after the
@@ -33,12 +36,18 @@ import org.apache.spark.sql.functions._
   * replayed batch id re-bases on the latest generation committed
   * STRICTLY BELOW it and overwrites its own torn dir whole, so folds
   * converge under foreachBatch's at-least-once delivery.
-  */
+  *
+  * All filesystem access goes through [[StateFs]] (Hadoop `FileSystem`),
+  * so the store runs unchanged against `file:`, `hdfs:`, or object-store
+  * URIs; the marker-last protocol's object-store caveats are documented
+  * there. */
 private[graft] object BucketedGens {
 
   /** One committed generation: which gen owns each bucket's current
-    * content, plus the standing row count. */
-  final case class Gen(genId: Long, owners: Map[Int, Long], rows: Long)
+    * content, the standing row count, and the optional commit
+    * timestamp (epoch millis) for as-of-time resolution. */
+  final case class Gen(genId: Long, owners: Map[Int, Long], rows: Long,
+      ts: Option[Long] = None)
 
   /** Owner sentinel: the bucket's content is the staged at-rest state. */
   val AtRest: Long = -1L
@@ -52,47 +61,62 @@ private[graft] object BucketedGens {
   def initialOwners(nBuckets: Int): Map[Int, Long] =
     (0 until nBuckets).map(_ -> AtRest).toMap
 
-  private def ownersFile(root: String, genId: Long) =
-    new java.io.File(s"$root/gen-$genId/_owners.json")
+  private def ownersPath(root: String, genId: Long) =
+    s"$root/gen-$genId/_owners.json"
 
   /** Commit generation `genId`: write the owners map + standing row
-    * count ATOMICALLY (temp file + rename) after the parquet payload. */
-  def commit(root: String, genId: Long, owners: Map[Int, Long], rows: Long): Unit = {
+    * count (+ the batch timestamp when the caller supplies one)
+    * ATOMICALLY (temp file + rename) after the parquet payload. */
+  def commit(root: String, genId: Long, owners: Map[Int, Long], rows: Long,
+      ts: Option[Long] = None): Unit = {
     val body = owners.toSeq.sortBy(_._1)
       .map { case (b, g) => s""""$b":$g""" }.mkString("{", ",", "}")
-    val dir = new java.io.File(s"$root/gen-$genId")
-    dir.mkdirs()
-    val tmp = java.io.File.createTempFile("_owners", ".tmp", dir)
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try w.print(s"""{"rows":$rows,"owners":$body}""") finally w.close()
-    java.nio.file.Files.move(tmp.toPath, ownersFile(root, genId).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+    StateFs.mkdirs(s"$root/gen-$genId")
+    val tsField = ts.fold("")(t => s""""ts":$t,""")
+    StateFs.writeUtf8Atomic(ownersPath(root, genId),
+      s"""{"rows":$rows,$tsField"owners":$body}""")
   }
 
-  private def genNumOf(f: java.io.File): Long = f.getName.stripPrefix("gen-").toLong
+  private def genNumOf(name: String): Long = name.stripPrefix("gen-").toLong
 
   private def parse(root: String, genId: Long): Gen = {
-    val text = new String(java.nio.file.Files.readAllBytes(
-      ownersFile(root, genId).toPath), "UTF-8")
+    val text = StateFs.readUtf8(ownersPath(root, genId))
     val rows = """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"BucketedGens: no rows field in gen-$genId owners"))
+    val ts = """"ts"\s*:\s*(-?\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
     val ownersBody = text.substring(text.indexOf("\"owners\""))
     val owners = """"(\d+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(ownersBody)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-    Gen(genId, owners, rows)
+    Gen(genId, owners, rows, ts)
   }
+
+  /** Committed generation ids under `root`, ascending. */
+  private def committedIds(root: String): Seq[Long] =
+    StateFs.list(root)
+      .filter(p => p.getName.startsWith("gen-") &&
+        StateFs.exists(s"${p.toString}/_owners.json"))
+      .map(p => genNumOf(p.getName)).sorted
 
   /** Latest COMMITTED generation under `root` (optionally strictly below
     * `below` — the replay re-base read). Committed = owners file present. */
   def latest(root: String, below: Option[Long] = None): Option[Gen] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("gen-") &&
-        new java.io.File(f, "_owners.json").exists() &&
-        below.forall(genNumOf(f) < _))
-      .sortBy(genNumOf).lastOption.map(f => parse(root, genNumOf(f)))
+    committedIds(root)
+      .filter(id => below.forall(id < _))
+      .lastOption.map(parse(root, _))
+
+  /** AS-OF-TIME resolution: the latest committed generation whose
+    * commit timestamp is ≤ `ts` — "the artifact as it stood at time T"
+    * without knowing generation ids. Generations committed without a
+    * timestamp never match (they predate the caller's time discipline);
+    * None when no timestamped generation is old enough. Pair with the
+    * retention policy: `genAsOf(root, ts).map(_.genId)` is the id to put
+    * in `graft.gens.pins` to hold that snapshot. */
+  def genAsOf(root: String, ts: Long): Option[Gen] =
+    committedIds(root)
+      .map(parse(root, _))
+      .filter(_.ts.exists(_ <= ts))
+      .lastOption
 
   /** Read buckets `only` (or all) of generation `gen`: buckets grouped
     * by owning generation, ONE partition-pruned read per owner dir;
@@ -166,7 +190,7 @@ private[graft] object BucketedGens {
     * keeping a gen's own dir while deleting a dir its owners point at
     * leaves a snapshot that parses but cannot resolve. */
   private def ownersClosure(root: String, genId: Long): Set[Long] =
-    if (!ownersFile(root, genId).exists()) Set.empty
+    if (!StateFs.exists(ownersPath(root, genId))) Set.empty
     else parse(root, genId).owners.values.toSet + genId
 
   /** Vacuum after committing `nextId` on predecessor `base`: a
@@ -203,23 +227,20 @@ private[graft] object BucketedGens {
 
   def vacuum(root: String, base: Option[Gen], nextId: Long,
       keepLast: Int = 2, pins: Set[Long] = Set.empty): Unit = {
-    val committed = Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("gen-") &&
-        new java.io.File(f, "_owners.json").exists())
-      .map(genNumOf).sorted
+    val committed = committedIds(root)
     val roots: Set[Long] =
       base.map(_.genId).toSet ++ pins ++
         committed.takeRight(math.max(keepLast, 1)).toSet + nextId
     val keep: Set[Long] =
       base.map(g => g.owners.values.toSet + g.genId).getOrElse(Set.empty) ++
         roots.flatMap(ownersClosure(root, _))
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
+    StateFs.list(root)
       .filter(_.getName.startsWith("gen-"))
-      .filter { f =>
-        val id = genNumOf(f)
-        if (new java.io.File(f, "_owners.json").exists())
+      .filter { p =>
+        val id = genNumOf(p.getName)
+        if (StateFs.exists(s"${p.toString}/_owners.json"))
           base.exists(id < _.genId) && !keep(id)
         else id < nextId // uncommitted = torn write; pins cover committed gens only
-      }.foreach(EventQueries.rm)
+      }.foreach(p => StateFs.delete(p.toString))
   }
 }

@@ -855,6 +855,61 @@ object DedupQueries {
           atRestManifestGenRows(s, survState))
         .select("component", "survivor_id", "n_members", "quality")
     },
+
+    // AS-OF-TIME SERVING (round 18) — q191 asked by TIMESTAMP instead of
+    // generation id: every fold commits its batch's event time (here a
+    // synthetic per-batch watermark — day 0 and day 1) into the
+    // generation's owners marker, and the audit question "what was the
+    // trainer served on the evening of day 0?" resolves through
+    // BucketedGens.genAsOf(ts) — no generation-id bookkeeping, no log
+    // replay. Same two explicitly-split delete batches and the SAME
+    // oracle as q191 (the from-scratch derivation with only the even
+    // deletes applied): asking by time must return exactly what asking
+    // by generation did. Retention interplay: genAsOf(ts).genId is the
+    // one-liner an operator pins ("hold the June snapshot" =
+    // graft.gens.pins += that id).
+    QueryDef("q192_manifest_asof_time", Seq("A10", "A2", "W6", "F4"),
+      survivorManifestSql("(doc_id % 13 <> 3 OR doc_id % 2 <> 0)")) { (s0, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val ccState = ccStateDir(s0, d)
+      val survState = survivorStateDir(s0, d)
+      val s = EventQueries.streamSession(s0)
+      val sinkName = "graft_manifest_asof_time"
+      // the synthetic batch watermark: batch id → start of day id
+      def tsOf(id: Long): Long = java.time.LocalDate.of(2026, 6, 1)
+        .plusDays(id).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli
+      val deleted = ccDeletedIds(s, d)
+      val in = EventQueries.stageOrderedDrain("graft_asoft_", Seq(
+        deleted.filter(col("doc_id") % 2 === 0),
+        deleted.filter(col("doc_id") % 2 =!= 0)))
+      val root = EventQueries.registerSinkDir(
+        java.nio.file.Files.createTempDirectory(s"${sinkName}_").toString)
+      graft.streaming.StreamMetrics.resetSegments(sinkName)
+      val q = s.readStream.schema(deleted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.queryName(sinkName)
+        .option("checkpointLocation", s"$root/cp")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = survivorRetractStep(ccState, survState, root, b, id,
+            ts = Some(tsOf(id)))
+          graft.streaming.StreamMetrics.recordSegment(sinkName, id, rows)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.StreamMetrics.record(sinkName, q)
+      EventQueries.dropStaged(in)
+      // the AS-OF-TIME read: "as of day 0, 23:00" — after batch 0's
+      // watermark, before batch 1's — must resolve generation 0
+      val gen0 = BucketedGens.genAsOf(s"$root/manifest",
+          tsOf(0) + 23L * 3600 * 1000)
+        .getOrElse(sys.error("q192: no generation committed at or before the ask"))
+      require(gen0.genId == 0L,
+        s"q192: as-of day-0 must resolve generation 0, got ${gen0.genId}")
+      BucketedGens.read(s, s"$root/manifest", gen0,
+          atRestManifestGenRows(s, survState))
+        .select("component", "survivor_id", "n_members", "quality")
+    },
   )
 
 
@@ -873,7 +928,8 @@ object DedupQueries {
     * both keyings on their committed predecessors strictly below `id`
     * and converge. Returns the standing label count. */
   private[graft] def componentsMergeStep(root: String,
-      b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+      b: org.apache.spark.sql.DataFrame, id: Long,
+      ts: Option[Long] = None): Long = {
     val s = b.sparkSession
     val nb = 16
     val labelsRoot = s"$root/labels"
@@ -923,7 +979,7 @@ object DedupQueries {
     val rows = base.map(_.rows).getOrElse(0L) - predRows + nextRows
     val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
-    BucketedGens.commit(labelsRoot, id, owners, rows)
+    BucketedGens.commit(labelsRoot, id, owners, rows, ts)
     BucketedGens.vacuum(s, labelsRoot, base, id)
     val byBuckets = (mTouchedP.bks("ibk") ++ newLocalP.bks("ibk")).distinct.sorted
     val (writtenBy, _, _) = BucketedGens.observedWrite(
@@ -935,7 +991,7 @@ object DedupQueries {
     }
     val ownersBy = baseBy.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       byBuckets.map(bk => bk -> (if (writtenBy(bk)) id else BucketedGens.Empty))
-    BucketedGens.commit(byidRoot, id, ownersBy, rows)
+    BucketedGens.commit(byidRoot, id, ownersBy, rows, ts)
     BucketedGens.vacuum(s, byidRoot, baseBy, id)
     rows
   }
@@ -1005,8 +1061,7 @@ object DedupQueries {
           .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/edges")
         writeStateMeta(stage, "labels", nb, labels.count())
-        new java.io.File(stage, "_SUCCESS").createNewFile()
-        ()
+        StateFs.touch(s"$stage/_SUCCESS")
       }
     }
 
@@ -1018,19 +1073,16 @@ object DedupQueries {
     * never re-scan the full relation for a first-fold base row count.
     * Absent (synthetic pre-r17 fixtures) → the historical defaults
     * (16 label / 64 manifest buckets, count() fallback). */
-  private def writeStateMeta(dir: String, rel: String, buckets: Int,
-      rows: Long): Unit = {
-    val w = new java.io.PrintWriter(
-      new java.io.File(dir, s"_graft_meta_$rel.json"), "UTF-8")
-    try w.print(s"""{"buckets":$buckets,"rows":$rows}""") finally w.close()
-    ()
-  }
+  private[queries] def writeStateMeta(dir: String, rel: String, buckets: Int,
+      rows: Long): Unit =
+    StateFs.writeUtf8Atomic(s"$dir/_graft_meta_$rel.json",
+      s"""{"buckets":$buckets,"rows":$rows}""")
 
-  private def stateMeta(dir: String, rel: String): Option[(Int, Long)] = {
-    val f = new java.io.File(dir, s"_graft_meta_$rel.json")
-    if (!f.exists()) None
+  private[graft] def stateMeta(dir: String, rel: String): Option[(Int, Long)] = {
+    val f = s"$dir/_graft_meta_$rel.json"
+    if (!StateFs.exists(f)) None
     else {
-      val t = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val t = StateFs.readUtf8(f)
       for {
         b <- """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(t).map(_.group(1).toInt)
         r <- """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(t).map(_.group(1).toLong)
@@ -1190,20 +1242,32 @@ object DedupQueries {
     * count (maintained arithmetically in the owners map — serving it
     * never re-reads the state). */
   private[graft] def componentsRetractStep(stateDir: String, root: String,
-      b: org.apache.spark.sql.DataFrame, id: Long): Long =
-    componentsRetractImpl(stateDir, root, b, id)._1
+      b: org.apache.spark.sql.DataFrame, id: Long,
+      ts: Option[Long] = None): Long =
+    componentsRetractImpl(stateDir, root, b, id, ts)._1
 
   /** [[componentsRetractStep]] returning also the batch's REBUILT label
     * rows (pinned) — the manifest repair relabels through exactly these,
     * sparing a re-read of the generation just written. */
   private def componentsRetractImpl(stateDir: String, root: String,
-      b: org.apache.spark.sql.DataFrame, id: Long)
+      b: org.apache.spark.sql.DataFrame, id: Long,
+      ts: Option[Long] = None)
       : (Long, org.apache.spark.sql.DataFrame) = {
     val s = b.sparkSession
     val labelsRoot = s"$root/labels"
     val nb = labelBuckets(stateDir)
     val atRest = s.read.parquet(s"$stateDir/labels")
     val base = BucketedGens.latest(labelsRoot, below = Some(id))
+    // BOUND the dels family's reconstruction width (r18 — this family
+    // has no state-level compaction, so a long forget-request stream
+    // would otherwise accrue one segment dir per batch forever and
+    // every fold would union an ever-growing read list): past
+    // maxSegments standing segments, checkpoint the idempotent delete
+    // set BELOW the current batch id — a replay of `id` still reads
+    // everything strictly below itself through the checkpoint.
+    val maxSegs = s.conf.get("graft.segledger.maxSegments", "64").toInt
+    if (SegLedger.dirs(s"$root/dels", id).size > maxSegs)
+      SegLedger.checkpoint(s, s"$root/dels", id, b.select("doc_id").limit(0))
     // the cumulative delete set reconstructed from O(batch) SEGMENTS
     // (r17): each fold appends only its own doc ids; deletes never
     // retract in this family, so the union IS the cumulative state
@@ -1265,7 +1329,7 @@ object DedupQueries {
     val rows = baseRows - predRows + nextRows
     val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
-    BucketedGens.commit(labelsRoot, id, owners, rows)
+    BucketedGens.commit(labelsRoot, id, owners, rows, ts)
     BucketedGens.vacuum(s, labelsRoot, base, id)
     (rows, recomputed)
   }
@@ -1293,9 +1357,10 @@ object DedupQueries {
     * per original ⇒ replays and any batching converge. Returns the
     * standing manifest row count (owners-map arithmetic, no re-read). */
   private[graft] def survivorRetractStep(ccState: String, survState: String,
-      root: String, b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+      root: String, b: org.apache.spark.sql.DataFrame, id: Long,
+      ts: Option[Long] = None): Long = {
     val s = b.sparkSession
-    val (_, rebuilt) = componentsRetractImpl(ccState, root, b, id)
+    val (_, rebuilt) = componentsRetractImpl(ccState, root, b, id, ts)
     val manRoot = s"$root/manifest"
     val nbM = manifestBuckets(survState)
     val baseM = BucketedGens.latest(manRoot, below = Some(id))
@@ -1370,7 +1435,7 @@ object DedupQueries {
     val rows = baseRows - predRows + nextRows
     val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(nbM)) ++
       buckets.map(b => b -> (if (written(b)) id else BucketedGens.Empty))
-    BucketedGens.commit(manRoot, id, owners, rows)
+    BucketedGens.commit(manRoot, id, owners, rows, ts)
     BucketedGens.vacuum(s, manRoot, baseM, id)
     rows
   }
@@ -1412,8 +1477,9 @@ object DedupQueries {
       /** which doc_ids the at-rest state already covers (present before
         * any append) — q187 passes its % 7 split; the property test an
         * arbitrary membership */
-      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Long =
-    componentsCdcImpl(stateDir, root, b, id, staticSigs, historyPred).rows
+      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0,
+      ts: Option[Long] = None): Long =
+    componentsCdcImpl(stateDir, root, b, id, staticSigs, historyPred, ts).rows
 
   /** What [[componentsCdcImpl]] hands the manifest repair: the fold's
     * standing count, the affected docs' NEW labels (exactly the
@@ -1495,9 +1561,35 @@ object DedupQueries {
     BucketedGens.latest(s"$root/manifest", below = Some(below)).exists { m =>
       val floor = segFloor(root, Some(below))
       val fams = Seq("ops", "pairs", "opsq").map(k => s"$root/$k")
-      m.rows > 0 && (
-        fams.map(SegLedger.rows(_, below, floor)).sum > frac * m.rows ||
-        fams.map(SegLedger.dirs(_, below, floor).size).max > maxSegments)
+      // the SEGMENT-COUNT width bound holds regardless of standing size
+      // — a stream whose manifest empties (every doc deleted) must
+      // still compact away its reconstruction plan's width; only the
+      // ROWS bound is manifest-relative (an empty manifest makes any
+      // nonzero ledger "infinitely" oversized, so it needs the guard)
+      fams.map(SegLedger.dirs(_, below, floor).size).max > maxSegments ||
+        (m.rows > 0 &&
+          fams.map(SegLedger.rows(_, below, floor)).sum > frac * m.rows)
+    }
+
+  /** RE-BUCKETING RULE (r18): the bucket count a compaction commits for
+    * a rebuilt relation — the staged density (rows per bucket at the
+    * predecessor state) held constant, so "nb ∝ corpus" stays true when
+    * the corpus grows IN PLACE under CDC appends, not only across fresh
+    * stages. A ±2× hysteresis band keeps steady corpora from jiggling
+    * the count every compaction (the jiggle would be harmless — a
+    * compaction rewrites everything anyway — but stable counts keep
+    * generations comparable across rounds). No previous density
+    * (synthetic fixtures without a meta, or an empty relation) ⇒ the
+    * count carries forward unchanged. */
+  private[graft] def rescaleBuckets(prevNb: Int, prevRows: Long,
+      newRows: Long): Int =
+    if (prevRows <= 0 || newRows <= 0 || prevNb <= 0) prevNb
+    else {
+      val target = math.max(1.0, prevRows.toDouble / prevNb)
+      val ideal = math.max(1L, math.ceil(newRows / target).toLong)
+      if (ideal > 2L * prevNb || 2L * ideal < prevNb)
+        math.min(ideal, 1L << 20).toInt
+      else prevNb
     }
 
   /** The at-rest state a CDC fold reads: the latest COMPACTED state
@@ -1522,7 +1614,8 @@ object DedupQueries {
   private def componentsCdcImpl(stateDir0: String, root: String,
       b0: org.apache.spark.sql.DataFrame, id: Long,
       staticSigs: org.apache.spark.sql.DataFrame,
-      historyPred: org.apache.spark.sql.Column): CdcFold = {
+      historyPred: org.apache.spark.sql.Column,
+      ts: Option[Long] = None): CdcFold = {
     val s = b0.sparkSession
     val b = netOps(b0)
     val labelsRoot = s"$root/labels"
@@ -1866,7 +1959,7 @@ object DedupQueries {
     val rows = baseRows - predRows + nextRows
     val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
-    BucketedGens.commit(labelsRoot, id, owners, rows)
+    BucketedGens.commit(labelsRoot, id, owners, rows, ts)
     BucketedGens.vacuum(s, labelsRoot, base, id)
     // the byid mirror's own generation: the SAME affected rows under the
     // doc keying — touched buckets are pmod(affected ids, 16), write I/O
@@ -1894,7 +1987,7 @@ object DedupQueries {
     }
     val ownersBy = baseBy.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       byBuckets.map(bk => bk -> (if (writtenBy(bk)) id else BucketedGens.Empty))
-    BucketedGens.commit(byidRoot, id, ownersBy, rows)
+    BucketedGens.commit(byidRoot, id, ownersBy, rows, ts)
     BucketedGens.vacuum(s, byidRoot, baseBy, id)
     // no per-batch ledger vacuum: segments ACCUMULATE until a
     // compaction truncates the family (that is the trade — O(batch)
@@ -1949,8 +2042,7 @@ object DedupQueries {
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$stage/manifest")
         writeStateMeta(stage, "manifest", nbM, manifest.count())
-        new java.io.File(stage, "_SUCCESS").createNewFile()
-        ()
+        StateFs.touch(s"$stage/_SUCCESS")
       }
     }
 
@@ -2008,7 +2100,8 @@ object DedupQueries {
   private[graft] def survivorCdcStep(ccState: String, survState0: String,
       root: String, b0: org.apache.spark.sql.DataFrame, id: Long,
       staticSigs: org.apache.spark.sql.DataFrame,
-      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Long = {
+      historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0,
+      ts: Option[Long] = None): Long = {
     val s = b0.sparkSession
     val b = netOps(b0) // ordered batches reduce to per-doc net ops ONCE
     val manRoot = s"$root/manifest"
@@ -2016,7 +2109,7 @@ object DedupQueries {
     val nbM = manifestBuckets(survState)
     val baseM = BucketedGens.latest(manRoot, below = Some(id))
     val fold = componentsCdcImpl(ccState, root,
-      b.select("op", "doc_id", "simhash"), id, staticSigs, historyPred)
+      b.select("op", "doc_id", "simhash"), id, staticSigs, historyPred, ts)
     val ccStateEff = effectiveState(s, root, Some(id), ccState)
     val bD = b.filter(col("op") === "D").select("doc_id").distinct()
     val bI0 = b.filter(col("op") === "I").select("doc_id", "quality").distinct()
@@ -2139,7 +2232,7 @@ object DedupQueries {
     val rows = baseRows - predRows + nextRows
     val owners = baseM.map(_.owners).getOrElse(BucketedGens.initialOwners(nbM)) ++
       manBuckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
-    BucketedGens.commit(manRoot, id, owners, rows)
+    BucketedGens.commit(manRoot, id, owners, rows, ts)
     BucketedGens.vacuum(s, manRoot, baseM, id)
     rows
   }
@@ -2171,19 +2264,29 @@ object DedupQueries {
       root: String, id: Long, staticSigs: org.apache.spark.sql.DataFrame,
       historyPred: org.apache.spark.sql.Column = col("doc_id") % 7 =!= 0): Unit = {
     val s = staticSigs.sparkSession
-    if (new java.io.File(s"$root/state/gen-$id/_SUCCESS").exists())
+    if (StateFs.exists(s"$root/state/gen-$id/_SUCCESS"))
       return // committed by a previous delivery of this batch — skip
     val survPrev = effectiveState(s, root, Some(id), survInit)
+    val ccPrev = effectiveState(s, root, Some(id), ccInit)
     val baseState = EventQueries.latestViewGen(s"$root/state", below = Some(id))
     val (baseL, baseM) = (BucketedGens.latest(s"$root/labels", below = Some(id)),
       BucketedGens.latest(s"$root/manifest", below = Some(id)))
     val baseBy = BucketedGens.latest(s"$root/labels_byid", below = Some(id))
     val ledgerFloor = segFloor(root, Some(id))
-    // bucket counts CARRY FORWARD from the states being compacted — the
-    // standing generations were written under them and the serve-side
-    // resolution must stay consistent across the splice
-    val nbL = labelBuckets(effectiveState(s, root, Some(id), ccInit))
-    val nbM = manifestBuckets(survPrev)
+    // RE-BUCKETING (r18): bucket counts are recomputed from the
+    // REBUILT relations' standing rows at the density the state was
+    // staged with (constant target bucket SIZE — the "nb ∝ corpus"
+    // production rule, now true for IN-PLACE growth, not only for
+    // freshly staged states). Pre-compaction generations were written
+    // under the old counts and keep resolving through their own owners
+    // maps against the old state dir (retention keeps both); the
+    // compaction commits FULL snapshots, so old and new counts never
+    // mix inside one resolution. States without a meta (synthetic
+    // fixtures) keep their prior counts — rescale needs a density.
+    val nbLPrev = labelBuckets(ccPrev)
+    val rowsLPrev = stateMeta(ccPrev, "labels").map(_._2).getOrElse(-1L)
+    val nbMPrev = manifestBuckets(survPrev)
+    val rowsMPrev = stateMeta(survPrev, "manifest").map(_._2).getOrElse(-1L)
     val emptyIds = staticSigs.select("doc_id").limit(0)
     // the cumulative ledgers reconstructed ONCE from their segments —
     // the bulk fold this compaction exists to amortize
@@ -2229,6 +2332,10 @@ object DedupQueries {
       .localCheckpoint() // read by the components run AND the edge write
     val labels = Components.connectedComponents(pairs, "id_a", "id_b")
       .localCheckpoint()
+    // the count is needed BEFORE the bucketed writes now (nb derives
+    // from it) — same one action the meta write always paid, moved up
+    val nLabels = labels.count()
+    val nbL = rescaleBuckets(nbLPrev, rowsLPrev, nLabels)
     labels.withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels")
@@ -2254,15 +2361,19 @@ object DedupQueries {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"),
         col("quality"))
-      .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
       .localCheckpoint() // membership write + manifest agg + counts
-    membership.repartition(col("bucket"))
+    val manifest = electSurvivors(membership).localCheckpoint()
+    // count before the bucketed writes — nbM derives from it (the
+    // manifest has one row per present component, the relation whose
+    // density the bucket count must hold)
+    val nManifest = manifest.count()
+    val nbM = rescaleBuckets(nbMPrev, rowsMPrev, nManifest)
+    membership.withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/membership")
-    val manifest = electSurvivors(membership)
-      .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
-      .localCheckpoint()
-    manifest.repartition(col("bucket"))
+    manifest.withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/manifest")
     // ledger truncation is the SEGMENT VACUUM below (after the marker):
@@ -2270,8 +2381,6 @@ object DedupQueries {
     // empty frames — nothing is written here
     // full-snapshot generation pointers: every bucket at the NEW rest
     // (the byid mirror carries the same standing count by construction)
-    val nLabels = labels.count()
-    val nManifest = manifest.count()
     writeStateMeta(stateDir, "labels", nbL, nLabels)
     writeStateMeta(stateDir, "manifest", nbM, nManifest)
     BucketedGens.commit(s"$root/labels", id, BucketedGens.initialOwners(nbL), nLabels)
@@ -2281,7 +2390,7 @@ object DedupQueries {
     // the OVERALL commit marker, after every artifact above: a replay
     // that finds it skips; one that does not re-runs from predecessors
     // that are still intact (no vacuum has run yet)
-    new java.io.File(stateDir, "_SUCCESS").createNewFile()
+    StateFs.touch(s"$stateDir/_SUCCESS")
     // vacuums LAST — a replayed compaction must find its predecessors
     BucketedGens.vacuum(s, s"$root/labels", baseL, id)
     BucketedGens.vacuum(s, s"$root/labels_byid", baseBy, id)
@@ -2298,10 +2407,10 @@ object DedupQueries {
     // rest strictly below the compaction base as before.
     def genNum(p: String): Long = p.substring(p.lastIndexOf("gen-") + 4).toLong
     def retained(r: String): Seq[Long] =
-      Option(new java.io.File(r).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("gen-") &&
-          new java.io.File(f, "_owners.json").exists())
-        .map(f => genNum(f.getName))
+      StateFs.list(r)
+        .filter(p => p.getName.startsWith("gen-") &&
+          StateFs.exists(s"${p.toString}/_owners.json"))
+        .map(p => genNum(p.getName))
     val referencedStates: Set[Long] =
       (retained(s"$root/labels") ++ retained(s"$root/labels_byid") ++
         retained(s"$root/manifest"))
@@ -2309,12 +2418,12 @@ object DedupQueries {
           .flatMap(b => EventQueries.latestViewGen(s"$root/state", Some(b))))
         .map(genNum).toSet
     val baseNum = baseState.map(genNum)
-    Option(new java.io.File(s"$root/state").listFiles()).toSeq.flatten
-      .filter { f =>
-        val n = f.getName
+    StateFs.list(s"$root/state")
+      .filter { p =>
+        val n = p.getName
         n.startsWith("gen-") && baseNum.exists(genNum(n) < _) &&
           !referencedStates(genNum(n))
-      }.foreach(EventQueries.rm)
+      }.foreach(p => StateFs.delete(p.toString))
   }
 
   /** THE survivor election — argmax(quality) per component, min-id

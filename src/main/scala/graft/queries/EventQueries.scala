@@ -139,11 +139,11 @@ object EventQueries {
     in.getPath
   }
 
-  /** Recursive delete of exactly the tree given. */
-  private[queries] def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
-  }
+  /** Recursive delete of exactly the tree given — through the Hadoop
+    * `FileSystem` API ([[StateFs]]), so state-layer cleanup works on
+    * `file:`/`hdfs:`/object-store URIs alike. */
+  private[queries] def rm(f: java.io.File): Unit = rm(f.getPath)
+  private[queries] def rm(path: String): Unit = StateFs.delete(path)
 
   /** Delete a staged drain dir AND ITS WHOLE TEMP PARENT once the drain
     * has materialized into its sink — no drain re-reads
@@ -1156,11 +1156,11 @@ object EventQueries {
     * each generation carries the whole view, so keeping base + next is
     * exactly the replay window. */
   private[queries] def vacuumViewGens(root: String, base: Option[String]): Unit = {
-    val baseGen = base.map(p => genNumOf(new java.io.File(p)))
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("gen-") &&
-        baseGen.exists(genNumOf(f) < _))
-      .foreach(rm)
+    val baseGen = base.map(p => genNumOf(p.substring(p.lastIndexOf('/') + 1)))
+    StateFs.list(root)
+      .filter(p => p.getName.startsWith("gen-") &&
+        baseGen.exists(genNumOf(p.getName) < _))
+      .foreach(p => rm(p.toString))
   }
 
   /** q161: the at-rest rollup is PARTITIONED BY DAY, and a correction
@@ -1210,12 +1210,9 @@ object EventQueries {
     * treats as complete on every later run. */
   private[queries] def multiWriteStage(target: String)(write: String => Unit): Unit = {
     val tmp = s"$target.build"
-    rm(new java.io.File(tmp))
+    rm(tmp)
     write(tmp)
-    rm(new java.io.File(target))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(target))
-    ()
+    StateFs.move(tmp, target)
   }
 
   /** The daily rollup's MERGEABLE partial per (event_type, day): count
@@ -1267,19 +1264,18 @@ object EventQueries {
     b.sparkSession.read.parquet(next).count()
   }
 
-  private def genNumOf(f: java.io.File): Long =
-    f.getName.stripPrefix("gen-").toLong
+  private def genNumOf(name: String): Long = name.stripPrefix("gen-").toLong
 
   /** Latest COMMITTED view generation under `root` (optionally only
     * those strictly below `below`) — the recovery read: a dir without
     * parquet's _SUCCESS marker is a torn write and never a merge base. */
   private[graft] def latestViewGen(root: String,
       below: Option[Long] = None): Option[String] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("gen-") &&
-        new java.io.File(f, "_SUCCESS").exists() &&
-        below.forall(genNumOf(f) < _))
-      .sortBy(genNumOf).lastOption.map(_.getPath)
+    StateFs.list(root)
+      .filter(p => p.getName.startsWith("gen-") &&
+        StateFs.exists(s"${p.toString}/_SUCCESS") &&
+        below.forall(genNumOf(p.getName) < _))
+      .sortBy(p => genNumOf(p.getName)).lastOption.map(_.toString)
 
   /** Serve-time finisher: rounding and the derived avg, computed from
     * the MERGED sums (avg-of-partial-avgs would weight batches, not

@@ -18,32 +18,68 @@ import org.apache.spark.sql.functions._
   * {{{
   *   seg-<batchGen>/…parquet + _SUCCESS   // the batch's net contribution
   *   seg-<batchGen>/_meta.json            // {"rows":N} — the size policy's input
+  *   compact-<n>/…parquet + _SUCCESS      // optional: union of segments id < n
   * }}}
   * Commit = parquet's own `_SUCCESS` (single atomic write per segment).
   * Replay discipline matches the generation stores: a re-delivered
   * batch reads segments STRICTLY BELOW its id and overwrites its own
   * segment whole, so folds converge under at-least-once delivery. The
   * row-count meta rides the write itself (observe() — no extra job);
-  * it feeds the compaction trigger without ever re-reading a segment.
-  */
+  * it feeds the compaction trigger without ever re-reading a segment,
+  * and a segment whose meta is MISSING (crash between the parquet
+  * commit and the meta write) counts its parquet footers instead of
+  * silently reading as 0.
+  *
+  * `compact-<n>` checkpoints are for families whose rows are IDEMPOTENT
+  * INSERTS (the retraction family's `dels` — a doc id, never retracted):
+  * they replace the per-fold union of an unbounded segment list with
+  * one checkpoint read + the tail. They are NOT legal for the
+  * last-writer-wins families (`ops`/`pairs`/`opsq`) — a checkpoint
+  * collapses per-row segment ordinals, which LWW resolution needs;
+  * those families truncate through the state-level compaction's read
+  * floor instead.
+  *
+  * All filesystem access goes through [[StateFs]] (Hadoop `FileSystem`)
+  * so the ledger runs unchanged on `file:`/`hdfs:`/object-store URIs. */
 private[graft] object SegLedger {
 
-  private def segNum(f: java.io.File): Long = f.getName.stripPrefix("seg-").toLong
+  private def segNum(name: String): Long = name.stripPrefix("seg-").toLong
+
+  /** Committed checkpoint boundaries (`compact-<n>` with `_SUCCESS`),
+    * ascending; `n` means "absorbs every segment with id < n". */
+  private def checkpoints(root: String): Seq[Long] =
+    StateFs.list(root)
+      .filter(p => p.getName.startsWith("compact-") &&
+        StateFs.exists(s"${p.toString}/_SUCCESS"))
+      .map(_.getName.stripPrefix("compact-").toLong).sorted
+
+  /** The committed checkpoint a read below `below` resolves through
+    * (the largest boundary ≤ `below`), if any. */
+  def checkpointFloor(root: String, below: Long): Option[Long] =
+    checkpoints(root).filter(_ <= below).lastOption
 
   /** Committed segments strictly below `below` and strictly ABOVE
-    * `floor`, ordinal-sorted. The floor is the latest compacted state's
+    * `floor`, ordinal-sorted — segments absorbed by a committed
+    * checkpoint (id < the checkpoint boundary) are excluded even before
+    * their vacuum lands. The floor is the latest compacted state's
     * generation id: truncation is a READ RULE, not a filesystem fact —
     * a compaction's post-marker segment vacuum is pure cleanup, so a
     * crash between the marker and the vacuum (or a chained compaction
     * whose predecessor's segments still exist) can never resurrect
     * pre-compaction ledger state. */
   def dirs(root: String, below: Long,
-      floor: Long = Long.MinValue): Seq[(Long, java.io.File)] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("seg-") &&
-        new java.io.File(f, "_SUCCESS").exists() &&
-        segNum(f) < below && segNum(f) > floor)
-      .map(f => segNum(f) -> f).sortBy(_._1)
+      floor: Long = Long.MinValue): Seq[(Long, String)] = {
+    val ckpt = checkpointFloor(root, below).getOrElse(Long.MinValue)
+    StateFs.list(root)
+      .filter(p => p.getName.startsWith("seg-") &&
+        StateFs.exists(s"${p.toString}/_SUCCESS"))
+      .map(p => segNum(p.getName) -> p.toString)
+      .filter { case (n, _) => n < below && n > floor && n >= ckpt }
+      .sortBy(_._1)
+  }
+
+  private def writeMeta(dir: String, rows: Long): Unit =
+    StateFs.writeUtf8Atomic(s"$dir/_meta.json", s"""{"rows":$rows}""")
 
   /** Land batch `id`'s contribution as one segment. The `_meta.json`
     * row count is collected by the write action itself. */
@@ -51,43 +87,90 @@ private[graft] object SegLedger {
     val o = org.apache.spark.sql.Observation()
     df.observe(o, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$root/seg-$id")
-    val meta = new java.io.File(s"$root/seg-$id/_meta.json")
     // a provably-empty batch frame can lose its CollectMetrics node to
     // AQE empty-propagation — missing metric ⟹ zero rows
-    val rows = o.get.get("n").fold(0L)(_.asInstanceOf[Long])
-    val w = new java.io.PrintWriter(meta, "UTF-8")
-    try w.print(s"""{"rows":$rows}""") finally w.close()
-    ()
+    writeMeta(s"$root/seg-$id", o.get.get("n").fold(0L)(_.asInstanceOf[Long]))
   }
 
-  /** Union of the committed segments in (`floor`, `below`), each row
+  /** Union of the committed segments in (`floor`, `below`) — resolved
+    * through the latest committed checkpoint ≤ `below` when one exists
+    * (its content rides in with `__seg` = the boundary − 1, legal only
+    * for idempotent-insert families; see the class doc) — each row
     * tagged with its segment ordinal (`__seg` — the last-writer-wins
     * resolution key). `empty` supplies the schema when no segment
     * exists yet. */
   def read(s: SparkSession, root: String, below: Long,
-      empty: => DataFrame, floor: Long = Long.MinValue): DataFrame =
-    dirs(root, below, floor)
-      .map { case (n, f) => s.read.parquet(f.getPath).withColumn("__seg", lit(n)) }
-      .reduceOption(_.unionByName(_))
+      empty: => DataFrame, floor: Long = Long.MinValue): DataFrame = {
+    val ckpt = checkpointFloor(root, below).filter(_ > floor)
+    val segs = dirs(root, below, floor)
+      .map { case (n, p) => s.read.parquet(p).withColumn("__seg", lit(n)) }
+    val parts = ckpt.map(n =>
+      s.read.parquet(s"$root/compact-$n").withColumn("__seg", lit(n - 1))).toSeq ++ segs
+    parts.reduceOption(_.unionByName(_))
       .getOrElse(empty.withColumn("__seg", lit(0L)))
+  }
 
-  /** Total rows across committed segments in (`floor`, `below`) — read
-    * from the metas, zero Spark jobs. The compaction trigger's ledger
-    * side. */
-  def rows(root: String, below: Long, floor: Long = Long.MinValue): Long =
-    dirs(root, below, floor).map { case (_, f) =>
-      val m = new java.io.File(f, "_meta.json")
-      if (!m.exists()) 0L
-      else """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(
-          new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8"))
+  /** Total rows across committed segments in (`floor`, `below`) (plus
+    * the resolving checkpoint's rows, when one exists) — read from the
+    * metas, zero Spark jobs. A missing meta (crash between the parquet
+    * commit and the meta write) falls back to the segment's parquet
+    * FOOTER counts — still zero Spark jobs — and self-heals the meta so
+    * the footers are opened once, not per trigger. */
+  def rows(root: String, below: Long, floor: Long = Long.MinValue): Long = {
+    def metaRows(dir: String): Long =
+      if (!StateFs.exists(s"$dir/_meta.json")) {
+        val n = StateFs.parquetFooterRows(dir)
+        writeMeta(dir, n)
+        n
+      } else """"rows"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(StateFs.readUtf8(s"$dir/_meta.json"))
         .map(_.group(1).toLong).getOrElse(0L)
-    }.sum
+    val ckpt = checkpointFloor(root, below).filter(_ > floor)
+      .map(n => metaRows(s"$root/compact-$n")).getOrElse(0L)
+    ckpt + dirs(root, below, floor).map { case (_, p) => metaRows(p) }.sum
+  }
+
+  /** CHECKPOINT an idempotent-insert family (see the class doc): fold
+    * every committed segment (and prior checkpoint) strictly below
+    * `below` into one `compact-<below>` dir, then vacuum what it
+    * absorbed. Bounds the per-fold reconstruction plan of a family that
+    * has no state-level compaction (the retraction family's `dels`) —
+    * without it a long delete stream accrues one segment dir per batch
+    * forever and every fold unions an ever-growing read list.
+    *
+    * Crash-safe by construction: the checkpoint's parquet `_SUCCESS` is
+    * its commit; before it lands, reads resolve through the intact
+    * segments; after it, the read rule ([[dirs]]/[[read]]) already
+    * excludes absorbed segments, so the trailing vacuum is cleanup. A
+    * replayed fold re-runs the checkpoint at the same boundary and
+    * overwrites it whole. Call with `below` = the current batch id,
+    * BEFORE appending the batch's own segment — a replay of that batch
+    * then still reads everything strictly below itself. */
+  def checkpoint(s: SparkSession, root: String, below: Long,
+      empty: => DataFrame): Unit = {
+    val o = org.apache.spark.sql.Observation()
+    read(s, root, below, empty).drop("__seg")
+      .observe(o, count(lit(1)).as("n"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$root/compact-$below")
+    writeMeta(s"$root/compact-$below", o.get.get("n").fold(0L)(_.asInstanceOf[Long]))
+    // vacuum what the committed checkpoint absorbed: segments below the
+    // boundary and older checkpoints
+    StateFs.list(root).foreach { p =>
+      val n = p.getName
+      if ((n.startsWith("seg-") && segNum(n) < below) ||
+          (n.startsWith("compact-") && n.stripPrefix("compact-").toLong < below))
+        StateFs.delete(p.toString)
+    }
+  }
 
   /** Compaction truncation: drop every segment strictly below `cutoff`.
     * Runs only AFTER the compaction's overall commit marker — a replay
     * that re-runs a partial compaction must find its inputs intact. */
   def vacuum(root: String, cutoff: Long): Unit =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("seg-") && segNum(f) < cutoff)
-      .foreach(EventQueries.rm)
+    StateFs.list(root)
+      .filter(p => (p.getName.startsWith("seg-") && segNum(p.getName) < cutoff) ||
+        (p.getName.startsWith("compact-") &&
+          p.getName.stripPrefix("compact-").toLong <= cutoff))
+      .foreach(p => StateFs.delete(p.toString))
 }

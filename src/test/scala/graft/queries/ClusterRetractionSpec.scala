@@ -350,6 +350,13 @@ class ClusterRetractionSpec extends SparkSpec {
     // at 7 (hamming 3 to both sides)
     val sigs = Seq((1L, 0L), (2L, 0L), (10L, 63L), (11L, 63L), (21L, 7L))
       .toDF("doc_id", "simhash")
+    // TRUTHFUL state metas (r18): with a staged density on record,
+    // the first compaction RE-BUCKETS (labels 16 → ~4, manifest
+    // 64 → ~1 at this micro scale) — so every post-compaction fold,
+    // pin, and later compaction below runs ACROSS an nb change, the
+    // in-place-growth rule's other direction
+    DedupQueries.writeStateMeta(dir, "labels", 16, 4L)
+    DedupQueries.writeStateMeta(sdir, "manifest", 64, 2L)
     val hist = col("doc_id").isin(1L, 2L, 10L, 11L)
     val root = Files.createTempDirectory("graft_compact_root_").toString
     def step(id: Long, rows: Seq[(String, java.lang.Long, java.lang.Long, java.lang.Double)]): Unit = {
@@ -373,6 +380,15 @@ class ClusterRetractionSpec extends SparkSpec {
     for (k <- Seq("ops", "pairs", "opsq"))
       assert(SegLedger.dirs(s"$root/$k", Long.MaxValue).forall(_._1 > 2L),
         s"compaction must truncate the $k segments it absorbed")
+    // re-bucketing happened: the compacted state's metas carry counts
+    // rescaled to the staged density over the REBUILT standing rows
+    // (labels {1,10,11,21} at density 4/16 → 4 buckets; manifest {1}
+    // at density 2/64 → 1)
+    val st2 = EventQueries.latestViewGen(s"$root/state", Some(3L)).get
+    assert(DedupQueries.stateMeta(st2, "labels").map(_._1).contains(4),
+      s"labels nb must rescale 16 -> 4, got ${DedupQueries.stateMeta(st2, "labels")}")
+    assert(DedupQueries.stateMeta(st2, "manifest").map(_._1).contains(1),
+      s"manifest nb must rescale 64 -> 1, got ${DedupQueries.stateMeta(st2, "manifest")}")
     // full-snapshot pointers: every bucket at the NEW rest
     val owners = BucketedGens.latest(s"$root/labels").get.owners
     assert(owners.values.forall(_ == BucketedGens.AtRest), s"got $owners")
@@ -490,6 +506,10 @@ class ClusterRetractionSpec extends SparkSpec {
         .toDF("id_a", "id_b", "component")
         .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
         .write.partitionBy("bucket").parquet(s"$dir/edges")
+      // truthful meta ⇒ compaction trials rescale nb to the micro
+      // densities (often 1-10 buckets) — the property then proves
+      // correctness ACROSS bucket-count changes, not just splices
+      DedupQueries.writeStateMeta(dir, "labels", 16, histLabels.size.toLong)
       // ... and the survivor state over the same history
       val sdir = Files.createTempDirectory(s"graft_cdc_prop_surv_$trial").toString
       val membership = hist.toSeq.map(h =>
@@ -504,6 +524,8 @@ class ClusterRetractionSpec extends SparkSpec {
         }
       writeAtRestManifest(sdir, electManifest(membership).toSeq
         .map { case (c, (sid, nm, qv)) => (c, sid, nm, qv) })
+      DedupQueries.writeStateMeta(sdir, "manifest", 64,
+        electManifest(membership).size.toLong)
       // the STATIC frame carries the INITIAL sigs — an upserted doc's
       // current sig must flow through the apps ledger, never from here
       val sigs = initialSig.toSeq.toDF("doc_id", "simhash")
@@ -628,6 +650,64 @@ class ClusterRetractionSpec extends SparkSpec {
       "the size policy never fired — q190 degenerated to q189")
     assert(viaCompaction == rows("q189_stream_manifest_cdc"),
       "compaction must be invisible: q190 and q189 disagree on the manifest")
+  }
+
+  test("dels ledger: past maxSegments the fold checkpoints the delete set and truncates") {
+    // the retraction family's dels ledger has no state-level compaction
+    // (the r18 ADVICE finding): a long forget-request stream must not
+    // accrue one segment dir per batch forever. Past maxSegments
+    // standing segments, the fold folds the idempotent delete set into
+    // a compact-<id> checkpoint BELOW the current batch (so a replayed
+    // batch still reads everything strictly below itself) and vacuums
+    // what it absorbed — and the maintained labels must be oblivious.
+    val dir = Files.createTempDirectory("graft_dels_ckpt_state_").toString
+    writeAtRestLabels(dir, Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 1L), (6L, 1L), (10L, 10L), (11L, 10L)))
+    Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L),
+      (10L, 11L, 10L)).toDF("id_a", "id_b", "component")
+      .withColumn("bucket", pmod(col("component"), lit(16)).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/edges")
+    val root = Files.createTempDirectory("graft_dels_ckpt_root_").toString
+    // the RETRACTION family's generations carry (id, component, orig,
+    // bucket) — the AtRest resolution frame must match that shape
+    // (atRestLabelGenRows' contract: orig == component at rest)
+    def labelsNow(g: Long): Map[Long, Long] = {
+      val gen = BucketedGens.latest(s"$root/labels", below = Some(g + 1)).get
+      BucketedGens.read(spark, s"$root/labels", gen,
+          spark.read.parquet(s"$dir/labels")
+            .select(col("id"), col("component"),
+              col("component").as("orig"), col("bucket")))
+        .select("id", "component").as[(Long, Long)].collect().toMap
+    }
+    def step(id: Long, doc: Long): Map[Long, Long] = {
+      DedupQueries.componentsRetractStep(dir, root, Seq(doc).toDF("doc_id"), id)
+      labelsNow(id)
+    }
+    spark.conf.set("graft.segledger.maxSegments", "2")
+    try {
+      assert(step(0, 2L) == Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L,
+        10L -> 10L, 11L -> 10L))
+      assert(step(1, 4L) == Map(5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L))
+      assert(step(2, 6L) == Map(10L -> 10L, 11L -> 10L))
+      // batch 3 finds 3 standing segments > maxSegments=2 — it must
+      // checkpoint {2,4,6} below itself before folding its own delete
+      val after3 = step(3, 1L)
+      assert(after3 == Map(10L -> 10L, 11L -> 10L), s"got $after3")
+      assert(new java.io.File(s"$root/dels/compact-3/_SUCCESS").exists(),
+        "the checkpoint must commit as compact-3")
+      val standing = SegLedger.dirs(s"$root/dels", Long.MaxValue)
+      assert(standing.map(_._1) == Seq(3L),
+        s"segments 0-2 must be absorbed and vacuumed, got ${standing.map(_._1)}")
+      assert(step(4, 3L) == Map(10L -> 10L, 11L -> 10L))
+      // the reconstruction reads checkpoint + tail and sees every delete
+      val cum = SegLedger.read(spark, s"$root/dels", Long.MaxValue,
+          Seq.empty[Long].toDF("doc_id"))
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(cum == Set(1L, 2L, 3L, 4L, 6L), s"got $cum")
+      // a replayed batch converges through the checkpointed ledger
+      assert(step(4, 3L) == Map(10L -> 10L, 11L -> 10L),
+        "a replayed batch must land identical labels")
+    } finally spark.conf.unset("graft.segledger.maxSegments")
   }
 
   test("q182: a deleted survivor is re-elected; untouched manifest rows pass through") {

@@ -27,6 +27,19 @@ class FoldJobBudgetSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.{col, lit, pmod}
 
+  /** The hard job ceilings below are plan-shape dependent (AQE's
+    * query-stage materialization ≈ 2.7 jobs per driver action) and were
+    * measured on THIS Spark line — a version bump can legitimately move
+    * them, which must read as "re-measure and re-pin", not as a fold
+    * regression. The meter itself settles on a listener-bus DRAIN, not
+    * a fixed sleep poll (which undercounts when the async bus stalls
+    * past one interval on a loaded host). */
+  private val pinnedSparkLine = "4.1."
+  private def requirePinnedSpark(): Unit =
+    assume(org.apache.spark.SPARK_VERSION.startsWith(pinnedSparkLine),
+      s"job budgets are pinned to Spark $pinnedSparkLine" +
+        s"x (running ${org.apache.spark.SPARK_VERSION}) — re-measure and re-pin")
+
   private def meteredJobs(body: => Unit): Int = {
     val jobs = new AtomicInteger(0)
     val l = new SparkListener {
@@ -37,14 +50,14 @@ class FoldJobBudgetSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       body
-      // the listener bus is async — settle until the counter stops
-      var prev = -1
-      while (jobs.get != prev) { prev = jobs.get; Thread.sleep(300) }
+      org.apache.spark.GraftListenerBridge
+        .waitListenerBusEmpty(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(l)
     jobs.get
   }
 
   test("survivorCdcStep: per-fold job count stays under the diet budget") {
+    requirePinnedSpark()
     // the bridge fixture (ClusterRetractionSpec's): history clusters
     // A = {1,2} and B = {10,11}; batch 0 bridges them via arrival 21,
     // batch 1 deletes a history member, batch 2 deletes the bridge.
@@ -80,10 +93,19 @@ class FoldJobBudgetSpec extends SparkSpec {
           $"quality".cast("double"))
       meteredJobs { DedupQueries.survivorCdcStep(dir, sdir, root, b, id, sigs); () }
     }
-    val jAppend = step(0, "I", 21L) // bridge merge: the append profile
-    val jDelete = step(1, "D", 2L)  // history delete: closure walk + re-election
-    val jSplit  = step(2, "D", 21L) // bridge delete: split + two re-elections
-    info(s"fold jobs — append=$jAppend delete=$jDelete split=$jSplit")
+    def timed(body: => Int): (Int, Double) = {
+      val t0 = System.nanoTime()
+      val j = body
+      (j, (System.nanoTime() - t0) / 1e9)
+    }
+    val (jAppend, wAppend) = timed(step(0, "I", 21L)) // bridge merge: the append profile
+    val (jDelete, wDelete) = timed(step(1, "D", 2L))  // history delete: closure walk + re-election
+    val (jSplit, wSplit)   = timed(step(2, "D", 21L)) // bridge delete: split + two re-elections
+    // the wall on this NEAR-ZERO-DATA fixture is the fold family's
+    // fixed per-batch overhead floor — the number SCALING.md's
+    // trigger-rate bound is written against
+    info(f"fold jobs — append=$jAppend (${wAppend}%.1fs) delete=$jDelete " +
+      f"(${wDelete}%.1fs) split=$jSplit (${wSplit}%.1fs)")
     // measured on the diet'd r17 fold: append=63, delete=74, split=76
     // (local[4], AQE on — ~2.7 jobs per driver action from query-stage
     // materialization; r16's shape measured 82/100/102 on this same
@@ -96,6 +118,7 @@ class FoldJobBudgetSpec extends SparkSpec {
   }
 
   test("componentsMergeStep: per-fold job count stays under the diet budget") {
+    requirePinnedSpark()
     // the q172 merge fold: batch 0 seeds two pairs, batch 1 bridges
     // them (touched-state read + merge), the costliest merge profile.
     val root = Files.createTempDirectory("graft_jobbudget_merge_").toString
