@@ -128,6 +128,7 @@ object SpineProbe {
         ("q189_stream_manifest_cdc", Set("documents")),
         ("q190_stream_manifest_compaction", Set("documents")),
         ("q191_manifest_asof", Set("documents")),
+        ("q192_manifest_asof_time", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -194,6 +195,7 @@ object SpineProbe {
         ("q189_stream_manifest_cdc", Set("documents")),
         ("q190_stream_manifest_compaction", Set("documents")),
         ("q191_manifest_asof", Set("documents")),
+        ("q192_manifest_asof_time", Set("documents")),
         ("q183_monster_source_budget", Set("documents")),
         ("q184_mmr_rerank_k5", Set("embeddings")),
         ("q186_stats_broadcast_join", Set("orders", "customer")),
@@ -396,6 +398,7 @@ object SpineProbe {
       "q189_stream_manifest_cdc",
       "q190_stream_manifest_compaction",
       "q191_manifest_asof",
+      "q192_manifest_asof_time",
       "q158_stream_agg_refresh", // foreachBatch merge; gate = view-rows ledger
       "q159_stream_decontam", // stateless gate reads StreamMetrics, not the plan
       "q130_stream_interval_join", "q131_stream_session",
@@ -426,7 +429,8 @@ object SpineProbe {
       "q188_stream_survivor_reelection" -> "graft_stream_survivor",
       "q189_stream_manifest_cdc" -> "graft_stream_manifest_cdc",
       "q190_stream_manifest_compaction" -> "graft_stream_manifest_compaction",
-      "q191_manifest_asof" -> "graft_manifest_asof")
+      "q191_manifest_asof" -> "graft_manifest_asof",
+      "q192_manifest_asof_time" -> "graft_manifest_asof_time")
     for ((q, tbls) <- selected) {
       val big = if (tbls("documents_sfx")) scaledSfx
         else if (tbls("documents_q153")) scaledQ153

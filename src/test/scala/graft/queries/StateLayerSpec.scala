@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Unit pins for the round-18 state-layer surface: the compaction
+  * re-bucketing rule, as-of-time generation resolution, segment-ledger
+  * checkpoints (the dels-family bound), and the missing-meta footer
+  * fallback. The integration behavior lives in ClusterRetractionSpec;
+  * these pin the contracts in isolation. */
+class StateLayerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rescaleBuckets: staged density held constant, ±2x hysteresis, degenerate inputs") {
+    // density 10 rows/bucket staged (640 rows / 64 buckets)
+    // 10x growth → 10x buckets
+    assert(DedupQueries.rescaleBuckets(64, 640, 6400) == 640)
+    // within the ±2x band the count must NOT jiggle
+    assert(DedupQueries.rescaleBuckets(64, 640, 640) == 64)
+    assert(DedupQueries.rescaleBuckets(64, 640, 1200) == 64)  // 1.875x ideal
+    assert(DedupQueries.rescaleBuckets(64, 640, 350) == 64)   // 0.55x ideal
+    // past the band it rescales BOTH directions
+    assert(DedupQueries.rescaleBuckets(64, 640, 2000) == 200) // 3.1x
+    assert(DedupQueries.rescaleBuckets(64, 640, 64) == 7)     // ceil(64/10)
+    // sub-1 densities floor at one row per bucket (micro fixtures)
+    assert(DedupQueries.rescaleBuckets(16, 4, 40) == 40)
+    // no density on record / empty relation → carry the count forward
+    assert(DedupQueries.rescaleBuckets(16, -1, 500) == 16)
+    assert(DedupQueries.rescaleBuckets(16, 0, 500) == 16)
+    assert(DedupQueries.rescaleBuckets(16, 100, 0) == 16)
+  }
+
+  test("genAsOf: timestamped commits resolve by time; ts-less generations never match") {
+    val root = Files.createTempDirectory("graft_genasof_").toString
+    val owners = BucketedGens.initialOwners(2)
+    BucketedGens.commit(root, 0, owners, 10L, ts = Some(1000L))
+    BucketedGens.commit(root, 1, owners, 11L, ts = Some(2000L))
+    BucketedGens.commit(root, 2, owners, 12L) // no timestamp (legacy commit)
+    assert(BucketedGens.genAsOf(root, 999L).isEmpty,
+      "an ask before the first timestamped commit resolves nothing")
+    assert(BucketedGens.genAsOf(root, 1000L).map(_.genId).contains(0L),
+      "the boundary is inclusive — ts == ask resolves that generation")
+    assert(BucketedGens.genAsOf(root, 1500L).map(_.genId).contains(0L))
+    assert(BucketedGens.genAsOf(root, 5000L).map(_.genId).contains(1L),
+      "ts-less generations predate the time discipline and never match")
+    // the parsed Gen round-trips rows and ts
+    val g = BucketedGens.latest(root, below = Some(1L)).get
+    assert(g.rows == 10L && g.ts.contains(1000L))
+  }
+
+  test("SegLedger: checkpoints chain, reads resolve through the latest, vacuum is cleanup") {
+    val root = Files.createTempDirectory("graft_segckpt_").toString
+    def empty = Seq.empty[Long].toDF("doc_id")
+    def seg(id: Long, docs: Long*): Unit =
+      SegLedger.append(docs.toDF("doc_id"), root, id)
+    def readAll(below: Long): Set[Long] =
+      SegLedger.read(spark, root, below, empty)
+        .select("doc_id").distinct().as[Long].collect().toSet
+    seg(0, 1L); seg(1, 2L); seg(2, 3L)
+    SegLedger.checkpoint(spark, root, 3L, empty) // absorbs segs 0-2
+    assert(readAll(3L) == Set(1L, 2L, 3L))
+    assert(SegLedger.dirs(root, Long.MaxValue).isEmpty,
+      "the checkpoint's vacuum drops every absorbed segment")
+    seg(3, 4L); seg(4, 5L)
+    // a SECOND checkpoint folds the first one plus the tail
+    SegLedger.checkpoint(spark, root, 5L, empty)
+    assert(readAll(5L) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(SegLedger.checkpointFloor(root, Long.MaxValue).contains(5L))
+    seg(5, 6L)
+    assert(readAll(99L) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // a read BELOW the checkpoint boundary ignores it (replay of an
+    // older batch id after a crash-restored listing must not see a
+    // future checkpoint)
+    assert(SegLedger.checkpointFloor(root, 4L).isEmpty)
+    // rows() counts the checkpoint's meta plus the tail, zero jobs
+    assert(SegLedger.rows(root, 99L) == 6L)
+  }
+
+  test("SegLedger.rows: a segment with a torn _meta.json counts its parquet footers and self-heals") {
+    val root = Files.createTempDirectory("graft_segmeta_").toString
+    SegLedger.append(Seq(1L, 2L, 3L).toDF("doc_id"), root, 0L)
+    val meta = new java.io.File(s"$root/seg-0/_meta.json")
+    assert(meta.exists())
+    meta.delete() // the crash window: parquet committed, meta lost
+    assert(SegLedger.rows(root, 1L) == 3L,
+      "missing meta must count footers, not read as 0 rows")
+    assert(meta.exists(), "the footer count must self-heal the meta")
+    assert(SegLedger.rows(root, 1L) == 3L)
+  }
+}
