@@ -1146,9 +1146,15 @@ object EventQueries {
       graft.operators.IncrementalView.signedPartials(
         Seq("event_type", "day_num"), b))
     val next = s"$root/gen-$id"
-    merged.write.mode("overwrite").parquet(next)
+    // the row count rides the write (observe() — the r17 fold-diet
+    // rule applied to the view family too): one job per trigger where
+    // the read-back count paid two. AQE can drop the CollectMetrics
+    // node on a provably-empty subtree — missing metric ⟹ zero rows.
+    val o = org.apache.spark.sql.Observation()
+    merged.observe(o, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(next)
     vacuumViewGens(root, base)
-    s.read.parquet(next).count()
+    o.get.get("n").fold(0L)(_.asInstanceOf[Long])
   }
 
   /** The generation vacuum shared by every foreachBatch view-merge step
@@ -1259,9 +1265,12 @@ object EventQueries {
       case Some(prev) => mergeDailyRaw(b.sparkSession.read.parquet(prev), part)
     }
     val next = s"$root/gen-$id"
-    merged.write.mode("overwrite").parquet(next)
+    // count rides the write — see cdcViewMergeStep
+    val o = org.apache.spark.sql.Observation()
+    merged.observe(o, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(next)
     vacuumViewGens(root, base)
-    b.sparkSession.read.parquet(next).count()
+    o.get.get("n").fold(0L)(_.asInstanceOf[Long])
   }
 
   private def genNumOf(name: String): Long = name.stripPrefix("gen-").toLong

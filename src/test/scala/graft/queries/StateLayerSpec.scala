@@ -76,6 +76,35 @@ class StateLayerSpec extends SparkSpec {
     assert(SegLedger.rows(root, 99L) == 6L)
   }
 
+  test("the state layer runs against an explicit file:-scheme Hadoop URI root") {
+    // the Hadoop-FS port's contract: the SAME fold code must run when
+    // the root is a scheme-qualified URI (the shape hdfs:// and
+    // object-store roots arrive in), not a bare local path. The merge
+    // fold exercises the full surface — observed bucket-partitioned
+    // generation writes, owners-map commit markers, latest/read
+    // resolution, vacuum listings — and the segment ledger the rest.
+    val root = "file:" + Files.createTempDirectory("graft_fsuri_").toString
+    import org.apache.spark.sql.functions.col
+    DedupQueries.componentsMergeStep(s"$root/cc",
+      Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"), 0L)
+    val rows = DedupQueries.componentsMergeStep(s"$root/cc",
+      Seq((2L, 10L)).toDF("id_a", "id_b"), 1L)
+    assert(rows == 4L)
+    val g = BucketedGens.latest(s"$root/cc/labels").get
+    assert(g.genId == 1L && g.rows == 4L)
+    val labels = BucketedGens.read(spark, s"$root/cc/labels", g,
+        Seq.empty[(Long, Long, Int)].toDF("id", "component", "bucket"))
+      .select(col("id"), col("component")).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // segment ledger on the same qualified root
+    SegLedger.append(Seq(7L).toDF("doc_id"), s"$root/led", 0L)
+    SegLedger.append(Seq(8L).toDF("doc_id"), s"$root/led", 1L)
+    assert(SegLedger.rows(s"$root/led", 99L) == 2L)
+    SegLedger.checkpoint(spark, s"$root/led", 2L, Seq.empty[Long].toDF("doc_id"))
+    assert(SegLedger.read(spark, s"$root/led", 99L, Seq.empty[Long].toDF("doc_id"))
+      .select("doc_id").as[Long].collect().toSet == Set(7L, 8L))
+  }
+
   test("SegLedger.rows: a segment with a torn _meta.json counts its parquet footers and self-heals") {
     val root = Files.createTempDirectory("graft_segmeta_").toString
     SegLedger.append(Seq(1L, 2L, 3L).toDF("doc_id"), root, 0L)
