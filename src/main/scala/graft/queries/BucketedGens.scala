@@ -215,21 +215,37 @@ private[graft] object BucketedGens {
   /** [[vacuum]] with retention read from the session conf — the knob an
     * operator turns without touching fold code: `graft.gens.keepLast`
     * (how many committed snapshots stay as-of-servable; default 2 = the
-    * replay window) and `graft.gens.pins` (comma-separated generation
-    * ids under legal hold, kept until unpinned). Every fold-step vacuum
+    * replay window), `graft.gens.pins` (comma-separated generation ids
+    * under legal hold, kept until unpinned), and `graft.gens.keepSince`
+    * (epoch millis: every TIMESTAMPED generation committed at or after
+    * this instant stays, PLUS the newest one before it — so
+    * [[genAsOf]] resolves for every ask ≥ the horizon; the audit-window
+    * knob that pairs with time-keyed commits). Every fold-step vacuum
     * routes through here. */
   def vacuum(s: SparkSession, root: String, base: Option[Gen], nextId: Long): Unit = {
     val keepLast = s.conf.get("graft.gens.keepLast", "2").toInt
     val pins = s.conf.get("graft.gens.pins", "").split(",")
       .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
-    vacuum(root, base, nextId, keepLast, pins)
+    val keepSince = Option(s.conf.get("graft.gens.keepSince", ""))
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    vacuum(root, base, nextId, keepLast, pins, keepSince)
   }
 
   def vacuum(root: String, base: Option[Gen], nextId: Long,
-      keepLast: Int = 2, pins: Set[Long] = Set.empty): Unit = {
+      keepLast: Int = 2, pins: Set[Long] = Set.empty,
+      keepSince: Option[Long] = None): Unit = {
     val committed = committedIds(root)
+    // the time horizon: every timestamped gen at/after the horizon,
+    // plus the newest one strictly before it (it serves asks in
+    // [horizon, first-kept-gen's ts)); ts-less gens predate the time
+    // discipline and are not retained by this rule
+    val sinceKept: Set[Long] = keepSince.fold(Set.empty[Long]) { h =>
+      val stamped = committed.map(parse(root, _)).filter(_.ts.isDefined)
+      val (before, atOrAfter) = stamped.partition(_.ts.exists(_ < h))
+      atOrAfter.map(_.genId).toSet ++ before.lastOption.map(_.genId)
+    }
     val roots: Set[Long] =
-      base.map(_.genId).toSet ++ pins ++
+      base.map(_.genId).toSet ++ pins ++ sinceKept ++
         committed.takeRight(math.max(keepLast, 1)).toSet + nextId
     val keep: Set[Long] =
       base.map(g => g.owners.values.toSet + g.genId).getOrElse(Set.empty) ++

@@ -76,6 +76,33 @@ class StateLayerSpec extends SparkSpec {
     assert(SegLedger.rows(root, 99L) == 6L)
   }
 
+  test("vacuum keepSince: timestamped generations inside the audit window survive") {
+    val root = Files.createTempDirectory("graft_keepsince_").toString
+    val owners = BucketedGens.initialOwners(2)
+    BucketedGens.commit(root, 0, owners, 1L, ts = Some(1000L))
+    BucketedGens.commit(root, 1, owners, 2L, ts = Some(2000L))
+    BucketedGens.commit(root, 2, owners, 3L, ts = Some(3000L))
+    BucketedGens.commit(root, 3, owners, 4L, ts = Some(4000L))
+    val base = BucketedGens.latest(root, below = Some(3L)) // gen 2
+    // horizon 2500: keep ts ≥ 2500 (gens 2, 3) PLUS the newest before
+    // it (gen 1 — it serves asks in [2500, 3000)); gen 0 is out
+    BucketedGens.vacuum(root, base, 3L, keepLast = 1, keepSince = Some(2500L))
+    def kept = (0L to 3L).filter(g =>
+      BucketedGens.latest(root, below = Some(g + 1)).exists(_.genId == g))
+    assert(kept == Seq(1L, 2L, 3L), s"got $kept")
+    assert(BucketedGens.genAsOf(root, 2500L).map(_.genId).contains(1L),
+      "every as-of ask at or after the horizon must still resolve")
+    // without the horizon the same vacuum drops gen 1 too
+    val root2 = Files.createTempDirectory("graft_keepsince2_").toString
+    (0 to 3).foreach(g => BucketedGens.commit(root2, g, owners, g + 1L,
+      ts = Some(1000L * (g + 1))))
+    BucketedGens.vacuum(root2, BucketedGens.latest(root2, below = Some(3L)), 3L,
+      keepLast = 1)
+    val kept2 = (0L to 3L).filter(g =>
+      BucketedGens.latest(root2, below = Some(g + 1)).exists(_.genId == g))
+    assert(kept2 == Seq(2L, 3L), s"got $kept2")
+  }
+
   test("the state layer runs against an explicit file:-scheme Hadoop URI root") {
     // the Hadoop-FS port's contract: the SAME fold code must run when
     // the root is a scheme-qualified URI (the shape hdfs:// and
