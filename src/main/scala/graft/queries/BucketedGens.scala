@@ -221,7 +221,12 @@ private[graft] object BucketedGens {
     * this instant stays, PLUS the newest one before it — so
     * [[genAsOf]] resolves for every ask ≥ the horizon; the audit-window
     * knob that pairs with time-keyed commits). Every fold-step vacuum
-    * routes through here. */
+    * routes through here. Cost note: with a horizon set, the vacuum
+    * reads one owners marker per committed generation per fold — fine
+    * for day/week windows at minutes-cadence folds (hundreds of ~KB
+    * driver-side reads); for very long windows over high-frequency
+    * folds, pin coarser-grained `genAsOf` ids instead and let keepLast
+    * bound the rest. */
   def vacuum(s: SparkSession, root: String, base: Option[Gen], nextId: Long): Unit = {
     val keepLast = s.conf.get("graft.gens.keepLast", "2").toInt
     val pins = s.conf.get("graft.gens.pins", "").split(",")
