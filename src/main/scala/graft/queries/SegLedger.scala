@@ -68,8 +68,16 @@ private[graft] object SegLedger {
     * whose predecessor's segments still exist) can never resurrect
     * pre-compaction ledger state. */
   def dirs(root: String, below: Long,
-      floor: Long = Long.MinValue): Seq[(Long, String)] = {
-    val ckpt = checkpointFloor(root, below).getOrElse(Long.MinValue)
+      floor: Long = Long.MinValue): Seq[(Long, String)] =
+    dirs(root, below, floor, checkpointFloor(root, below))
+
+  /** [[dirs]] with the checkpoint boundary already on hand — callers
+    * that resolved it themselves ([[read]]/[[rows]]) skip the second
+    * root listing it would otherwise cost (a remote LIST round-trip
+    * per fold on object-store roots). */
+  private def dirs(root: String, below: Long, floor: Long,
+      ckptOpt: Option[Long]): Seq[(Long, String)] = {
+    val ckpt = ckptOpt.getOrElse(Long.MinValue)
     StateFs.list(root)
       .filter(p => p.getName.startsWith("seg-") &&
         StateFs.exists(s"${p.toString}/_SUCCESS"))
@@ -101,8 +109,9 @@ private[graft] object SegLedger {
     * exists yet. */
   def read(s: SparkSession, root: String, below: Long,
       empty: => DataFrame, floor: Long = Long.MinValue): DataFrame = {
-    val ckpt = checkpointFloor(root, below).filter(_ > floor)
-    val segs = dirs(root, below, floor)
+    val ckptAll = checkpointFloor(root, below)
+    val ckpt = ckptAll.filter(_ > floor)
+    val segs = dirs(root, below, floor, ckptAll)
       .map { case (n, p) => s.read.parquet(p).withColumn("__seg", lit(n)) }
     val parts = ckpt.map(n =>
       s.read.parquet(s"$root/compact-$n").withColumn("__seg", lit(n - 1))).toSeq ++ segs
@@ -125,9 +134,10 @@ private[graft] object SegLedger {
       } else """"rows"\s*:\s*(\d+)""".r
         .findFirstMatchIn(StateFs.readUtf8(s"$dir/_meta.json"))
         .map(_.group(1).toLong).getOrElse(0L)
-    val ckpt = checkpointFloor(root, below).filter(_ > floor)
+    val ckptAll = checkpointFloor(root, below)
+    val ckpt = ckptAll.filter(_ > floor)
       .map(n => metaRows(s"$root/compact-$n")).getOrElse(0L)
-    ckpt + dirs(root, below, floor).map { case (_, p) => metaRows(p) }.sum
+    ckpt + dirs(root, below, floor, ckptAll).map { case (_, p) => metaRows(p) }.sum
   }
 
   /** CHECKPOINT an idempotent-insert family (see the class doc): fold
@@ -148,12 +158,19 @@ private[graft] object SegLedger {
     * then still reads everything strictly below itself. */
   def checkpoint(s: SparkSession, root: String, below: Long,
       empty: => DataFrame): Unit = {
-    val o = org.apache.spark.sql.Observation()
-    read(s, root, below, empty).drop("__seg")
-      .observe(o, count(lit(1)).as("n"))
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$root/compact-$below")
-    writeMeta(s"$root/compact-$below", o.get.get("n").fold(0L)(_.asInstanceOf[Long]))
+    // replay-safe by SKIP, not by re-run: a committed compact-<below>
+    // IS the checkpoint (re-running would read it while overwriting
+    // the same path — Spark rejects self-overwrite) — only the
+    // absorbed-dir vacuum, pure cleanup, re-runs
+    if (!StateFs.exists(s"$root/compact-$below/_SUCCESS")) {
+      val o = org.apache.spark.sql.Observation()
+      read(s, root, below, empty).drop("__seg")
+        .observe(o, count(lit(1)).as("n"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$root/compact-$below")
+      writeMeta(s"$root/compact-$below",
+        o.get.get("n").fold(0L)(_.asInstanceOf[Long]))
+    }
     // vacuum what the committed checkpoint absorbed: segments below the
     // boundary and older checkpoints
     StateFs.list(root).foreach { p =>

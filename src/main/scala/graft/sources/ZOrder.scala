@@ -97,7 +97,14 @@ object ZOrder {
     * per source CONTENT, `_SUCCESS` guarding the completed write.
     * `write` is only invoked (with the target dir) on a cache miss.
     * The ONE home of the cache-key scheme — a revalidation or
-    * sanitization fix here reaches every staged artifact. */
+    * sanitization fix here reaches every staged artifact.
+    *
+    * Deliberately LOCAL (`java.io.tmpdir`, mtime-keyed): this is the
+    * test-fixture bootstrap that materializes at-rest states from the
+    * driver's parquet — in production those states are managed tables
+    * built by a pipeline, and the MAINTAINED layer on top of them
+    * (generations, ledgers, compaction — `graft.queries.StateFs`) is
+    * what runs against hdfs:/object-store roots. */
   def ensureStagedDir(tag: String, sfDir: String, fingerprintSource: String)(
       write: String => Unit): String = {
     val fp = fingerprint(fingerprintSource)

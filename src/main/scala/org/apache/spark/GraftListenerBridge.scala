@@ -7,6 +7,16 @@ package org.apache.spark
   * whenever the async bus stalls longer than one interval on a loaded
   * host (the round-18 ADVICE finding). */
 object GraftListenerBridge {
-  def waitListenerBusEmpty(sc: SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty()
+  /** The no-arg `waitUntilEmpty()` carries a hard 10 s timeout and
+    * THROWS TimeoutException — exactly the loaded-host stall this drain
+    * exists to tolerate — so retry the wait instead of aborting the
+    * meter; the 10-minute ceiling only stops a truly wedged bus. */
+  def waitListenerBusEmpty(sc: SparkContext): Unit = {
+    var tries = 0
+    var drained = false
+    while (!drained && tries < 60) {
+      try { sc.listenerBus.waitUntilEmpty(); drained = true }
+      catch { case _: java.util.concurrent.TimeoutException => tries += 1 }
+    }
+  }
 }

@@ -61,6 +61,11 @@ class StateLayerSpec extends SparkSpec {
     assert(readAll(3L) == Set(1L, 2L, 3L))
     assert(SegLedger.dirs(root, Long.MaxValue).isEmpty,
       "the checkpoint's vacuum drops every absorbed segment")
+    // a REPLAYED checkpoint at a committed boundary must skip, not
+    // self-overwrite (reading compact-3 while overwriting it would
+    // throw) — only the absorbed-dir vacuum re-runs
+    SegLedger.checkpoint(spark, root, 3L, empty)
+    assert(readAll(3L) == Set(1L, 2L, 3L))
     seg(3, 4L); seg(4, 5L)
     // a SECOND checkpoint folds the first one plus the tail
     SegLedger.checkpoint(spark, root, 5L, empty)
