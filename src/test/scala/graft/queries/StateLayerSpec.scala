@@ -106,6 +106,22 @@ class StateLayerSpec extends SparkSpec {
     val kept2 = (0L to 3L).filter(g =>
       BucketedGens.latest(root2, below = Some(g + 1)).exists(_.genId == g))
     assert(kept2 == Seq(2L, 3L), s"got $kept2")
+    // the SESSION-CONF path (the knob the operator actually turns)
+    // reaches the same retention — the fold-side vacuum overload
+    val root3 = Files.createTempDirectory("graft_keepsince3_").toString
+    (0 to 3).foreach(g => BucketedGens.commit(root3, g, owners, g + 1L,
+      ts = Some(1000L * (g + 1))))
+    spark.conf.set("graft.gens.keepLast", "1")
+    spark.conf.set("graft.gens.keepSince", "2500")
+    try BucketedGens.vacuum(spark, root3,
+      BucketedGens.latest(root3, below = Some(3L)), 3L)
+    finally {
+      spark.conf.unset("graft.gens.keepLast")
+      spark.conf.unset("graft.gens.keepSince")
+    }
+    val kept3 = (0L to 3L).filter(g =>
+      BucketedGens.latest(root3, below = Some(g + 1)).exists(_.genId == g))
+    assert(kept3 == Seq(1L, 2L, 3L), s"conf-path retention diverged: $kept3")
   }
 
   test("the state layer runs against an explicit file:-scheme Hadoop URI root") {
