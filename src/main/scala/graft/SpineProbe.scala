@@ -757,10 +757,16 @@ object SpineProbe {
             fixedBatch.select(col("doc_id"), lit(0L).as("simhash")).limit(0),
             historyPred = basePred); ()
         }
+        // the re-bucket floor scales with what was BUILT: the rescale
+        // rule targets nb ≈ 64·growth, and the ±2x hysteresis plus
+        // data-dependent label growth mean "at least half the ideal"
+        // is the architectural claim (a fixed 10x floor would
+        // spuriously fail a supported smaller-factor decade run)
+        val nbFloor = (64 * built / 2).toInt
         gate(s"q190_rebucket_inplace_flat_$tag",
-          fired && nbAfter >= 64 * 4 && bIn <= m1 * 5 / 2 + (2L << 20),
-          f"policy_fired=$fired nb=64->$nbAfter fixed 24-delete fold " +
-            f"bytes_1x=$m1 bytes_inplace=$bIn " +
+          fired && nbAfter >= nbFloor && bIn <= m1 * 5 / 2 + (2L << 20),
+          f"policy_fired=$fired nb=64->$nbAfter (floor $nbFloor) fixed " +
+            f"24-delete fold bytes_1x=$m1 bytes_inplace=$bIn " +
             f"ratio=${bIn.toDouble / math.max(m1, 1)}%.2f")
       }
       }

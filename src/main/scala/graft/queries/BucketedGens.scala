@@ -113,10 +113,13 @@ private[graft] object BucketedGens {
     * retention policy: `genAsOf(root, ts).map(_.genId)` is the id to put
     * in `graft.gens.pins` to hold that snapshot. */
   def genAsOf(root: String, ts: Long): Option[Gen] =
-    committedIds(root)
+    // newest-first with early stop: only markers NEWER than the answer
+    // (plus any ts-less legacy gens passed over) are read — an as-of
+    // ask against a long keepSince audit window pays a handful of
+    // marker GETs, not one per retained generation
+    committedIds(root).reverseIterator
       .map(parse(root, _))
-      .filter(_.ts.exists(_ <= ts))
-      .lastOption
+      .find(_.ts.exists(_ <= ts))
 
   /** Read buckets `only` (or all) of generation `gen`: buckets grouped
     * by owning generation, ONE partition-pruned read per owner dir;

@@ -45,18 +45,46 @@ private[graft] object SegLedger {
 
   private def segNum(name: String): Long = name.stripPrefix("seg-").toLong
 
-  /** Committed checkpoint boundaries (`compact-<n>` with `_SUCCESS`),
-    * ascending; `n` means "absorbs every segment with id < n". */
-  private def checkpoints(root: String): Seq[Long] =
-    StateFs.list(root)
+  /** ONE root listing resolving both the committed checkpoint boundary
+    * (largest `compact-<n>` with `_SUCCESS` and n ≤ `below`; `n` means
+    * "absorbs every segment with id < n") AND the standing committed
+    * segments in (`floor`, `below`) above that boundary — every public
+    * entry point derives from this, so a fold pays one LIST round-trip
+    * per family access, not one per sub-question (material on
+    * object-store roots).
+    *
+    * Checkpoints cannot coexist with a state-compaction floor: a
+    * checkpoint's absorbed range could straddle the floor and re-apply
+    * rows the compacted state already absorbed — that family split
+    * (idempotent-insert families checkpoint, floored LWW families
+    * truncate via the state floor) is enforced here, loudly. */
+  private def standing(root: String, below: Long, floor: Long)
+      : (Option[Long], Seq[(Long, String)]) = {
+    val entries = StateFs.list(root)
+    val ckpt = entries
       .filter(p => p.getName.startsWith("compact-") &&
         StateFs.exists(s"${p.toString}/_SUCCESS"))
-      .map(_.getName.stripPrefix("compact-").toLong).sorted
+      .map(_.getName.stripPrefix("compact-").toLong)
+      .filter(_ <= below).maxOption
+    require(ckpt.isEmpty || floor == Long.MinValue,
+      s"SegLedger: family $root carries a segment checkpoint AND a " +
+        "state-compaction floor — checkpoints are for idempotent-insert " +
+        "families without a floor; a floored family must truncate " +
+        "through the state compaction only")
+    val c = ckpt.getOrElse(Long.MinValue)
+    val segs = entries
+      .filter(p => p.getName.startsWith("seg-") &&
+        StateFs.exists(s"${p.toString}/_SUCCESS"))
+      .map(p => segNum(p.getName) -> p.toString)
+      .filter { case (n, _) => n < below && n > floor && n >= c }
+      .sortBy(_._1)
+    (ckpt, segs)
+  }
 
   /** The committed checkpoint a read below `below` resolves through
     * (the largest boundary ≤ `below`), if any. */
   def checkpointFloor(root: String, below: Long): Option[Long] =
-    checkpoints(root).filter(_ <= below).lastOption
+    standing(root, below, Long.MinValue)._1
 
   /** Committed segments strictly below `below` and strictly ABOVE
     * `floor`, ordinal-sorted — segments absorbed by a committed
@@ -69,22 +97,7 @@ private[graft] object SegLedger {
     * pre-compaction ledger state. */
   def dirs(root: String, below: Long,
       floor: Long = Long.MinValue): Seq[(Long, String)] =
-    dirs(root, below, floor, checkpointFloor(root, below))
-
-  /** [[dirs]] with the checkpoint boundary already on hand — callers
-    * that resolved it themselves ([[read]]/[[rows]]) skip the second
-    * root listing it would otherwise cost (a remote LIST round-trip
-    * per fold on object-store roots). */
-  private def dirs(root: String, below: Long, floor: Long,
-      ckptOpt: Option[Long]): Seq[(Long, String)] = {
-    val ckpt = ckptOpt.getOrElse(Long.MinValue)
-    StateFs.list(root)
-      .filter(p => p.getName.startsWith("seg-") &&
-        StateFs.exists(s"${p.toString}/_SUCCESS"))
-      .map(p => segNum(p.getName) -> p.toString)
-      .filter { case (n, _) => n < below && n > floor && n >= ckpt }
-      .sortBy(_._1)
-  }
+    standing(root, below, floor)._2
 
   private def writeMeta(dir: String, rows: Long): Unit =
     StateFs.writeUtf8Atomic(s"$dir/_meta.json", s"""{"rows":$rows}""")
@@ -109,9 +122,8 @@ private[graft] object SegLedger {
     * exists yet. */
   def read(s: SparkSession, root: String, below: Long,
       empty: => DataFrame, floor: Long = Long.MinValue): DataFrame = {
-    val ckptAll = checkpointFloor(root, below)
-    val ckpt = ckptAll.filter(_ > floor)
-    val segs = dirs(root, below, floor, ckptAll)
+    val (ckpt, segDirs) = standing(root, below, floor)
+    val segs = segDirs
       .map { case (n, p) => s.read.parquet(p).withColumn("__seg", lit(n)) }
     val parts = ckpt.map(n =>
       s.read.parquet(s"$root/compact-$n").withColumn("__seg", lit(n - 1))).toSeq ++ segs
@@ -134,10 +146,9 @@ private[graft] object SegLedger {
       } else """"rows"\s*:\s*(\d+)""".r
         .findFirstMatchIn(StateFs.readUtf8(s"$dir/_meta.json"))
         .map(_.group(1).toLong).getOrElse(0L)
-    val ckptAll = checkpointFloor(root, below)
-    val ckpt = ckptAll.filter(_ > floor)
-      .map(n => metaRows(s"$root/compact-$n")).getOrElse(0L)
-    ckpt + dirs(root, below, floor, ckptAll).map { case (_, p) => metaRows(p) }.sum
+    val (ckptOpt, segDirs) = standing(root, below, floor)
+    val ckpt = ckptOpt.map(n => metaRows(s"$root/compact-$n")).getOrElse(0L)
+    ckpt + segDirs.map { case (_, p) => metaRows(p) }.sum
   }
 
   /** CHECKPOINT an idempotent-insert family (see the class doc): fold

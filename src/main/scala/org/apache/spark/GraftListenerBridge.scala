@@ -18,5 +18,11 @@ object GraftListenerBridge {
       try { sc.listenerBus.waitUntilEmpty(); drained = true }
       catch { case _: java.util.concurrent.TimeoutException => tries += 1 }
     }
+    if (!drained)
+      // a truly wedged bus means the caller's counters are UNDERCOUNTED
+      // — say so rather than silently handing back a wrong meter
+      System.err.println(
+        "[GraftListenerBridge] listener bus did not drain in 10 min — " +
+          "metered counts may be incomplete")
   }
 }
