@@ -727,6 +727,12 @@ object SpineProbe {
       // would open 1/64 of an N×-bigger relation and the ratio would
       // track N.
       locally {
+        // the fixture's label relation is MBs, so the r19 min-bytes
+        // floor would (correctly) veto the re-bucket at toy scale —
+        // lower it to 1 byte to SIMULATE production density, so the
+        // gate keeps exercising the rescale + flat-read mechanism the
+        // floor exists to protect at the small end
+        spark.conf.set("graft.gens.minBucketBytes", "1")
         val cc1 = graft.queries.DedupQueries.ccGateStateDir(spark, sfDir, 64)
         val sv1 = graft.queries.DedupQueries
           .survivorGateStateDir(spark, sfDir, cc1, 64)
@@ -768,6 +774,7 @@ object SpineProbe {
           f"policy_fired=$fired nb=64->$nbAfter (floor $nbFloor) fixed " +
             f"24-delete fold bytes_1x=$m1 bytes_inplace=$bIn " +
             f"ratio=${bIn.toDouble / math.max(m1, 1)}%.2f")
+        spark.conf.unset("graft.gens.minBucketBytes")
       }
       }
 

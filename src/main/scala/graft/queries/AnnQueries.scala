@@ -1291,7 +1291,7 @@ object AnnQueries {
       EventQueries.dropStaged(in)
       // rows/ appears only when a batch actually commits (the
       // drainToParquet empty-drain contract applied to segments)
-      val streamed = if (!new java.io.File(s"$segRoot/rows").exists())
+      val streamed = if (!StateFs.exists(s"$segRoot/rows"))
         s.read.parquet(histCodesDir).limit(0)
       else s.read.option("recursiveFileLookup", "true")
         .parquet(s"$segRoot/rows")
@@ -1377,6 +1377,77 @@ object AnnQueries {
         cents, cb, k = 3, probes = 16, r = 30, residual = true)
     },
 
+    // AS-OF BY TIMESTAMP, UNIFIED ON THE GENERATION STORE (round 19) —
+    // q157 asked "the index as of generation 1" with a hand-rolled gen
+    // partition column; here the SAME four ingest days commit through
+    // BucketedGens — the machinery the dedup labels and the survivor
+    // manifest already ride — one owners marker per day, stamped with
+    // the day's commit time (bucket = ingest day, each day owning
+    // exactly its own appended partition). The payoff is ONE policy for
+    // every maintained artifact: "the index as the trainer saw it on
+    // day 1, 23:00" resolves through the same BucketedGens.genAsOf that
+    // answers q192's manifest question, retention is the same
+    // keepSince/pins/keepLast knobs (an index generation inside the
+    // audit window survives vacuum exactly like a manifest generation —
+    // StateLayerSpec pins that machinery), and the read is the same
+    // owners-closure bucket-pruned union. Same served row set as q157
+    // by construction (day ≤ 1), so the oracle text is q157's verbatim
+    // — asking by time through the unified store must return exactly
+    // what the hand-rolled partition filter did.
+    QueryDef("q193_index_asof_time", Seq("J12", "F1", "A5"),
+      faissIvfPqSearchSql("vec_id % 10 <> 0",
+        servePred = "(e.vec_id % 10 <> 0) OR ((e.vec_id // 10) % 4 <= 1)")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, cb) = persistedFaissIndex(s, d, histOnly = true)
+      val histCodesDir = historyFaissSegment(s, d, cents, cb)
+      def tsOf(day: Long): Long = java.time.LocalDate.of(2026, 6, 1)
+        .plusDays(day).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli
+      val genRoot = graft.sources.ZOrder.ensureStagedDir(
+        s"graft_ivfpq_codes_asofbg_g4d10_$faissKeySuffix",
+        d, s"$d/embeddings.parquet") { target =>
+        EventQueries.multiWriteStage(target) { stage =>
+          val coded = graft.ann.Pq.encode(emb.filter(col("vec_id") % 10 === 0),
+            "vec_id", "embedding", cents, cb, residual = true)
+            .withColumn("bucket", expr("CAST((vec_id DIV 10) % 4 AS INT)"))
+            .localCheckpoint() // four per-day writes + one count pass
+          // per-day row counts in ONE bounded job (4 rows) — the owners
+          // markers carry cumulative standing counts
+          val perDay = coded.groupBy("bucket").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (0 to 3).foreach { day =>
+            coded.filter(col("bucket") === day)
+              .repartition(col("bucket"))
+              .write.partitionBy("bucket").mode("overwrite")
+              .parquet(s"$stage/gen-$day")
+            // day g's owners: every day ≤ g owns its own appended
+            // bucket — append-only LSM expressed in owners-map terms
+            BucketedGens.commit(stage, day,
+              (0 to day).map(b => b -> b.toLong).toMap,
+              rows = (0 to day).map(b => perDay.getOrElse(b, 0L)).sum,
+              ts = Some(tsOf(day)))
+          }
+          // payloads live in gen-* subdirs — the staging cache's
+          // completeness marker is written manually (stagedCcState's rule)
+          StateFs.touch(s"$stage/_SUCCESS")
+        }
+      }
+      // "as of day 1, 23:00" — after day 1's commit, before day 2's —
+      // must resolve generation 1 through the SAME genAsOf as q192
+      val gen1 = BucketedGens.genAsOf(genRoot, tsOf(1) + 23L * 3600 * 1000)
+        .getOrElse(sys.error("q193: no generation committed at or before the ask"))
+      require(gen1.genId == 1L,
+        s"q193: as-of day-1 must resolve generation 1, got ${gen1.genId}")
+      val asOf = BucketedGens.read(s, genRoot, gen1,
+          s.read.parquet(histCodesDir).limit(0)
+            .withColumn("bucket", lit(0))) // AtRest never referenced here
+        .drop("bucket")
+      graft.ann.Pq.ivfPqTopKFromIndex(
+        s.read.parquet(histCodesDir).unionByName(asOf),
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cents, cb, k = 3, probes = 16, r = 30, residual = true)
+    },
+
     // STREAMED TOMBSTONES → INDEX — the last unbuilt LSM step: q152
     // streams APPENDS into the index and q151/q154 apply deletes as a
     // BATCH frame, but the production shape (a GDPR takedown, a dedup
@@ -1446,11 +1517,11 @@ object AnnQueries {
       graft.streaming.StreamMetrics.record(sinkName, q)
       EventQueries.dropStaged(in)
       val hist = s.read.parquet(histCodesDir)
-      val streamed = if (!new java.io.File(s"$segRoot/rows").exists())
+      val streamed = if (!StateFs.exists(s"$segRoot/rows"))
         hist.limit(0)
       else s.read.option("recursiveFileLookup", "true").parquet(s"$segRoot/rows")
       val index = hist.unionByName(streamed)
-      val served = if (!new java.io.File(s"$segRoot/tombs").exists()) index
+      val served = if (!StateFs.exists(s"$segRoot/tombs")) index
       else graft.ann.Pq.withoutTombstones(index,
         s.read.option("recursiveFileLookup", "true").parquet(s"$segRoot/tombs"))
       graft.ann.Pq.ivfPqTopKFromIndex(served,

@@ -1054,8 +1054,12 @@ object DedupQueries {
         labels.withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
           .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels_byid")
+        // NO broadcast hint: labels is CORPUS-derived (one row per doc in
+        // any near-dup pair) — at 100 TB it's billions of rows, and a
+        // hint OOMs where a keyed shuffle join just costs an exchange.
+        // AQE still picks broadcast on its own at small scale.
         pairs
-          .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
+          .join(labels.select(col("id").as("id_a"), col("component")),
             Seq("id_a"))
           .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
           .repartition(col("bucket"))
@@ -1266,7 +1270,9 @@ object DedupQueries {
     // set BELOW the current batch id — a replay of `id` still reads
     // everything strictly below itself through the checkpoint.
     val maxSegs = s.conf.get("graft.segledger.maxSegments", "64").toInt
-    if (SegLedger.dirs(s"$root/dels", id).size > maxSegs)
+    // standingCountSweeping also sweeps dirs stranded by a crash between
+    // a checkpoint's commit and its vacuum (riding this check's listing)
+    if (SegLedger.standingCountSweeping(s"$root/dels", id) > maxSegs)
       SegLedger.checkpoint(s, s"$root/dels", id, b.select("doc_id").limit(0))
     // the cumulative delete set reconstructed from O(batch) SEGMENTS
     // (r17): each fold appends only its own doc ids; deletes never
@@ -1581,15 +1587,55 @@ object DedupQueries {
     * generations comparable across rounds). No previous density
     * (synthetic fixtures without a meta, or an empty relation) ⇒ the
     * count carries forward unchanged. */
+  /* MIN-BYTES FLOOR (r19): growth is additionally capped so each
+   * resulting bucket still holds >= `minBucketBytes` of the relation's
+   * ESTIMATED new size (`newBytesEst`, derived from the predecessor
+   * state's on-disk bytes scaled by the row ratio). Row-only rescaling
+   * is right at production density but wrong at the small end: a corpus
+   * that grows 10x in ROWS while its label relation is still MBs would
+   * split into 10x more KB-sized files, and per-file overhead — not row
+   * bytes — then dominates every pruned point read (the r18 decade
+   * measurement: q190's wall moved 1.36x→1.69x for exactly this).
+   * Shrinks and the no-change band are unaffected; unknown bytes
+   * (`newBytesEst < 0`) keep the pure row rule. */
   private[graft] def rescaleBuckets(prevNb: Int, prevRows: Long,
-      newRows: Long): Int =
+      newRows: Long, newBytesEst: Long = -1L,
+      minBucketBytes: Long = DefaultMinBucketBytes): Int =
     if (prevRows <= 0 || newRows <= 0 || prevNb <= 0) prevNb
     else {
       val target = math.max(1.0, prevRows.toDouble / prevNb)
-      val ideal = math.max(1L, math.ceil(newRows / target).toLong)
+      val ideal0 = math.max(1L, math.ceil(newRows / target).toLong)
+      // cap GROWTH at the byte budget (never below the standing count —
+      // the floor guards against tiny buckets, it never forces a shrink)
+      val ideal =
+        if (newBytesEst < 0 || minBucketBytes <= 0) ideal0
+        else math.min(ideal0,
+          math.max(prevNb.toLong, newBytesEst / minBucketBytes))
       if (ideal > 2L * prevNb || 2L * ideal < prevNb)
         math.min(ideal, 1L << 20).toInt
       else prevNb
+    }
+
+  /** Default [[rescaleBuckets]] byte floor: 8 MB per bucket. Overridden
+    * per session via `graft.gens.minBucketBytes` (probes simulating
+    * production density set it low; a deployment targeting bigger
+    * point-read units sets it high). */
+  private[graft] val DefaultMinBucketBytes: Long = 8L << 20
+
+  private[graft] def confMinBucketBytes(
+      s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.gens.minBucketBytes", DefaultMinBucketBytes.toString).toLong
+
+  /** Estimated on-disk bytes of a relation after growing to `newRows`,
+    * from the predecessor relation's actual bytes and rows — the
+    * [[rescaleBuckets]] `newBytesEst` input. -1 when no usable density
+    * exists (missing dir or zero rows). */
+  private def scaledBytesEst(prevDir: String, prevRows: Long,
+      newRows: Long): Long =
+    if (prevRows <= 0) -1L
+    else {
+      val b = StateFs.dirBytes(prevDir)
+      if (b <= 0) -1L else math.ceil(b.toDouble * newRows / prevRows).toLong
     }
 
   /** The at-rest state a CDC fold reads: the latest COMPACTED state
@@ -2021,8 +2067,9 @@ object DedupQueries {
     graft.sources.ZOrder.ensureStagedDir(tag, d, s"$d/documents.parquet") { target =>
       EventQueries.multiWriteStage(target) { stage =>
         val labels = s.read.parquet(s"$ccState/labels")
+        // labels is corpus-derived — no broadcast hint (see stagedCcState)
         val membership = docs
-          .join(broadcast(labels.select(col("id").as("doc_id"), col("component"))),
+          .join(labels.select(col("id").as("doc_id"), col("component")),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"),
@@ -2335,15 +2382,18 @@ object DedupQueries {
     // the count is needed BEFORE the bucketed writes now (nb derives
     // from it) — same one action the meta write always paid, moved up
     val nLabels = labels.count()
-    val nbL = rescaleBuckets(nbLPrev, rowsLPrev, nLabels)
+    val minBB = confMinBucketBytes(s)
+    val nbL = rescaleBuckets(nbLPrev, rowsLPrev, nLabels,
+      scaledBytesEst(s"$ccPrev/labels", rowsLPrev, nLabels), minBB)
     labels.withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels")
     labels.withColumn("bucket", pmod(col("id"), lit(nbL)).cast("int"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels_byid")
+    // corpus-derived labels — no broadcast hint (see stagedCcState)
     pairs
-      .join(broadcast(labels.select(col("id").as("id_a"), col("component"))),
+      .join(labels.select(col("id").as("id_a"), col("component")),
         Seq("id_a"))
       .withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
       .repartition(col("bucket"))
@@ -2367,7 +2417,8 @@ object DedupQueries {
     // manifest has one row per present component, the relation whose
     // density the bucket count must hold)
     val nManifest = manifest.count()
-    val nbM = rescaleBuckets(nbMPrev, rowsMPrev, nManifest)
+    val nbM = rescaleBuckets(nbMPrev, rowsMPrev, nManifest,
+      scaledBytesEst(s"$survPrev/manifest", rowsMPrev, nManifest), minBB)
     membership.withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")

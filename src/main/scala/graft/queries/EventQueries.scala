@@ -84,9 +84,10 @@ object EventQueries {
     * is the ONE place that contract lives; call it again after adding
     * files (they sort after `part-...` by name and so drain last). */
   private[queries] def stampDrainOrder(dir: String): Unit =
-    new java.io.File(dir).listFiles()
+    StateFs.list(dir)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+      .zipWithIndex.foreach { case (f, i) =>
+        StateFs.setMtime(f.toString, 1000000L + i * 60000L) }
 
   /** Stage `df` as `parts` event-time ranges under a fresh temp dir and
     * stamp the drain order; returns the input dir for `readStream`.
@@ -119,7 +120,7 @@ object EventQueries {
   private[queries] def stageOrderedDrain(prefix: String,
       frames: Seq[org.apache.spark.sql.DataFrame]): String = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
-    val in = new java.io.File(tmp, "in"); in.mkdirs()
+    val in = s"$tmp/in"; StateFs.mkdirs(in)
     frames.zipWithIndex.foreach { case (f, i) =>
       val stage = s"$tmp/stage-$i"
       // repartition(1), NOT coalesce(1): coalesce on a zero-partition
@@ -129,20 +130,19 @@ object EventQueries {
       // file and the batch arrives (and folds no-op) rather than
       // shifting later batches' ordinals
       f.repartition(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
+      val part = StateFs.list(stage)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"stageOrderedDrain: no part file staged for batch $i"))
-      val dst = new java.io.File(in, f"batch-$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1000000L + i * 60000L); ()
+      val dst = f"$in/batch-$i%02d.parquet"
+      StateFs.move(part.toString, dst)
+      StateFs.setMtime(dst, 1000000L + i * 60000L)
     }
-    in.getPath
+    in
   }
 
   /** Recursive delete of exactly the tree given — through the Hadoop
     * `FileSystem` API ([[StateFs]]), so state-layer cleanup works on
     * `file:`/`hdfs:`/object-store URIs alike. */
-  private[queries] def rm(f: java.io.File): Unit = rm(f.getPath)
   private[queries] def rm(path: String): Unit = StateFs.delete(path)
 
   /** Delete a staged drain dir AND ITS WHOLE TEMP PARENT once the drain
@@ -152,12 +152,20 @@ object EventQueries {
     * safe when nothing else lives beside `inDir`: a drain whose parent
     * also holds state the returned frame reads must use [[dropDir]] on
     * the input alone — the q97 hazard. */
-  private[queries] def dropStaged(inDir: String): Unit =
-    rm(new java.io.File(inDir).getParentFile)
+  private[queries] def dropStaged(inDir: String): Unit = {
+    val parent = new org.apache.hadoop.fs.Path(inDir).getParent
+    rm(parent.toString)
+    // when the default FS is remote, the staged tree above lived (and
+    // was deleted) there — but createTempDirectory also made an empty
+    // LOCAL shell dir under the same path; sweep it best-effort so
+    // repeated probe runs don't accumulate empty dirs in local /tmp
+    new java.io.File(parent.toUri.getPath).delete()
+    ()
+  }
 
   /** Delete ONE directory tree (not its parent) — for drains whose temp
     * parent also holds state the returned frame still reads (q97). */
-  private[queries] def dropDir(dir: String): Unit = rm(new java.io.File(dir))
+  private[queries] def dropDir(dir: String): Unit = rm(dir)
 
   /** Append the two-wave far-future sentinel files to a staged drain
     * dir (q131/q135): wave A (max+3 h) only advances the watermark for
@@ -171,7 +179,7 @@ object EventQueries {
     * range, so the sentinels drain last). */
   private def addSentinelWaves(s0: org.apache.spark.sql.SparkSession,
       in: String, maxTs: Long, types: Seq[String]): Unit = {
-    val parent = new java.io.File(in).getParent
+    val parent = new org.apache.hadoop.fs.Path(in).getParent.toString
     Seq(3L, 10L).zipWithIndex.foreach { case (h, i) =>
       import s0.implicits._
       types.zipWithIndex.map { case (t, j) =>
@@ -183,10 +191,9 @@ object EventQueries {
         // (observed intermittently before this was centralized)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$parent/sent$i")
-      val part = new java.io.File(s"$parent/sent$i").listFiles()
-        .filter(_.getName.startsWith("part-")).head.toPath
-      java.nio.file.Files.copy(part,
-        java.nio.file.Paths.get(s"$in/zz-sentinel-$i.parquet"))
+      val part = StateFs.list(s"$parent/sent$i")
+        .filter(_.getName.startsWith("part-")).head
+      StateFs.copyFile(part.toString, s"$in/zz-sentinel-$i.parquet")
     }
     stampDrainOrder(in)
   }
@@ -201,7 +208,7 @@ object EventQueries {
   private val sinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val sinkDirHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sinkDirs.forEach(d => rm(new java.io.File(d)))))
+      sinkDirs.forEach(d => rm(d))))
     ()
   }
   private[queries] def registerSinkDir(dir: String): String = {
@@ -256,7 +263,7 @@ object EventQueries {
     // path only at first commit — so a zero-file staged input would
     // make the read throw where the old memory sink yielded an empty
     // table. Guard BOTH modes.
-    if (!new java.io.File(s"$out/rows").exists())
+    if (!StateFs.exists(s"$out/rows"))
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], frame.schema)
     else s.read.parquet(s"$out/rows")
   }

@@ -45,6 +45,43 @@ private[graft] object SegLedger {
 
   private def segNum(name: String): Long = name.stripPrefix("seg-").toLong
 
+  /** Target rows per checkpoint output file (a dels row is one long —
+    * ~4M rows ≈ 32 MB raw per file). */
+  private val CheckpointRowsPerFile = 4L * 1000 * 1000
+
+  /** The CHECKPOINT TRIGGER's accessor: the standing committed segment
+    * count above the committed checkpoint boundary — and, riding the
+    * same (already-paid) listing, an opportunistic sweep of dirs a
+    * committed checkpoint has absorbed but a crashed post-checkpoint
+    * vacuum stranded. Without the sweep, a crash between
+    * `compact-<n>/_SUCCESS` and its vacuum leaves garbage the trigger
+    * never cleans: the read rule excludes absorbed segments, so the
+    * standing count stays low and [[checkpoint]] isn't re-invoked until
+    * ~maxSegments MORE batches accrue. Correctness is unaffected either
+    * way — this bounds stale disk, not state. */
+  def standingCountSweeping(root: String, below: Long): Int = {
+    val entries = StateFs.list(root)
+    val committed = entries.filter(p => StateFs.exists(s"${p.toString}/_SUCCESS"))
+      .map(_.getName).toSet
+    val ckpt = committed
+      .filter(_.startsWith("compact-"))
+      .map(_.stripPrefix("compact-").toLong)
+      .filter(_ <= below).maxOption
+    ckpt.foreach { c =>
+      entries.foreach { p =>
+        val n = p.getName
+        if ((n.startsWith("seg-") && segNum(n) < c) ||
+            (n.startsWith("compact-") && n.stripPrefix("compact-").toLong < c))
+          StateFs.delete(p.toString)
+      }
+    }
+    val c = ckpt.getOrElse(Long.MinValue)
+    entries.count { p =>
+      val n = p.getName
+      n.startsWith("seg-") && committed(n) && segNum(n) < below && segNum(n) >= c
+    }
+  }
+
   /** ONE root listing resolving both the committed checkpoint boundary
     * (largest `compact-<n>` with `_SUCCESS` and n ≤ `below`; `n` means
     * "absorbs every segment with id < n") AND the standing committed
@@ -138,14 +175,21 @@ private[graft] object SegLedger {
     * FOOTER counts — still zero Spark jobs — and self-heals the meta so
     * the footers are opened once, not per trigger. */
   def rows(root: String, below: Long, floor: Long = Long.MinValue): Long = {
-    def metaRows(dir: String): Long =
-      if (!StateFs.exists(s"$dir/_meta.json")) {
+    // a present-but-unparseable meta (torn/corrupt JSON) falls through
+    // to the same footer count + self-heal as a missing one — returning
+    // 0 would silently under-count the compaction size policy
+    def metaRows(dir: String): Long = {
+      val parsed =
+        if (!StateFs.exists(s"$dir/_meta.json")) None
+        else """"rows"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(StateFs.readUtf8(s"$dir/_meta.json"))
+          .map(_.group(1).toLong)
+      parsed.getOrElse {
         val n = StateFs.parquetFooterRows(dir)
         writeMeta(dir, n)
         n
-      } else """"rows"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(StateFs.readUtf8(s"$dir/_meta.json"))
-        .map(_.group(1).toLong).getOrElse(0L)
+      }
+    }
     val (ckptOpt, segDirs) = standing(root, below, floor)
     val ckpt = ckptOpt.map(n => metaRows(s"$root/compact-$n")).getOrElse(0L)
     ckpt + segDirs.map { case (_, p) => metaRows(p) }.sum
@@ -174,10 +218,17 @@ private[graft] object SegLedger {
     // the same path — Spark rejects self-overwrite) — only the
     // absorbed-dir vacuum, pure cleanup, re-runs
     if (!StateFs.exists(s"$root/compact-$below/_SUCCESS")) {
+      // partition count scales with the cumulative row count (from the
+      // metas — zero Spark jobs): this family exists to bound an
+      // UNBOUNDED insert stream, so a fixed repartition(1) would rewrite
+      // an ever-growing single file on one core at every checkpoint
+      val total = rows(root, below)
+      val parts = math.max(1L, math.min(4096L,
+        (total + CheckpointRowsPerFile - 1) / CheckpointRowsPerFile)).toInt
       val o = org.apache.spark.sql.Observation()
       read(s, root, below, empty).drop("__seg")
         .observe(o, count(lit(1)).as("n"))
-        .repartition(1)
+        .repartition(parts)
         .write.mode("overwrite").parquet(s"$root/compact-$below")
       writeMeta(s"$root/compact-$below",
         o.get.get("n").fold(0L)(_.asInstanceOf[Long]))

@@ -85,10 +85,17 @@ private[graft] object StateFs {
     } finally in.close()
   }
 
-  /** Marker write: stage under a temp sibling, then rename into place
-    * (dest deleted first — Hadoop rename does not overwrite). A crash
-    * inside the delete→rename window leaves the marker MISSING, which
-    * the commit protocol reads as "uncommitted" — never partial. */
+  /** Marker write: stage under a temp sibling, then rename into place.
+    * The rename goes through `FileContext` with `Rename.OVERWRITE` first
+    * — an ATOMIC REPLACE on schemes that support it (HDFS, local), so a
+    * replayed batch overwriting its own marker never exposes a
+    * missing-marker window to concurrent readers. Schemes without an
+    * AbstractFileSystem binding (some object-store connectors) fall back
+    * to delete→rename, whose crash window leaves the marker MISSING —
+    * which the commit protocol reads as "uncommitted, resolve the
+    * predecessor", never partial; on those stores a replay-overwrite is
+    * transiently served from the predecessor generation, the documented
+    * reader-side tolerance. */
   def writeUtf8Atomic(path: String, body: String): Unit = {
     val p = new Path(path)
     val fs = fsOf(p)
@@ -96,9 +103,20 @@ private[graft] object StateFs {
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      sys.error(s"StateFs: rename $tmp -> $p failed")
+    val replaced =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: UnsupportedOperationException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      }
+    if (!replaced) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        sys.error(s"StateFs: rename $tmp -> $p failed")
+    }
     ()
   }
 
@@ -110,6 +128,36 @@ private[graft] object StateFs {
     if (!fs.rename(ps, pd))
       sys.error(s"StateFs: rename $src -> $dst failed")
     ()
+  }
+
+  /** Total bytes under a directory tree (0 when missing) — one
+    * `getContentSummary` round-trip, no per-file listing client-side. */
+  def dirBytes(dir: String): Long = {
+    val p = new Path(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
+  /** Set a file's modification time (drain-order stamping). Hadoop's
+    * `setTimes` takes (mtime, atime); -1 leaves atime untouched. */
+  def setMtime(path: String, mtime: Long): Unit = {
+    val p = new Path(path)
+    fsOf(p).setTimes(p, mtime, -1L)
+  }
+
+  /** Copy one file (not a tree) src → dst, overwriting — a stream copy
+    * through the FS API, so it works across schemes. */
+  def copyFile(src: String, dst: String): Unit = {
+    val (ps, pd) = (new Path(src), new Path(dst))
+    val in = fsOf(ps).open(ps)
+    try {
+      val out = fsOf(pd).create(pd, true)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
   }
 
   /** Total row count across a parquet dir's data files, read from the

@@ -8,6 +8,27 @@ import java.nio.file.Files
   * checkpoints (the dels-family bound), and the missing-meta footer
   * fallback. The integration behavior lives in ClusterRetractionSpec;
   * these pin the contracts in isolation. */
+/** A local filesystem whose `rename` can be told to crash mid-flight —
+  * the copy+delete non-atomic rename of an object store, as a Hadoop
+  * scheme (`torn:`). No AbstractFileSystem binding exists for it, so
+  * `StateFs.writeUtf8Atomic` exercises its delete+rename FALLBACK path
+  * against it — the exact code a real no-atomic-rename store runs. */
+class TornRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "torn"
+  override def getUri: java.net.URI = java.net.URI.create("torn:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (TornRenameFileSystem.failRenames)
+      throw new java.io.IOException(
+        "torn: simulated crash inside a copy+delete rename")
+    super.rename(src, dst)
+  }
+}
+
+object TornRenameFileSystem {
+  @volatile var failRenames: Boolean = false
+}
+
 class StateLayerSpec extends SparkSpec {
   import spark.implicits._
 
@@ -28,6 +49,32 @@ class StateLayerSpec extends SparkSpec {
     assert(DedupQueries.rescaleBuckets(16, -1, 500) == 16)
     assert(DedupQueries.rescaleBuckets(16, 0, 500) == 16)
     assert(DedupQueries.rescaleBuckets(16, 100, 0) == 16)
+  }
+
+  test("rescaleBuckets min-bytes floor: growth capped by estimated bucket bytes") {
+    // 10x row growth but the relation is still tiny (estimated 1 MB):
+    // at an 8 MB floor the ideal 640 buckets would hold ~1.6 KB each —
+    // the floor vetoes the growth and the count carries forward
+    assert(DedupQueries.rescaleBuckets(64, 640, 6400,
+      newBytesEst = 1L << 20, minBucketBytes = 8L << 20) == 64)
+    // production density: 10 GB estimated → bytes allow >640 buckets,
+    // the row rule decides as before
+    assert(DedupQueries.rescaleBuckets(64, 640, 6400,
+      newBytesEst = 10L << 30, minBucketBytes = 8L << 20) == 640)
+    // partial headroom: bytes support 160 buckets (1.28 GB / 8 MB) —
+    // growth is capped there, not at the row-ideal 640
+    assert(DedupQueries.rescaleBuckets(64, 640, 6400,
+      newBytesEst = 1280L << 20, minBucketBytes = 8L << 20) == 160)
+    // the floor never forces a SHRINK: a tiny relation keeps its
+    // standing count (hysteresis), and a below-band row shrink still
+    // shrinks regardless of bytes
+    assert(DedupQueries.rescaleBuckets(64, 640, 1200,
+      newBytesEst = 1L, minBucketBytes = 8L << 20) == 64)
+    assert(DedupQueries.rescaleBuckets(64, 640, 64,
+      newBytesEst = 1L << 40, minBucketBytes = 8L << 20) == 7)
+    // unknown bytes (-1) → pure row rule, the pre-r19 behavior
+    assert(DedupQueries.rescaleBuckets(64, 640, 6400,
+      newBytesEst = -1L, minBucketBytes = 8L << 20) == 640)
   }
 
   test("genAsOf: timestamped commits resolve by time; ts-less generations never match") {
@@ -151,6 +198,78 @@ class StateLayerSpec extends SparkSpec {
     SegLedger.checkpoint(spark, s"$root/led", 2L, Seq.empty[Long].toDF("doc_id"))
     assert(SegLedger.read(spark, s"$root/led", 99L, Seq.empty[Long].toDF("doc_id"))
       .select("doc_id").as[Long].collect().toSet == Set(7L, 8L))
+  }
+
+  test("commit protocol vs non-atomic rename: a torn marker reads as uncommitted; replay converges") {
+    // Object-store emulation (r18 verdict ask #7): a scheme with NO
+    // AbstractFileSystem binding forces writeUtf8Atomic onto its
+    // delete+rename fallback, and the rename CRASHES mid-flight — the
+    // copy+delete window of a store without atomic rename. The written
+    // commit-protocol analysis claims this can only yield a MISSING
+    // marker (never partial), which readers treat as "uncommitted,
+    // resolve the predecessor", and a replay re-bases and converges.
+    // This test is that claim, executed.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.torn.impl", classOf[TornRenameFileSystem].getName)
+    val root = "torn:" + Files.createTempDirectory("graft_torn_").toString
+    val owners = BucketedGens.initialOwners(2)
+    // a clean commit through the torn scheme works (fallback rename OK)
+    BucketedGens.commit(root, 0, owners, 10L, ts = Some(1000L))
+    assert(BucketedGens.latest(root).exists(_.genId == 0L))
+    // batch 1's marker rename tears — the crash window
+    TornRenameFileSystem.failRenames = true
+    try intercept[Exception] {
+      BucketedGens.commit(root, 1, owners, 11L, ts = Some(2000L))
+    } finally TornRenameFileSystem.failRenames = false
+    // the torn generation parses as UNCOMMITTED: readers resolve gen 0,
+    // by id and by time alike
+    assert(BucketedGens.latest(root).exists(_.genId == 0L),
+      "a torn marker must read as uncommitted, not partial")
+    assert(BucketedGens.genAsOf(root, 5000L).exists(_.genId == 0L))
+    // the replayed batch re-bases on gen 0, overwrites its torn dir
+    // whole, and the family converges
+    BucketedGens.commit(root, 1, owners, 11L, ts = Some(2000L))
+    val g = BucketedGens.latest(root).get
+    assert(g.genId == 1L && g.rows == 11L && g.ts.contains(2000L))
+    // vacuum (which also sweeps torn temp litter under gen dirs via
+    // whole-dir deletes) still runs through the torn scheme
+    BucketedGens.vacuum(root, Some(g), 2L, keepLast = 1)
+    assert(BucketedGens.latest(root).exists(_.genId == 1L))
+  }
+
+  test("drain staging rides the Hadoop FS seam: ordered batches, stamped mtimes, FS copy") {
+    // the r19 port: stampDrainOrder / stageOrderedDrain / the sentinel
+    // copy all list, move, stamp, and copy through StateFs — so the
+    // streaming fixtures' drain-order contract (file-source drains by
+    // MTIME) holds on any scheme, not just java.io.File's local disk
+    val frames = Seq(Seq(1L).toDF("doc_id"), Seq(2L, 3L).toDF("doc_id"),
+      Seq.empty[Long].toDF("doc_id"))
+    val in = EventQueries.stageOrderedDrain("graft_fsdrain_", frames)
+    val parts = StateFs.list(in).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(parts.map(_.getName) ==
+      Seq("batch-00.parquet", "batch-01.parquet", "batch-02.parquet"),
+      "one file per frame, caller's ordinals — including the EMPTY batch")
+    val mtimes = parts.map(p =>
+      StateFs.fsOf(p).getFileStatus(p).getModificationTime)
+    assert(mtimes == mtimes.sorted && mtimes.distinct.size == 3,
+      s"drain order must be strictly ascending mtimes: $mtimes")
+    assert(spark.read.parquet(in).count() == 3L)
+    // FS-seam copy used by the sentinel waves
+    val dst = s"${new org.apache.hadoop.fs.Path(in).getParent}/copied.parquet"
+    StateFs.copyFile(parts.head.toString, dst)
+    assert(spark.read.parquet(dst).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    EventQueries.dropStaged(in)
+    assert(!StateFs.exists(in), "dropStaged must remove the staged tree")
+  }
+
+  test("writeUtf8Atomic: replace-in-place leaves the new content and no temp litter") {
+    val dir = Files.createTempDirectory("graft_aw_").toString
+    StateFs.writeUtf8Atomic(s"$dir/_owners.json", """{"v":1}""")
+    StateFs.writeUtf8Atomic(s"$dir/_owners.json", """{"v":2}""")
+    assert(StateFs.readUtf8(s"$dir/_owners.json") == """{"v":2}""")
+    assert(StateFs.list(dir).map(_.getName) == Seq("_owners.json"),
+      "temp staging files must not outlive the replace")
   }
 
   test("SegLedger.rows: a segment with a torn _meta.json counts its parquet footers and self-heals") {
