@@ -263,6 +263,38 @@ class StateLayerSpec extends SparkSpec {
     assert(!StateFs.exists(in), "dropStaged must remove the staged tree")
   }
 
+  test("ANN segment lifecycle on a file:-scheme root: append, tombstone, serve, compact") {
+    // the r19 port's contract for the index side: the streamed-segment
+    // existence checks (q152/q164's serve guards) and the segment dirs
+    // themselves work against a scheme-qualified Hadoop root — the
+    // pre-r19 java.io.File probes would read "no segments" on any
+    // non-local store and silently serve history alone
+    val root = "file:" + Files.createTempDirectory("graft_annfs_").toString
+    val seg0 = Seq((1L, 0, Seq(1, 2)), (2L, 1, Seq(3, 4)))
+      .toDF("vec_id", "cell", "codes")
+    val seg1 = Seq((3L, 0, Seq(5, 6))).toDF("vec_id", "cell", "codes")
+    seg0.write.parquet(s"$root/rows/seg-0")
+    seg1.write.parquet(s"$root/rows/seg-1")
+    Seq(2L).toDF("vec_id").write.parquet(s"$root/tombs/seg-1")
+    assert(StateFs.exists(s"$root/rows") && StateFs.exists(s"$root/tombs"))
+    assert(!StateFs.exists(s"$root/neither"),
+      "the empty-drain guard must read a missing dir as absent, not throw")
+    // serving = segment union minus tombstones (q164's shape)
+    val index = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/rows")
+    val served = graft.ann.Pq.withoutTombstones(index,
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$root/tombs"))
+    assert(served.select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+    // compaction physically drops the tombstoned rows (q154's shape)
+    graft.ann.Pq.compactIndex(
+        Seq(spark.read.parquet(s"$root/rows/seg-0"),
+          spark.read.parquet(s"$root/rows/seg-1")),
+        tombstones = Some(Seq(2L).toDF("vec_id")))
+      .write.mode("overwrite").parquet(s"$root/compacted")
+    assert(spark.read.parquet(s"$root/compacted")
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("writeUtf8Atomic: replace-in-place leaves the new content and no temp litter") {
     val dir = Files.createTempDirectory("graft_aw_").toString
     StateFs.writeUtf8Atomic(s"$dir/_owners.json", """{"v":1}""")
