@@ -128,6 +128,30 @@ class StateLayerSpec extends SparkSpec {
     assert(SegLedger.rows(root, 99L) == 6L)
   }
 
+  test("standingCountSweeping: dirs stranded by a crashed checkpoint vacuum are swept") {
+    // the r19 trigger accessor: a crash between compact-<n>/_SUCCESS and
+    // its vacuum leaves absorbed dirs the read rule already ignores —
+    // the trigger's standing count must ignore them too AND sweep them,
+    // riding the listing it already pays
+    val root = Files.createTempDirectory("graft_sweep_").toString
+    def seg(id: Long, docs: Long*): Unit =
+      SegLedger.append(docs.toDF("doc_id"), root, id)
+    seg(0, 1L); seg(1, 2L)
+    SegLedger.checkpoint(spark, root, 2L, Seq.empty[Long].toDF("doc_id"))
+    // the crash window, reconstructed: an absorbed segment and an older
+    // torn checkpoint dir both below the committed boundary
+    seg(0, 1L)
+    StateFs.mkdirs(s"$root/compact-1")
+    seg(2, 3L); seg(3, 4L)
+    assert(SegLedger.standingCountSweeping(root, 5L) == 2,
+      "only segs 2 and 3 stand above the committed boundary")
+    assert(!StateFs.exists(s"$root/seg-0"), "the absorbed segment is swept")
+    assert(!StateFs.exists(s"$root/compact-1"), "the older checkpoint dir is swept")
+    assert(StateFs.exists(s"$root/compact-2"), "the committed boundary stays")
+    assert(SegLedger.read(spark, root, 5L, Seq.empty[Long].toDF("doc_id"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("vacuum keepSince: timestamped generations inside the audit window survive") {
     val root = Files.createTempDirectory("graft_keepsince_").toString
     val owners = BucketedGens.initialOwners(2)
