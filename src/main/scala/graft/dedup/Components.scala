@@ -33,10 +33,17 @@ object Components {
       maxIter: Int = 20, maxLocalEdges: Long = 1000000L): DataFrame = {
     // Pin the edge list FIRST: the symmetrization union references it
     // twice, and an un-pinned input would execute the caller's (possibly
-    // expensive) pair-generation plan once per branch.
+    // expensive) pair-generation plan once per branch. The edge count
+    // rides the pin as an observe() metric — a separate count() action
+    // was one Spark job per CC call, and the CDC folds pay this path
+    // once per micro-batch (the r19 job diet; missing metric = AQE
+    // proved the frame empty = 0).
+    val obs = org.apache.spark.sql.Observation()
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
-    if (e.count() <= maxLocalEdges) return localUnionFind(e)
+    val nEdges = obs.get.get("n").fold(0L)(_.asInstanceOf[Long])
+    if (nEdges <= maxLocalEdges) return localUnionFind(e)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()

@@ -170,7 +170,7 @@ object VectorKernels {
     while (i < n) { na += v(i) * v(i); i += 1 }
     val sqna = math.sqrt(na)
     var bestIdx = 0
-    var best = 0.0
+    var best = 0.0 // always a ROUNDED value once found
     var found = false
     var c = 0
     while (c < bk.length) {
@@ -179,10 +179,26 @@ object VectorKernels {
         var dot = 0.0
         var j = 0
         while (j < n) { dot += v(j) * cw(j); j += 1 }
-        val s = round6(dot / (sqna * math.sqrt(nrm(c))))
-        // SQL double ordering (NaN greatest); strict > keeps lowest idx
-        if (!found || java.lang.Double.compare(s, best) > 0) {
-          found = true; best = s; bestIdx = c
+        val s0 = dot / (sqna * math.sqrt(nrm(c)))
+        // LAZY rounding: round6 is monotone (x ≤ y ⇒ round6(x) ≤
+        // round6(y)) and idempotent, and `best` is already rounded — so
+        // a raw score s0 ≤ best can never round strictly above best and
+        // can never win (equal-rounded keeps the lower index). Only the
+        // ascending-max prefix pays the BigDecimal round (expected
+        // O(log k) per row instead of k — the round was ~80% of PQ
+        // training/encode wall at k=256). NaN must bypass the primitive
+        // `>` guard (NaN compares false) because SQL double ordering
+        // ranks NaN greatest — the explicit isNaN branch keeps the
+        // "first NaN wins, later NaNs don't replace" behavior of the
+        // always-rounded loop. Results are bit-identical:
+        // VectorFnsSpec pins kernel-vs-composed equality.
+        if (!found) {
+          found = true; best = round6(s0); bestIdx = c
+        } else if (java.lang.Double.isNaN(s0)) {
+          if (java.lang.Double.compare(s0, best) > 0) { best = s0; bestIdx = c }
+        } else if (s0 > best) {
+          val r = round6(s0)
+          if (java.lang.Double.compare(r, best) > 0) { best = r; bestIdx = c }
         }
       }
       c += 1

@@ -969,26 +969,31 @@ object DedupQueries {
     val newLocal = newLocalP.df
     val oldAffected = mTouched.select("id")
     val buckets = (touchedP.bks("cbk") ++ newLocalP.bks("cbk")).distinct.sorted
-    val (written, nextRows, predRows) = BucketedGens.observedWrite(
-        readGen(labelsRoot, base, buckets), buckets, s"$labelsRoot/gen-$id") { p =>
-      p.select("id", "component")
-        .join(broadcast(oldAffected), Seq("id"), "left_anti")
-        .unionByName(newLocal)
-        .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
-    }
+    val byBuckets = (mTouchedP.bks("ibk") ++ newLocalP.bks("ibk")).distinct.sorted
+    // the two mirror writes in ONE parallel wave (r19, guide §2.6 —
+    // independent dirs, independent payload derivations); the commits
+    // below stay sequential in the original order, so the replay
+    // discipline is unchanged
+    val ((written, nextRows, predRows), (writtenBy, _, _)) = inParallel(
+      BucketedGens.observedWrite(
+          readGen(labelsRoot, base, buckets), buckets, s"$labelsRoot/gen-$id") { p =>
+        p.select("id", "component")
+          .join(broadcast(oldAffected), Seq("id"), "left_anti")
+          .unionByName(newLocal)
+          .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
+      },
+      BucketedGens.observedWrite(
+          readGen(byidRoot, baseBy, byBuckets), byBuckets, s"$byidRoot/gen-$id") { p =>
+        p.select("id", "component")
+          .join(broadcast(oldAffected), Seq("id"), "left_anti")
+          .unionByName(newLocal)
+          .withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
+      })
     val rows = base.map(_.rows).getOrElse(0L) - predRows + nextRows
     val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(labelsRoot, id, owners, rows, ts)
     BucketedGens.vacuum(s, labelsRoot, base, id)
-    val byBuckets = (mTouchedP.bks("ibk") ++ newLocalP.bks("ibk")).distinct.sorted
-    val (writtenBy, _, _) = BucketedGens.observedWrite(
-        readGen(byidRoot, baseBy, byBuckets), byBuckets, s"$byidRoot/gen-$id") { p =>
-      p.select("id", "component")
-        .join(broadcast(oldAffected), Seq("id"), "left_anti")
-        .unionByName(newLocal)
-        .withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
-    }
     val ownersBy = baseBy.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       byBuckets.map(bk => bk -> (if (writtenBy(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(byidRoot, id, ownersBy, rows, ts)
@@ -1277,17 +1282,22 @@ object DedupQueries {
     // the cumulative delete set reconstructed from O(batch) SEGMENTS
     // (r17): each fold appends only its own doc ids; deletes never
     // retract in this family, so the union IS the cumulative state
-    val cumDels = SegLedger.read(s, s"$root/dels", id, b.select("doc_id").limit(0))
-      .select("doc_id")
-      .unionByName(b.select("doc_id")).distinct()
-      .localCheckpoint() // read by both anti-joins
-    // the batch's ORIGINAL components — a doc-keyed pruned point read
-    // (r17: the r16 shape semi-joined the full at-rest label relation,
-    // an O(corpus) scan per micro-batch)
-    val touchedOrigP = pinMetered(
-      atRestLabelsForIds(s, stateDir, b.select(col("doc_id").as("id")))
-        .select("component").distinct(),
-      "cbk" -> pmod(col("component"), lit(nb)))
+    // one parallel wave (r19, guide §2.6): the cumulative-delete
+    // checkpoint and the batch's orig point read share only the batch
+    // frame — after the dels-family checkpoint trigger above, nothing
+    // below mutates the family, so the two actions overlap
+    val (cumDels, touchedOrigP) = inParallel(
+      SegLedger.read(s, s"$root/dels", id, b.select("doc_id").limit(0))
+        .select("doc_id")
+        .unionByName(b.select("doc_id")).distinct()
+        .localCheckpoint(), // read by both anti-joins
+      // the batch's ORIGINAL components — a doc-keyed pruned point read
+      // (r17: the r16 shape semi-joined the full at-rest label relation,
+      // an O(corpus) scan per micro-batch)
+      pinMetered(
+        atRestLabelsForIds(s, stateDir, b.select(col("doc_id").as("id")))
+          .select("component").distinct(),
+        "cbk" -> pmod(col("component"), lit(nb))))
     val touchedOrig = touchedOrigP.df // ≤ batch rows; prunes, anti-joins
     val buckets = touchedOrigP.bks("cbk")
     val atRestRows = atRestLabelGenRows(s, stateDir)
@@ -1322,15 +1332,18 @@ object DedupQueries {
     // dissolved — has no parquet dir, so emptiness must be recorded in
     // the owners map, not inferred from the filesystem) AND both sides
     // of the standing-count arithmetic as observe() metrics
-    val (written, nextRows, predRows) = BucketedGens.observedWrite(
-        predTouched, buckets, s"$labelsRoot/gen-$id") { pred =>
-      pred.join(broadcast(touchedOrig.select(col("component").as("orig"))),
-          Seq("orig"), "left_anti")
-        .select("id", "component", "orig")
-        .unionByName(recomputed.select("id", "component", "orig"))
-        .withColumn("bucket", pmod(col("orig"), lit(nb)).cast("int"))
-    }
-    SegLedger.append(b.select("doc_id").distinct(), s"$root/dels", id)
+    // generation write ∥ the batch's dels segment (independent roots;
+    // commits below stay sequential — crash-window story unchanged)
+    val ((written, nextRows, predRows), _) = inParallel(
+      BucketedGens.observedWrite(
+          predTouched, buckets, s"$labelsRoot/gen-$id") { pred =>
+        pred.join(broadcast(touchedOrig.select(col("component").as("orig"))),
+            Seq("orig"), "left_anti")
+          .select("id", "component", "orig")
+          .unionByName(recomputed.select("id", "component", "orig"))
+          .withColumn("bucket", pmod(col("orig"), lit(nb)).cast("int"))
+      },
+      SegLedger.append(b.select("doc_id").distinct(), s"$root/dels", id))
     val baseRows = base.map(_.rows).getOrElse(labelRows(s, stateDir))
     val rows = baseRows - predRows + nextRows
     val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
@@ -1366,22 +1379,28 @@ object DedupQueries {
       root: String, b: org.apache.spark.sql.DataFrame, id: Long,
       ts: Option[Long] = None): Long = {
     val s = b.sparkSession
-    val (_, rebuilt) = componentsRetractImpl(ccState, root, b, id, ts)
     val manRoot = s"$root/manifest"
     val nbM = manifestBuckets(survState)
-    val baseM = BucketedGens.latest(manRoot, below = Some(id))
-    val atRestRows = atRestManifestGenRows(s, survState)
     // THIS batch's touched originals — singleton deletes are their own
     // component (exactly the manifest's key rule). Doc-keyed pruned
     // point read (r17): the r16 shape left-joined the full at-rest
-    // label relation, an O(corpus) scan per micro-batch.
-    val touchedOrigP = pinMetered(b.select(col("doc_id"))
-      .join(atRestLabelsForIds(s, ccState, b.select(col("doc_id").as("id")))
-          .withColumnRenamed("id", "doc_id"),
-        Seq("doc_id"), "left")
-      .select(coalesce(col("component"), col("doc_id")).as("orig"))
-      .distinct(),
-      "mbk" -> pmod(col("orig"), lit(nbM)))
+    // label relation, an O(corpus) scan per micro-batch. Runs on
+    // [[foldPool]] OVERLAPPING the label fold (r19, guide §2.6): it
+    // reads only the immutable at-rest state + the batch frame, never
+    // the generations the fold is writing.
+    val fTouchedOrig = scala.concurrent.Future(
+      pinMetered(b.select(col("doc_id"))
+        .join(atRestLabelsForIds(s, ccState, b.select(col("doc_id").as("id")))
+            .withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("orig"))
+        .distinct(),
+        "mbk" -> pmod(col("orig"), lit(nbM))))(foldPool)
+    val (_, rebuilt) = componentsRetractImpl(ccState, root, b, id, ts)
+    val baseM = BucketedGens.latest(manRoot, below = Some(id))
+    val atRestRows = atRestManifestGenRows(s, survState)
+    val touchedOrigP = scala.concurrent.Await.result(fTouchedOrig,
+      scala.concurrent.duration.Duration.Inf)
     val touchedOrig = touchedOrigP.df // pass-through anti + member prune
     val buckets = touchedOrigP.bks("mbk")
     // predecessor manifest rows of ONLY the touched buckets — consumed
@@ -1497,6 +1516,18 @@ object DedupQueries {
       oldAffected: org.apache.spark.sql.DataFrame,
       cumDels: org.apache.spark.sql.DataFrame)
 
+  /** Batch work a COMPOSED caller (the manifest fold) has already paid
+    * that [[componentsCdcImpl]] would otherwise redo (r19 job diet):
+    * the batch-stats counts (`nD`/`nI`/`dI`/`rISim` — op presence and
+    * the seq-less simhash-ambiguity check) and the net-op batch pin,
+    * whose frame carries the label payload columns (op, doc_id,
+    * simhash[, …]) plus the pin's observed pmod(doc_id, nb) bucket set
+    * under the key "ibk". survivorCdcStep folds its quality columns
+    * into the SAME aggregate and the SAME pin, so the composed fold
+    * pays one stats job and one checkpoint where it paid two of each. */
+  private[queries] final case class CdcBatchPre(nD: Long, nI: Long,
+      dI: Long, rISim: Long, opsPin: Pin)
+
   /** Normalize an ORDERED changelog batch — a `seq` column carrying
     * each row's changelog position — to per-doc NET ops: the max-seq
     * row per doc wins, intermediate incarnations inside one batch
@@ -1534,6 +1565,34 @@ object DedupQueries {
       n: Long, bkSets: Map[String, Seq[Int]]) {
     def bks(k: String): Seq[Int] = bkSets.getOrElse(k, Nil)
   }
+  /** Dedicated daemon pool for OVERLAPPING independent driver actions
+    * inside a fold (spark_optimization_guide §2.6): Spark's scheduler
+    * happily runs several jobs at once; fold actions are sequential only
+    * because the driver code calls them sequentially. At micro-batch
+    * sizes each action's wall is dominated by fixed driver latency
+    * (planning + job round-trips, ~70 ms/slot measured at sf0.1), so
+    * running the independent ones concurrently removes whole slots from
+    * the fold's critical path — on a cluster the same overlap back-fills
+    * executors freed by one action's tail with the next action's tasks.
+    * Cached pool: folds need at most a handful of threads, briefly. */
+  private lazy val foldPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-fold-parallel")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Run `b` on [[foldPool]] while `a` runs on the calling thread; both
+    * results returned, failures propagated. ONLY for pairs with no data
+    * or commit-order dependency (commits stay sequential on the caller). */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    val fb = scala.concurrent.Future(b)(foldPool)
+    val ra = a
+    (ra, scala.concurrent.Await.result(fb,
+      scala.concurrent.duration.Duration.Inf))
+  }
+
   private[queries] def pinMetered(df: org.apache.spark.sql.DataFrame,
       bucketOf: (String, org.apache.spark.sql.Column)*): Pin = {
     val obs = org.apache.spark.sql.Observation()
@@ -1661,7 +1720,8 @@ object DedupQueries {
       b0: org.apache.spark.sql.DataFrame, id: Long,
       staticSigs: org.apache.spark.sql.DataFrame,
       historyPred: org.apache.spark.sql.Column,
-      ts: Option[Long] = None): CdcFold = {
+      ts: Option[Long] = None,
+      pre: Option[CdcBatchPre] = None): CdcFold = {
     val s = b0.sparkSession
     val b = netOps(b0)
     val labelsRoot = s"$root/labels"
@@ -1674,40 +1734,54 @@ object DedupQueries {
     val emptyIds = b.select(col("doc_id")).limit(0)
     val emptyPairs = b
       .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")).limit(0)
-    val bD0 = b.filter(col("op") === "D").select("doc_id").distinct()
-    val bI0 = b.filter(col("op") === "I").select("doc_id", "simhash").distinct()
     // ONE batch-stats aggregate in place of three per-fold actions
     // (isEmpty ×2 + the ambiguity head): op presence and the seq-less
     // ambiguity counts come from a single job over the batch. distinct
-    // aggregates can't ride observe(), so this stays its own action.
-    val bStats = b.agg(
-      count(when(col("op") === "D", 1)).as("nD"),
-      count(when(col("op") === "I", 1)).as("nI"),
-      count_distinct(when(col("op") === "I", col("doc_id"))).as("dI"),
-      count_distinct(when(col("op") === "I",
-        struct(col("doc_id"), col("simhash")))).as("rI")).head()
-    if (!b0.columns.contains("seq"))
-      require(bStats.getLong(3) == bStats.getLong(2),
-        "seq-less batch carries conflicting I payloads (simhash) for one " +
-          "doc_id — the op order is ambiguous; ordered producers must " +
-          "ship a `seq` column")
-    val hasD = bStats.getLong(0) > 0
-    val hasI = bStats.getLong(1) > 0
-    // THE BATCH'S NET OPS — this (and only this) lands as the batch's
-    // `ops` ledger SEGMENT: per-batch ledger write I/O is O(batch), not
-    // O(churn-since-compaction) (r17 — r16 rewrote the full cumulative
-    // frames every fold). I beats D within a batch (the D-then-I upsert
-    // order), so a doc carries exactly one row per segment. This is the
-    // fold's ONE batch pin: the delete/append slices and the touched id
-    // set are filters/projections of it (a doc appears exactly once),
-    // and its observed id-bucket set prunes the touched-seed point read.
-    val batchOpsP = pinMetered(
-      bD0.join(bI0.select("doc_id"), Seq("doc_id"), "left_anti")
-        .select(lit("D").as("op"), col("doc_id"),
-          lit(null).cast("long").as("simhash"))
-        .unionByName(bI0.select(lit("I").as("op"), col("doc_id"), col("simhash"))),
-      "ibk" -> pmod(col("doc_id"), lit(nb)))
-    val batchOps = batchOpsP.df
+    // aggregates can't ride observe(), so this stays its own action —
+    // unless a composed caller (the manifest fold) already paid it and
+    // hands the counts plus the net-op pin in via `pre` (r19 job diet:
+    // one stats job + one checkpoint per composed fold, not two).
+    val (hasD, hasI, batchOpsP) = pre match {
+      case Some(p) =>
+        if (!b0.columns.contains("seq"))
+          require(p.rISim == p.dI,
+            "seq-less batch carries conflicting I payloads (simhash) for one " +
+              "doc_id — the op order is ambiguous; ordered producers must " +
+              "ship a `seq` column")
+        (p.nD > 0, p.nI > 0, p.opsPin)
+      case None =>
+        val bD0 = b.filter(col("op") === "D").select("doc_id").distinct()
+        val bI0 = b.filter(col("op") === "I").select("doc_id", "simhash").distinct()
+        val bStats = b.agg(
+          count(when(col("op") === "D", 1)).as("nD"),
+          count(when(col("op") === "I", 1)).as("nI"),
+          count_distinct(when(col("op") === "I", col("doc_id"))).as("dI"),
+          count_distinct(when(col("op") === "I",
+            struct(col("doc_id"), col("simhash")))).as("rI")).head()
+        if (!b0.columns.contains("seq"))
+          require(bStats.getLong(3) == bStats.getLong(2),
+            "seq-less batch carries conflicting I payloads (simhash) for one " +
+              "doc_id — the op order is ambiguous; ordered producers must " +
+              "ship a `seq` column")
+        // THE BATCH'S NET OPS — this (and only this) lands as the batch's
+        // `ops` ledger SEGMENT: per-batch ledger write I/O is O(batch), not
+        // O(churn-since-compaction) (r17 — r16 rewrote the full cumulative
+        // frames every fold). I beats D within a batch (the D-then-I upsert
+        // order), so a doc carries exactly one row per segment. This is the
+        // fold's ONE batch pin: the delete/append slices and the touched id
+        // set are filters/projections of it (a doc appears exactly once),
+        // and its observed id-bucket set prunes the touched-seed point read.
+        (bStats.getLong(0) > 0, bStats.getLong(1) > 0, pinMetered(
+          bD0.join(bI0.select("doc_id"), Seq("doc_id"), "left_anti")
+            .select(lit("D").as("op"), col("doc_id"),
+              lit(null).cast("long").as("simhash"))
+            .unionByName(bI0.select(lit("I").as("op"), col("doc_id"), col("simhash"))),
+          "ibk" -> pmod(col("doc_id"), lit(nb))))
+    }
+    // a composed caller's pin may carry extra payload columns (quality)
+    // — project to the label fold's shape; the ops ledger schema and
+    // every downstream slice are unchanged either way
+    val batchOps = batchOpsP.df.select("op", "doc_id", "simhash")
     val bI = batchOps.filter(col("op") === "I").select("doc_id", "simhash")
     // cumulative state RECONSTRUCTED from the segments: last-writer-wins
     // per doc over segment ordinals (within a segment the net op is
@@ -1746,7 +1820,11 @@ object DedupQueries {
     val segPairs = SegLedger.read(s, s"$root/pairs", id, emptyPairs, ledgerFloor)
     val opsTouchA = allOps.select(col("doc_id").as("__ta"), col("__seg").as("__tsa"))
     val opsTouchB = allOps.select(col("doc_id").as("__tb"), col("__seg").as("__tsb"))
-    val ledger =
+    // pinned on [[foldPool]] so its reconstruction window overlaps the
+    // closure walk below — the two share no inputs beyond the already-
+    // pinned batch/winners frames (r19 job diet, guide §2.6); awaited
+    // at ledgerEdges, its first consumer
+    val fLedger = scala.concurrent.Future(
       if (pairSegs.isEmpty) emptyPairs
       else segPairs
         .join(opsTouchA, col("id_a") === col("__ta") && col("__tsa") > col("__seg"),
@@ -1754,7 +1832,7 @@ object DedupQueries {
         .join(opsTouchB, col("id_b") === col("__tb") && col("__tsb") > col("__seg"),
           "left_anti")
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint())(foldPool)
     // THE DOC-KEYED LABEL MIRROR (r17): every id-keyed probe below
     // resolves through pmod(id, 16) point reads of the `labels_byid`
     // generations — r16 pinned the FULL standing label relation here, an
@@ -1840,6 +1918,32 @@ object DedupQueries {
     // (unions of pinned pieces — trivial lineage, re-pinning each hop
     // was an action per frame per hop); their bucket sets accumulate
     // driver-side, exactly the sets the r16 shape collected per use.
+    // ---- append side, STARTED before the walk (r19, guide §2.6): the
+    // probe of the present corpus depends only on the pinned winners +
+    // the static sig frame — it overlaps the closure walk's serial
+    // hops on [[foldPool]] and is awaited at its first consumer ----
+    // at-rest evidence superseded by a delete OR a (re-)append — those
+    // docs' standing edges come from the pair ledger + fresh probes
+    // derived from the pinned winners, consumed only by anti-joins —
+    // duplicates are harmless, so no distinct shuffle, no pin
+    val supersededAtRest = cumDels.unionByName(cumApps.select("doc_id"))
+    val fDeltaPairs = scala.concurrent.Future(
+      if (!hasI) emptyPairs else {
+        // the probe's base corpus is whatever the at-rest state COVERS:
+        // the historyPred slice of the static frame initially, the
+        // compacted state's own sig snapshot after a compaction (it
+        // absorbed every earlier arrival — historyPred no longer
+        // describes coverage)
+        val baseCorpus =
+          if (stateDir == stateDir0) staticSigs.filter(historyPred)
+          else s.read.parquet(s"$stateDir/sigs")
+        val present = baseCorpus
+          .join(supersededAtRest, Seq("doc_id"), "left_anti")
+          .unionByName(cumApps.select("doc_id", "simhash"))
+        TextDedup.simHashNearDupAgainst(bI, present, "doc_id", "simhash", 3)
+          .select("id_a", "id_b")
+          .localCheckpoint() // read by the merge AND the ledger write
+      })(foldPool)
     val emptyComps = emptyIds.withColumnRenamed("doc_id", "component")
     val (rebuildComps, closureOrigs, mRebuild, compsBksAll, mRebuildBks, closureOrigBks) =
       if (!hasTouched)
@@ -1889,27 +1993,9 @@ object DedupQueries {
         (comps, origs, mAll, compsBks, mAllBks, origsBks)
       }
 
-    // ---- append side: probe pairs against the PRESENT corpus ----
-    // at-rest evidence superseded by a delete OR a (re-)append — those
-    // docs' standing edges come from the pair ledger + fresh probes
-    // derived from the pinned winners, consumed only by anti-joins —
-    // duplicates are harmless, so no distinct shuffle, no pin
-    val supersededAtRest = cumDels.unionByName(cumApps.select("doc_id"))
-    val deltaPairs = if (!hasI) emptyPairs else {
-      // the probe's base corpus is whatever the at-rest state COVERS: the
-      // historyPred slice of the static frame initially, the compacted
-      // state's own sig snapshot after a compaction (it absorbed every
-      // earlier arrival — historyPred no longer describes coverage)
-      val baseCorpus =
-        if (stateDir == stateDir0) staticSigs.filter(historyPred)
-        else s.read.parquet(s"$stateDir/sigs")
-      val present = baseCorpus
-        .join(supersededAtRest, Seq("doc_id"), "left_anti")
-        .unionByName(cumApps.select("doc_id", "simhash"))
-      TextDedup.simHashNearDupAgainst(bI, present, "doc_id", "simhash", 3)
-        .select("id_a", "id_b")
-        .localCheckpoint() // read by the merge AND the ledger write
-    }
+    // ---- append side: join the probe started before the walk ----
+    val deltaPairs = scala.concurrent.Await.result(fDeltaPairs,
+      scala.concurrent.duration.Duration.Inf)
     // components incident to the delta (under pred labels) that the
     // delete side is NOT already rebuilding re-enter as contractions —
     // the incident ids are batch-derived, so this is a doc-keyed point
@@ -1951,7 +2037,10 @@ object DedupQueries {
     }
     // a ledger pair's live endpoints share one current component, so
     // the id_a witness suffices (the purge above already dropped pairs
-    // with a deleted endpoint)
+    // with a deleted endpoint). Awaited unconditionally so a failed
+    // reconstruction surfaces here even on folds that don't consume it.
+    val ledger = scala.concurrent.Await.result(fLedger,
+      scala.concurrent.duration.Duration.Inf)
     val ledgerEdges = if (!hasTouched) emptyPairs else ledger
       .join(broadcast(mRebuild.select(col("id").as("id_a"))), Seq("id_a"), "leftsemi")
       .select("id_a", "id_b")
@@ -1986,34 +2075,9 @@ object DedupQueries {
         case None    => atRestRows.filter(col("bucket").isin(buckets.map(Int.box): _*))
         case Some(g) => BucketedGens.read(s, labelsRoot, g, atRestRows, Some(buckets))
       }
-    // ONE action: the generation write carries the per-bucket counts
-    // and both sides of the count arithmetic as observe() metrics —
-    // newLocal stays pinned (the manifest repair reads it), so the CC
-    // never recomputes
-    val (written, nextRows, predRows) = BucketedGens.observedWrite(
-        predTouched, buckets, s"$labelsRoot/gen-$id") { pred =>
-      pred.select("id", "component")
-        .join(broadcast(oldAffected), Seq("id"), "left_anti")
-        .unionByName(newLocal)
-        .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
-    }
-    // O(batch) ledger segments — the batch's own contribution, nothing
-    // cumulative is ever rewritten (the purge happens at read time)
-    SegLedger.append(batchOps, s"$root/ops", id)
-    if (hasI) SegLedger.append(deltaPairs, s"$root/pairs", id)
-    val baseRows = base.map(_.rows).getOrElse(labelRows(s, stateDir))
-    val rows = baseRows - predRows + nextRows
-    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
-      buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
-    BucketedGens.commit(labelsRoot, id, owners, rows, ts)
-    BucketedGens.vacuum(s, labelsRoot, base, id)
-    // the byid mirror's own generation: the SAME affected rows under the
-    // doc keying — touched buckets are pmod(affected ids, 16), write I/O
-    // O(affected) like the component-keyed write it mirrors. Committed
-    // after the labels generation; a crash between the two commits
-    // replays the whole batch, which re-bases BOTH roots strictly below
-    // `id` (their predecessors always pair up — they commit together)
-    // and overwrites both dirs whole.
+    // the byid mirror's generation payload: the SAME affected rows under
+    // the doc keying — touched buckets are pmod(affected ids, 16), write
+    // I/O O(affected) like the component-keyed write it mirrors.
     // oldAffected = mRebuild ∪ mContract, so its id-bucket set is the
     // walk/contract pins' observed sets — driver union, no collect
     val byBuckets = (mRebuildBks ++ mContractP.bks("ibk") ++ newLocalP.bks("ibk"))
@@ -2024,13 +2088,49 @@ object DedupQueries {
         case None    => atRestById.filter(col("bucket").isin(byBuckets.map(Int.box): _*))
         case Some(g) => BucketedGens.read(s, byidRoot, g, atRestById, Some(byBuckets))
       }
-    val (writtenBy, _, _) = BucketedGens.observedWrite(
+    // ONE PARALLEL WAVE of the fold's four independent terminal writes
+    // (r19, guide §2.6): the labels generation, the byid-mirror
+    // generation, and the two O(batch) ledger segments share no paths
+    // and no data dependency — each write still carries its counts as
+    // observe() metrics (one action each), only the WAITS overlap. The
+    // COMMITS stay sequential below in the original order (labels gen
+    // before byid gen), so the crash-window story is unchanged: a crash
+    // anywhere before the byid commit replays the whole batch, which
+    // re-bases BOTH roots strictly below `id` and overwrites every
+    // partial dir whole (ledger segments included — a replayed batch
+    // overwrites its own segment).
+    val fByid = scala.concurrent.Future(BucketedGens.observedWrite(
         predBy, byBuckets, s"$byidRoot/gen-$id") { pred =>
       pred.select("id", "component")
         .join(broadcast(oldAffected), Seq("id"), "left_anti")
         .unionByName(newLocal)
         .withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
+    })(foldPool)
+    // O(batch) ledger segments — the batch's own contribution, nothing
+    // cumulative is ever rewritten (the purge happens at read time)
+    val fOps = scala.concurrent.Future(
+      SegLedger.append(batchOps, s"$root/ops", id))(foldPool)
+    val fPairs = scala.concurrent.Future(
+      if (hasI) SegLedger.append(deltaPairs, s"$root/pairs", id))(foldPool)
+    val (written, nextRows, predRows) = BucketedGens.observedWrite(
+        predTouched, buckets, s"$labelsRoot/gen-$id") { pred =>
+      pred.select("id", "component")
+        .join(broadcast(oldAffected), Seq("id"), "left_anti")
+        .unionByName(newLocal)
+        .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
     }
+    val (writtenBy, _, _) = scala.concurrent.Await.result(fByid,
+      scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(fOps, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(fPairs, scala.concurrent.duration.Duration.Inf)
+    val baseRows = base.map(_.rows).getOrElse(labelRows(s, stateDir))
+    val rows = baseRows - predRows + nextRows
+    val owners = base.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
+      buckets.map(bk => bk -> (if (written(bk)) id else BucketedGens.Empty))
+    BucketedGens.commit(labelsRoot, id, owners, rows, ts)
+    BucketedGens.vacuum(s, labelsRoot, base, id)
+    // committed after the labels generation; a crash between the two
+    // commits replays the whole batch (predecessors always pair up)
     val ownersBy = baseBy.map(_.owners).getOrElse(BucketedGens.initialOwners(nb)) ++
       byBuckets.map(bk => bk -> (if (writtenBy(bk)) id else BucketedGens.Empty))
     BucketedGens.commit(byidRoot, id, ownersBy, rows, ts)
@@ -2155,50 +2255,79 @@ object DedupQueries {
     val survState = effectiveState(s, root, Some(id), survState0)
     val nbM = manifestBuckets(survState)
     val baseM = BucketedGens.latest(manRoot, below = Some(id))
-    val fold = componentsCdcImpl(ccState, root,
-      b.select("op", "doc_id", "simhash"), id, staticSigs, historyPred, ts)
     val ccStateEff = effectiveState(s, root, Some(id), ccState)
-    val bD = b.filter(col("op") === "D").select("doc_id").distinct()
-    val bI0 = b.filter(col("op") === "I").select("doc_id", "quality").distinct()
-    // ONE aggregate carries the seq-less quality-ambiguity counts AND
-    // the delete side's manifest bucket set — manBuckets below needs
-    // pmod(bD, nbM) and would otherwise pay its own collect action
-    val qStats = b.agg(
+    // ONE aggregate for the WHOLE composed fold (r19 job diet — was one
+    // stats head here and a second inside the label fold): the label
+    // side's op presence + simhash-ambiguity counts, the quality
+    // ambiguity count, AND the delete side's manifest bucket set
+    // (manBuckets below needs pmod(bD, nbM) and would otherwise pay its
+    // own collect action).
+    val stats = b.agg(
+      count(when(col("op") === "D", 1)).as("nD"),
+      count(when(col("op") === "I", 1)).as("nI"),
       count_distinct(when(col("op") === "I", col("doc_id"))).as("dI"),
       count_distinct(when(col("op") === "I",
-        struct(col("doc_id"), col("quality")))).as("rI"),
+        struct(col("doc_id"), col("simhash")))).as("rIs"),
+      count_distinct(when(col("op") === "I",
+        struct(col("doc_id"), col("quality")))).as("rIq"),
       collect_set(when(col("op") === "D",
         pmod(col("doc_id"), lit(nbM))).cast("int")).as("dbk")).head()
     if (!b0.columns.contains("seq"))
-      require(qStats.getLong(1) == qStats.getLong(0),
+      require(stats.getLong(4) == stats.getLong(2),
         "seq-less batch carries conflicting I payloads (quality) for one " +
           "doc_id — the op order is ambiguous; ordered producers must " +
           "ship a `seq` column")
-    val bDManBks = qStats.getSeq[Int](2)
+    val bDManBks = stats.getSeq[Int](5)
+    // ONE net-op pin carrying BOTH payloads (simhash for the label
+    // fold, quality for the ledger below) — the label fold reuses it
+    // via CdcBatchPre instead of pinning its own 3-column twin
+    val bD0net = b.filter(col("op") === "D").select("doc_id").distinct()
+    val bI0net = b.filter(col("op") === "I")
+      .select("doc_id", "simhash", "quality").distinct()
+    val opsPin = pinMetered(
+      bD0net.join(bI0net.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("long").as("simhash"),
+          lit(null).cast("double").as("quality"))
+        .unionByName(bI0net.select(lit("I").as("op"), col("doc_id"),
+          col("simhash"), col("quality"))),
+      "ibk" -> pmod(col("doc_id"), lit(labelBuckets(ccStateEff))))
     // the quality ledger in SEGMENT form (r17, same discipline as the
     // fold's op/pair ledgers): the batch lands only its net ops, the
     // cumulative "live append qualities" resolve last-writer-wins.
-    // The step's one batch pin — the I slice below is a filter of it.
-    val batchOpsQ = bD.join(bI0.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(lit("D").as("op"), col("doc_id"), lit(null).cast("double").as("quality"))
-      .unionByName(bI0.select(lit("I").as("op"), col("doc_id"), col("quality")))
-      .localCheckpoint() // written as the segment AND folded into winners
+    // A projection of the one shared pin — no second checkpoint.
+    val batchOpsQ = opsPin.df.select("op", "doc_id", "quality")
     val bIids = batchOpsQ.filter(col("op") === "I").select("doc_id")
-    // no standing opsq segment (driver-side listing) ⇒ the batch's own
-    // net I rows ARE the live qualities — skip the window + pin
-    val appsQ =
-      if (SegLedger.dirs(s"$root/opsq", id, segFloor(root, Some(id))).isEmpty)
-        batchOpsQ.filter(col("op") === "I").select("doc_id", "quality")
-      else SegLedger.read(s, s"$root/opsq", id, batchOpsQ.limit(0),
-          segFloor(root, Some(id)))
-        .unionByName(batchOpsQ.withColumn("__seg", lit(id)))
-        .withColumn("__r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy(col("__seg").desc)))
-        .filter(col("__r") === 1 && col("op") === "I")
-        .select("doc_id", "quality")
-        .localCheckpoint()
-    SegLedger.append(batchOpsQ, s"$root/opsq", id)
+    // reconstruction + segment append OVERLAP the label fold on
+    // [[foldPool]] (r19, guide §2.6): this family ($root/opsq) is
+    // touched by nothing inside the label fold, and both the listing
+    // and the window read strictly below `id`, so the append's own
+    // segment can never leak into its batch's reconstruction.
+    // No standing opsq segment (driver-side listing) ⇒ the batch's own
+    // net I rows ARE the live qualities — skip the window + pin.
+    val fAppsQ = scala.concurrent.Future {
+      val q =
+        if (SegLedger.dirs(s"$root/opsq", id, segFloor(root, Some(id))).isEmpty)
+          batchOpsQ.filter(col("op") === "I").select("doc_id", "quality")
+        else SegLedger.read(s, s"$root/opsq", id, batchOpsQ.limit(0),
+            segFloor(root, Some(id)))
+          .unionByName(batchOpsQ.withColumn("__seg", lit(id)))
+          .withColumn("__r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy(col("__seg").desc)))
+          .filter(col("__r") === 1 && col("op") === "I")
+          .select("doc_id", "quality")
+          .localCheckpoint()
+      SegLedger.append(batchOpsQ, s"$root/opsq", id)
+      q
+    }(foldPool)
+    val fold = componentsCdcImpl(ccState, root,
+      b.select("op", "doc_id", "simhash"), id, staticSigs, historyPred, ts,
+      Some(CdcBatchPre(stats.getLong(0), stats.getLong(1),
+        stats.getLong(2), stats.getLong(3), opsPin)))
+    val bD = b.filter(col("op") === "D").select("doc_id").distinct()
+    val appsQ = scala.concurrent.Await.result(fAppsQ,
+      scala.concurrent.duration.Duration.Inf)
     val cumDels = fold.cumDels
     // re-election universe V: the fold's affected docs (new labels ∪
     // dropped old members) + arrivals, minus the deletes
