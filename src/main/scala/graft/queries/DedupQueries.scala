@@ -1038,7 +1038,11 @@ object DedupQueries {
     * live in subdirs. */
   private def stagedCcState(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String,
-      docs: org.apache.spark.sql.DataFrame, nb: Int = 16): String =
+      docs: org.apache.spark.sql.DataFrame,
+      /** explicit bucket count (the decade gates' handle); ≤ 0 derives
+        * it from the standing label rows via [[stagedBuckets]] — the
+        * byte-floor density rule, applied at initial staging (r19) */
+      nb0: Int = -1): String =
     graft.sources.ZOrder.ensureStagedDir(tag, d, s"$d/documents.parquet") { target =>
       EventQueries.multiWriteStage(target) { stage =>
         val sig = docs.select(col("doc_id"),
@@ -1046,19 +1050,29 @@ object DedupQueries {
         val pairs = TextDedup.simHashNearDup(sig, "doc_id", "simhash", 3)
           .select("id_a", "id_b")
           .localCheckpoint() // read by the components run AND the edge write
-        val labels = Components.connectedComponents(pairs, "id_a", "id_b")
-          .localCheckpoint()
+        // the standing count rides the pin — the bucket count derives
+        // from it and the meta reuses it (was a separate count() job)
+        val labelsP = pinMetered(
+          Components.connectedComponents(pairs, "id_a", "id_b"))
+        val labels = labelsP.df
+        val nb = if (nb0 > 0) nb0 else stagedBuckets(s, labelsP.n)
         // repartition BY BUCKET before every bucketed write: a
         // 32-partition frame sprayed through partitionBy writes up to
         // 32 near-empty files per bucket, and tiny-file overhead (not
         // row bytes) then dominates every pruned read — ONE file per
-        // bucket keeps point-read bytes proportional to rows
-        labels.withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels")
-        labels.withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/labels_byid")
+        // bucket keeps point-read bytes proportional to rows.
+        // The three writes share only the pinned labels/pairs frames —
+        // one parallel wave (r19, guide §2.6).
+        val fLw = scala.concurrent.Future(
+          labels.withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$stage/labels"))(foldPool)
+        val fBw = scala.concurrent.Future(
+          labels.withColumn("bucket", pmod(col("id"), lit(nb)).cast("int"))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$stage/labels_byid"))(foldPool)
         // NO broadcast hint: labels is CORPUS-derived (one row per doc in
         // any near-dup pair) — at 100 TB it's billions of rows, and a
         // hint OOMs where a keyed shuffle join just costs an exchange.
@@ -1069,10 +1083,32 @@ object DedupQueries {
           .withColumn("bucket", pmod(col("component"), lit(nb)).cast("int"))
           .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite").parquet(s"$stage/edges")
-        writeStateMeta(stage, "labels", nb, labels.count())
+        Seq(fLw, fBw).foreach(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+        writeStateMeta(stage, "labels", nb, labelsP.n)
         StateFs.touch(s"$stage/_SUCCESS")
       }
     }
+
+  /** Staged bucket count (r19): the byte-floor density rule applied at
+    * INITIAL staging, not only at compaction rescale — nb ≈ rows ·
+    * bytesPerRowEst / minBucketBytes, so a freshly staged state starts
+    * at the same constant-bytes-per-bucket target [[rescaleBuckets]]
+    * holds later (8 MB default), instead of a constant 16/64 tuned for
+    * neither local mode nor a cluster: at bench scale the constants
+    * over-split MB-sized relations into ~70-row files whose per-file
+    * open cost dominated every fold read/write (measured ~1 s per
+    * 64-bucket manifest generation write at sf0.1), and at corpus
+    * scale they under-split. The per-row estimate is deliberately
+    * conservative (64 B ≫ parquet's encoded size for these narrow
+    * relations); the first compaction replaces it with measured bytes
+    * via [[scaledBytesEst]]. */
+  private[graft] def stagedBuckets(s: org.apache.spark.sql.SparkSession,
+      rows: Long, bytesPerRowEst: Long = 64L): Int = {
+    val floor = math.max(1L, confMinBucketBytes(s))
+    math.max(1L, math.min(1L << 20,
+      math.ceil(rows.toDouble * bytesPerRowEst / floor).toLong)).toInt
+  }
 
   /** Per-relation staged-state META ({"buckets":B,"rows":N}), written
     * beside every staged and compacted state so the folds (a) agree
@@ -1153,9 +1189,10 @@ object DedupQueries {
     * asserting the doc-keyed point read opens ONLY pmod(id, nb)
     * partitions of the byid mirror. */
   private[graft] def ccLabelsForIdsRead(s: org.apache.spark.sql.SparkSession,
-      d: String, ids: org.apache.spark.sql.DataFrame)
+      d: String, ids: org.apache.spark.sql.DataFrame,
+      stateDirOpt: Option[String] = None)
       : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
-    val stateDir = ccStateDir(s, d)
+    val stateDir = stateDirOpt.getOrElse(ccStateDir(s, d))
     val nb = labelBuckets(stateDir)
     val bks = ids.select(pmod(col("id"), lit(nb)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -1165,7 +1202,7 @@ object DedupQueries {
   /** Full-corpus cluster state (q181/q182/q185). */
   private[graft] def ccStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_state_b16v4", Tables.documents(s, d))
+    stagedCcState(s, d, "graft_cc_state_bd1", Tables.documents(s, d))
 
   /** HISTORY-ONLY cluster state (q187 — arrivals stream in later, so
     * the standing state must not have seen them). The tag ENCODES the
@@ -1174,7 +1211,7 @@ object DedupQueries {
     * cache serves the old split forever. */
   private[graft] def ccHistStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedCcState(s, d, "graft_cc_hist7_state_b16v4",
+    stagedCcState(s, d, "graft_cc_hist7_state_bd1",
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0))
 
   /** The standing labels (id, component) from [[ccStateDir]]. */
@@ -1186,8 +1223,12 @@ object DedupQueries {
     * O(deletes) rows; lazily pinned because the callers both prune with
     * it and anti-join against it. */
   private[graft] def ccTouchedComps(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    ccAtRestLabels(s, d)
+      d: String,
+      /** explicit state dir (PlanBudgetSpec probes a gate-staged state
+        * at a pinned bucket count — the derived default can collapse to
+        * 1 bucket at tiny SFs, making pruning asserts vacuous) */
+      stateDirOpt: Option[String] = None): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"${stateDirOpt.getOrElse(ccStateDir(s, d))}/labels")
       .join(ccDeletedIds(s, d).select(col("doc_id").as("id")), Seq("id"), "leftsemi")
       .select("component").distinct()
       .localCheckpoint(false)
@@ -1198,9 +1239,10 @@ object DedupQueries {
     * components' edges. Exposed with the bucket list so PlanBudgetSpec
     * can assert the pruning at file level. */
   private[graft] def componentsTouchedRead(s: org.apache.spark.sql.SparkSession,
-      d: String, touched: org.apache.spark.sql.DataFrame)
+      d: String, touched: org.apache.spark.sql.DataFrame,
+      stateDirOpt: Option[String] = None)
       : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
-    val stateDir = ccStateDir(s, d)
+    val stateDir = stateDirOpt.getOrElse(ccStateDir(s, d))
     // bounded driver list: 16 buckets exist in total
     val buckets = touched
       .select(pmod(col("component"), lit(labelBuckets(stateDir))).cast("int").as("bucket"))
@@ -2149,7 +2191,7 @@ object DedupQueries {
     * because it IS the output's pass-through side). */
   private[graft] def survivorStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedSurvivorState(s, d, "graft_survivor_state_b64v3",
+    stagedSurvivorState(s, d, "graft_survivor_state_bd1",
       Tables.documents(s, d), ccStateDir(s, d))
 
   /** HISTORY-ONLY survivor state (q189 — manifest maintained under the
@@ -2157,13 +2199,20 @@ object DedupQueries {
     * Tag encodes the % 7 split rule, same reason as [[ccHistStateDir]]. */
   private[graft] def survivorHistStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    stagedSurvivorState(s, d, "graft_survivor_hist7_state_b64v3",
+    stagedSurvivorState(s, d, "graft_survivor_hist7_state_bd1",
       Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0),
       ccHistStateDir(s, d))
 
   private def stagedSurvivorState(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String, docs: org.apache.spark.sql.DataFrame,
-      ccState: String, nbM: Int = 64): String =
+      ccState: String,
+      /** explicit manifest/membership bucket count (the decade gates'
+        * handle); ≤ 0 derives it from the standing MANIFEST rows via
+        * [[stagedBuckets]] — the byte-floor density rule at initial
+        * staging (r19). The manifest is the keyed relation whose
+        * density the count must hold (one row per present component —
+        * the same rule the compaction rescale applies). */
+      nbM0: Int = -1): String =
     graft.sources.ZOrder.ensureStagedDir(tag, d, s"$d/documents.parquet") { target =>
       EventQueries.multiWriteStage(target) { stage =>
         val labels = s.read.parquet(s"$ccState/labels")
@@ -2174,21 +2223,30 @@ object DedupQueries {
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"),
             TextFns.qualityScore(col("text"), TextQueries.qualityStops).as("quality"))
-          .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
           .localCheckpoint() // read by the membership write AND the manifest agg
-        membership.repartition(col("bucket"))
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$stage/membership")
+        // the manifest count rides the pin — the bucket count derives
+        // from it and the meta reuses it (was a separate count() job)
+        val manifestP = pinMetered(electSurvivors(membership))
+        val nbM = if (nbM0 > 0) nbM0 else stagedBuckets(s, manifestP.n)
+        // membership ∥ manifest writes — independent payloads of the
+        // pinned frames (r19, guide §2.6)
+        val fMw = scala.concurrent.Future(
+          membership
+            .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$stage/membership"))(foldPool)
         // the manifest keyed by the same component buckets, so a
         // maintained-manifest generation can reference untouched
         // buckets here instead of re-materializing them
-        val manifest = electSurvivors(membership)
+        manifestP.df
           .withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
-          .localCheckpoint() // written AND meta-counted
-        manifest.repartition(col("bucket"))
+          .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$stage/manifest")
-        writeStateMeta(stage, "manifest", nbM, manifest.count())
+        scala.concurrent.Await.result(fMw,
+          scala.concurrent.duration.Duration.Inf)
+        writeStateMeta(stage, "manifest", nbM, manifestP.n)
         StateFs.touch(s"$stage/_SUCCESS")
       }
     }
@@ -2196,12 +2254,12 @@ object DedupQueries {
   /** Components (singletons included) holding a deleted doc — the
     * manifest rows that must be re-derived. O(deletes) rows. */
   private[graft] def survivorTouchedComps(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
+      d: String, ccStateOpt: Option[String] = None): org.apache.spark.sql.DataFrame =
     // the at-rest labels are O(corpus): no broadcast hint — the
     // O(deletes) probe side shuffles against them (AQE may still elect
     // a broadcast at bench scale)
     ccDeletedIds(s, d)
-      .join(ccAtRestLabels(s, d)
+      .join(s.read.parquet(s"${ccStateOpt.getOrElse(ccStateDir(s, d))}/labels")
           .select(col("id").as("doc_id"), col("component")),
         Seq("doc_id"), "left")
       .select(coalesce(col("component"), col("doc_id")).as("component"))
@@ -2213,9 +2271,10 @@ object DedupQueries {
     * the row-level component semi-join. Exposed with the bucket list
     * for PlanBudgetSpec's file-level pruning assert. */
   private[graft] def survivorTouchedRead(s: org.apache.spark.sql.SparkSession,
-      d: String, touched: org.apache.spark.sql.DataFrame)
+      d: String, touched: org.apache.spark.sql.DataFrame,
+      stateDirOpt: Option[String] = None)
       : (org.apache.spark.sql.DataFrame, Seq[Int]) = {
-    val stateDir = survivorStateDir(s, d)
+    val stateDir = stateDirOpt.getOrElse(survivorStateDir(s, d))
     val buckets = touched
       .select(pmod(col("component"), lit(manifestBuckets(stateDir))).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -2468,23 +2527,26 @@ object DedupQueries {
     // the bulk fold this compaction exists to amortize
     val emptyOps = emptyIds
       .select(lit("D").as("op"), col("doc_id"), lit(null).cast("long").as("simhash"))
-    val winners = SegLedger.read(s, s"$root/ops", id, emptyOps, ledgerFloor)
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("__seg").desc)))
-      .filter(col("__r") === 1)
-      .localCheckpoint()
-    val cumDels = winners.filter(col("op") === "D").select("doc_id")
-    val cumApps = winners.filter(col("op") === "I").select("doc_id", "simhash")
     val emptyOpsQ = emptyIds
       .select(lit("D").as("op"), col("doc_id"), lit(null).cast("double").as("quality"))
-    val appsQ = SegLedger.read(s, s"$root/opsq", id, emptyOpsQ, ledgerFloor)
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("__seg").desc)))
-      .filter(col("__r") === 1 && col("op") === "I")
-      .select("doc_id", "quality")
-      .localCheckpoint()
+    // the two ledger reconstructions touch disjoint families — one
+    // parallel wave (r19, guide §2.6)
+    val (winners, appsQ) = inParallel(
+      SegLedger.read(s, s"$root/ops", id, emptyOps, ledgerFloor)
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("__seg").desc)))
+        .filter(col("__r") === 1)
+        .localCheckpoint(),
+      SegLedger.read(s, s"$root/opsq", id, emptyOpsQ, ledgerFloor)
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("__seg").desc)))
+        .filter(col("__r") === 1 && col("op") === "I")
+        .select("doc_id", "quality")
+        .localCheckpoint())
+    val cumDels = winners.filter(col("op") === "D").select("doc_id")
+    val cumApps = winners.filter(col("op") === "I").select("doc_id", "simhash")
     val superseded = cumDels.unionByName(cumApps.select("doc_id")).distinct()
     // the base corpus chains: first compaction from the historyPred
     // slice, later ones from the previous compaction's own snapshot
@@ -2499,34 +2561,45 @@ object DedupQueries {
     val stateDir = s"$root/state/gen-$id"
     // the state's COVERAGE snapshot: post-compaction probes use this as
     // their base corpus (historyPred no longer describes what the
-    // at-rest state absorbed)
-    present.write.mode("overwrite").parquet(s"$stateDir/sigs")
+    // at-rest state absorbed). Written on the pool — the pair probe
+    // below reads `present` from its checkpoint blocks, not this dir.
+    val fSigs = scala.concurrent.Future(
+      present.write.mode("overwrite").parquet(s"$stateDir/sigs"))(foldPool)
     // rebuild the cluster state over the present corpus — the same
     // shape stagedCcState stages from scratch
     val pairs = TextDedup.simHashNearDup(present, "doc_id", "simhash", 3)
       .select("id_a", "id_b")
       .localCheckpoint() // read by the components run AND the edge write
-    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
-      .localCheckpoint()
-    // the count is needed BEFORE the bucketed writes now (nb derives
-    // from it) — same one action the meta write always paid, moved up
-    val nLabels = labels.count()
+    // the standing count rides the pin (observe) — nb derives from it
+    // BEFORE the bucketed writes, and the meta write reuses it
+    val labelsP = pinMetered(
+      Components.connectedComponents(pairs, "id_a", "id_b"))
+    val labels = labelsP.df
+    val nLabels = labelsP.n
     val minBB = confMinBucketBytes(s)
     val nbL = rescaleBuckets(nbLPrev, rowsLPrev, nLabels,
       scaledBytesEst(s"$ccPrev/labels", rowsLPrev, nLabels), minBB)
-    labels.withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels")
-    labels.withColumn("bucket", pmod(col("id"), lit(nbL)).cast("int"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/labels_byid")
+    // the three cluster-state writes share only the pinned labels/pairs
+    // frames — one parallel wave (r19, guide §2.6)
+    val fLabelsW = scala.concurrent.Future(
+      labels.withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$stateDir/labels"))(foldPool)
+    val fByidW = scala.concurrent.Future(
+      labels.withColumn("bucket", pmod(col("id"), lit(nbL)).cast("int"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$stateDir/labels_byid"))(foldPool)
     // corpus-derived labels — no broadcast hint (see stagedCcState)
-    pairs
-      .join(labels.select(col("id").as("id_a"), col("component")),
-        Seq("id_a"))
-      .withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$stateDir/edges")
+    val fEdgesW = scala.concurrent.Future(
+      pairs
+        .join(labels.select(col("id").as("id_a"), col("component")),
+          Seq("id_a"))
+        .withColumn("bucket", pmod(col("component"), lit(nbL)).cast("int"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$stateDir/edges"))(foldPool)
     // ... and the survivor state: present docs' quality from the
     // predecessor membership (still valid for untouched history) ∪ the
     // quality ledger (appended docs, re-scored upserts)
@@ -2541,21 +2614,28 @@ object DedupQueries {
         coalesce(col("component"), col("doc_id")).as("component"),
         col("quality"))
       .localCheckpoint() // membership write + manifest agg + counts
-    val manifest = electSurvivors(membership).localCheckpoint()
-    // count before the bucketed writes — nbM derives from it (the
-    // manifest has one row per present component, the relation whose
-    // density the bucket count must hold)
-    val nManifest = manifest.count()
+    // the manifest count rides the pin — nbM derives from it before
+    // the bucketed writes (one row per present component, the relation
+    // whose density the bucket count must hold)
+    val manifestP = pinMetered(electSurvivors(membership))
+    val manifest = manifestP.df
+    val nManifest = manifestP.n
     val nbM = rescaleBuckets(nbMPrev, rowsMPrev, nManifest,
       scaledBytesEst(s"$survPrev/manifest", rowsMPrev, nManifest), minBB)
-    membership.withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$stateDir/membership")
+    // membership ∥ manifest writes (independent payloads of the pinned
+    // frames), then join every outstanding write future before any
+    // commit marker below — the marker must still be LAST
+    val fMembershipW = scala.concurrent.Future(
+      membership.withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$stateDir/membership"))(foldPool)
     manifest.withColumn("bucket", pmod(col("component"), lit(nbM)).cast("int"))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$stateDir/manifest")
+    Seq(fSigs, fLabelsW, fByidW, fEdgesW, fMembershipW).foreach(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     // ledger truncation is the SEGMENT VACUUM below (after the marker):
     // post-compaction folds list no segment below their id and read
     // empty frames — nothing is written here

@@ -800,18 +800,27 @@ class PlanBudgetSpec extends SparkSpec {
           s"$pathTag read opened buckets the deletes never touched")
       }
     }
+    // the pruning proofs need a MULTI-bucket state: the default staging
+    // derives its bucket count from the byte-floor density rule (r19)
+    // and legitimately collapses to 1 bucket at test SFs, which would
+    // make every assert below vacuous — so probe the gate-staged state
+    // at the pinned production-shaped counts instead
+    val cc16 = Some(DedupQueries.ccGateStateDir(spark, sf, 16))
+    val surv64 = Some(DedupQueries.survivorGateStateDir(spark, sf, cc16.get, 64))
     // q181: the delete batch opens only its components' edge partitions
     val (prunedEdges, edgeBuckets) =
-      DedupQueries.componentsTouchedRead(spark, sf, DedupQueries.ccTouchedComps(spark, sf))
+      DedupQueries.componentsTouchedRead(spark, sf,
+        DedupQueries.ccTouchedComps(spark, sf, cc16), cc16)
     assert(edgeBuckets.nonEmpty && edgeBuckets.size < 16,
       s"fixture degenerate: deletes touch ${edgeBuckets.size} of 16 edge buckets — pruning vacuous")
-    prunedScanPartitions(prunedEdges, "cc_state", edgeBuckets.size)
+    prunedScanPartitions(prunedEdges, "cc_gate", edgeBuckets.size)
     // q182: re-election opens only touched membership buckets
     val (members, memberBuckets) =
-      DedupQueries.survivorTouchedRead(spark, sf, DedupQueries.survivorTouchedComps(spark, sf))
+      DedupQueries.survivorTouchedRead(spark, sf,
+        DedupQueries.survivorTouchedComps(spark, sf, cc16), surv64)
     assert(memberBuckets.nonEmpty && memberBuckets.size < 64,
       s"fixture degenerate: deletes touch ${memberBuckets.size} of 64 membership buckets")
-    prunedScanPartitions(members, "survivor_state", memberBuckets.size)
+    prunedScanPartitions(members, "survivor_gate", memberBuckets.size)
     // r17: the doc-keyed companion index — an id-keyed probe opens only
     // pmod(id, nb) partitions of the byid mirror, never the full label
     // relation (the r16 read floor). A probe bucket holding no labels
@@ -819,11 +828,11 @@ class PlanBudgetSpec extends SparkSpec {
     // buckets' intersection with the dirs that exist.
     import org.apache.spark.sql.functions.col
     val probeIds = spark.range(1, 40, 7).select(col("id"))
-    val (byidRead, idBuckets) = DedupQueries.ccLabelsForIdsRead(spark, sf, probeIds)
+    val (byidRead, idBuckets) = DedupQueries.ccLabelsForIdsRead(spark, sf, probeIds, cc16)
     assert(idBuckets.nonEmpty && idBuckets.size < 16,
       s"fixture degenerate: probe ids land in ${idBuckets.size} of 16 byid buckets")
     val byidDirs = Option(new java.io.File(
-        s"${DedupQueries.ccStateDir(spark, sf)}/labels_byid").listFiles()).toSeq.flatten
+        s"${cc16.get}/labels_byid").listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("bucket="))
       .map(_.getName.stripPrefix("bucket=").toInt).toSet
     val expectByid = idBuckets.count(byidDirs)
@@ -838,7 +847,9 @@ class PlanBudgetSpec extends SparkSpec {
     // buckets under either keying is a full-snapshot rewrite in disguise
     import graft.queries.{BucketedGens, DedupQueries}
     import org.apache.spark.sql.functions.{col, lit, min}
-    val ccState = DedupQueries.ccStateDir(spark, sf)
+    // gate-staged at 16 buckets: the derived default can collapse to 1
+    // bucket at test SFs and make the strict-subset asserts vacuous
+    val ccState = DedupQueries.ccGateStateDir(spark, sf, 16)
     val root = java.nio.file.Files.createTempDirectory("graft_cdcgen_").toString
     val one = spark.read.parquet(s"$ccState/labels")
       .agg(min(col("id")).as("doc_id"))
@@ -870,8 +881,9 @@ class PlanBudgetSpec extends SparkSpec {
     // disguise, O(corpus) write I/O per micro-batch at scale
     import graft.queries.{BucketedGens, DedupQueries}
     import org.apache.spark.sql.functions.{col, min}
-    val ccState = DedupQueries.ccStateDir(spark, sf)
-    val survState = DedupQueries.survivorStateDir(spark, sf)
+    // gate-staged at the pinned 16/64 counts — see the pruning test
+    val ccState = DedupQueries.ccGateStateDir(spark, sf, 16)
+    val survState = DedupQueries.survivorGateStateDir(spark, sf, ccState, 64)
     val root = java.nio.file.Files.createTempDirectory("graft_bucketgen_").toString
     // one CLUSTERED deleted doc (a singleton would leave the label gen
     // legitimately empty and prove nothing about subset writes)
