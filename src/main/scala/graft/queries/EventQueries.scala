@@ -167,34 +167,56 @@ object EventQueries {
     * parent also holds state the returned frame still reads (q97). */
   private[queries] def dropDir(dir: String): Unit = rm(dir)
 
-  /** Append the two-wave far-future sentinel files to a staged drain
-    * dir (q131/q135): wave A (max+3 h) only advances the watermark for
-    * batches AFTER the one that ingests it, so wave B (max+10 h) forces
-    * a batch that already runs past every real row's horizon — the
-    * final no-data micro-batch is not guaranteed under AvailableNow.
-    * One sentinel row per entry in `types` per wave, because a side
-    * that filters on event_type advances its watermark only from rows
-    * surviving its filter (the global watermark is the min over sides).
-    * Re-stamps the drain order (zz- names sort after every part-
-    * range, so the sentinels drain last). */
-  private def addSentinelWaves(s0: org.apache.spark.sql.SparkSession,
+  /** The two-wave far-future sentinel contract (q131/q135/q137): wave A
+    * (max+3 h) only advances the watermark for batches AFTER the one
+    * that ingests it, so wave B (max+10 h) forces a batch that already
+    * runs past every real row's horizon — the final no-data micro-batch
+    * is not guaranteed under AvailableNow. One sentinel row per entry in
+    * `types` per wave, because a side that filters on event_type
+    * advances its watermark only from rows surviving its filter (the
+    * global watermark is the min over sides).
+    *
+    * Wave A needs no batch of its own: it rides INSIDE the last data
+    * range ([[sentinelWaveA]] unioned before [[stageRangedDrain]] —
+    * max+3 h range-partitions into the top file), because the watermark
+    * it advances only takes effect after that batch either way. Only
+    * wave B ([[addSentinelWaveB]]) is a separate trailing file = one
+    * extra micro-batch. This cut the drains from 4 to 3 micro-batches
+    * at a measured ~1.1 s fixed cost per batch (DurProbe: a ZERO-row
+    * sentinel batch costs 1.1–1.3 s — state-store load/evict/commit
+    * rounds, not data). Sentinel rows never reach an oracle-checked
+    * output: every consumer filters user_id/c_user ≥ 0 at the sink. */
+  private def sentinelWave(s: org.apache.spark.sql.SparkSession,
+      maxTs: Long, types: Seq[String], wave: Int) = {
+    import s.implicits._
+    val h = if (wave == 0) 3L else 10L
+    types.zipWithIndex.map { case (t, j) =>
+        (-(1L + wave * types.size + j), maxTs + h * 3600 * 1000000000L,
+          -1L, t, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Wave-A sentinel rows to union into the staged frame (same column
+    * set as the normalized events schema; union by name at the call
+    * site so column order never matters). */
+  private def sentinelWaveA(s: org.apache.spark.sql.SparkSession,
+      maxTs: Long, types: Seq[String]) = sentinelWave(s, maxTs, types, 0)
+
+  /** Append the wave-B sentinel file to a staged drain dir and re-stamp
+    * the drain order (the zz- name sorts after every part- range, so
+    * wave B drains last). */
+  private def addSentinelWaveB(s0: org.apache.spark.sql.SparkSession,
       in: String, maxTs: Long, types: Seq[String]): Unit = {
     val parent = new org.apache.hadoop.fs.Path(in).getParent.toString
-    Seq(3L, 10L).zipWithIndex.foreach { case (h, i) =>
-      import s0.implicits._
-      types.zipWithIndex.map { case (t, j) =>
-          (-(1L + i * types.size + j), maxTs + h * 3600 * 1000000000L,
-            -1L, t, 0.0, "{}")
-        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        // coalesce(1): a multi-task write can hand the `.head` below an
-        // EMPTY part file and the sentinel row silently vanishes
-        // (observed intermittently before this was centralized)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$parent/sent$i")
-      val part = StateFs.list(s"$parent/sent$i")
-        .filter(_.getName.startsWith("part-")).head
-      StateFs.copyFile(part.toString, s"$in/zz-sentinel-$i.parquet")
-    }
+    sentinelWave(s0, maxTs, types, 1)
+      // coalesce(1): a multi-task write can hand the `.head` below an
+      // EMPTY part file and the sentinel row silently vanishes
+      // (observed intermittently before this was centralized)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$parent/sent1")
+    val part = StateFs.list(s"$parent/sent1")
+      .filter(_.getName.startsWith("part-")).head
+    StateFs.copyFile(part.toString, s"$in/zz-sentinel-1.parquet")
     stampDrainOrder(in)
   }
 
@@ -711,9 +733,13 @@ object EventQueries {
       val schema = batch.schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_interval_outer"
-      val in = stageRangedDrain(batch, 2, "ts", "graft_ssjo_")
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
-      addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
+      // wave A rides the top data range (no batch of its own); wave B
+      // is the one trailing sentinel batch — see sentinelWave
+      val in = stageRangedDrain(
+        batch.unionByName(sentinelWaveA(s0, maxTs, Seq("click", "purchase"))),
+        2, "ts", "graft_ssjo_")
+      addSentinelWaveB(s0, in, maxTs, Seq("click", "purchase"))
       val joined = intervalJoinPair(s, schema, in, "leftOuter")
       val sink = drainToParquet(joined, sinkName)
       dropStaged(in)
@@ -755,9 +781,13 @@ object EventQueries {
       val schema = batch.schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_join_window"
-      val in = stageRangedDrain(batch, 2, "ts", "graft_ssjw_")
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
-      addSentinelWaves(s0, in, maxTs, Seq("click", "purchase"))
+      // wave A rides the top data range (no batch of its own); wave B
+      // is the one trailing sentinel batch — see sentinelWave
+      val in = stageRangedDrain(
+        batch.unionByName(sentinelWaveA(s0, maxTs, Seq("click", "purchase"))),
+        2, "ts", "graft_ssjw_")
+      addSentinelWaveB(s0, in, maxTs, Seq("click", "purchase"))
       val stream = intervalJoinPair(s, schema, in)
         .filter(col("c_user") >= 0) // sentinel pair stays out of agg state
         .groupBy(window(col("c_ts"), "1 hour").as("w"))
@@ -803,12 +833,15 @@ object EventQueries {
       val schema = batch.schema
       val s = streamSession(s0)
       val sinkName = "graft_stream_session"
-      val in = stageRangedDrain(batch, 2, "ts", "graft_sess_")
       // Two sentinel waves push the watermark past every real session's
       // end + 30 min gap (observed without them: the last two sessions
-      // dropped at sf0.001) — see addSentinelWaves for the mechanics.
+      // dropped at sf0.001) — see sentinelWave for the mechanics; wave A
+      // rides the top data range, wave B is the one trailing batch.
       val maxTs = batch.agg(max(col("ts"))).head.getLong(0)
-      addSentinelWaves(s0, in, maxTs, Seq("sentinel"))
+      val in = stageRangedDrain(
+        batch.unionByName(sentinelWaveA(s, maxTs, Seq("sentinel"))),
+        2, "ts", "graft_sess_")
+      addSentinelWaveB(s0, in, maxTs, Seq("sentinel"))
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .select(col("user_id"), col("value"),

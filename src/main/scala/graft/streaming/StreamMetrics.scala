@@ -36,9 +36,21 @@ object StreamMetrics {
       if (perBatch.isEmpty) 0L else perBatch.max,
       progress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum,
       progress.map(_.stateOperators.length).foldLeft(0)(_ max _))
+    progressJson(name) = progress.map(_.json)
   }
 
   def get(name: String): Option[Snapshot] = snaps.get(name)
+
+  /** Raw per-batch progress JSON (durationMs breakdown etc.) for the
+    * dev probes — the `recentProgress` ring dies with the local query
+    * reference, so the snapshot keeps the evidence the way `snaps`
+    * keeps the state totals. A drain is a handful of batches; the cost
+    * is a few KB per sink name. */
+  private val progressJson = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  def progress(name: String): Seq[String] = progressJson.getOrElse(name, Nil)
+
+  def progressNames: Seq[String] = progressJson.keys.toSeq.sorted
 
   /** Per-drain micro-SEGMENT ledger (q152): each foreachBatch segment
     * writer records (batchId, rows landed) as it commits, giving the
